@@ -1,0 +1,69 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries execute via the `noop` sink so we measure plan execution, not
+driver-side result materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from youtube_scraper_db_spark.registry import REGISTRY  # noqa: E402
+from youtube_scraper_db_spark.session import get_spark  # noqa: E402
+
+#: headline queries — the scan/shuffle/window-heavy subset of the registry.
+HEADLINE = [
+    "pricing_summary",
+    "customer_order_counts",
+    "cross_linked_parts",
+    "per_customer_stats",
+    "line_positions",
+    "ordered_part_lists",
+    "first_line_per_order",
+    "diff_sync_parts",
+    "stale_events",
+    "top_suppliers",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    specs = {s.name: s for s in REGISTRY}
+    names = [n for n in HEADLINE if n in specs]
+
+    # warmup: spin the JVM + parquet footer caches on the smallest query
+    specs["top_suppliers"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,521 @@
+"""Driver-contract query registry.
+
+One named query per implemented operator from SURVEY.md §2, instantiated
+against the driver's TPC-H-ish testdata (TESTDATA.md) following the
+structural mapping in SURVEY.md §7.4 (playlists→customer/orders analogy,
+cross-link ≡ parts in >1 order, search ≡ LIKE over part names/documents,
+diff-sync ≡ anti-joins between date-split snapshots, staleness ≡
+threshold filters over ``events``).
+
+Every spec carries BOTH the PySpark plan (``fn``) and the equivalent ANSI
+SQL for the DuckDB oracle (``oracle``), with identical column aliases —
+the driver hash-compares the two at sf=0.01. Specs without an oracle are
+genuinely non-SQL-expressible and get the weaker rows-only check.
+
+Conventions for oracle parity (see SURVEY.md §5):
+- session timezone pinned to UTC before building any plan;
+- every aggregate/computed column explicitly aliased on both sides;
+- DuckDB integer-sum results cast to BIGINT (DuckDB widens SUM to INT128);
+- floating-point aggregates rounded to 2 decimals on both sides so
+  accumulation-order differences cannot flip the value hash;
+- every LIMIT carries a total order (unique tie-break column);
+- nondeterministic picks (SQLite bare-column GROUP BY) defined as MIN.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import read_table
+from .operators.dedup import dedup_first_seen
+from .operators.diffsync import diff_keys_tagged
+from .operators.windows import assign_positions, next_position, ordered_collect
+from .semantics import ci_contains
+from .session import ensure_utc
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    operators: str  # SURVEY.md §2 operator ids this query exercises
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: list[QuerySpec] = []
+
+
+def spec(name: str, operators: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a query spec."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        REGISTRY.append(QuerySpec(name, operators, fn, oracle, tags))
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_utc(spark)
+    return read_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------
+# Joins + aggregation (J1/A2, A3, A6, A1/A5, J7/A8)
+# ----------------------------------------------------------------------
+
+@spec(
+    "customer_order_counts",
+    "J1 A2 O2",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS order_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Playlist-summary analog (ref display.py:74-82): left join keeps
+    customers with zero orders; count(o_orderkey) skips the NULL probe rows.
+    Scale: customer ≪ orders → the join shuffles orders once on o_custkey;
+    partial counts combine map-side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+@spec(
+    "cross_linked_parts",
+    "A3 A4 O5",
+    oracle="""
+    SELECT l_partkey, count(DISTINCT l_orderkey) AS order_count
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(DISTINCT l_orderkey) > 1
+    """,
+)
+def cross_linked_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-link detection analog (ref display.py:126-143): parts appearing
+    in more than one distinct order — countDistinct + HAVING."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("order_count"))
+        .filter(F.col("order_count") > 1)
+    )
+
+
+@spec(
+    "top_suppliers",
+    "A6 O2 O7",
+    oracle="""
+    SELECT l_suppkey, count(*) AS line_count
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY line_count DESC, l_suppkey
+    LIMIT 5
+    """,
+)
+def top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5-channels analog (ref display.py:180-188): ordered LIMIT k →
+    TakeOrderedAndProject (per-partition partial top-k, no global sort).
+    Tie-break on the key for cross-engine determinism."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("line_count"))
+        .orderBy(F.desc("line_count"), F.asc("l_suppkey"))
+        .limit(5)
+    )
+
+
+@spec(
+    "summary_stats",
+    "A1 A4 A5",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM orders)   AS total_orders,
+      (SELECT count(*) FROM lineitem) AS total_lineitems,
+      (SELECT max(o_orderdate) FROM orders) AS last_order_date,
+      (SELECT count(*) FROM (
+         SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 1
+      )) AS multi_order_customers
+    """,
+)
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard stats analog (ref display.py:145-193): global counts, a
+    global MAX, and an aggregate-of-aggregate — one single-row DataFrame
+    built from cross-joined scalar aggregates (each a partial-combine agg)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    multi = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count("*").alias("multi_order_customers"))
+    )
+    return (
+        o.agg(
+            F.count("*").alias("total_orders"),
+            F.max("o_orderdate").alias("last_order_date"),
+        )
+        .crossJoin(li.agg(F.count("*").alias("total_lineitems")))
+        .crossJoin(multi)
+        .select("total_orders", "total_lineitems", "last_order_date", "multi_order_customers")
+    )
+
+
+@spec(
+    "per_customer_stats",
+    "J7 A8",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COALESCE(s.order_count, 0) AS order_count,
+           s.first_order AS first_order,
+           s.last_order AS last_order
+    FROM customer
+    LEFT JOIN (
+      SELECT o_custkey, count(*) AS order_count,
+             min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+      FROM orders GROUP BY o_custkey
+    ) s ON c_custkey = s.o_custkey
+    """,
+)
+def per_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery decorrelation (ref web_app.py:28-41, J7):
+    one groupBy computes all three stats, then a left join onto the
+    dimension keeps stat-less customers with NULL dates and zero count."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_custkey").agg(
+        F.count("*").alias("order_count"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    return (
+        c.join(stats, c.c_custkey == stats.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("order_count"), F.lit(0).cast("long")).alias("order_count"),
+            "first_order",
+            "last_order",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Filters / predicates / point lookups (P2, P4, P8, J3/P9)
+# ----------------------------------------------------------------------
+
+@spec(
+    "point_lookup_order",
+    "P2",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+    """,
+)
+def point_lookup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK point lookup (ref display.py:58-60): scalar-subquery key so the
+    query is scale-factor-independent; parquet min/max row-group skipping
+    serves the equality predicate at scale."""
+    o = _t(spark, sf_dir, "orders")
+    mk = o.agg(F.min("o_orderkey").alias("__mk"))
+    return (
+        o.join(F.broadcast(mk), o.o_orderkey == F.col("__mk"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+
+
+@spec(
+    "ci_name_search",
+    "P4 P6 P1",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE lower(p_name) LIKE '%red%'
+    """,
+)
+def ci_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive LIKE parity (ref display.py:547-559; SQLite LIKE is
+    case-insensitive, Spark's is not → lower both sides, SURVEY §2.2 P4)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(ci_contains("p_name", "RED")).select("p_partkey", "p_name", "p_brand")
+
+
+@spec(
+    "has_order_flag",
+    "P8 J3 P9",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN probe.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS has_order
+    FROM customer
+    LEFT JOIN (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 0
+    ) probe ON c_custkey = probe.o_custkey
+    """,
+)
+def has_order_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_transcript-flag analog (ref display.py:97, gui_app.py:62): left
+    join against a distinct existence probe with a residual predicate (P9),
+    flag = CASE WHEN matched."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    probe = o.filter(F.col("o_totalprice") > 0).select("o_custkey").distinct()
+    return (
+        c.join(probe, c.c_custkey == probe.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("has_order"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Anti/semi joins + diff-sync (J8-J10, E1, E4)
+# ----------------------------------------------------------------------
+
+@spec(
+    "customers_without_orders",
+    "J9 E1 E4",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join skip-set (ref scrape_my_channel.py:682-683 'new videos
+    only'): left_anti — at scale this broadcasts the smaller key set or
+    shares the shuffle partitioning of a later merge."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@spec(
+    "customers_with_orders",
+    "J10",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence semi-join guard (ref import_playlists.py:42-44)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@spec(
+    "diff_sync_parts",
+    "J8 E1",
+    oracle="""
+    WITH cur AS (SELECT DISTINCT l_partkey FROM lineitem
+                 WHERE l_shipdate <  TIMESTAMP '1998-01-01'),
+         des AS (SELECT DISTINCT l_partkey FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+    SELECT l_partkey, 'add' AS change FROM des
+    WHERE NOT EXISTS (SELECT 1 FROM cur WHERE cur.l_partkey = des.l_partkey)
+    UNION ALL
+    SELECT l_partkey, 'remove' AS change FROM cur
+    WHERE NOT EXISTS (SELECT 1 FROM des WHERE des.l_partkey = cur.l_partkey)
+    """,
+)
+def diff_sync_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff-sync membership (ref main_scraper.py:148-152): to_add/to_remove
+    between two snapshot key sets as two anti-joins sharing one shuffle
+    partitioning — via operators.diffsync.diff_keys_tagged."""
+    li = _t(spark, sf_dir, "lineitem")
+    cur = li.filter(F.col("l_shipdate") < "1998-01-01").select("l_partkey")
+    des = li.filter(F.col("l_shipdate") >= "1998-01-01").select("l_partkey")
+    return diff_keys_tagged(cur, des, ["l_partkey"])
+
+
+# ----------------------------------------------------------------------
+# Window-shaped ops (W1, W2, W3) + first-seen dedup (E2)
+# ----------------------------------------------------------------------
+
+@spec(
+    "line_positions",
+    "W1",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT)
+             AS position
+    FROM lineitem
+    """,
+)
+def line_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-by-arrival-order (ref scrape_my_channel.py:456-461
+    enumerate start=1) via operators.windows.assign_positions."""
+    li = _t(spark, sf_dir, "lineitem")
+    return assign_positions(li, "l_orderkey", F.col("l_linenumber")).select(
+        "l_orderkey", "l_linenumber", "position"
+    )
+
+
+@spec(
+    "next_line_position",
+    "W2 A7",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(max(l_linenumber) OVER (PARTITION BY l_orderkey) + 1 AS BIGINT)
+             AS next_position
+    FROM lineitem
+    """,
+)
+def next_line_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX(position)+1 insert slot (ref display.py:305-311) via
+    operators.windows.next_position."""
+    li = _t(spark, sf_dir, "lineitem")
+    return next_position(li, "l_orderkey", "l_linenumber").select(
+        "l_orderkey", "l_linenumber", "next_position"
+    )
+
+
+@spec(
+    "ordered_part_lists",
+    "W3 S14 O6",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(CAST(l_partkey AS VARCHAR), ','
+                      ORDER BY l_linenumber, l_partkey, l_suppkey) AS part_ids
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def ordered_part_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered nested export (ref export_playlists.py:43-47): per-group list
+    ordered inside the aggregate (sort_array over collect_list of structs) —
+    shuffle-order-independent, rendered to CSV string for the oracle.
+    (l_linenumber, l_partkey, l_suppkey) is a total order within an order."""
+    li = _t(spark, sf_dir, "lineitem")
+    collected = ordered_collect(
+        li, "l_orderkey", ["l_linenumber", "l_partkey", "l_suppkey"], "l_partkey",
+        out_col="items",
+    )
+    return collected.select(
+        "l_orderkey",
+        F.array_join(F.transform(F.col("items"), lambda x: x.cast("string")), ",").alias(
+            "part_ids"
+        ),
+    )
+
+
+@spec(
+    "first_line_per_order",
+    "E2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem
+    QUALIFY row_number() OVER (
+      PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) = 1
+    """,
+)
+def first_line_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen dedup with defined total ordering (ref
+    scrape_my_channel.py:389-395; SURVEY E2) via operators.dedup."""
+    li = _t(spark, sf_dir, "lineitem")
+    return dedup_first_seen(
+        li,
+        ["l_orderkey"],
+        [F.col("l_linenumber"), F.col("l_partkey"), F.col("l_suppkey")],
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+# ----------------------------------------------------------------------
+# Staleness / incremental predicates (P10, T2)
+# ----------------------------------------------------------------------
+
+@spec(
+    "stale_events",
+    "P10 T2 P7",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    WHERE ts IS NULL
+       OR ts <= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+    """,
+)
+def stale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness-gated work set (ref main_scraper.py:345-356): rows older
+    than a 7-day threshold or never scraped. The 'now' anchor is max(ts) so
+    the query is deterministic for the oracle (current_timestamp is not)."""
+    e = _t(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("__mx"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("ts").isNull()
+            | (F.col("ts") <= F.col("__mx") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+# ----------------------------------------------------------------------
+# Flagship aggregate (TPC-H Q1 shape) — also the bench headline
+# ----------------------------------------------------------------------
+
+@spec(
+    "pricing_summary",
+    "A1 A2 P1 O8",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the flagship hash aggregate. The
+    shipdate filter pushes down to the parquet scan; all sums combine
+    map-side; doubles rounded to 2dp on both sides so accumulation order
+    cannot flip the oracle hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Public accessors (driver contract)
+# ----------------------------------------------------------------------
+
+def queries() -> dict[str, QueryFn]:
+    return {s.name: s.fn for s in REGISTRY}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in REGISTRY if s.oracle is not None}
