@@ -135,7 +135,7 @@ def display_name(title: Column | str, id_col: Column | str, count: Column | str)
     """``"✅ <title>"`` when count>0 else title; blank titles fall back to
     ``"ID: <id>"`` (ref gui_app.py:43-46)."""
     t = F.nullif(F.trim(_c(title)), F.lit(""))
-    base = F.coalesce(t, F.concat(F.lit("ID: "), _c(id_col)))
+    base = F.coalesce(t, F.concat(F.lit("ID: "), _c(id_col).cast("string")))
     return F.when(_c(count) > 0, F.concat(F.lit("✅ "), base)).otherwise(base)
 
 

@@ -27,14 +27,23 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .io import read_table
 from .operators.dedup import dedup_first_seen
 from .operators.diffsync import diff_keys_tagged
 from .operators.windows import assign_positions, next_position, ordered_collect
-from .semantics import ci_contains
+from .functions.scalars import (
+    context_snippet,
+    display_name,
+    extract_video_id,
+    format_duration,
+    format_thousands,
+    highlight,
+    sanitize_filename,
+)
+from .semantics import ci_contains, nocase
 from .session import ensure_utc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -506,6 +515,441 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
+    )
+
+
+# ----------------------------------------------------------------------
+# Batch 2 — joins (J2/J4/J6), sorts (O1/O3/O4), set ops (E3), predicates
+# (P7/P12), per-group distinct counts (A9/A10), JSON, scalar functions
+# ----------------------------------------------------------------------
+
+@spec(
+    "order_lines_detail",
+    "J2 P3 P1",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, p_name, l_quantity
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders)
+    """,
+)
+def order_lines_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Videos-of-playlist analog (ref display.py:98-99, web_app.py:50-52):
+    FK equality filter + inner equi-join to the dimension. ``part`` is the
+    broadcast side; the l_orderkey predicate pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders")
+    mk = o.agg(F.min("o_orderkey").alias("__mk"))
+    return (
+        li.join(F.broadcast(mk), li.l_orderkey == F.col("__mk"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "p_name", "l_quantity")
+    )
+
+
+@spec(
+    "part_customer_attribution",
+    "J4 A2",
+    oracle="""
+    SELECT l_partkey, count(*) AS n_lines, min(c_name) AS first_customer
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY l_partkey
+    """,
+)
+def part_customer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join with deterministic attribution (ref display.py:548-556;
+    the reference's bare-column GROUP BY is nondeterministic, SURVEY §2.11 —
+    semantics defined as MIN(c_name))."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_lines"), F.min("c_name").alias("first_customer"))
+    )
+
+
+@spec(
+    "recent_lines_enriched",
+    "J6 O3 O4 O7",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_name, s_name, l_shipdate
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY l_shipdate DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey
+    LIMIT 20
+    """,
+)
+def recent_lines_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered two-dimension join (ref export_playlist_transcripts.py:42-50):
+    inner joins + multi-key ordered limit → TakeOrderedAndProject; full
+    tie-break chain for cross-engine determinism."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select("l_orderkey", "l_linenumber", "p_name", "s_name", "l_shipdate")
+        .orderBy(
+            F.desc("l_shipdate"),
+            F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+            F.asc("p_name"),
+            F.asc("s_name"),
+        )
+        .limit(20)
+    )
+
+
+@spec(
+    "nocase_part_names",
+    "O1 O7",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    ORDER BY lower(p_name), p_partkey
+    LIMIT 10
+    """,
+)
+def nocase_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATE NOCASE sort parity (ref main_scraper.py:98 et al., O1):
+    portable lower() sort key + unique tie-break."""
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", "p_name").orderBy(nocase("p_name"), F.col("p_partkey")).limit(10)
+
+
+@spec(
+    "event_type_union",
+    "E3",
+    oracle="""
+    SELECT event_id, event_type FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE event_type = 'error'
+    """,
+)
+def event_type_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of filtered scans (ref add_transcripts.py:218-221 glob union)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "event_type")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "event_type")
+    return clicks.unionByName(errors)
+
+
+@spec(
+    "regex_shape_filter",
+    "P12 P1",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE regexp_matches(p_name, '^(red|blue) ')
+    """,
+)
+def regex_shape_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """id-shape regex predicate (ref add_transcripts.py:34 11-char id regex,
+    display.py:225) — rlike stays inside codegen."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike("^(red|blue) ")).select("p_partkey", "p_name")
+
+
+@spec(
+    "order_status_counts",
+    "P7 A10",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE o_orderdate IS NOT NULL
+    GROUP BY o_orderstatus
+    """,
+)
+def order_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NOT NULL predicate + run-report counters (ref display.py:175,
+    main_scraper.py:403-407 outcome tallies)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@spec(
+    "order_item_counts",
+    "A9",
+    oracle="""
+    SELECT l_orderkey, count(DISTINCT l_partkey) AS item_count
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def order_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """item_count = |distinct members| (ref main_scraper.py:292-299 computes
+    it in Python and writes back via S13; here it is one distinct-agg —
+    swap to approx_count_distinct at the 100 TB tier)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(F.countDistinct("l_partkey").alias("item_count"))
+
+
+@spec(
+    "event_prop_stats",
+    "F-json A8",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS avg_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_prop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON side-car (SURVEY §1.1 playlists.json / JSONL job
+    logs): JSON path extraction inside an aggregate — get_json_object is
+    JVM-side, no UDF."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.get_json_object("props", "$.k").cast("long")), 2).alias("avg_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@spec(
+    "hourly_event_rollup",
+    "T-window A2",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY hour, event_type
+    """,
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (streaming extension, SURVEY §2.9): the batch
+    twin of the Structured Streaming windowed agg in streaming.inbox —
+    date_trunc keeps it a plain hash aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@spec(
+    "sessionized_events",
+    "T-session W1",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 1800
+                    THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM e
+    """,
+)
+def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative sum of
+    session-start flags — one shuffle on user_id shared by both windows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("__new", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .select("event_id", "user_id", "session_id")
+    )
+
+
+@spec(
+    "latest_user_status",
+    "S17 T3",
+    oracle="""
+    SELECT user_id, event_type AS latest_status, ts AS status_ts
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def latest_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-log current status (ref main_scraper.py:276-316 ping state
+    machine: status = latest event per key) — row_number desc over the log."""
+    e = _t(spark, sf_dir, "events")
+    return dedup_first_seen(
+        e, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", F.col("event_type").alias("latest_status"), F.col("ts").alias("status_ts"))
+
+
+@spec(
+    "line_durations",
+    "F1 F14",
+    oracle="""
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             CAST(FLOOR(l_quantity * 937) AS BIGINT) AS sec
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CASE WHEN sec IS NULL THEN 'Unknown' ELSE concat_ws(' ',
+             CASE WHEN sec // 3600 > 0
+                  THEN CAST(sec // 3600 AS VARCHAR) || 'h' END,
+             CASE WHEN sec // 3600 > 0 OR (sec % 3600) // 60 > 0
+                  THEN CAST((sec % 3600) // 60 AS VARCHAR) || 'm' END,
+             CAST(sec % 60 AS VARCHAR) || 's') END AS duration_display
+    FROM s
+    """,
+)
+def line_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_duration as a pure Column expression (ref display.py:195-207)
+    applied to synthesized second counts — proves F1 needs no Python UDF."""
+    li = _t(spark, sf_dir, "lineitem")
+    sec = F.floor(F.col("l_quantity") * 937).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        format_duration(sec).alias("duration_display"),
+    )
+
+
+@spec(
+    "extracted_video_ids",
+    "F2 F3",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://www.youtube.com/watch?v=' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11)
+               || '&t=42' AS url
+      FROM documents
+    )
+    SELECT doc_id, url, substr(md5(CAST(doc_id AS VARCHAR)), 1, 11) AS video_id
+    FROM u
+    """,
+)
+def extracted_video_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_video_id regex cascade (ref display.py:209-228): synthesize
+    watch URLs from md5(doc_id) (identical in both engines), then recover
+    the id with the engine's expression — the oracle recomputes it directly."""
+    d = _t(spark, sf_dir, "documents")
+    vid = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 11)
+    url = F.concat(F.lit("https://www.youtube.com/watch?v="), vid, F.lit("&t=42"))
+    return d.select(
+        "doc_id", url.alias("url"), extract_video_id(url).alias("video_id")
+    )
+
+
+@spec(
+    "doc_search_snippets",
+    "P5 F5 F6 J5",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id, text, strpos(lower(text), 'vector') AS pos
+      FROM documents
+      WHERE strpos(lower(text), 'vector') > 0
+    ),
+    snip AS (
+      SELECT doc_id,
+             substring(text, greatest(pos - 40, 1), 6 + 80) AS snippet
+      FROM hits
+    )
+    SELECT doc_id, snippet,
+           replace(snippet, 'vector', '**vector**') AS snippet_highlighted
+    FROM snip
+    """,
+)
+def doc_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript full-text search analog (ref display.py:585-620): LIKE
+    scan + ±40-char context snippet + literal highlight, all Column exprs."""
+    d = _t(spark, sf_dir, "documents")
+    snip = context_snippet("text", "vector", radius=40)
+    return (
+        d.filter(ci_contains("text", "vector"))
+        .select("doc_id", snip.alias("snippet"))
+        .withColumn("snippet_highlighted", highlight(F.col("snippet"), "vector"))
+    )
+
+
+@spec(
+    "sanitized_filenames",
+    "F7 S15",
+    oracle="""
+    SELECT p_partkey,
+           COALESCE(NULLIF(substring(regexp_replace(trim(replace(p_name, ' ', '/')),
+                    '[\\\\/*?:"<>|]', '_', 'g'), 1, 100), ''), 'untitled') AS filename
+    FROM part
+    """,
+)
+def sanitized_filenames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sanitize_filename (ref export_playlist_transcripts.py:57-64) over
+    names with injected path separators."""
+    p = _t(spark, sf_dir, "part")
+    dirty = F.replace(F.col("p_name"), F.lit(" "), F.lit("/"))
+    return p.select("p_partkey", sanitize_filename(dirty).alias("filename"))
+
+
+@spec(
+    "iso_export_dates",
+    "F8 F9 F17 S14",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+           strftime(o_orderdate, '%Y-%m-%d') AS ymd
+    FROM orders
+    """,
+)
+def iso_export_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 render at the export edge (ref youtube_utils.py:92):
+    timestamps stay typed inside the engine, strings only at the sink."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ymd"),
+    )
+
+
+@spec(
+    "display_price_labels",
+    "F12 F13 F16",
+    oracle="""
+    SELECT o_orderkey,
+           format('{:,}', CAST(FLOOR(o_totalprice) AS BIGINT)) AS price_display,
+           CASE WHEN o_totalprice > 200000
+                THEN '✅ ' || COALESCE(NULLIF(trim(o_orderpriority), ''),
+                                       'ID: ' || CAST(o_orderkey AS VARCHAR))
+                ELSE COALESCE(NULLIF(trim(o_orderpriority), ''),
+                              'ID: ' || CAST(o_orderkey AS VARCHAR)) END AS label
+    FROM orders
+    """,
+)
+def display_price_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thousands formatting (ref display.py:505) + conditional display-name
+    concat with blank fallback (ref gui_app.py:43-46)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        format_thousands(F.floor(F.col("o_totalprice")).cast("long")).alias("price_display"),
+        display_name(
+            F.col("o_orderpriority"),
+            F.col("o_orderkey"),
+            (F.col("o_totalprice") > 200000).cast("int"),
+        ).alias("label"),
     )
 
 
