@@ -1,0 +1,225 @@
+"""Deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design (the whole point of these operators):
+- exact dedup      : one hash-groupBy on a 16-byte fingerprint — shuffles
+                     fingerprints, not documents.
+- Jaccard pairs    : inverted-index self-join on shingles (candidates =
+                     docs sharing ≥1 shingle), never an O(n²) cross join.
+- MinHash+LSH      : per-doc signature (map-only) → band explode →
+                     bucket groupBy → pairs within buckets. Shuffle volume
+                     is O(docs × bands), independent of document length.
+- SimHash          : 64-bit signature via one Arrow-batched pandas UDF
+                     (bit-vote loop is genuinely non-relational), then
+                     bucket joins on signature prefixes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import content_fingerprint, shingles
+
+
+# --- exact ------------------------------------------------------------
+
+def exact_dedup_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Tag every row with its content fingerprint, duplicate-group size and
+    an ``is_canonical`` flag (lowest id in the group wins). Keeps all rows
+    so downstream can either filter or audit."""
+    fp = content_fingerprint(text_col).alias("content_fp")
+    with_fp = df.select(F.col(id_col), fp)
+    w = Window.partitionBy("content_fp")
+    wo = w.orderBy(F.col(id_col))
+    return (
+        with_fp.withColumn("dup_count", F.count("*").over(w).cast("long"))
+        .withColumn(
+            "is_canonical", (F.row_number().over(wo) == 1).cast("int")
+        )
+    )
+
+
+# --- n-gram Jaccard ---------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word ``k``-gram sets for every
+    candidate pair, keeping pairs ≥ ``threshold``.
+
+    Candidates come from an inverted-index self-join (docs sharing at least
+    one shingle) — at scale this is two shuffles on the shingle key and one
+    on the pair key; the cross join never materializes."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(text_col, k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select("doc", F.size("sh").alias("n"))
+    ex = sh.select("doc", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------
+
+def minhash_signature(text_col: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
+    """MinHash signature as ``array<bigint>``: per hash function i, the min
+    of ``xxhash64(shingle, i)`` over the document's shingle set. Map-only —
+    no shuffle, no UDF."""
+    sh = shingles(text_col, k)
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.when(F.size(sh) > 0, F.transform(
+        idx, lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i)))
+    )).otherwise(F.lit(None).cast("array<bigint>"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs with estimated Jaccard: band the signature
+    (rows = num_hashes // bands), bucket-join docs agreeing on any band,
+    then estimate Jaccard as the fraction of agreeing signature positions.
+
+    Shuffle volume is O(docs × bands); grows linearly, never quadratically.
+    Not ANSI-SQL-expressible (xxhash64) → rows-only correctness check."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(text_col, num_hashes, k).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(agree / F.lit(float(len_sig := num_hashes)), 4).alias("est_jaccard"),
+    )
+
+
+# --- SimHash ----------------------------------------------------------
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def _simhash64(text: str) -> int:
+    """64-bit SimHash with md5-derived token hashes (stable across runs &
+    processes; no Python hash randomization)."""
+    votes = [0] * 64
+    for tok in text.lower().split():
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if votes[b] > 0:
+            out |= 1 << b
+    # wrap to signed 64-bit for LongType
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document 64-bit SimHash via ``mapInPandas`` (Arrow-batched; the
+    per-bit vote loop is the one genuinely non-relational computation in
+    this module). Near-dup candidates then come from equality joins on
+    signature prefixes — see ``simhash_bucket_pairs``."""
+    src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+
+    def compute(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc": pdf["doc"],
+                    "simhash": [_simhash64(t or "") for t in pdf["text"]],
+                }
+            )
+
+    return src.mapInPandas(compute, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_bucket_pairs(sig: DataFrame, prefix_bits: int = 16) -> DataFrame:
+    """Candidate near-dup pairs: docs whose SimHash agrees on the top
+    ``prefix_bits`` bits (one equality-join bucket per prefix; rotate the
+    signature for multi-probe in a real pipeline)."""
+    bucket = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits).alias("bucket")
+    b = sig.select("doc", "simhash", bucket)
+    x = b.alias("x")
+    y = b.alias("y")
+    return (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.doc") < F.col("y.doc")))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            _hamming64(F.col("x.simhash"), F.col("y.simhash")).alias("hamming"),
+        )
+    )
+
+
+def _hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR — bit_count is native in Spark SQL."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")

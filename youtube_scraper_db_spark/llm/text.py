@@ -1,0 +1,138 @@
+"""Text analysis for training-data pipelines — token counting, quality
+scoring, language ID, document fingerprinting.
+
+Everything here is a native Column expression (JVM-side, codegen'd): at
+100 TB these run inside the scan stage with zero Python cost, unlike the
+typical row-at-a-time Python cleaning scripts they replace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the pre-BPE budget estimate)."""
+    return F.size(tokens(col)).cast("long")
+
+
+#: BPE-ish sub-word piece estimate: word chunks of ≤4 chars plus digits and
+#: punctuation runs — a deterministic proxy for tokenizer-piece counts.
+_BPE_PIECE = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def bpe_piece_count(col: Column | str) -> Column:
+    """Approximate BPE piece count via regexp extraction (deterministic,
+    tokenizer-free)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(f"({_BPE_PIECE})"), 1)).cast("long")
+
+
+#: tiny per-language stopword lists for the vote-based language ID.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that", "it", "was"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "los"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "dans", "que"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "他", "这", "中"),
+}
+
+#: deterministic priority when votes tie (first match wins).
+LANG_PRIORITY = ("en", "es", "de", "fr", "zh")
+
+
+def lang_votes(tok: Column, lang: str) -> Column:
+    """Distinct-token overlap with one language's stopword list."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(tok), stop))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language ID: argmax of per-language overlap with a
+    fixed priority order on ties — a cheap n-gram-free heuristic that is
+    reproducible in ANSI SQL for the oracle. Real pipelines would swap in
+    fastText/CLD3 via a pandas UDF; the dataflow shape stays the same."""
+    tok = tokens(col)
+    votes = {lang: lang_votes(tok, lang) for lang in LANG_PRIORITY}
+    expr = None
+    for lang in LANG_PRIORITY:
+        cond = None
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            c = votes[lang] >= votes[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(LANG_PRIORITY[0]))
+
+
+def trunc4(col: Column) -> Column:
+    """Truncate to 4 decimals via floor — unlike ROUND, truncation of the
+    same IEEE double is identical in every engine (no half-way-tie
+    divergence between HALF_UP and banker's rounding)."""
+    return F.floor(col * 10000) / 10000.0
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]: length credit (→100 tokens),
+    type-token ratio (lexical diversity), stopword ratio (natural-language
+    prior). Deterministic and SQL-reproducible; truncated to 4dp (see
+    ``trunc4`` for why not ROUND)."""
+    tok = tokens(col)
+    n = F.size(tok)
+    nd = F.size(F.array_distinct(tok))
+    stops = F.array(*[F.lit(w) for lang in LANG_PRIORITY for w in STOPWORDS[lang]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(tok), stops))
+    safe_n = F.greatest(n, F.lit(1))
+    ttr = nd / safe_n
+    stop_ratio = n_stop / F.greatest(nd, F.lit(1))
+    length_credit = F.least(n / F.lit(100.0), F.lit(1.0))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        trunc4(0.4 * length_credit + 0.3 * ttr + 0.3 * stop_ratio)
+    )
+
+
+def normalize(col: Column | str) -> Column:
+    """Dedup normalization: lowercase + whitespace collapse."""
+    return F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """Exact-content fingerprint: md5 of the normalized text — the
+    hash-groupBy dedup key."""
+    return F.md5(normalize(col).cast("binary"))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word ``k``-gram shingles (the MinHash/Jaccard unit).
+    Texts shorter than ``k`` tokens → empty array."""
+    tok = tokens(normalize(col))
+    n = F.size(tok)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+
+    def mk(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(k)])
+
+    return F.when(n >= k, F.array_distinct(F.transform(idx, mk))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def min_shingle_fingerprint(col: Column | str, k: int = 3) -> Column:
+    """Winnowing-style fingerprint: lexicographic min of per-shingle md5
+    hex digests — one stable representative hash per document; NULL for
+    texts shorter than ``k`` tokens."""
+    sh = shingles(col, k)
+    return F.array_min(F.transform(sh, lambda s: F.md5(s.cast("binary"))))

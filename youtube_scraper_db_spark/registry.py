@@ -31,6 +31,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .io import read_table
+from .llm import dedup as llm_dedup
+from .llm import multimodal as llm_multimodal
+from .llm import similarity as llm_similarity
+from .llm import text as llm_text
 from .operators.dedup import dedup_first_seen
 from .operators.diffsync import diff_keys_tagged
 from .operators.windows import assign_positions, next_position, ordered_collect
@@ -951,6 +955,341 @@ def display_price_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") > 200000).cast("int"),
         ).alias("label"),
     )
+
+
+# ----------------------------------------------------------------------
+# Batch 3 — LLM-training-data pipeline operators (BASELINE.json north
+# star): text analysis, dedup (exact/Jaccard/MinHash/SimHash), similarity
+# search, multimodal metadata
+# ----------------------------------------------------------------------
+
+#: union of all stopword lists as a SQL array literal (for oracle parity).
+def _sql_list(words) -> str:
+    return "[" + ", ".join("'" + w + "'" for w in words) + "]"
+
+
+_ALL_STOPS = [w for lang in llm_text.LANG_PRIORITY for w in llm_text.STOPWORDS[lang]]
+
+#: shared oracle CTE: whitespace tokens of each document.
+_TOK_CTE = """
+    tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      FROM documents
+    )
+"""
+
+
+@spec(
+    "doc_token_stats",
+    "LLM-text",
+    oracle=f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS token_count,
+           FLOOR((CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1)) * 10000) / 10000.0
+             AS ttr,
+           CASE WHEN len(t) = 0 THEN 0.0 ELSE FLOOR((
+             0.4 * least(len(t) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1))
+             + 0.3 * (CAST(len(list_intersect(list_distinct(t), {_sql_list(_ALL_STOPS)})) AS DOUBLE)
+                      / greatest(len(list_distinct(t)), 1))) * 10000) / 10000.0 END AS quality
+    FROM tok
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length credit, type-token ratio,
+    stopword prior) — pure Column exprs, zero Python in the scan stage."""
+    d = _t(spark, sf_dir, "documents")
+    tok = llm_text.tokens("text")
+    n = F.size(tok)
+    nd = F.size(F.array_distinct(tok))
+    return d.select(
+        "doc_id",
+        llm_text.token_count("text").alias("token_count"),
+        llm_text.trunc4(nd / F.greatest(n, F.lit(1))).alias("ttr"),
+        llm_text.quality_score("text").alias("quality"),
+    )
+
+
+def _votes_sql(lang: str) -> str:
+    return (
+        f"len(list_intersect(list_distinct(t), {_sql_list(llm_text.STOPWORDS[lang])}))"
+    )
+
+
+_LANG_CASE = "CASE "
+for _lang in llm_text.LANG_PRIORITY:
+    _others = " AND ".join(
+        f"{_votes_sql(_lang)} >= {_votes_sql(o)}"
+        for o in llm_text.LANG_PRIORITY
+        if o != _lang
+    )
+    _LANG_CASE += f"WHEN {_others} THEN '{_lang}' "
+_LANG_CASE += "ELSE 'en' END"
+
+
+@spec(
+    "doc_lang_id",
+    "LLM-langid",
+    oracle=f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id, {_LANG_CASE} AS lang_pred
+    FROM tok
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (argmax with fixed priority on ties)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", llm_text.lang_id("text").alias("lang_pred"))
+
+
+@spec(
+    "doc_fingerprints",
+    "LLM-fingerprint",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, nt,
+             CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(nt, ' ') END AS t
+      FROM norm
+    )
+    SELECT doc_id,
+           md5(nt) AS content_fp,
+           CASE WHEN len(t) >= 3 THEN
+             list_aggregate(list_transform(
+               list_distinct(list_transform(generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+               s -> md5(s)), 'min')
+           ELSE NULL END AS shingle_fp
+    FROM tok
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized content (exact-dup key)
+    + winnowing-style min-shingle hash (near-dup stable representative)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        llm_text.content_fingerprint("text").alias("content_fp"),
+        llm_text.min_shingle_fingerprint("text", k=3).alias("shingle_fp"),
+    )
+
+
+@spec(
+    "exact_dedup_docs",
+    "LLM-dedup-exact",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_fp
+      FROM documents
+    )
+    SELECT doc_id, content_fp,
+           CAST(count(*) OVER (PARTITION BY content_fp) AS BIGINT) AS dup_count,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY content_fp ORDER BY doc_id) = 1
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+    FROM fp
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: per-row fingerprint, group
+    size, canonical flag (lowest id wins). Shuffles 16-byte hashes, never
+    document bodies — the property that matters at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    return llm_dedup.exact_dedup_flags(d, "doc_id", "text")
+
+
+@spec(
+    "ngram_jaccard_pairs",
+    "LLM-dedup-jaccard",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(nt, ' ') END AS t
+      FROM norm
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE CAST([] AS VARCHAR[]) END AS s
+      FROM tok
+    ),
+    sized AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, n, unnest(s) AS g FROM sized),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS shared, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 4) AS jaccard
+    FROM pairs
+    WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index self-join —
+    candidates share ≥1 shingle, so the O(n²) cross join never happens."""
+    d = _t(spark, sf_dir, "documents")
+    return llm_dedup.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.2)
+
+
+@spec(
+    "embedding_cosine_topk",
+    "LLM-sim-topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id,
+             ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                   (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      FROM embeddings, q
+    )
+    SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact-recall ANN baseline): broadcast
+    the query vector, one corpus scan, TakeOrderedAndProject for the k."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    return llm_similarity.cosine_topk(e, q, k=10)
+
+
+@spec(
+    "embedding_knn_join",
+    "LLM-sim-knn",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT query_id, e.vec_id AS cand_id,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv) /
+                   (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id != query_id
+    )
+    SELECT query_id, cand_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: per-query top-k via broadcast cross join + window rank —
+    the re-rank stage every ANN pipeline ends with."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return llm_similarity.knn_join(e, queries, k=3)
+
+
+@spec(
+    "embedding_near_dups",
+    "LLM-dedup-embed",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+          (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+          >= 0.4
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact formulation; the LSH variant
+    in llm.similarity is the subquadratic scale path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return llm_similarity.near_dup_pairs(e, threshold=0.4)
+
+
+@spec(
+    "multimodal_meta",
+    "LLM-multimodal",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal asset wrapping: opaque binary payload + typed metadata
+    (byte length, content hash) — the JVM-side half of the media pipeline;
+    decode kernels live in llm.multimodal as Arrow-batched stages."""
+    d = _t(spark, sf_dir, "documents")
+    media = llm_multimodal.attach_binary(d, "doc_id", "text", "image")
+    return media.select("asset_id", "media_type", "byte_len", "sha256")
+
+
+# --- rows-only specs (xxhash64 / pandas-UDF stages: not ANSI-expressible)
+
+def _cloned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact clones with shifted ids — a corpus with known
+    duplicates so recall of the approximate dedup paths is observable."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return d.unionByName(clones)
+
+
+@spec("minhash_lsh_dups", "LLM-dedup-minhash")
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs on a corpus with 1 known clone per doc:
+    every clone pair must surface with est_jaccard 1.0 (recall check in
+    tests). xxhash64 signatures → rows-only driver check."""
+    corpus = _cloned_docs(spark, sf_dir)
+    pairs = llm_dedup.minhash_lsh_pairs(corpus, "doc_id", "text", num_hashes=32, bands=16)
+    return pairs.filter(F.col("est_jaccard") >= 0.5)
+
+
+@spec("simhash_dups", "LLM-dedup-simhash")
+def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (hamming ≤ 3 within 16-bit prefix
+    buckets) on the cloned corpus — pandas-UDF signature stage → rows-only."""
+    corpus = _cloned_docs(spark, sf_dir)
+    sig = llm_dedup.simhash_signatures(corpus, "doc_id", "text")
+    return llm_dedup.simhash_bucket_pairs(sig, prefix_bits=16).filter(
+        F.col("hamming") <= 3
+    )
+
+
+@spec("lsh_ann_topk", "LLM-sim-ann")
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k for one query: hyperplane-signature bucket
+    probe + exact re-rank. Recall vs the exact top-k is asserted in tests;
+    driver check is rows-only (numpy-seeded planes)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    return llm_similarity.lsh_ann_topk(e, q, dim=64, k=10, n_planes=4)
 
 
 # ----------------------------------------------------------------------
