@@ -84,15 +84,34 @@ def jaccard_pairs(
 
 # --- MinHash + LSH ----------------------------------------------------
 
-def minhash_signature(text_col: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
-    """MinHash signature as ``array<bigint>``: per hash function i, the min
-    of ``xxhash64(shingle, i)`` over the document's shingle set. Map-only —
-    no shuffle, no UDF."""
-    sh = shingles(text_col, k)
-    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.when(F.size(sh) > 0, F.transform(
-        idx, lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i)))
-    )).otherwise(F.lit(None).cast("array<bigint>"))
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature ``(doc, sig: array<bigint>)``.
+
+    Shape chosen for whole-stage codegen: explode shingles, then ONE hash
+    aggregate with ``num_hashes`` seeded ``min(xxhash64(shingle, i))``
+    expressions. Map-side partial aggregation means the shuffle carries
+    docs × num_hashes longs — independent of document length — and every
+    expression stays inside codegen (a nested higher-order-function
+    formulation runs interpreted and is ~20× slower)."""
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, k)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        ex.groupBy("doc")
+        .agg(*aggs)
+        .select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -107,18 +126,18 @@ def minhash_lsh_pairs(
     (rows = num_hashes // bands), bucket-join docs agreeing on any band,
     then estimate Jaccard as the fraction of agreeing signature positions.
 
-    Shuffle volume is O(docs × bands); grows linearly, never quadratically.
-    Not ANSI-SQL-expressible (xxhash64) → rows-only correctness check."""
+    Scale design: the self-join keys are (band, bucket) with only doc ids
+    as payload; full signatures are joined back onto the deduped pair list
+    afterwards, so wide arrays never ride through the candidate shuffle.
+    Shuffle volume is O(docs × bands); grows linearly, never
+    quadratically. Not ANSI-SQL-expressible (xxhash64) → rows-only
+    correctness check."""
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(text_col, num_hashes, k).alias("sig"),
-    ).filter(F.col("sig").isNotNull())
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
         "doc",
-        "sig",
         F.explode(
             F.transform(
                 band_idx,
@@ -128,7 +147,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -139,21 +158,22 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        F.round(agree / F.lit(float(len_sig := num_hashes)), 4).alias("est_jaccard"),
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+        )
     )
 
 
