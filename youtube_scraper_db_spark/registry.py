@@ -957,6 +957,43 @@ def display_price_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "extracted_page_refs",
+    "S4 E2",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '([A-Za-z]{9,})', 1)) AS ref,
+             generate_subscripts(regexp_extract_all(text, '([A-Za-z]{9,})', 1), 1) AS seen_seq
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, ref,
+             row_number() OVER (PARTITION BY doc_id, ref ORDER BY seen_seq) AS rn
+      FROM hits
+    )
+    SELECT doc_id, ref FROM ranked WHERE rn = 1
+    """,
+)
+def extracted_page_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S4 page-scrape composition (ref scrape_my_channel.py:375-400) on
+    testdata: regexp_extract_all → posexplode → length guard → first-seen
+    dedup (E2), exactly the ``sources.html_playlists`` operator shape. The
+    dedup window partitions by (doc, ref) so order within a document is
+    deterministic and oracle-reproducible."""
+    from .operators.dedup import dedup_first_seen
+
+    d = _t(spark, sf_dir, "documents")
+    exploded = d.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all("text", F.lit(r"([A-Za-z]{9,})"), 1)).alias(
+            "seen_seq", "ref"
+        ),
+    )
+    return dedup_first_seen(exploded, ["doc_id", "ref"], [F.col("seen_seq")]).select(
+        "doc_id", "ref"
+    )
+
+
 # ----------------------------------------------------------------------
 # Batch 3 — LLM-training-data pipeline operators (BASELINE.json north
 # star): text analysis, dedup (exact/Jaccard/MinHash/SimHash), similarity
