@@ -13,6 +13,7 @@ from youtube_scraper_db_spark.operators import (
 )
 from youtube_scraper_db_spark.operators.diffsync import (
     diff_keys,
+    diff_keys_single_shuffle,
     diff_keys_tagged,
     sync_membership,
 )
@@ -24,8 +25,12 @@ def test_diff_keys_both_directions(spark):
     add, rem = diff_keys(cur, des, ["k"])
     assert [r.k for r in add.collect()] == ["c"]
     assert [r.k for r in rem.collect()] == ["a"]
+    expected = {("c", "add"), ("a", "remove")}
     tagged = {(r.k, r.change) for r in diff_keys_tagged(cur, des, ["k"]).collect()}
-    assert tagged == {("c", "add"), ("a", "remove")}
+    assert tagged == expected
+    # single-shuffle form agrees with the anti-join form
+    single = {(r.k, r.change) for r in diff_keys_single_shuffle(cur, des, ["k"]).collect()}
+    assert single == expected
 
 
 def test_sync_membership_applies_diff(spark):

@@ -44,6 +44,44 @@ def diff_keys_tagged(
     )
 
 
+def diff_keys_single_shuffle(
+    current: DataFrame, desired: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Same output as :func:`diff_keys_tagged`, one shuffle instead of four.
+
+    Union the two key sets with a side bit, then one hash aggregate
+    computes per-key presence on each side; keys present on exactly one
+    side become 'add'/'remove'. Map-side partial aggregation shrinks the
+    shuffle to the distinct keys per partition — at 100 TB this replaces
+    two sort-merge anti-joins (each shuffling both inputs) with a single
+    shuffle of distinct keys, and it's skew-immune (no join). Prefer this
+    when both snapshots are plain scans; prefer the anti-join form when one
+    side is tiny (broadcast beats the union's full scan of the big side...
+    which the diff still needs anyway — so in practice this wins whenever
+    both sides must be read in full).
+    """
+    cur = current.select(*keys).withColumn("__in_cur", F.lit(1)).withColumn(
+        "__in_des", F.lit(0)
+    )
+    des = desired.select(*keys).withColumn("__in_cur", F.lit(0)).withColumn(
+        "__in_des", F.lit(1)
+    )
+    presence = (
+        cur.unionByName(des)
+        .groupBy(*keys)
+        .agg(F.max("__in_cur").alias("__c"), F.max("__in_des").alias("__d"))
+    )
+    return (
+        presence.filter(F.col("__c") != F.col("__d"))
+        .select(
+            *keys,
+            F.when(F.col("__d") == 1, F.lit("add")).otherwise(F.lit("remove")).alias(
+                "change"
+            ),
+        )
+    )
+
+
 def sync_membership(
     edges: DataFrame,
     desired: DataFrame,

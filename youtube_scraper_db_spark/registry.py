@@ -36,7 +36,7 @@ from .llm import multimodal as llm_multimodal
 from .llm import similarity as llm_similarity
 from .llm import text as llm_text
 from .operators.dedup import dedup_first_seen
-from .operators.diffsync import diff_keys_tagged
+from .operators.diffsync import diff_keys_single_shuffle
 from .operators.windows import assign_positions, next_position, ordered_collect
 from .functions.scalars import (
     context_snippet,
@@ -350,12 +350,14 @@ def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def diff_sync_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diff-sync membership (ref main_scraper.py:148-152): to_add/to_remove
-    between two snapshot key sets as two anti-joins sharing one shuffle
-    partitioning — via operators.diffsync.diff_keys_tagged."""
+    between two snapshot key sets. Uses the single-shuffle union+aggregate
+    form (operators.diffsync.diff_keys_single_shuffle) — both snapshots
+    must be scanned in full anyway, so one hash aggregate beats the
+    two-anti-join plan's four scans and twelve exchanges."""
     li = _t(spark, sf_dir, "lineitem")
     cur = li.filter(F.col("l_shipdate") < "1998-01-01").select("l_partkey")
     des = li.filter(F.col("l_shipdate") >= "1998-01-01").select("l_partkey")
-    return diff_keys_tagged(cur, des, ["l_partkey"])
+    return diff_keys_single_shuffle(cur, des, ["l_partkey"])
 
 
 # ----------------------------------------------------------------------
