@@ -233,7 +233,7 @@ def per_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     "point_lookup_order",
-    "P2",
+    "S1 P2",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
     FROM orders
@@ -335,7 +335,7 @@ def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     "diff_sync_parts",
-    "J8 E1",
+    "J8 E1 T1",
     oracle="""
     WITH cur AS (SELECT DISTINCT l_partkey FROM lineitem
                  WHERE l_shipdate <  TIMESTAMP '1998-01-01'),
@@ -458,7 +458,7 @@ def first_line_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     "stale_events",
-    "P10 T2 P7",
+    "P10 T2 P7 F10",
     oracle="""
     SELECT event_id, ts, user_id, event_type
     FROM events
@@ -1329,6 +1329,278 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         llm_similarity.as_double("embedding").alias("qv")
     )
     return llm_similarity.lsh_ann_topk(e, q, dim=64, k=10, n_planes=4)
+
+
+# ----------------------------------------------------------------------
+# Batch 4 — mutation sinks (S10-S13), schema evolution (S16), checkpoint
+# skip (S18), validity/availability filters (P11/P13), remaining scalar
+# ops (F4/F11/F15), and the mock fetch stage (S6-S8/T4). The file/network
+# edges that cannot run against parquet testdata (S2/S3/S5/S9 sources, T5
+# inbox stream) are exercised by tests/test_sources_sinks.py and
+# tests/test_streaming_pipeline.py instead.
+# ----------------------------------------------------------------------
+
+#: date split reused by the mutation queries: "old" state vs "new" batch.
+_SPLIT = "1997-06-01"
+
+
+def _orders_split(spark: SparkSession, sf_dir: str):
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < _SPLIT)
+    new = o.filter(F.col("o_orderdate") >= _SPLIT).withColumn(
+        "o_orderpriority", F.lit("REFRESHED")
+    )
+    return old, new
+
+
+_SPLIT_SQL = f"""
+    old AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{_SPLIT}'),
+    new AS (SELECT * REPLACE ('REFRESHED' AS o_orderpriority) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{_SPLIT}')
+"""
+
+
+@spec(
+    "merge_upsert_orders",
+    "S10",
+    oracle=f"""
+    WITH {_SPLIT_SQL}
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM old
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM new)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM new
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OR REPLACE (ref youtube_utils.py:237-258) as the anti-join +
+    union rewrite — operators.merge.merge_upsert. New rows win on key
+    collision; at scale the new batch broadcasts against the stored table."""
+    from .operators.merge import merge_upsert
+
+    old, new = _orders_split(spark, sf_dir)
+    return merge_upsert(old, new, ["o_orderkey"]).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+
+
+@spec(
+    "insert_if_absent_orders",
+    "S11 J10",
+    oracle=f"""
+    WITH {_SPLIT_SQL}
+    SELECT o_orderkey, o_orderpriority FROM old
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM new
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM old)
+    """,
+)
+def insert_if_absent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OR IGNORE (ref main_scraper.py:161): append only absent keys
+    — operators.merge.insert_if_absent (left_anti existence guard, J10)."""
+    from .operators.merge import insert_if_absent
+
+    old, new = _orders_split(spark, sf_dir)
+    return insert_if_absent(old, new, ["o_orderkey"]).select("o_orderkey", "o_orderpriority")
+
+
+@spec(
+    "keyed_delete_orders",
+    "S12",
+    oracle=f"""
+    WITH {_SPLIT_SQL}
+    SELECT o_orderkey, o_orderstatus FROM old
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM new WHERE o_orderstatus = 'F')
+    """,
+)
+def keyed_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch keyed DELETE (ref main_scraper.py:163-167) — tombstone
+    anti-join via operators.merge.keyed_delete."""
+    from .operators.merge import keyed_delete
+
+    old, new = _orders_split(spark, sf_dir)
+    tombstones = new.filter(F.col("o_orderstatus") == "F")
+    return keyed_delete(old, tombstones, ["o_orderkey"]).select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@spec(
+    "field_update_orders",
+    "S13 A9",
+    oracle=f"""
+    WITH {_SPLIT_SQL},
+    upd AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_count FROM new GROUP BY o_custkey
+    )
+    SELECT c.c_custkey,
+           CASE WHEN upd.o_custkey IS NOT NULL THEN upd.order_count ELSE c.c_nationkey END
+             AS c_nationkey
+    FROM customer c LEFT JOIN upd ON c.c_custkey = upd.o_custkey
+    """,
+)
+def field_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE t SET col WHERE key (ref main_scraper.py:296-299): the A9
+    count write-back shape — aggregate the batch, then
+    operators.merge.field_update onto the dimension (broadcast join +
+    conditional column replace). Repurposes c_nationkey as the updated
+    field so the oracle stays on stock columns."""
+    from .operators.merge import field_update
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    _, new = _orders_split(spark, sf_dir)
+    upd = new.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("c_nationkey")
+    )
+    return field_update(c, upd, ["c_custkey"], ["c_nationkey"])
+
+
+@spec(
+    "schema_evolution_union",
+    "S16",
+    oracle="""
+    SELECT * FROM (
+      SELECT n_nationkey, n_name, NULL AS n_regionkey FROM nation WHERE n_nationkey < 13
+      UNION ALL BY NAME
+      SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 13
+    )
+    """,
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution (ref main_scraper.py:244-251 PRAGMA+ALTER):
+    an old snapshot lacking a column unions with the evolved one via
+    io.evolve_schema (unionByName allowMissingColumns) — the missing
+    column backfills as NULL, exactly ALTER TABLE ADD COLUMN."""
+    from .io import evolve_schema
+
+    n = _t(spark, sf_dir, "nation")
+    old = n.filter(F.col("n_nationkey") < 13).select("n_nationkey", "n_name")
+    new = n.filter(F.col("n_nationkey") >= 13).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return evolve_schema(old, new).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@spec(
+    "checkpoint_skip_orders",
+    "S18 T3",
+    oracle=f"""
+    WITH done AS (SELECT DISTINCT o_orderkey FROM orders
+                  WHERE o_orderdate < TIMESTAMP '{_SPLIT}')
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM done)
+    """,
+)
+def checkpoint_skip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-table skip-if-done (ref playlist_video_extractor.py:21-42):
+    the work set is everything not yet in the processed table — one
+    left_anti join, broadcast when the checkpoint is small."""
+    o = _t(spark, sf_dir, "orders")
+    done = o.filter(F.col("o_orderdate") < _SPLIT).select("o_orderkey")
+    return o.join(done, "o_orderkey", "left_anti").select("o_orderkey", "o_orderdate")
+
+
+@spec(
+    "valid_available_parts",
+    "P11 P13",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name IS NOT NULL AND trim(p_name) != ''
+      AND NOT (p_brand = 'Brand#44')
+    """,
+)
+def valid_available_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity filter on semi-structured input (P11; ref run_me.py:158-160
+    skip-if-missing) + unavailability negation filter (P13; ref
+    youtube_utils.py:67-69) — both plain pushed-down predicates."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").isNotNull()
+        & (F.trim("p_name") != "")
+        & ~(F.col("p_brand") == "Brand#44")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@spec(
+    "timestamped_docs",
+    "F4 P12",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_matches(text, '(\[\d{1,2}:\d{2}(:\d{2})?\]|\d{1,2}:\d{2}(:\d{2})?\s*-\s|(^|\n)\s*\d{1,2}:\d{2}(:\d{2})?\s|<\d{1,2}:\d{2}(:\d{2})?>)')
+             AS has_ts
+    FROM documents
+    """,
+)
+def timestamped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_timestamps (F4; ref add_transcripts.py:49-63): the 4-shape
+    timestamp alternation as one rlike over document text."""
+    from .functions.scalars import has_timestamps
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", has_timestamps("text").alias("has_ts"))
+
+
+@spec(
+    "segment_join_render",
+    "F11 F15",
+    oracle=r"""
+    SELECT doc_id,
+           list_aggregate(
+             list_filter(
+               list_transform(
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END,
+                 s -> upper(trim(s))),
+               s -> s != ''),
+             'string_agg', ' ') AS rendered
+    FROM documents
+    """,
+)
+def segment_join_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-segment concat (F11; ref youtube_utils.py:169-190
+    strip→drop-empty→join) over tokenized document text: transform + filter
+    + array_join, all higher-order Column exprs, zero Python."""
+    d = _t(spark, sf_dir, "documents")
+    toks = llm_text.tokens("text")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.transform(toks, lambda s: F.upper(F.trim(s))), lambda s: s != ""
+            ),
+            " ",
+        ).alias("rendered"),
+    )
+
+
+@spec(
+    "mock_fetch_enrichment",
+    "S6 S7 S8 T4",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS video_id,
+           CAST(length(CAST(c_custkey AS VARCHAR)) AS BIGINT) AS meta_len,
+           TRUE AS fetch_ok
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+)
+def mock_fetch_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The external-fetch stage (S6-S8) with a deterministic injected
+    fetcher through pipelines.fetch_stage — the real mapInPandas retry/rate
+    plumbing (T4), oracle-checkable because the fake fetch is a pure
+    function of the id. Production swaps the fetcher for yt-dlp et al.;
+    the Spark plan is identical."""
+    from pyspark.sql import types as T
+
+    from .pipelines import fetch_stage
+
+    ids = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(F.col("c_custkey").cast("string").alias("video_id"))
+    )
+    schema = T.StructType([T.StructField("meta_len", T.LongType())])
+    return fetch_stage(ids, lambda vid: {"meta_len": len(vid)}, schema)
 
 
 # ----------------------------------------------------------------------
