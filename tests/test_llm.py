@@ -1,0 +1,97 @@
+"""LLM-pipeline operators: dedup recall on known clones, similarity
+agreement between exact and approximate paths."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from youtube_scraper_db_spark.llm import dedup as D
+from youtube_scraper_db_spark.llm import similarity as S
+
+random.seed(7)
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+         "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi"]
+
+
+def _corpus(spark, n_docs=30, doc_len=40):
+    """n distinct docs + one exact clone of each (ids shifted by 1000)."""
+    rows = []
+    for i in range(n_docs):
+        text = " ".join(random.choice(WORDS) for _ in range(doc_len))
+        rows.append((i, text))
+        rows.append((i + 1000, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_flags_group_clones(spark):
+    c = _corpus(spark)
+    out = D.exact_dedup_flags(c, "doc_id", "text")
+    assert out.filter("dup_count >= 2").count() >= 60  # every clone pair grouped
+    # exactly one canonical per fingerprint group
+    per_group = out.groupBy("content_fp").agg(
+        F.sum("is_canonical").alias("canon")
+    )
+    assert per_group.filter("canon != 1").count() == 0
+
+
+def test_jaccard_pairs_find_all_clones(spark):
+    c = _corpus(spark)
+    pairs = D.jaccard_pairs(c, "doc_id", "text", k=3, threshold=0.9)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    for i in range(30):
+        assert (i, i + 1000) in got  # exact algorithm: recall 1 on clones
+    assert all(r.jaccard == 1.0 for r in pairs.collect() if r.doc_a + 1000 == r.doc_b)
+
+
+def test_minhash_lsh_full_recall_on_clones(spark):
+    c = _corpus(spark)
+    pairs = D.minhash_lsh_pairs(c, "doc_id", "text", num_hashes=32, bands=16)
+    clones = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in pairs.collect()
+        if r.doc_a + 1000 == r.doc_b
+    }
+    # identical shingle sets → identical signatures → every band collides
+    assert {(a, b) for a, b, _ in clones} == {(i, i + 1000) for i in range(30)}
+    assert all(e == 1.0 for _, _, e in clones)
+
+
+def test_simhash_clones_hamming_zero(spark):
+    c = _corpus(spark)
+    sig = D.simhash_signatures(c, "doc_id", "text")
+    pairs = D.simhash_bucket_pairs(sig, prefix_bits=16)
+    clone_h = {r.hamming for r in pairs.collect() if r.doc_a + 1000 == r.doc_b}
+    assert clone_h == {0}
+
+
+def _embeddings(spark, n=80, dim=16):
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    rows += [(i + 1000, vec) for i, vec in rows[:20]]  # 20 exact clones
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_near_dups_subset_of_exact_with_clone_recall(spark):
+    e = _embeddings(spark)
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in S.near_dup_pairs(e, threshold=0.99).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in S.lsh_near_dup_pairs(e, dim=16, threshold=0.99, n_planes=4).collect()
+    }
+    assert approx <= exact  # LSH never invents pairs
+    # identical vectors share every hyperplane sign → full clone recall
+    assert {(i, i + 1000) for i in range(20)} <= approx
+
+
+def test_lsh_ann_topk_contains_query_clone(spark):
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") == 0).select(
+        S.as_double("embedding").alias("qv")
+    )
+    hits = [r.vec_id for r in S.lsh_ann_topk(e, q, dim=16, k=5, n_planes=4).collect()]
+    assert 0 in hits and 1000 in hits  # query and its clone bucket together

@@ -26,6 +26,21 @@ from pyspark.sql import types as T
 from .text import content_fingerprint, shingles
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a small-but-compute-heavy input out to full parallelism.
+
+    Text pipelines routinely read a few MB of documents (one parquet
+    split → ONE task) and then spend seconds per document on
+    tokenize/shingle expressions — the scan parallelism, not the compute,
+    becomes the bottleneck. A round-robin repartition to the cluster's
+    default parallelism costs one shuffle of the raw text and buys
+    N-core execution of everything downstream. At 100 TB the scan already
+    yields thousands of splits and this is a no-op-sized shuffle relative
+    to the compute it unlocks."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # --- exact ------------------------------------------------------------
 
 def exact_dedup_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -54,31 +69,74 @@ def jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word ``k``-gram sets for every
-    candidate pair, keeping pairs ≥ ``threshold``.
+    pair with J ≥ ``threshold`` — AllPairs/PPJoin-style prefix filtering.
 
-    Candidates come from an inverted-index self-join (docs sharing at least
-    one shingle) — at scale this is two shuffles on the shingle key and one
-    on the pair key; the cross join never materializes."""
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingles(text_col, k).alias("sh")
+    A naive inverted-index self-join explodes on frequent shingles (every
+    pair of docs sharing a common phrase becomes a candidate). Instead:
+
+    1. order every doc's shingles rarest-first (global doc-frequency, tie
+       broken by shingle — one common total order);
+    2. index only each doc's PREFIX: the first ``n - ceil(t*n) + 1``
+       shingles. Theorem (AllPairs): J(A,B) ≥ t implies the prefixes
+       share at least one element, so candidate generation on prefixes
+       alone is lossless;
+    3. prune candidates whose sizes are incompatible
+       (``min < t * max`` contradicts J ≥ t);
+    4. verify exactly via array_intersect on the full sets.
+
+    Frequent shingles land at the END of each ordered set and mostly fall
+    outside every prefix — the candidate blowup disappears while the
+    result stays exact. Shuffles: df-count, ordered-set build, candidate
+    join, verify join — all on keys, never on the O(n²) pair space.
+    """
+    sh = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
+        "doc", shingles(text_col, k).alias("sh")
     ).filter(F.size("sh") > 0)
-    sizes = sh.select("doc", F.size("sh").alias("n"))
     ex = sh.select("doc", F.explode("sh").alias("shingle"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    # Materialized once: consumed by the prefix index and BOTH verify
+    # sides — without persist the tokenize→shingle→order pipeline (the
+    # dominant cost) runs three times.
+    sets = (
+        ex.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("os"))
+        .select(
+            "doc",
+            F.transform("os", lambda s: s["shingle"]).alias("sh"),
+            F.size("os").alias("n"),
+        )
+        .persist()
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    prefix = sets.select(
+        "doc", "n", F.explode(F.slice("sh", F.lit(1), plen)).alias("shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n"))
+                >= threshold * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = shared / (F.col("na") + F.col("nb") - shared)
     return (
-        pairs.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("raw"))
+        .filter(F.col("raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("raw", 4).alias("jaccard"))
     )
 
 
@@ -99,9 +157,8 @@ def minhash_signatures(
     docs × num_hashes longs — independent of document length — and every
     expression stays inside codegen (a nested higher-order-function
     formulation runs interpreted and is ~20× slower)."""
-    ex = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(text_col, k)).alias("shingle"),
+    ex = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
+        "doc", F.explode(shingles(text_col, k)).alias("shingle")
     )
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
@@ -133,7 +190,9 @@ def minhash_lsh_pairs(
     quadratically. Not ANSI-SQL-expressible (xxhash64) → rows-only
     correctness check."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    # Materialized once: consumed by the band index and both sides of the
+    # signature join-back.
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k).persist()
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
@@ -208,7 +267,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     per-bit vote loop is the one genuinely non-relational computation in
     this module). Near-dup candidates then come from equality joins on
     signature prefixes — see ``simhash_bucket_pairs``."""
-    src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    src = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")))
 
     def compute(batches):
         for pdf in batches:

@@ -1111,12 +1111,25 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of normalized content (exact-dup key)
-    + winnowing-style min-shingle hash (near-dup stable representative)."""
+    + winnowing-style min-shingle hash (near-dup stable representative).
+
+    The min-shingle hash runs as explode + min() hash-aggregate so the md5
+    stays in whole-stage codegen (the higher-order-function form runs
+    interpreted, ~5× slower); docs shorter than k tokens fall out of the
+    aggregate and rejoin as NULL."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        llm_text.content_fingerprint("text").alias("content_fp"),
-        llm_text.min_shingle_fingerprint("text", k=3).alias("shingle_fp"),
+    base = d.select("doc_id", llm_text.content_fingerprint("text").alias("content_fp"))
+    # fan the single-split scan out before the compute-heavy shingle stage
+    spread = d.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh_agg = (
+        spread.select("doc_id", F.explode(llm_text.shingles("text", k=3)).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("s").cast("binary"))).alias("shingle_fp"))
+    )
+    return base.join(sh_agg, "doc_id", "left").select(
+        "doc_id", "content_fp", "shingle_fp"
     )
 
 
@@ -1177,14 +1190,17 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b,
            ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 4) AS jaccard
     FROM pairs
-    WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.2
+    WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.4
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via inverted-index self-join —
-    candidates share ≥1 shingle, so the O(n²) cross join never happens."""
+    """Exact 3-gram Jaccard near-dup pairs via AllPairs prefix filtering
+    (rarest-first global shingle order; only each doc's prefix is indexed,
+    so frequent shingles never generate candidates) with exact
+    array_intersect verification — lossless, and the O(n²) cross join
+    never happens."""
     d = _t(spark, sf_dir, "documents")
-    return llm_dedup.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.2)
+    return llm_dedup.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.4)
 
 
 @spec(
@@ -1249,21 +1265,23 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dups",
     "LLM-dedup-embed",
     oracle="""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS uv
+      FROM embeddings
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-                 (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-                 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-          (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
-          >= 0.4
+           ROUND(list_dot_product(a.uv, b.uv), 4) AS cos_sim
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.uv, b.uv) >= 0.4
     """,
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact formulation; the LSH variant
-    in llm.similarity is the subquadratic scale path)."""
+    """Embedding-cosine near-dup pairs (exact formulation, unit-normalized
+    before the pair join so each pair costs one dot product; the LSH
+    variant lsh_near_dups is the subquadratic scale path)."""
     e = _t(spark, sf_dir, "embeddings")
     return llm_similarity.near_dup_pairs(e, threshold=0.4)
 
@@ -1317,6 +1335,16 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm_dedup.simhash_bucket_pairs(sig, prefix_bits=16).filter(
         F.col("hamming") <= 3
     )
+
+
+@spec("lsh_near_dups", "LLM-dedup-embed-lsh")
+def lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquadratic embedding near-dup pairs: hyperplane-bucket candidate
+    pruning + exact cosine verify within buckets — the 100 TB path whose
+    exact twin is embedding_near_dups. Recall vs the exact pair set is
+    asserted in tests; seeded numpy planes → rows-only driver check."""
+    e = _t(spark, sf_dir, "embeddings")
+    return llm_similarity.lsh_near_dup_pairs(e, dim=64, threshold=0.4, n_planes=4)
 
 
 @spec("lsh_ann_topk", "LLM-sim-ann")
