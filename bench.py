@@ -19,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from youtube_scraper_db_spark.registry import REGISTRY  # noqa: E402
 from youtube_scraper_db_spark.session import get_spark  # noqa: E402
 
-#: headline queries — the scan/shuffle/window-heavy subset of the registry.
+#: headline queries — the scan/shuffle/window-heavy subset of the registry,
+#: plus the LLM-pipeline operators (dedup/similarity/text) so their
+#: per-round perf is recorded alongside.
 HEADLINE = [
     "pricing_summary",
     "customer_order_counts",
@@ -31,6 +33,12 @@ HEADLINE = [
     "diff_sync_parts",
     "stale_events",
     "top_suppliers",
+    "doc_token_stats",
+    "doc_fingerprints",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_dups",
+    "embedding_cosine_topk",
+    "lsh_near_dups",
 ]
 
 

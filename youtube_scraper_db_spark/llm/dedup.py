@@ -89,10 +89,15 @@ def jaccard_pairs(
     result stays exact. Shuffles: df-count, ordered-set build, candidate
     join, verify join — all on keys, never on the O(n²) pair space.
     """
-    sh = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
-        "doc", shingles(text_col, k).alias("sh")
-    ).filter(F.size("sh") > 0)
-    ex = sh.select("doc", F.explode("sh").alias("shingle"))
+    # One shingle evaluation per document, total: explode drops empty
+    # arrays by itself (no size filter re-evaluating the expression), and
+    # the exploded inverted index persists for its two consumers (df-count
+    # and ordered-set build).
+    ex = (
+        _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
+        .select("doc", F.explode(shingles(text_col, k)).alias("shingle"))
+        .persist()
+    )
     dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
     # Materialized once: consumed by the prefix index and BOTH verify
     # sides — without persist the tokenize→shingle→order pipeline (the
