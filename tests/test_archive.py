@@ -1,0 +1,103 @@
+"""End-to-end Archive facade: create → ingest → query → mutate → export."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_scraper_db_spark.archive import Archive
+
+PLAYLISTS_JSON = [
+    {"playlist_id": "PL001", "title": "Mix One"},
+    {"id": "PL002", "title": "mix two"},
+]
+
+INBOX_TIMESTAMPED = """TITLE: First
+URL: https://www.youtube.com/watch?v=aaaaaaaaaaa
+
+[00:01] alpha beta
+"""
+
+INBOX_PLAIN = """TITLE: First plain
+URL: https://www.youtube.com/watch?v=aaaaaaaaaaa
+
+alpha beta plain
+"""
+
+
+@pytest.fixture()
+def archive(spark, tmp_path):
+    return Archive.create(spark, str(tmp_path / "db"))
+
+
+def test_archive_lifecycle(spark, archive, tmp_path):
+    # ingest playlists.json (S2+S11)
+    pj = tmp_path / "playlists.json"
+    pj.write_text(json.dumps(PLAYLISTS_JSON))
+    assert archive.import_playlists_json(str(pj)) == 2
+    assert archive.table("playlists").count() == 2
+    # re-import is idempotent (INSERT OR IGNORE)
+    archive.import_playlists_json(str(pj))
+    assert archive.table("playlists").count() == 2
+
+    # upsert video metadata (S10)
+    videos = spark.createDataFrame(
+        [("aaaaaaaaaaa", "First", None, None, None, 63, 10, "Chan", None, None, None, None),
+         ("bbbbbbbbbbb", "Second", None, None, None, 120, 5, "Chan", None, None, None, None)],
+        schema=archive.table("videos").schema,
+    )
+    archive.upsert_videos(videos)
+    assert archive.table("videos").count() == 2
+
+    # membership sync (J8)
+    edges = spark.createDataFrame(
+        [("PL001", "aaaaaaaaaaa", 1), ("PL001", "bbbbbbbbbbb", 2), ("PL002", "aaaaaaaaaaa", 1)],
+        "playlist_id string, video_id string, position long",
+    )
+    archive.sync_playlist_membership(edges)
+    archive.update_playlist_counts()
+    pl = {r.playlist_id: r.item_count for r in archive.table("playlists").collect()}
+    assert pl == {"PL001": 2, "PL002": 1}
+
+    # inbox ingestion + preference rule (S9, §2.11)
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "a.txt").write_text(INBOX_TIMESTAMPED)
+    assert archive.ingest_transcript_inbox(str(inbox)) == 1
+    (inbox / "a.txt").write_text(INBOX_PLAIN)
+    archive.ingest_transcript_inbox(str(inbox))
+    body = archive.table("transcripts").collect()[0].transcript
+    assert body.startswith("[00:01]")  # timestamped body survived
+
+    # query surface
+    summary = {r.playlist_id: r.video_count for r in archive.playlist_summary().collect()}
+    assert summary == {"PL001": 2, "PL002": 1}
+    vids = archive.playlist_videos("PL001").collect()
+    flags = {r.video_id: r.has_transcript for r in vids}
+    assert flags == {"aaaaaaaaaaa": 1, "bbbbbbbbbbb": 0}
+    cross = archive.cross_links().collect()
+    assert [r.video_id for r in cross] == ["aaaaaaaaaaa"]  # in both playlists
+    hits = archive.search_transcripts("alpha").collect()
+    assert len(hits) == 1 and "**alpha**" in hits[0].snippet_highlighted
+    stats = archive.stats().collect()[0]
+    assert stats.total_videos == 2 and stats.cross_linked_videos == 1
+    assert archive.video_playlists("aaaaaaaaaaa").count() == 2
+
+    # cross-link removal (S12)
+    archive.remove_video_from_playlists("aaaaaaaaaaa", ["PL002"])
+    assert archive.cross_links().count() == 0
+
+    # exports (S14/S15)
+    out_json = tmp_path / "export_json"
+    archive.export_playlists_json(str(out_json))
+    exported = [
+        json.loads(ln)
+        for f in out_json.glob("*.json")
+        for ln in f.read_text().splitlines()
+    ]
+    by_id = {d["playlist_id"]: d["video_ids"] for d in exported}
+    assert by_id["PL001"] == ["aaaaaaaaaaa", "bbbbbbbbbbb"]
+    out_txt = tmp_path / "export_txt"
+    assert archive.export_transcript_files(str(out_txt)) == 1

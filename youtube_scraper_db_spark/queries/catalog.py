@@ -52,6 +52,20 @@ def playlist_videos_with_flags(
     )
 
 
+def video_playlists(
+    playlists: DataFrame, playlist_videos: DataFrame, video_id: str
+) -> DataFrame:
+    """Cross-Links drill-down (ref display.py:109-124): every playlist
+    containing one video, NOCASE-ordered. Broadcast point filter → the
+    edge scan prunes on video_id."""
+    return (
+        playlist_videos.filter(F.col("video_id") == video_id)
+        .join(playlists, "playlist_id", "inner")
+        .select("playlist_id", "title", "position")
+        .orderBy(nocase("title"))
+    )
+
+
 def video_detail(videos: DataFrame, transcripts: DataFrame, video_id: str) -> DataFrame:
     """P2 point lookups (ref display.py:51-67, web_app.py:62-67): one video
     joined to its transcript. Parquet min/max skipping serves the point

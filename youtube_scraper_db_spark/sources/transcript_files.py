@@ -61,12 +61,15 @@ def parse_transcript_text(df: DataFrame, text_col: str, file_col: str) -> DataFr
 def read_transcript_files(
     spark: SparkSession, inbox_dir: str, globs: tuple[str, ...] = DEFAULT_GLOBS
 ) -> DataFrame:
-    """Batch read of an inbox directory: union of the glob scans (E3) →
-    parsed records. ``_metadata.file_path`` (not the deprecated
-    ``input_file_name``) carries provenance and works identically under
-    Structured Streaming."""
-    paths = [f"{inbox_dir.rstrip('/')}/{g}" for g in globs]
-    raw = spark.read.text(paths, wholetext=True).select(
-        "value", F.col("_metadata.file_path").alias("file_path")
+    """Batch read of an inbox directory: one scan with a brace-alternation
+    ``pathGlobFilter`` covering the extension set (E3) → parsed records —
+    tolerant of extensions with zero matches, unlike per-glob path lists.
+    ``_metadata.file_path`` (not the deprecated ``input_file_name``)
+    carries provenance and works identically under Structured Streaming."""
+    pattern = "*.{" + ",".join(g.removeprefix("*.") for g in globs) + "}"
+    raw = (
+        spark.read.option("pathGlobFilter", pattern)
+        .text(inbox_dir, wholetext=True)
+        .select("value", F.col("_metadata.file_path").alias("file_path"))
     )
     return parse_transcript_text(raw, "value", "file_path")
