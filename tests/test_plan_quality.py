@@ -1,0 +1,83 @@
+"""Physical-plan regression guards for the headline queries.
+
+A refactor that silently loses predicate pushdown, widens a scan, or
+demotes a broadcast join to sort-merge passes every correctness test but
+is wrong at 100 TB — these assertions catch that class of regression.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from youtube_scraper_db_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+SPECS = {s.name: s for s in REGISTRY}
+
+
+def plan_of(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def test_scans_are_column_pruned(spark):
+    """No headline scan may read more columns than its query projects."""
+    budgets = {  # max columns any scan of the query may read
+        "pricing_summary": 6,
+        "customer_order_counts": 2,
+        "per_customer_stats": 2,
+        "line_positions": 2,
+        "ordered_part_lists": 4,
+        "top_suppliers": 1,
+    }
+    for name, budget in budgets.items():
+        for rs in read_schemas(plan_of(spark, name)):
+            ncols = len([c for c in rs.split(",") if ":" in c])
+            assert ncols <= budget, f"{name} scan reads {ncols} cols: {rs}"
+
+
+def test_filters_reach_parquet(spark):
+    """Selective predicates must appear as PushedFilters on the scan.
+
+    (stale_events is exempt: its predicate applies to a timestamp rebuilt
+    from the testdata's TIMESTAMP(NANOS) encoding via nanosAsLong, which
+    is a computed column — nothing to push.)"""
+    for name in ("point_lookup_order", "checkpoint_skip_orders", "valid_available_parts"):
+        plan = plan_of(spark, name)
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any(p.strip() for p in pushed), f"{name}: no pushed filters\n{plan[:500]}"
+
+
+def test_dimension_joins_broadcast(spark):
+    """Dim-table joins must be broadcast, not sort-merge, at this scale."""
+    for name in ("customer_order_counts", "per_customer_stats", "part_customer_attribution"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge join"
+
+
+def test_single_shuffle_diff_sync(spark):
+    """diff_sync_parts must keep the union+aggregate single-shuffle shape."""
+    plan = plan_of(spark, "diff_sync_parts")
+    assert plan.count("Exchange") <= 2, "diff-sync regressed to the multi-shuffle form"
+    assert "Join" not in plan
+
+
+def test_ordered_limit_is_topk(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (no global sort)."""
+    plan = plan_of(spark, "top_suppliers")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", ["doc_token_stats", "doc_lang_id", "segment_join_render"])
+def test_text_queries_stay_jvm_side(spark, name):
+    """Text-analysis scans must contain no Python eval operators."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
