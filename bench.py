@@ -39,6 +39,7 @@ HEADLINE = [
     "minhash_lsh_dups",
     "embedding_cosine_topk",
     "lsh_near_dups",
+    "ivf_ann_topk",
 ]
 
 

@@ -95,3 +95,34 @@ def test_lsh_ann_topk_contains_query_clone(spark):
     )
     hits = [r.vec_id for r in S.lsh_ann_topk(e, q, dim=16, k=5, n_planes=4).collect()]
     assert 0 in hits and 1000 in hits  # query and its clone bucket together
+
+
+def test_ivf_ann_topk_recall_vs_brute_force(spark):
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") == 0).select(
+        S.as_double("embedding").alias("qv")
+    )
+    exact = [r.vec_id for r in S.cosine_topk(e, q, k=5).collect()]
+    approx = [
+        r.vec_id
+        for r in S.ivf_ann_topk(e, q, n_centroids=8, nprobe=4, k=5).collect()
+    ]
+    # query + its exact clone live in the same (probed) list → always found
+    assert 0 in approx and 1000 in approx
+    # probing half the lists must recover most of the exact top-k
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_ivf_assignment_covers_corpus(spark):
+    """Every vector lands in exactly one inverted list; probing ALL lists
+    reproduces the brute-force top-k exactly (recall → 1 as nprobe → K)."""
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") == 0).select(
+        S.as_double("embedding").alias("qv")
+    )
+    exact = [(r.vec_id, r.cos_sim) for r in S.cosine_topk(e, q, k=10).collect()]
+    full = [
+        (r.vec_id, r.cos_sim)
+        for r in S.ivf_ann_topk(e, q, n_centroids=8, nprobe=8, k=10).collect()
+    ]
+    assert full == exact

@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -171,6 +173,86 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_df: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into ``n_centroids`` inverted
+    lists, probe the ``nprobe`` lists nearest the query, exact re-rank
+    inside them.
+
+    Seed centroids are the vectors with the ``n_centroids`` smallest ids —
+    deterministic, so the whole pipeline is oracle-reproducible. At 100 TB
+    you'd swap in k-means|| centroids, which changes ONLY the collect
+    below: the cluster assignment stays a map-side projection (centroid
+    literals folded into the scan, zero shuffle), and the probe stays a
+    broadcast semi-join that prunes the exact re-rank to roughly
+    ``nprobe/n_centroids`` of the corpus. Scores are rounded to 6dp before
+    the argmax so the assignment tie-break (first/lowest centroid id) is
+    engine-independent."""
+    cents = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+        .orderBy("cid")
+        .collect()
+    )
+    # Python-side sequential sum matches the engines' left-fold dot product.
+    norms = [math.sqrt(sum(x * x for x in r.cv)) for r in cents]
+
+    base = emb.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "vn", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    scores = F.array(
+        *[
+            F.round(
+                _dot(F.col("v"), F.array(*[F.lit(x) for x in r.cv]))
+                / (F.col("vn") * F.lit(n)),
+                6,
+            )
+            for r, n in zip(cents, norms)
+        ]
+    )
+    assigned = base.withColumn(
+        "cluster",
+        F.element_at(
+            F.array(*[F.lit(int(r.cid)) for r in cents]),
+            F.array_position(scores, F.array_max(scores)).cast("int"),
+        ),
+    )
+
+    cdf = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+    )
+    probe = (
+        cdf.crossJoin(F.broadcast(query_df))
+        .select("cid", F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("qc"))
+        .orderBy(F.desc("qc"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    probed = assigned.join(
+        F.broadcast(probe), assigned["cluster"] == probe["cid"], "left_semi"
+    )
+    return (
+        probed.crossJoin(F.broadcast(query_df))
+        .select(
+            F.col(id_col),
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.col("vn") * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def lsh_ann_topk(

@@ -1359,6 +1359,56 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm_similarity.lsh_ann_topk(e, q, dim=64, k=10, n_planes=4)
 
 
+@spec(
+    "ivf_ann_topk",
+    "LLM-sim-ann-ivf",
+    oracle="""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 16),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROUND(list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 6) AS acos
+      FROM e CROSS JOIN c
+    ),
+    asn AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY acos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cid FROM c CROSS JOIN q
+      ORDER BY ROUND(list_dot_product(qv, c.cv) /
+                     (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid
+      LIMIT 4
+    )
+    SELECT a.vec_id,
+           ROUND(list_dot_product(a.v, qv) /
+                 (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+    FROM asn a JOIN probe USING (cid) CROSS JOIN q
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-k: deterministic seed centroids (lowest-id
+    vectors), map-side cluster assignment, nprobe=4 broadcast probe, exact
+    re-rank within probed lists. Unlike the numpy-seeded LSH variant this
+    is fully oracle-checkable — the entire index build is expressible in
+    SQL over the same table."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    return llm_similarity.ivf_ann_topk(e, q, n_centroids=16, nprobe=4, k=10)
+
+
 # ----------------------------------------------------------------------
 # Batch 4 — mutation sinks (S10-S13), schema evolution (S16), checkpoint
 # skip (S18), validity/availability filters (P11/P13), remaining scalar
