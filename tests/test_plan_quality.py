@@ -81,3 +81,46 @@ def test_text_queries_stay_jvm_side(spark, name):
     """Text-analysis scans must contain no Python eval operators."""
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_field_update_has_no_forced_broadcast(spark):
+    """field_update must not hint a broadcast of the update batch: a large
+    backfill batch (most keys of a 100 TB table) would OOM every executor.
+    AQE decides from runtime sizes instead — so the ANALYZED logical plan
+    must carry no broadcast hint."""
+    from youtube_scraper_db_spark.io import read_table
+    from youtube_scraper_db_spark.operators.merge import field_update
+
+    old = read_table(spark, SF, "orders")
+    updates = old.select("o_orderkey", "o_orderpriority")
+    plan = (
+        field_update(old, updates, ["o_orderkey"], ["o_orderpriority"])
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" not in plan, "field_update still forces a broadcast hint"
+
+
+def test_ivf_plan_size_constant_in_centroids(spark):
+    """IVF cluster assignment must ship centroids as one broadcast row, not
+    as per-centroid plan literals — the plan string must not grow with
+    n_centroids (at thousands of centroids a literal plan explodes)."""
+    from youtube_scraper_db_spark.io import read_table
+    from youtube_scraper_db_spark.llm import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        S.as_double("embedding").alias("qv")
+    )
+
+    def plan_len(n: int) -> int:
+        df = S.ivf_ann_topk(emb, q, n_centroids=n, nprobe=2, k=5)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return len(df._jdf.queryExecution().explainString(mode))
+
+    p8, p64 = plan_len(8), plan_len(64)
+    assert p64 < 1.5 * p8, f"IVF plan grows with n_centroids: {p8} -> {p64}"

@@ -132,3 +132,29 @@ def test_refresh_pipeline_end_to_end(spark, playlists, playlist_videos, videos):
 
     report = {r.outcome: r["count"] for r in res.report.collect()}
     assert report == {"scraped": 1, "failed": 1}
+
+
+def test_refresh_failed_fetch_pings(spark, playlists, playlist_videos, videos):
+    """A playlist that was ATTEMPTED but produced no snapshot rows must get
+    a failed_fetch ping, not silently disappear (ref main_scraper.py:306-312)."""
+    now = F.lit(dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)).cast("timestamp")
+    pings = spark.createDataFrame(
+        [(7, "PL001", ts("2024-01-01T00:00:00"), "completed")],
+        schema=schemas.PLAYLIST_PINGS,
+    )
+    membership = spark.createDataFrame(
+        [("PL001", "vid00000001", 1)], schema=schemas.PLAYLIST_VIDEOS
+    )
+    fetched = videos.limit(0).withColumn("fetch_ok", F.lit(True))
+    attempted = spark.createDataFrame([("PL001",), ("PL002",)], "playlist_id string")
+
+    res = refresh_playlists(
+        playlists, playlist_videos, videos, pings, membership, fetched, now,
+        attempted_playlists=attempted,
+    )
+    new = {r.playlist_id: r for r in res.pings.collect() if r.ping_id != 7}
+    assert new["PL001"].status == "completed"
+    assert new["PL002"].status == "failed_fetch"
+    # ids stay unique and above the existing maximum
+    ids = [r.ping_id for r in res.pings.collect()]
+    assert len(ids) == len(set(ids)) and all(i > 7 for i in ids if i != 7)

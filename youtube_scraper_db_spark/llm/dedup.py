@@ -18,12 +18,48 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .text import content_fingerprint, shingles
+
+
+class CacheScope:
+    """Caller-controlled lifetime for persisted intermediates.
+
+    ``jaccard_pairs`` / ``minhash_lsh_pairs`` persist intermediates that
+    feed multiple downstream branches; the returned DataFrame is lazy, so
+    they cannot unpersist before returning. A caller running many dedup
+    jobs in one long-lived session passes its own scope and calls
+    ``release()`` after the terminal action. With no explicit scope, a
+    module-default scope releases the PREVIOUS call's pins at each new
+    call — the session holds at most one call's cache instead of leaking
+    cached partitions without bound."""
+
+    def __init__(self) -> None:
+        self._pinned: list[DataFrame] = []
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        self._pinned.append(df)
+        return df.persist()
+
+    def release(self) -> None:
+        for df in self._pinned:
+            df.unpersist()
+        self._pinned.clear()
+
+
+_DEFAULT_SCOPE = CacheScope()
+
+
+def _scope_or_default(scope: CacheScope | None) -> CacheScope:
+    if scope is None:
+        _DEFAULT_SCOPE.release()
+        return _DEFAULT_SCOPE
+    return scope
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -67,6 +103,7 @@ def jaccard_pairs(
     text_col: str,
     k: int = 1,
     threshold: float = 0.5,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word ``k``-gram sets for every
     pair with J ≥ ``threshold`` — AllPairs/PPJoin-style prefix filtering.
@@ -92,17 +129,17 @@ def jaccard_pairs(
     # One shingle evaluation per document, total: explode drops empty
     # arrays by itself (no size filter re-evaluating the expression), and
     # the exploded inverted index persists for its two consumers (df-count
-    # and ordered-set build).
-    ex = (
+    # and ordered-set build). Cache lifetime is scope-managed (CacheScope).
+    scope = _scope_or_default(scope)
+    ex = scope.persist(
         _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
         .select("doc", F.explode(shingles(text_col, k)).alias("shingle"))
-        .persist()
     )
     dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
     # Materialized once: consumed by the prefix index and BOTH verify
     # sides — without persist the tokenize→shingle→order pipeline (the
     # dominant cost) runs three times.
-    sets = (
+    sets = scope.persist(
         ex.join(dfreq, "shingle")
         .groupBy("doc")
         .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("os"))
@@ -111,7 +148,6 @@ def jaccard_pairs(
             F.transform("os", lambda s: s["shingle"]).alias("sh"),
             F.size("os").alias("n"),
         )
-        .persist()
     )
     plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
     prefix = sets.select(
@@ -183,6 +219,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard: band the signature
     (rows = num_hashes // bands), bucket-join docs agreeing on any band,
@@ -196,8 +233,9 @@ def minhash_lsh_pairs(
     correctness check."""
     rows = num_hashes // bands
     # Materialized once: consumed by the band index and both sides of the
-    # signature join-back.
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k).persist()
+    # signature join-back. Cache lifetime is scope-managed (CacheScope).
+    scope = _scope_or_default(scope)
+    sig = scope.persist(minhash_signatures(df, id_col, text_col, num_hashes, k))
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
@@ -253,16 +291,27 @@ _SIMHASH_SCHEMA = T.StructType(
 
 def _simhash64(text: str) -> int:
     """64-bit SimHash with md5-derived token hashes (stable across runs &
-    processes; no Python hash randomization)."""
-    votes = [0] * 64
-    for tok in text.lower().split():
-        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-        for b in range(64):
-            votes[b] += 1 if (h >> b) & 1 else -1
-    out = 0
-    for b in range(64):
-        if votes[b] > 0:
-            out |= 1 << b
+    processes; no Python hash randomization).
+
+    Vectorized: one md5 per DISTINCT token, then the 64 bit-votes come
+    from a numpy bit-matrix weighted by token frequency — identical
+    signatures to the per-token/per-bit Python loop this replaces (the
+    distinct-token weighting sums the same votes), without the
+    O(tokens × 64) interpreter cost."""
+    toks, counts = np.unique(np.array(text.lower().split(), dtype=object), return_counts=True)
+    if toks.size == 0:
+        return 0
+    hs = np.array(
+        [
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for t in toks
+        ],
+        dtype=np.uint64,
+    )
+    shift = np.arange(64, dtype=np.uint64)
+    bits = ((hs[:, None] >> shift) & np.uint64(1)).astype(np.int64)  # (T, 64)
+    votes = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    out = int(((votes > 0).astype(np.uint64) << shift).sum(dtype=np.uint64))
     # wrap to signed 64-bit for LongType
     return out - (1 << 64) if out >= (1 << 63) else out
 

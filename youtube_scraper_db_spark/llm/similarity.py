@@ -14,8 +14,6 @@
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -125,23 +123,37 @@ def lsh_near_dup_pairs(
     threshold: float = 0.4,
     n_planes: int = 8,
     seed: int = 42,
+    probe_bits: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Subquadratic near-dup pairs: hyperplane-signature buckets prune the
     pair space to within-bucket candidates, then the exact cosine filter
     runs only on those. Recall < 1 by construction (a near-dup pair
-    landing in different buckets is missed) and rises with fewer planes /
-    multi-probe; at 100 TB the equality join on ``bucket`` shuffles each
-    vector once, versus the exact form's O(n²) pair stream."""
+    landing in different buckets is missed) and rises with fewer planes
+    or more ``probe_bits`` (one side also probes its bit-flip neighbor
+    buckets, catching pairs whose signatures differ by ≤ probe_bits); at
+    100 TB the equality join on ``bucket`` shuffles each vector
+    1 + probed-buckets times, versus the exact form's O(n²) pair stream.
+
+    Precision is exactly 1: every emitted pair passed the same exact
+    cosine filter as the brute-force twin, so the output is always a
+    subset of it."""
     planes = hyperplanes(dim, n_planes, seed)
     sig = emb.select(
         F.col(id_col),
         unit(as_double(vec_col)).alias("uv"),
         lsh_signature(as_double(vec_col), planes).alias("bucket"),
     )
+    # One side expands to its probe set; each pair (a < b) is discovered
+    # at most once because a's probe masks are distinct and b keeps its
+    # single true bucket.
     a = sig.select(
-        F.col(id_col).alias("vec_a"), F.col("uv").alias("ua"), "bucket"
+        F.col(id_col).alias("vec_a"),
+        F.col("uv").alias("ua"),
+        F.explode(probe_buckets(F.col("bucket"), n_planes, probe_bits)).alias(
+            "bucket"
+        ),
     )
     b = sig.select(
         F.col(id_col).alias("vec_b"), F.col("uv").alias("ub"), "bucket"
@@ -160,6 +172,26 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
     """Deterministic random hyperplanes for signature hashing."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def probe_buckets(bucket: Column, n_planes: int, probe_bits: int = 0) -> Column:
+    """Multi-probe bucket set: the bucket itself plus every bucket within
+    Hamming distance ``probe_bits`` of it (bit-flip neighbors). A vector
+    near a hyperplane lands on either side with ~equal probability, so
+    its true near neighbors concentrate in the 1-bit-flip buckets —
+    probing them recovers most of the recall lost to quantization at the
+    cost of ``1 + n_planes`` (+ ``n_planes choose 2`` at 2 bits) bucket
+    lookups, still exponentially cheaper than a corpus scan."""
+    masks = [0]
+    if probe_bits >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_bits >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return F.array(*[bucket.bitwiseXOR(F.lit(m)).cast("long") for m in masks])
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
@@ -189,47 +221,49 @@ def ivf_ann_topk(
     inside them.
 
     Seed centroids are the vectors with the ``n_centroids`` smallest ids —
-    deterministic, so the whole pipeline is oracle-reproducible. At 100 TB
-    you'd swap in k-means|| centroids, which changes ONLY the collect
-    below: the cluster assignment stays a map-side projection (centroid
-    literals folded into the scan, zero shuffle), and the probe stays a
-    broadcast semi-join that prunes the exact re-rank to roughly
-    ``nprobe/n_centroids`` of the corpus. Scores are rounded to 6dp before
-    the argmax so the assignment tie-break (first/lowest centroid id) is
+    deterministic, so the whole pipeline is oracle-reproducible. Swapping
+    in k-means|| centroids changes ONLY how ``cdf`` is built.
+
+    The centroid set rides into the scan as ONE broadcast row holding an
+    array of (cid, cv, cn) structs, and the argmax is a higher-order
+    left fold over that array — plan size is CONSTANT in n_centroids
+    (the previous formulation inlined every centroid vector as plan
+    literals: at thousands of centroids the plan itself explodes), the
+    assignment stays map-side with zero shuffle, and the probe stays a
+    broadcast semi-join pruning the exact re-rank to roughly
+    ``nprobe/n_centroids`` of the corpus. Scores are rounded to 6dp
+    before the argmax and ties take the lowest centroid id (strict ``>``
+    against a cid-ascending fold order), so the assignment is
     engine-independent."""
-    cents = (
-        emb.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
-        .orderBy("cid")
-        .collect()
-    )
-    # Python-side sequential sum matches the engines' left-fold dot product.
-    norms = [math.sqrt(sum(x * x for x in r.cv)) for r in cents]
-
-    base = emb.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
-        "vn", F.sqrt(_dot(F.col("v"), F.col("v")))
-    )
-    scores = F.array(
-        *[
-            F.round(
-                _dot(F.col("v"), F.array(*[F.lit(x) for x in r.cv]))
-                / (F.col("vn") * F.lit(n)),
-                6,
-            )
-            for r, n in zip(cents, norms)
-        ]
-    )
-    assigned = base.withColumn(
-        "cluster",
-        F.element_at(
-            F.array(*[F.lit(int(r.cid)) for r in cents]),
-            F.array_position(scores, F.array_max(scores)).cast("int"),
-        ),
-    )
-
     cdf = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
     )
+    cent_row = F.broadcast(
+        cdf.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))).agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv", "cn"))).alias("cents")
+        )
+    )
+
+    base = (
+        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .crossJoin(cent_row)
+    )
+
+    def _score(s: Column) -> Column:
+        return F.round(_dot(F.col("v"), s["cv"]) / (F.col("vn") * s["cn"]), 6)
+
+    best = F.aggregate(
+        "cents",
+        F.struct(
+            F.lit(-2.0).alias("acos"), F.lit(-1).cast("long").alias("cid")
+        ),
+        lambda acc, s: F.when(
+            _score(s) > acc["acos"],
+            F.struct(_score(s).alias("acos"), s["cid"].cast("long").alias("cid")),
+        ).otherwise(acc),
+    )
+    assigned = base.withColumn("cluster", best["cid"]).drop("cents")
     probe = (
         cdf.crossJoin(F.broadcast(query_df))
         .select("cid", F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("qc"))
@@ -261,14 +295,15 @@ def lsh_ann_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 12,
+    probe_bits: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN: bucket by hyperplane signature, probe the query's bucket, exact
-    re-rank inside it. At scale the bucket equality join prunes the corpus
-    scan to ~corpus/2^planes vectors; recall is tuned by n_planes and
-    multi-probe (flipping low-confidence bits — left as the obvious
-    extension)."""
+    """ANN: bucket by hyperplane signature, probe the query's bucket (plus
+    its ``probe_bits``-flip neighbor buckets — multi-probe), exact re-rank
+    inside. At scale the bucket equality join prunes the corpus scan to
+    ~corpus × (1 + probed buckets)/2^planes vectors; recall is tuned by
+    n_planes and probe_bits."""
     planes = hyperplanes(dim, n_planes)
     corpus = emb.select(
         F.col(id_col),
@@ -276,8 +311,15 @@ def lsh_ann_topk(
         lsh_signature(as_double(vec_col), planes).alias("bucket"),
     )
     q = query_df.select(
-        F.col("qv"), lsh_signature(F.col("qv"), planes).alias("qbucket")
+        F.col("qv"),
+        F.explode(
+            probe_buckets(
+                lsh_signature(F.col("qv"), planes), n_planes, probe_bits
+            )
+        ).alias("qbucket"),
     )
+    # Each corpus vector lives in exactly one bucket and the probe masks
+    # are distinct, so no corpus row can match twice — no dedup needed.
     probed = corpus.join(
         F.broadcast(q), F.col("bucket") == F.col("qbucket"), "inner"
     ).select(

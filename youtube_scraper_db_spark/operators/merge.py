@@ -67,8 +67,12 @@ def field_update(
     for c in set_cols:
         renamed = renamed.withColumnRenamed(c, f"__new_{c}")
     matched = F.lit(True).alias("__matched")
+    # No forced broadcast: the common case (a scrape run's small update
+    # batch) broadcasts anyway once AQE sees its runtime size, while a
+    # large backfill touching most keys gets a sort-merge join instead of
+    # OOMing every executor with a broadcast it can't hold.
     joined = old.join(
-        F.broadcast(renamed.select("*", matched)) if _is_small(renamed) else renamed.select("*", matched),
+        renamed.select("*", matched),
         on=list(keys),
         how="left",
     )
@@ -78,13 +82,6 @@ def field_update(
             c, F.when(F.col("__matched").isNotNull(), F.col(f"__new_{c}")).otherwise(F.col(c))
         )
     return out.drop("__matched", *[f"__new_{c}" for c in set_cols]).select(*old.columns)
-
-
-def _is_small(df: DataFrame) -> bool:
-    """Heuristic: treat update batches as broadcastable. At 100 TB the update
-    batch is a scrape run's output (≤ millions of rows, ≪ table size), so
-    broadcast is the right default; AQE would demote it if stats disagree."""
-    return True
 
 
 def when_matched_keep_better(

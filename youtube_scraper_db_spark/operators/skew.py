@@ -33,7 +33,18 @@ def salted_join(
     Salt is derived from a hash of the whole big row (not ``rand()``) so
     retried tasks salt identically — required for exactly-once semantics
     under task retry. Cost: small side × B; use for genuinely hot keys,
-    not as a default (AQE already splits moderate skew)."""
+    not as a default (AQE already splits moderate skew).
+
+    Only big-side-preserving join types are accepted: replicating the
+    small side B times would emit B copies of every unmatched small-side
+    row under ``right``/``full`` outer joins — silently wrong results."""
+    safe = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+            "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated small "
+            f"side would duplicate unmatched rows; use one of {sorted(safe)}"
+        )
     salt_big = F.pmod(
         F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)
     ).cast("int")

@@ -27,7 +27,7 @@ from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -122,6 +122,7 @@ def refresh_playlists(
     fetched_membership: DataFrame,
     fetched_videos: DataFrame,
     now_col,
+    attempted_playlists: DataFrame | None = None,
 ) -> RefreshResult:
     """One refresh run (ref main_scraper.py:270-392), fully set-oriented.
 
@@ -129,6 +130,11 @@ def refresh_playlists(
     snapshot from the source of truth (the fetch stage's output).
     ``fetched_videos``: refreshed video metadata rows (``videos`` schema
     plus ``fetch_ok``).
+    ``attempted_playlists``: the playlists this run TRIED to fetch (one
+    ``playlist_id`` column). Playlists attempted but absent from the
+    snapshot (their fetch failed) get a ``failed_fetch`` audit ping, like
+    the reference (ref main_scraper.py:306-312). Defaults to the
+    playlists present in the snapshot, i.e. all-successful.
     """
     # J8 + S11/S12: reconcile the edge table with the fetched snapshot —
     # scoped to the playlists the snapshot covers (the reference syncs per
@@ -156,13 +162,35 @@ def refresh_playlists(
     ok_videos = fetched_videos.filter(F.col("fetch_ok")).drop("fetch_ok")
     updated_videos = merge_upsert(videos, ok_videos, ["video_id"])
 
-    # S17: append completed/failed pings, one per touched playlist.
-    status = F.when(F.col("item_count") > 0, "completed").otherwise("failed_fetch")
-    max_ping = (pings.agg(F.max("ping_id")).first()[0] or 0) if pings is not None else 0
-    new_pings = counts.select(
-        (F.row_number().over(Window.orderBy("playlist_id")) + F.lit(max_ping)).alias(
-            "ping_id"
-        ),
+    # S17: append one audit ping per ATTEMPTED playlist (ref
+    # main_scraper.py:306-312): 'completed' when the fetch yielded items,
+    # 'failed_fetch' when the playlist was attempted but produced no
+    # snapshot rows — failed fetches must not silently disappear.
+    attempted = (
+        attempted_playlists.select("playlist_id").distinct()
+        if attempted_playlists is not None
+        else fetched_membership.select("playlist_id").distinct()
+    )
+    outcomes = attempted.join(
+        counts.select("playlist_id", "item_count"), "playlist_id", "left"
+    )
+    status = F.when(
+        F.col("item_count").isNotNull() & (F.col("item_count") > 0), "completed"
+    ).otherwise("failed_fetch")
+    # Distributed id assignment: max(ping_id) rides in as a broadcast
+    # one-row aggregate (no driver-side .first() mid-pipeline) and per-row
+    # ids come from monotonically_increasing_id — cluster-wide unique and
+    # increasing, with gaps. AUTOINCREMENT parity (ref main_scraper.py:233)
+    # is uniqueness + monotonicity, not contiguity; the previous
+    # Window.orderBy with no partitionBy funneled every row through one
+    # reducer.
+    if pings is not None:
+        maxp = pings.agg(F.coalesce(F.max("ping_id"), F.lit(0)).alias("__maxp"))
+        based = outcomes.crossJoin(F.broadcast(maxp))
+    else:
+        based = outcomes.withColumn("__maxp", F.lit(0).cast("long"))
+    new_pings = based.select(
+        (F.col("__maxp") + 1 + F.monotonically_increasing_id()).alias("ping_id"),
         "playlist_id",
         now_col.alias("pinged_timestamp"),
         status.alias("status"),
