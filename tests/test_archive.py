@@ -101,3 +101,82 @@ def test_archive_lifecycle(spark, archive, tmp_path):
     assert by_id["PL001"] == ["aaaaaaaaaaa", "bbbbbbbbbbb"]
     out_txt = tmp_path / "export_txt"
     assert archive.export_transcript_files(str(out_txt)) == 1
+
+
+def test_commit_crash_leaves_table_intact(spark, archive):
+    """A failure at ANY point of _commit must leave the committed version
+    readable: (a) mid-write crash — the data job itself fails; (b) crash
+    after the write but before the pointer flip."""
+    videos = spark.createDataFrame(
+        [("aaaaaaaaaaa", "First", None, None, None, 63, 10, "Chan", None, None, None, None)],
+        schema=archive.table("videos").schema,
+    )
+    archive.upsert_videos(videos)
+    assert archive.table("videos").count() == 1
+
+    # (a) the rewrite job explodes mid-flight (ANSI cast failure at runtime)
+    bad = archive.table("videos").withColumn(
+        "view_count", F.expr("CAST('boom' AS BIGINT)")
+    )
+    with pytest.raises(Exception):
+        archive._commit("videos", bad.select(*archive.table("videos").columns))
+    assert archive.table("videos").count() == 1  # old version intact
+
+    # (b) crash between data write and pointer flip: simulate by writing
+    # the next version dir and NOT the pointer — readers must stay on the
+    # committed version, and the next real commit must self-heal.
+    import os
+    nxt = archive._version_of("videos") + 1
+    archive.table("videos").limit(0).write.mode("overwrite").parquet(
+        archive._version_path("videos", nxt)
+    )
+    assert archive.table("videos").count() == 1
+    archive.upsert_videos(videos)  # overwrites the orphaned dir
+    assert archive.table("videos").count() == 1
+    assert os.path.exists(archive._version_file("videos"))
+
+
+def test_commit_rollback_one_step(spark, archive):
+    v1 = spark.createDataFrame(
+        [("aaaaaaaaaaa", "First", None, None, None, 63, 10, "Chan", None, None, None, None)],
+        schema=archive.table("videos").schema,
+    )
+    archive.upsert_videos(v1)
+    v2 = spark.createDataFrame(
+        [("bbbbbbbbbbb", "Second", None, None, None, 10, 1, "Chan", None, None, None, None)],
+        schema=archive.table("videos").schema,
+    )
+    archive.upsert_videos(v2)
+    assert archive.table("videos").count() == 2
+    archive.rollback("videos")
+    assert {r.video_id for r in archive.table("videos").collect()} == {"aaaaaaaaaaa"}
+    with pytest.raises(ValueError):
+        archive.rollback("videos")  # only one step of history
+
+
+def test_inbox_ingest_upserts_video_row(spark, archive, tmp_path):
+    """Ingested transcripts must never be orphaned: the parsed TITLE/URL
+    upsert a videos row (new video → minimal row; existing video keeps its
+    scraped metadata, ref add_transcripts.py:144-166)."""
+    inbox = tmp_path / "inbox2"
+    inbox.mkdir()
+    (inbox / "new.txt").write_text(INBOX_TIMESTAMPED)
+    archive.ingest_transcript_inbox(str(inbox))
+
+    vids = {r.video_id: r for r in archive.table("videos").collect()}
+    assert "aaaaaaaaaaa" in vids  # minimal row created
+    assert vids["aaaaaaaaaaa"].title == "First"
+    assert vids["aaaaaaaaaaa"].last_scraped_timestamp is not None
+    # transcript is visible through the videos-inner-join surface
+    assert archive.search_transcripts("alpha").count() == 1
+
+    # existing video: only title/video_url/timestamp change, metadata kept
+    full = spark.createDataFrame(
+        [("aaaaaaaaaaa", "Old title", "desc", "chan", None, 63, 10, "Auth", None, None, None, None)],
+        schema=archive.table("videos").schema,
+    )
+    archive.upsert_videos(full)
+    archive.ingest_transcript_inbox(str(inbox))
+    row = {r.video_id: r for r in archive.table("videos").collect()}["aaaaaaaaaaa"]
+    assert row.title == "First"  # updated from the inbox header
+    assert row.description == "desc" and row.duration_seconds == 63  # survived

@@ -121,3 +121,34 @@ def test_render_transcript_files(spark, videos, transcripts, tmp_path):
     n = write_transcript_files(joined, str(out))
     assert n == 2
     assert (out / fname).read_text() == rendered[fname]
+
+
+NO_BLANK_LINE_FILE = """TITLE: No Blank
+URL: https://www.youtube.com/watch?v=nblnblnblnb
+body runs straight after headers
+"""
+
+LEADING_BLANK_FILE = """
+TITLE: Leading Blank
+URL: https://www.youtube.com/watch?v=ldbldbldbld
+
+actual body
+"""
+
+
+def test_transcript_body_edge_cases(spark, tmp_path):
+    """Ref add_transcripts.py:96-116 parity: (1) no blank line → the WHOLE
+    file (headers included) is the transcript; (2) a blank line BEFORE the
+    headers does not start the body — only a blank line after a header
+    does."""
+    inbox = tmp_path / "inbox_edge"
+    inbox.mkdir()
+    (inbox / "noblank.txt").write_text(NO_BLANK_LINE_FILE)
+    (inbox / "leading.txt").write_text(LEADING_BLANK_FILE)
+
+    rows = {r.video_id: r for r in read_transcript_files(spark, str(inbox)).collect()}
+    nb = rows["nblnblnblnb"]
+    assert nb.transcript.startswith("TITLE: No Blank")  # whole file kept
+    assert nb.transcript.rstrip().endswith("straight after headers")
+    lb = rows["ldbldbldbld"]
+    assert lb.transcript.strip() == "actual body"  # headers not in body

@@ -5,9 +5,16 @@ behind one handle over a directory of parquet tables.
 
 Storage model: one parquet directory per table under ``root``. Mutations
 are whole-table rewrites (the Delta-free MERGE pattern, SURVEY.md §4)
-committed via write-temp-then-swap so a failed job never corrupts the
-table; on a cluster the swap becomes a metastore/table-format commit
-(Delta/Iceberg), with identical call sites.
+committed via a VERSIONED-DIRECTORY protocol: each commit writes a fresh
+``<table>.parquet.v<N>`` directory, then atomically repoints a one-line
+``<table>.version`` file (``os.replace`` — atomic on POSIX). A crash at
+ANY point before the pointer flip leaves the previous version fully
+intact — there is no rename window in which the table doesn't exist (the
+flaw of the earlier rename-swap scheme). The previous version directory
+is retained until the NEXT commit, giving one-step ``rollback`` — the
+Spark analog of the reference's per-file transaction + conn.rollback
+(ref add_transcripts.py:199-204, main_scraper.py:169-174). On a real
+cluster the same call sites take a Delta/Iceberg commit instead.
 """
 
 from __future__ import annotations
@@ -37,8 +44,28 @@ class Archive:
 
     # -- storage ---------------------------------------------------------
 
-    def _path(self, table: str) -> str:
+    def _base(self, table: str) -> str:
         return os.path.join(self.root, f"{table}.parquet")
+
+    def _version_file(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.version")
+
+    def _version_of(self, table: str) -> int:
+        """Committed version number; 0 = the unversioned base directory
+        written by ``create`` (or a pre-versioning archive)."""
+        try:
+            with open(self._version_file(table)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _version_path(self, table: str, version: int) -> str:
+        base = self._base(table)
+        return base if version == 0 else f"{base}.v{version}"
+
+    def _path(self, table: str) -> str:
+        """Data directory of the CURRENT committed version."""
+        return self._version_path(table, self._version_of(table))
 
     @classmethod
     def create(cls, spark: SparkSession, root: str) -> "Archive":
@@ -54,19 +81,61 @@ class Archive:
         return self.spark.read.parquet(self._path(name))
 
     def _commit(self, name: str, df: DataFrame) -> None:
-        """Rewrite a table atomically: write to a temp dir, then swap.
+        """Commit a whole-table rewrite via versioned-directory swap.
 
-        The rewrite plan reads the CURRENT table files, so we must fully
-        materialize to the temp location before touching them."""
-        tmp = self._path(name) + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        final = self._path(name)
-        old = final + ".old"
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        1. Materialize ``df`` into the NEXT version directory (the plan
+           reads the current version's files, which stay untouched).
+        2. Atomically repoint the version file (``os.replace``).
+        3. Garbage-collect versions older than the previous one (kept for
+           ``rollback``) and any debris from crashed commits.
+
+        A failure in step 1 leaves a partial ``.v<N+1>`` directory and an
+        unchanged pointer: readers never see it, and the next commit
+        overwrites it. There is no state in which the table is missing or
+        half-swapped."""
+        cur = self._version_of(name)
+        nxt = cur + 1
+        df.write.mode("overwrite").parquet(self._version_path(name, nxt))
+        ptr_tmp = self._version_file(name) + ".tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(nxt))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptr_tmp, self._version_file(name))
+        self._gc(name, keep=(cur, nxt))
+
+    def _gc(self, name: str, keep: tuple[int, ...]) -> None:
+        """Drop superseded version dirs + legacy .tmp/.old swap debris."""
+        base = self._base(name)
+        prefix = os.path.basename(base) + ".v"
+        for entry in os.listdir(self.root):
+            if entry.startswith(prefix):
+                try:
+                    v = int(entry[len(prefix):])
+                except ValueError:
+                    continue
+                if v not in keep:
+                    shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+        if 0 not in keep and os.path.exists(base):
+            shutil.rmtree(base, ignore_errors=True)
+        for legacy in (base + ".tmp", base + ".old"):
+            if os.path.exists(legacy):
+                shutil.rmtree(legacy, ignore_errors=True)
+
+    def rollback(self, name: str) -> None:
+        """Repoint ``name`` at the version before the last commit (ref
+        conn.rollback, add_transcripts.py:203). One step of history is
+        retained; rolling back twice is an error."""
+        cur = self._version_of(name)
+        prev = cur - 1
+        if prev < 0 or not os.path.exists(self._version_path(name, prev)):
+            raise ValueError(f"no previous version of {name!r} to roll back to")
+        ptr_tmp = self._version_file(name) + ".tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(prev))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptr_tmp, self._version_file(name))
 
     # -- ingestion (run_me.py / import_playlists.py / add_transcripts.py) -
 
@@ -79,11 +148,34 @@ class Archive:
 
     def ingest_transcript_inbox(self, inbox_dir: str) -> int:
         """S9 + the §2.11 preference rule: parse header-formatted files,
-        merge into ``transcripts`` (timestamped stored bodies survive
-        un-timestamped replacements)."""
+        upsert the corresponding ``videos`` rows, then merge into
+        ``transcripts`` (timestamped stored bodies survive un-timestamped
+        replacements).
+
+        The videos write mirrors ref save_to_database
+        (add_transcripts.py:144-166): an EXISTING video gets only title /
+        video_url / last_scraped_timestamp updated (its scraped metadata
+        survives), a NEW video gets a minimal row — without it, ingested
+        transcripts would be orphaned and invisible to every
+        ``videos``-inner-joining query (search, export). Videos commit
+        first so a crash between the two commits never leaves a
+        transcript without its video."""
         from pyspark.sql import functions as F
 
         parsed = read_transcript_files(self.spark, inbox_dir)
+        vid_rows = parsed.select(
+            "video_id",
+            "title",
+            F.col("url").alias("video_url"),
+            F.current_timestamp().alias("last_scraped_timestamp"),
+        ).dropDuplicates(["video_id"])
+        videos = self.table("videos")
+        updated = field_update(
+            videos, vid_rows, ["video_id"],
+            ["title", "video_url", "last_scraped_timestamp"],
+        )
+        self._commit("videos", insert_if_absent(updated, vid_rows, ["video_id"]))
+
         incoming = parsed.select(
             "video_id",
             F.lit(None).cast("string").alias("language"),

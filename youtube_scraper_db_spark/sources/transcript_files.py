@@ -33,13 +33,23 @@ def parse_transcript_text(df: DataFrame, text_col: str, file_col: str) -> DataFr
     Semantics per ref add_transcripts.py:78-121: ``video_id`` prefers the
     URL-derived id over the ``ID:`` line; missing title falls back to
     ``"Video <id>"``; missing url is synthesized from the id; the body is
-    everything after the first blank line; records with no id or an empty
-    body are dropped (the reference logs-and-skips them).
+    everything after the first blank line FOLLOWING a header line (the
+    reference only breaks on a blank line once metadata was seen, so a
+    leading blank line before the headers does not start the body), or
+    the WHOLE file when no such blank line exists (the reference's
+    ``transcript_start_line`` stays 0 — headers included in the body);
+    records with no id or an empty body are dropped (the reference
+    logs-and-skips them).
     """
     text = F.col(text_col)
     url_hdr = _header(text, "URL")
     vid = F.coalesce(extract_video_id(url_hdr), _header(text, "ID"))
-    body = F.regexp_extract(text, r"(?s)\r?\n[ \t]*\r?\n(.*)$", 1)
+    # First blank line after the first header line; anchored so that blank
+    # lines BEFORE any header don't terminate the (empty) metadata block.
+    body_re = r"(?s)(?:^|\r?\n)(?:TITLE|URL|ID):.*?\r?\n[ \t]*\r?\n(.*)$"
+    body = F.when(
+        text.rlike(body_re), F.regexp_extract(text, body_re, 1)
+    ).otherwise(text)
     return (
         df.select(
             F.col(file_col).alias("source_file"),
