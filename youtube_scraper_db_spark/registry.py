@@ -1025,8 +1025,11 @@ _TOK_CTE = """
     "LLM-text",
     oracle=f"""
     WITH {_TOK_CTE}
-    SELECT doc_id,
+    SELECT tok.doc_id,
            CAST(len(t) AS BIGINT) AS token_count,
+           CAST(len(regexp_extract_all(d.text,
+                '[A-Za-z]{{1,4}}|[0-9]{{1,3}}|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS bpe_pieces,
            FLOOR((CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1)) * 10000) / 10000.0
              AS ttr,
            CASE WHEN len(t) = 0 THEN 0.0 ELSE FLOOR((
@@ -1034,12 +1037,13 @@ _TOK_CTE = """
              + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1))
              + 0.3 * (CAST(len(list_intersect(list_distinct(t), {_sql_list(_ALL_STOPS)})) AS DOUBLE)
                       / greatest(len(list_distinct(t)), 1))) * 10000) / 10000.0 END AS quality
-    FROM tok
+    FROM tok JOIN documents d ON tok.doc_id = d.doc_id
     """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality scoring (length credit, type-token ratio,
-    stopword prior) — pure Column exprs, zero Python in the scan stage."""
+    """Token counting (whitespace + BPE-ish sub-word pieces) + quality
+    scoring (length credit, type-token ratio, stopword prior) — pure
+    Column exprs, zero Python in the scan stage."""
     d = _t(spark, sf_dir, "documents")
     tok = llm_text.tokens("text")
     n = F.size(tok)
@@ -1047,6 +1051,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         llm_text.token_count("text").alias("token_count"),
+        llm_text.bpe_piece_count("text").alias("bpe_pieces"),
         llm_text.trunc4(nd / F.greatest(n, F.lit(1))).alias("ttr"),
         llm_text.quality_score("text").alias("quality"),
     )
@@ -1357,6 +1362,173 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         llm_similarity.as_double("embedding").alias("qv")
     )
     return llm_similarity.lsh_ann_topk(e, q, dim=64, k=10, n_planes=4)
+
+
+# --- recall gates for the approximate paths ---------------------------
+#
+# The four rows-only specs above exercise hash pipelines DuckDB cannot
+# reproduce (xxhash64 / md5-vote / numpy-seeded planes). These companion
+# queries reduce each approximate output to an oracle-checkable scalar:
+# recall against the exact twin (which IS SQL-expressible), plus the
+# subset/precision invariant where it holds by construction. A recall
+# regression (or a broken hash pipeline) flips a boolean and fails the
+# driver's value-hash compare.
+
+
+@spec(
+    "minhash_lsh_recall",
+    "LLM-dedup-minhash",
+    oracle=r"""
+    WITH norm AS (
+      SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      FROM documents
+    ),
+    elig AS (
+      SELECT count(*) AS n FROM norm
+      WHERE nt <> '' AND len(regexp_split_to_array(nt, ' ')) >= 3
+    )
+    SELECT CAST(n AS BIGINT) AS clone_pairs,
+           CAST(n AS BIGINT) AS found_pairs,
+           TRUE AS recall_ok
+    FROM elig
+    """,
+)
+def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable MinHash+LSH recall: on the cloned corpus every
+    clone pair has identical shingle sets → identical signatures → all
+    bands collide, so recall over eligible docs (≥ 1 3-shingle) is
+    EXACTLY 1 — found_pairs must equal clone_pairs, and the oracle can
+    predict both counts in SQL."""
+    corpus = _cloned_docs(spark, sf_dir)
+    pairs = llm_dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=32, bands=16
+    ).filter(F.col("est_jaccard") >= 0.5)
+    d = _t(spark, sf_dir, "documents")
+    expected = d.filter(F.size(llm_text.shingles(F.col("text"), 3)) > 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_b"),
+    )
+    found = expected.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    return (
+        expected.agg(F.count("*").alias("clone_pairs"))
+        .crossJoin(found.agg(F.count("*").alias("found_pairs")))
+        .select(
+            "clone_pairs",
+            "found_pairs",
+            (F.col("found_pairs") == F.col("clone_pairs")).alias("recall_ok"),
+        )
+    )
+
+
+@spec(
+    "simhash_recall",
+    "LLM-dedup-simhash",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS clone_pairs,
+           CAST(count(*) AS BIGINT) AS found_pairs,
+           TRUE AS recall_ok
+    FROM documents
+    """,
+)
+def simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable SimHash recall: identical clone texts hash to
+    identical 64-bit signatures (hamming 0, same prefix bucket), so every
+    one of the count(documents) clone pairs must surface — deterministic
+    full recall the oracle predicts from the row count alone."""
+    corpus = _cloned_docs(spark, sf_dir)
+    sig = llm_dedup.simhash_signatures(corpus, "doc_id", "text")
+    pairs = llm_dedup.simhash_bucket_pairs(sig, prefix_bits=16).filter(
+        F.col("hamming") <= 3
+    )
+    d = _t(spark, sf_dir, "documents")
+    expected = d.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_b"),
+    )
+    found = expected.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    return (
+        expected.agg(F.count("*").alias("clone_pairs"))
+        .crossJoin(found.agg(F.count("*").alias("found_pairs")))
+        .select(
+            "clone_pairs",
+            "found_pairs",
+            (F.col("found_pairs") == F.col("clone_pairs")).alias("recall_ok"),
+        )
+    )
+
+
+@spec(
+    "lsh_near_dup_recall",
+    "LLM-dedup-embed-lsh",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS uv
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.uv, b.uv) >= 0.4
+    )
+    SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+           TRUE AS subset_ok,
+           TRUE AS recall_ok
+    FROM p
+    """,
+)
+def lsh_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH near-dup recall vs the exact twin: the bucketed
+    path (n_planes=4, probe_bits=2) must stay a strict subset of the
+    exact pair set (precision 1 — both sides apply the identical cosine
+    filter) and recover ≥ 70% of it (measured 0.81/0.88 at sf0.01/0.001;
+    deterministic: seeded planes over fixed data)."""
+    e = _t(spark, sf_dir, "embeddings")
+    exact = llm_similarity.near_dup_pairs(e, threshold=0.4).select("vec_a", "vec_b")
+    approx = llm_similarity.lsh_near_dup_pairs(
+        e, dim=64, threshold=0.4, n_planes=4, probe_bits=2
+    ).select("vec_a", "vec_b")
+    inter = approx.join(exact, ["vec_a", "vec_b"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("exact_pairs"))
+        .crossJoin(approx.agg(F.count("*").alias("approx_cnt")))
+        .crossJoin(inter.agg(F.count("*").alias("found_cnt")))
+        .select(
+            "exact_pairs",
+            (F.col("found_cnt") == F.col("approx_cnt")).alias("subset_ok"),
+            (F.col("found_cnt") >= 0.7 * F.col("exact_pairs")).alias("recall_ok"),
+        )
+    )
+
+
+@spec(
+    "lsh_ann_recall",
+    "LLM-sim-ann",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS returned, TRUE AS recall_ok
+    """,
+)
+def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN recall@10 vs brute-force top-10 for the
+    vec_id=0 query: probing the query bucket + its 1- and 2-bit-flip
+    neighbors must return a full k and hit ≥ 6 of the exact top-10
+    (measured 8/10 at both sf0.01 and sf0.001; deterministic)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
+    ann10 = llm_similarity.lsh_ann_topk(
+        e, q, dim=64, k=10, n_planes=4, probe_bits=2
+    ).select("vec_id")
+    hits = ann10.join(exact10, ["vec_id"], "left_semi")
+    return (
+        ann10.agg(F.count("*").alias("returned"))
+        .crossJoin(hits.agg(F.count("*").alias("hit_cnt")))
+        .select("returned", (F.col("hit_cnt") >= 6).alias("recall_ok"))
+    )
 
 
 @spec(
