@@ -113,6 +113,29 @@ def test_ivf_ann_topk_recall_vs_brute_force(spark):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_kmeans_centroids_deterministic_unit_and_recall(spark):
+    e = _embeddings(spark)
+    km1 = {r.cid: r.cv for r in S.kmeans_centroids(e, n_centroids=8, n_iter=2).collect()}
+    km2 = {r.cid: r.cv for r in S.kmeans_centroids(e, n_centroids=8, n_iter=2).collect()}
+    assert km1 == km2  # 9dp rounding absorbs distributed-sum jitter
+    assert set(km1) == set(range(8))
+    for cv in km1.values():
+        assert abs(sum(x * x for x in cv) - 1.0) < 1e-6  # unit-normalized
+    q = e.filter(F.col("vec_id") == 0).select(
+        S.as_double("embedding").alias("qv")
+    )
+    exact = [r.vec_id for r in S.cosine_topk(e, q, k=5).collect()]
+    km_df = S.kmeans_centroids(e, n_centroids=8, n_iter=2)
+    approx = [
+        r.vec_id
+        for r in S.ivf_ann_topk(
+            e, q, n_centroids=8, nprobe=4, k=5, centroids=km_df
+        ).collect()
+    ]
+    assert 0 in approx and 1000 in approx  # clone pair never separates
+    assert len(set(exact) & set(approx)) >= 3
+
+
 def test_ivf_assignment_covers_corpus(spark):
     """Every vector lands in exactly one inverted list; probing ALL lists
     reproduces the brute-force top-k exactly (recall → 1 as nprobe → K)."""

@@ -197,7 +197,16 @@ def minhash_signatures(
     expressions. Map-side partial aggregation means the shuffle carries
     docs × num_hashes longs — independent of document length — and every
     expression stays inside codegen (a nested higher-order-function
-    formulation runs interpreted and is ~20× slower)."""
+    formulation runs interpreted and is ~20× slower).
+
+    Hash family note: the classic "hash the shingle once, then
+    ``num_hashes`` universal linear mixes" optimization was measured
+    against this form at sf0.1 (and a hash-the-long variant) and showed
+    no win — warm runs were 2.4-2.6 s for per-seed xxhash64 vs
+    2.7-4.5 s for (a·h1 + b·h2 + c) mod 2^61-1 mixing: xxhash64 over
+    short shingle strings is already cheap and the stage is dominated by
+    the shingle explode + partial-agg shuffle, so the extra mixing
+    expressions only add codegen width. Kept the simpler family."""
     ex = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
         "doc", F.explode(shingles(text_col, k)).alias("shingle")
     )

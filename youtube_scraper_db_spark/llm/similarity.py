@@ -207,47 +207,23 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
-def ivf_ann_topk(
-    emb: DataFrame,
-    query_df: DataFrame,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF ANN: coarse-quantize the corpus into ``n_centroids`` inverted
-    lists, probe the ``nprobe`` lists nearest the query, exact re-rank
-    inside them.
+def assign_clusters(vecs: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Add a ``cluster`` column: the cosine-argmax centroid id for each row.
 
-    Seed centroids are the vectors with the ``n_centroids`` smallest ids —
-    deterministic, so the whole pipeline is oracle-reproducible. Swapping
-    in k-means|| centroids changes ONLY how ``cdf`` is built.
-
-    The centroid set rides into the scan as ONE broadcast row holding an
-    array of (cid, cv, cn) structs, and the argmax is a higher-order
-    left fold over that array — plan size is CONSTANT in n_centroids
-    (the previous formulation inlined every centroid vector as plan
-    literals: at thousands of centroids the plan itself explodes), the
-    assignment stays map-side with zero shuffle, and the probe stays a
-    broadcast semi-join pruning the exact re-rank to roughly
-    ``nprobe/n_centroids`` of the corpus. Scores are rounded to 6dp
-    before the argmax and ties take the lowest centroid id (strict ``>``
-    against a cid-ascending fold order), so the assignment is
+    ``vecs`` must carry ``v`` (array<double>) and ``vn`` (its L2 norm);
+    ``cdf`` is ``(cid, cv)``. The centroid set rides into the scan as ONE
+    broadcast row holding an array of (cid, cv, cn) structs, and the
+    argmax is a higher-order left fold over that array — plan size is
+    CONSTANT in n_centroids (inlining every centroid vector as plan
+    literals explodes the plan at thousands of centroids), and the
+    assignment stays map-side with zero shuffle. Scores are rounded to
+    6dp before the argmax and ties take the lowest centroid id (strict
+    ``>`` against a cid-ascending fold order), so the assignment is
     engine-independent."""
-    cdf = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
-    )
     cent_row = F.broadcast(
         cdf.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))).agg(
             F.array_sort(F.collect_list(F.struct("cid", "cv", "cn"))).alias("cents")
         )
-    )
-
-    base = (
-        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
-        .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
-        .crossJoin(cent_row)
     )
 
     def _score(s: Column) -> Column:
@@ -263,7 +239,106 @@ def ivf_ann_topk(
             F.struct(_score(s).alias("acos"), s["cid"].cast("long").alias("cid")),
         ).otherwise(acc),
     )
-    assigned = base.withColumn("cluster", best["cid"]).drop("cents")
+    return vecs.crossJoin(cent_row).withColumn("cluster", best["cid"]).drop("cents")
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) centroid refinement: ``(cid, cv)``.
+
+    Init is the deterministic seed set (lowest-id vectors). Each
+    iteration is (a) map-side cosine-argmax assignment via ONE broadcast
+    centroid row (``assign_clusters`` — zero shuffle), then (b) a
+    per-(cluster, position) mean via posexplode + groupBy — an
+    O(n × dim) keyed shuffle with map-side partial aggregation, never a
+    collect of the corpus. That is the standard cluster-scale
+    formulation: at 100 TB each iteration costs one scan plus one
+    bounded shuffle, and the driver only ever holds n_centroids × dim
+    doubles. A k-means|| init would change ONLY the seed ``cdf``; the
+    lowest-id seed is kept for oracle reproducibility.
+
+    Determinism: distributed double summation has no fixed accumulation
+    order, so raw means jitter at ~1e-16. Components are rounded to 9dp
+    after unit-normalization — 7 orders of magnitude above the jitter,
+    far below quantization-relevant precision — making the returned
+    centroids (and everything probed with them) run-stable. Empty
+    clusters keep their previous centroid."""
+    base = (
+        emb.select(F.col(id_col).alias("_vid"), as_double(vec_col).alias("v"))
+        .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    cdf = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("long").alias("cid"), as_double(vec_col).alias("cv")
+    )
+    for _ in range(n_iter):
+        assigned = assign_clusters(base, cdf)
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pm")
+            )
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform("pm", lambda s: s["mx"]).alias("mv"),
+            )
+        )
+        new_cv = F.transform(
+            unit(F.col("mv")), lambda x: F.round(x, 9)
+        )
+        cdf = (
+            cdf.join(means, "cid", "left")
+            .select(
+                "cid",
+                F.when(F.col("mv").isNotNull(), new_cv)
+                .otherwise(F.col("cv"))
+                .alias("cv"),
+            )
+        )
+    return cdf
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_df: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into ``n_centroids`` inverted
+    lists, probe the ``nprobe`` lists nearest the query, exact re-rank
+    inside them.
+
+    Default centroids are the vectors with the ``n_centroids`` smallest
+    ids — deterministic, so the whole pipeline is oracle-reproducible.
+    Pass ``centroids=(cid, cv)`` (e.g. from ``kmeans_centroids``) to swap
+    in a refined quantizer; nothing else changes.
+
+    Assignment is map-side via one broadcast centroid row
+    (``assign_clusters``); the probe is a broadcast semi-join pruning the
+    exact re-rank to roughly ``nprobe/n_centroids`` of the corpus."""
+    if centroids is None:
+        cdf = emb.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+        )
+    else:
+        cdf = centroids.select("cid", "cv")
+
+    base = (
+        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    assigned = assign_clusters(base, cdf)
     probe = (
         cdf.crossJoin(F.broadcast(query_df))
         .select("cid", F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("qc"))

@@ -1581,6 +1581,40 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm_similarity.ivf_ann_topk(e, q, n_centroids=16, nprobe=4, k=10)
 
 
+@spec(
+    "ivf_kmeans_recall",
+    "LLM-sim-ann-ivf",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS returned, TRUE AS recall_ok
+    """,
+)
+def ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with spherical-k-means-refined centroids
+    (``kmeans_centroids``, 2 Lloyd iterations from the deterministic
+    lowest-id seeds): recall@10 vs brute-force top-10 for the vec_id=0
+    query must return a full k and hit ≥ 6 of the exact top-10 (measured
+    9/10 at sf0.01 and 10/10 at sf0.1; run-stable because centroid
+    components are rounded to 9dp after normalization — see
+    llm/similarity.py kmeans_centroids). The refinement itself is not
+    SQL-expressible (iterative), so the oracle checks the reduced recall
+    scalar, like lsh_ann_recall."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    km = llm_similarity.kmeans_centroids(e, n_centroids=16, n_iter=2)
+    exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
+    ann10 = llm_similarity.ivf_ann_topk(
+        e, q, n_centroids=16, nprobe=4, k=10, centroids=km
+    ).select("vec_id")
+    hits = ann10.join(exact10, ["vec_id"], "left_semi")
+    return (
+        ann10.agg(F.count("*").alias("returned"))
+        .crossJoin(hits.agg(F.count("*").alias("hit_cnt")))
+        .select("returned", (F.col("hit_cnt") >= 6).alias("recall_ok"))
+    )
+
+
 # ----------------------------------------------------------------------
 # Batch 4 — mutation sinks (S10-S13), schema evolution (S16), checkpoint
 # skip (S18), validity/availability filters (P11/P13), remaining scalar
