@@ -8,6 +8,9 @@ Scale extensions beyond the reference's own surface, designed for 100 TB:
 - ``similarity`` : brute-force cosine top-k, LSH-bucketed ANN.
 - ``multimodal`` : opaque binary columns + typed metadata, decode /
                    feature-extract plumbing as Arrow-batched stages.
+- ``corpus``     : the ``Corpus``/``Vectors`` facade — subquadratic
+                   routes by default, O(n²) baselines behind exact=True.
 """
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import corpus, dedup, multimodal, similarity, text  # noqa: F401
+from .corpus import Corpus, Vectors  # noqa: F401
