@@ -41,6 +41,8 @@ HEADLINE = [
     "embedding_cosine_topk",
     "lsh_near_dups",
     "ivf_ann_topk",
+    "asof_latest_order",
+    "event_daily_rollup",
 ]
 
 

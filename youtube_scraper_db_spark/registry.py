@@ -1888,6 +1888,131 @@ def mock_fetch_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Batch 5 — scale-extension operators beyond the reference surface:
+# as-of join, time-bucket rollup, percentile summary (each the canonical
+# large-cluster formulation, each oracle-checked).
+# ----------------------------------------------------------------------
+
+@spec(
+    "asof_latest_order",
+    "EXT-asof J6 W2",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS k,
+             CAST(o_orderdate AS TIMESTAMP) AS rt,
+             MAX(o_orderkey) AS last_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, r.last_orderkey,
+           CAST(r.rt AS DATE) AS last_order_date
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.k AND e.ts >= r.rt
+    """,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event gets the customer's latest
+    order at-or-before the event timestamp (operators.asof.as_of_join —
+    union + carry-forward window, ONE key shuffle, no range-explode).
+    The right side is pre-aggregated to one row per (custkey, date) so
+    the as-of pick is deterministic; the DuckDB oracle is a native
+    ASOF LEFT JOIN over the identical reduced table."""
+    from .operators.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders")
+    r = (
+        o.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("rt"),
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+        .withColumn("last_order_date", F.col("rt").cast("date"))
+    )
+    return as_of_join(
+        e, r, key="user_id", left_ts="ts", right_ts="rt",
+        payload_cols=["last_orderkey", "last_order_date"],
+    ).select("event_id", "user_id", "last_orderkey", "last_order_date")
+
+
+@spec(
+    "event_daily_rollup",
+    "EXT-timebucket A2 A8 O4",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def event_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style tumbling rollup: day buckets via F.window (the
+    same construct the streaming path uses, so batch backfill and live
+    rollup share semantics), partial-aggregated map-side. At 100 TB this
+    is ONE keyed shuffle of (day, type) partials; countDistinct adds the
+    standard two-phase expansion, which AQE coalesces."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "uniq_users",
+        )
+    )
+
+
+@spec(
+    "event_value_percentiles",
+    "EXT-percentile A8",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 2) AS p50,
+           ROUND(quantile_cont(value, 0.9), 2) AS p90,
+           ROUND(quantile_cont(value, 0.99), 2) AS p99,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value percentiles. The oracle-checked numbers come from
+    the EXACT interpolated percentile (matches quantile_cont); the same
+    row also self-checks the 100 TB path — approx_percentile (t-digest
+    sketch, map-side mergeable, bounded memory) must land within 15% or
+    1.0 absolute of exact p90 — so the scalable variant is continuously
+    validated against its exact twin, like the LSH recall gates."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 2).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 2).alias("p99"),
+            F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("_ap90"),
+        )
+        .select(
+            "event_type",
+            "p50",
+            "p90",
+            "p99",
+            (
+                (F.abs(F.col("_ap90") - F.col("p90")) <= F.greatest(F.lit(1.0), F.col("p90") * 0.15))
+            ).alias("approx_ok"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
 
