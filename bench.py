@@ -43,6 +43,7 @@ HEADLINE = [
     "ivf_ann_topk",
     "asof_latest_order",
     "event_daily_rollup",
+    "shipments_in_transit_daily",
 ]
 
 

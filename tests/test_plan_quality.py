@@ -124,3 +124,14 @@ def test_ivf_plan_size_constant_in_centroids(spark):
 
     p8, p64 = plan_len(8), plan_len(64)
     assert p64 < 1.5 * p8, f"IVF plan grows with n_centroids: {p8} -> {p64}"
+
+
+def test_sweep_line_has_no_single_partition_exchange(spark):
+    """The in-transit sweep's running total must come from the two-phase
+    distributed cumsum — a global ordered window (Exchange
+    SinglePartition) funnels 100 TB into one reducer."""
+    plan = (
+        SPECS["shipments_in_transit_daily"].fn(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan

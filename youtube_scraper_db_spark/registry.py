@@ -2012,6 +2012,98 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "shipments_in_transit_daily",
+    "EXT-rangejoin EXT-prefixsum",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(l_shipdate AS DATE) AS ship_day,
+             CAST(l_shipdate AS DATE) + CAST((l_linenumber % 14) + 1 AS INTEGER)
+               AS receipt_day
+      FROM lineitem
+    ),
+    d AS (
+      SELECT ship_day AS day, 1 AS delta FROM iv
+      UNION ALL
+      SELECT receipt_day AS day, -1 AS delta FROM iv
+    ),
+    g AS (SELECT day, SUM(delta) AS delta FROM d GROUP BY day)
+    SELECT day, CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS in_transit
+    FROM g
+    """,
+)
+def shipments_in_transit_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-stabbing counts for EVERY day at once: how many lineitems
+    are in transit (ship_day <= day < receipt_day) per day — the sweep-
+    line formulation of a point-in-interval range join. The transit
+    interval is derived deterministically from stock columns
+    (1 + l_linenumber % 14 days; the driver testdata carries no receipt
+    date). Each interval becomes a +1/-1 delta pair, deltas aggregate per
+    day (one keyed shuffle), and the running total is operators.
+    prefix_sum.distributed_cumsum — range-shuffle + per-partition window
+    + broadcast offsets, NO single-partition exchange (the plan-quality
+    test pins this). The naive day×interval equality-bucket join
+    materializes |intervals| × avg_days rows; the sweep is linear in
+    |intervals|."""
+    from .operators.prefix_sum import distributed_cumsum
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            (F.col("l_linenumber") % 14) + 1,
+        ).alias("receipt_day"),
+    )
+    deltas = (
+        li.select(F.col("ship_day").alias("day"), F.lit(1).alias("delta"))
+        .unionAll(
+            li.select(F.col("receipt_day").alias("day"), F.lit(-1).alias("delta"))
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    return (
+        distributed_cumsum(deltas, "day", "delta", out_col="in_transit")
+        .select("day", F.col("in_transit").cast("long").alias("in_transit"))
+    )
+
+
+@spec(
+    "uniq_users_sketch",
+    "EXT-sketch A3",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniques,
+           TRUE AS sketch_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def uniq_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch validated against its exact
+    twin in the same row: approx_count_distinct (rsd 2%) must land within
+    5% of countDistinct. The sketch is THE 100 TB path — fixed ~1.5 KB
+    of state per group, map-side mergeable, one narrow shuffle — while
+    exact countDistinct pays a two-phase expansion; the gate keeps the
+    cheap path honest, like the LSH recall and t-digest checks."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_uniques"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_uniques",
+            (
+                F.abs(F.col("_approx") - F.col("exact_uniques"))
+                <= F.greatest(F.lit(2.0), F.col("exact_uniques") * 0.05)
+            ).alias("sketch_ok"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
