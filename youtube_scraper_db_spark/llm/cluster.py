@@ -1,0 +1,131 @@
+"""Distributed connected components — duplicate *pairs* → duplicate
+*clusters*.
+
+The LSH/MinHash/Jaccard stages (llm/dedup.py) emit near-duplicate PAIRS;
+an actual dedup pass needs the transitive closure of those pairs — the
+connected components of the similarity graph — so that {A~B, B~C}
+collapses to one cluster {A,B,C} with one canonical survivor, not two
+overlapping pairs.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+shuffle-based CC formulation:
+
+- large-star(u): every neighbor v > u re-points to min(N(u) ∪ {u});
+- small-star(u): u and every neighbor v < u re-point to min of the
+  smaller neighborhood.
+
+Both rounds are one groupBy-min + one join each — pure keyed shuffles,
+no global ordering, no driver-side graph. Converges in O(log² n) rounds
+(2-4 in practice for dedup graphs, whose components are small and
+dense); at convergence the edge set IS the star map node → component
+minimum. Each iteration is ``localCheckpoint``-ed: iterative Spark plans
+otherwise grow lineage exponentially and re-execute every prior round.
+
+Per-iteration driver work is two scalar aggregates (count + hash
+checksum) for the convergence test — O(1) rows, the legitimate control
+plane of an iterative algorithm, never the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Drop self-loops, canonicalize to (a < b), dedup."""
+    a, b = F.col("a"), F.col("b")
+    return (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    """(row count, order-insensitive content hash) — the convergence test."""
+    r = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("a", "b") % F.lit(2**31)), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return r["n"], r["h"]
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+) -> DataFrame:
+    """Labels ``(node, component)`` for every vertex of the undirected
+    edge list, where ``component`` is the minimum vertex id (by the
+    column's natural ordering) of the node's connected component. Roots
+    label themselves; isolated vertices (absent from ``edges``) are the
+    caller's to union in.
+    """
+    cur = _canon(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ).localCheckpoint(eager=True)
+    prev_sig = _checksum(cur)
+    if prev_sig[0] == 0:
+        return cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
+
+    for _ in range(max_iter):
+        # Symmetrize: every (u, nbr) incidence in both directions.
+        sym = cur.unionAll(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+        # large-star: neighbors larger than u attach to u's overall min.
+        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        large = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+
+        # small-star over the large-star output: u and its smaller
+        # neighbors attach to the smaller-neighborhood min.
+        lsym = _canon(large)
+        lsym = lsym.unionAll(
+            lsym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        smalls = lsym.where(F.col("b") < F.col("a"))
+        smins = smalls.groupBy("a").agg(F.min("b").alias("m"))
+        small = smalls.join(smins, "a").select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        ).unionAll(smins.select(F.col("a"), F.col("m").alias("b")))
+
+        cur = _canon(small).localCheckpoint(eager=True)
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # At convergence the canonical (least, greatest) edges ARE the star
+    # map: `a` is the component minimum (center), `b` the leaf. Centers
+    # self-label; they never appear on the leaf side.
+    leaves = cur.select(F.col("b").alias("node"), F.col("a").alias("component"))
+    centers = (
+        cur.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return leaves.unionAll(centers)
+
+
+def dedup_keep_list(
+    docs: DataFrame, id_col: str, labels: DataFrame
+) -> DataFrame:
+    """Survivor set after near-dup clustering: the minimum-id canonical
+    doc of every cluster plus every doc that matched no pair. Returns
+    ``(id_col, kept_reason ∈ {'canonical','unique'})``."""
+    canonical = (
+        labels.select(F.col("component").alias(id_col))
+        .distinct()
+        .withColumn("kept_reason", F.lit("canonical"))
+    )
+    unique = (
+        docs.select(id_col)
+        .join(labels.select(F.col("node").alias(id_col)), id_col, "left_anti")
+        .withColumn("kept_reason", F.lit("unique"))
+    )
+    return canonical.unionAll(unique)

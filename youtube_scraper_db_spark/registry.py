@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .io import read_table
+from .llm import cluster as llm_cluster
 from .llm import dedup as llm_dedup
 from .llm import multimodal as llm_multimodal
 from .llm import similarity as llm_similarity
@@ -2102,6 +2103,104 @@ def uniq_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_ok"),
         )
     )
+
+
+# The exact 3-gram Jaccard pair graph (same computation as the
+# ngram_jaccard_pairs oracle) as a reusable CTE body for the
+# cluster-level dedup oracles below.
+_JACCARD_EDGE_CTES = r"""
+    norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(nt, ' ') END AS t
+      FROM norm
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE CAST([] AS VARCHAR[]) END AS s
+      FROM tok
+    ),
+    sized AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, n, unnest(s) AS g FROM sized),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS shared, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jp AS (
+      SELECT doc_a, doc_b FROM prs
+      WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.4
+    ),
+    e2 AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION ALL SELECT doc_b, doc_a FROM jp
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+    ),
+    lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+"""
+
+
+@spec(
+    "near_dup_clusters",
+    "EXT-concomp LLM-dedup-jaccard",
+    oracle="WITH RECURSIVE " + _JACCARD_EDGE_CTES + r"""
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM lab
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: transitive closure of the exact 3-gram
+    Jaccard pair graph via alternating large-star/small-star connected
+    components (llm/cluster.py) — {A~B, B~C} collapses to one cluster
+    labeled by its minimum doc_id. The oracle recomputes the closure with
+    a DuckDB recursive CTE, so the iterative distributed algorithm is
+    hash-checked end-to-end, not just row-counted."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = llm_dedup.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.4)
+    labels = llm_cluster.connected_components(pairs, "doc_a", "doc_b")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .alias("cluster_size"),
+    )
+
+
+@spec(
+    "near_dedup_keep",
+    "EXT-concomp EXT-dedup-survivor",
+    oracle="WITH RECURSIVE " + _JACCARD_EDGE_CTES + r"""
+    SELECT cluster_id AS doc_id, 'canonical' AS kept_reason
+    FROM (SELECT DISTINCT cluster_id FROM lab)
+    UNION ALL
+    SELECT doc_id, 'unique' AS kept_reason FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM lab)
+    """,
+)
+def near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup SURVIVOR list — what a training-data pipeline actually
+    feeds downstream: one canonical doc (minimum id) per near-dup
+    cluster plus every doc that matched no pair. Anti-join against the
+    cluster labels; no full-corpus shuffle beyond the pair graph."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = llm_dedup.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.4)
+    labels = llm_cluster.connected_components(pairs, "doc_a", "doc_b")
+    return llm_cluster.dedup_keep_list(d, "doc_id", labels)
 
 
 # ----------------------------------------------------------------------
