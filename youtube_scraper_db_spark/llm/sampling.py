@@ -1,0 +1,116 @@
+"""Deterministic hash-based sampling — splits, stratified rates, and
+epoch-weighted corpus mixing.
+
+``rand()``-based sampling is useless in a data pipeline: re-running the
+job samples a *different* subset, so downstream caches, resumed jobs, and
+train/test membership all drift. Everything here instead derives a
+uniform [0,1) draw from ``md5(id)`` — a pure projection, so it needs no
+shuffle, no seed plumbing, is stable across runs/engines/partitionings,
+and any row's fate is auditable from its id alone.
+
+The draw is compared as a *hex string prefix*: ``substring(md5(id),1,8)``
+is uniform over 32 bits, and lexicographic order on fixed-width lowercase
+hex equals numeric order — so ``hex8 < threshold_hex(rate)`` samples at
+``rate`` with zero integer parsing, in any engine with ``md5`` (Spark and
+DuckDB produce identical digests, which is what makes these operators
+oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hex8(id_col: Column | str) -> Column:
+    """First 8 hex chars of md5(id) — a uniform 32-bit draw as a string."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string")), 1, 8)
+
+
+def threshold_hex(rate: float) -> str:
+    """Hex-string threshold t with P[hex8 < t] = rate. rate >= 1 maps to
+    ``'g0000000'`` which is > every hex digest (hex chars stop at 'f'),
+    i.e. keep-everything — exact, unlike ``'ffffffff'``."""
+    if rate >= 1.0:
+        return "g0000000"
+    if rate <= 0.0:
+        return "00000000"
+    return format(int(rate * 2**32), "08x")
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Uniform sample at ``rate``, stable across runs and partitionings."""
+    return df.where(hex8(id_col) < threshold_hex(rate))
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]],
+    out_col: str = "split",
+) -> DataFrame:
+    """Disjoint split assignment (e.g. train/valid/test) by cumulative
+    hash ranges. ``splits`` are (name, fraction) with fractions summing to
+    1; the last split absorbs the remainder exactly."""
+    h = hex8(id_col)
+    expr = None
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        cond = h < F.lit(threshold_hex(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-stratum sampling rates (downsample dominant languages, cap a
+    noisy source, …). The per-row threshold is a CASE over ``strata_col``
+    — still a pure projection, no shuffle, no join."""
+    expr = None
+    for k, r in rates.items():
+        cond = F.col(strata_col) == k
+        t = F.lit(threshold_hex(r))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thr = F.lit(threshold_hex(default_rate)) if expr is None else expr.otherwise(
+        threshold_hex(default_rate)
+    )
+    return df.where(hex8(id_col) < thr)
+
+
+def mix_epochs(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    factors: dict[str, float],
+    default_factor: float = 1.0,
+) -> DataFrame:
+    """Epoch-weighted corpus mixing: repeat each row ``factor`` times,
+    where fractional factors are resolved per row by the hash draw (factor
+    2.5 → every row twice, half the rows — always the same half — a third
+    time). Emits an ``epoch`` column (1-based); factor 0 drops the
+    stratum. This is the standard training-mixture op (upweight curated
+    sources, downweight crawl) as a single explode — no union-per-epoch
+    plan blowup."""
+    whole_expr, frac_expr = None, None
+    for k, f in factors.items():
+        cond = F.col(strata_col) == k
+        w, fr = F.lit(int(f)), F.lit(threshold_hex(f - int(f)))
+        whole_expr = F.when(cond, w) if whole_expr is None else whole_expr.when(cond, w)
+        frac_expr = F.when(cond, fr) if frac_expr is None else frac_expr.when(cond, fr)
+    dw, dfr = int(default_factor), threshold_hex(default_factor - int(default_factor))
+    whole = F.lit(dw) if whole_expr is None else whole_expr.otherwise(dw)
+    frac_thr = F.lit(dfr) if frac_expr is None else frac_expr.otherwise(dfr)
+    n = whole + F.when(hex8(id_col) < frac_thr, 1).otherwise(0)
+    epochs = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch", F.explode(epochs))

@@ -130,6 +130,34 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def chunks(col: Column | str, size: int = 500, stride: int = 400) -> Column:
+    """Overlapping fixed-width character chunks (RAG/context-window prep):
+    windows of ``size`` chars starting every ``stride`` chars (overlap =
+    size - stride). Pure ``sequence``+``transform`` — stays in codegen,
+    output rows ≈ input chars / stride regardless of document count.
+    Empty text → empty array."""
+    t = _c(col)
+    starts = F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(stride))
+    return F.when(F.length(t) > 0, F.transform(starts, lambda s: F.substring(t, s, size))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+#: PII patterns kept to the Java-regex ∩ RE2 common subset (no lookaround,
+#: no backrefs) so the DuckDB oracle runs the *same* expressions.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact email addresses and phone-shaped digit runs with typed
+    placeholders — the minimal PII pass every training corpus gets.
+    Two chained ``regexp_replace`` (JVM, codegen'd); order matters
+    (emails first, so their digit fragments can't half-match as phones)."""
+    no_email = F.regexp_replace(_c(col), EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(no_email, PHONE_RE, "[PHONE]")
+
+
 def min_shingle_fingerprint(col: Column | str, k: int = 3) -> Column:
     """Winnowing-style fingerprint: lexicographic min of per-shingle md5
     hex digests — one stable representative hash per document; NULL for

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from .io import read_table
 from .llm import cluster as llm_cluster
 from .llm import dedup as llm_dedup
+from .llm import sampling as llm_sampling
 from .llm import multimodal as llm_multimodal
 from .llm import similarity as llm_similarity
 from .llm import text as llm_text
@@ -2201,6 +2202,143 @@ def near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = llm_dedup.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.4)
     labels = llm_cluster.connected_components(pairs, "doc_a", "doc_b")
     return llm_cluster.dedup_keep_list(d, "doc_id", labels)
+
+
+@spec(
+    "doc_split_assign",
+    "EXT-sample-split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                  THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by md5 hash
+    range (llm/sampling.py) — stable across runs, engines, and
+    partitionings, so split membership never drifts between pipeline
+    re-executions. Pure projection: no shuffle, no seed state."""
+    d = _t(spark, sf_dir, "documents")
+    return llm_sampling.split_assign(
+        d, "doc_id", [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+    ).select("doc_id", "split")
+
+
+@spec(
+    "doc_stratified_sample",
+    "EXT-sample-strat",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE lang WHEN 'en' THEN '40000000'
+                    WHEN 'zh' THEN 'g0000000'
+                    ELSE '80000000' END
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates (downsample dominant en to 25%, keep
+    all zh, half of the rest) via the same hash draw — the corpus
+    rebalancing pass, as a scan-stage filter with zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return llm_sampling.stratified_sample(
+        d, "doc_id", "lang", {"en": 0.25, "zh": 1.0}, default_rate=0.5
+    ).select("doc_id", "lang")
+
+
+@spec(
+    "corpus_mix_epochs",
+    "EXT-sample-mix",
+    oracle="""
+    SELECT doc_id, source, CAST(unnest(generate_series(1, reps)) AS INT) AS epoch
+    FROM (
+      SELECT doc_id, source,
+             CASE source
+               WHEN 'src0' THEN 2 + CASE WHEN h < '80000000' THEN 1 ELSE 0 END
+               WHEN 'src1' THEN CASE WHEN h < '40000000' THEN 1 ELSE 0 END
+               WHEN 'src2' THEN 0
+               ELSE 1 END AS reps
+      FROM (SELECT doc_id, source,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+            FROM documents)
+    )
+    """,
+)
+def corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted training mixture: src0 ×2.5, src1 ×0.25, src2
+    dropped, everything else ×1 — fractional factors resolved per row by
+    the hash draw so exactly the same half of src0 gets a third epoch on
+    every run. One explode, no union-per-epoch plan blowup
+    (llm/sampling.py mix_epochs)."""
+    d = _t(spark, sf_dir, "documents")
+    return llm_sampling.mix_epochs(
+        d, "doc_id", "source", {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+    ).select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+
+
+@spec(
+    "doc_chunks",
+    "EXT-chunk",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+           substr(text, CAST((i - 1) * 400 + 1 AS INT), 500) AS chunk_text
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               1, CAST(floor((length(text) - 1) / 400.0) AS BIGINT) + 1)) AS i
+      FROM documents WHERE length(text) > 0
+    )
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunks (500 chars, stride 400 → 100
+    overlap) for RAG/training prep: sequence+transform inside codegen,
+    then one posexplode — output volume scales with corpus bytes/stride,
+    never with a per-row Python loop (llm/text.py chunks)."""
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    ch = llm_text.chunks("text", size=500, stride=400)
+    return d.select(
+        "doc_id", F.posexplode(ch).alias("chunk_idx", "chunk_text")
+    ).select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk_text"
+    )
+
+
+@spec(
+    "doc_pii_scrub",
+    "EXT-pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or +1 (555) 01'
+                    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, phone-shaped digit runs → typed
+    placeholders) over text with synthesized deterministic PII appended —
+    the testdata corpus contains none, and the point is to hash-check the
+    actual regex semantics against the oracle, not to scrub clean text.
+    Patterns live in the Java-regex ∩ RE2 common subset so both engines
+    run the identical expression (llm/text.py scrub_pii)."""
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1 (555) 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return d.select("doc_id", llm_text.scrub_pii(synth).alias("scrubbed"))
 
 
 # ----------------------------------------------------------------------
