@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from .io import read_table
 from .llm import cluster as llm_cluster
 from .llm import dedup as llm_dedup
+from .llm import packing as llm_packing
 from .llm import sampling as llm_sampling
 from .llm import multimodal as llm_multimodal
 from .llm import similarity as llm_similarity
@@ -2339,6 +2340,53 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
     )
     return d.select("doc_id", llm_text.scrub_pii(synth).alias("scrubbed"))
+
+
+@spec(
+    "seq_packing_gate",
+    "EXT-packing",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS packed_once, TRUE AS no_overflow, TRUE AS fill_ok
+    FROM documents
+    """,
+)
+def seq_packing_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (llm/packing.py: bucketed first-fit-decreasing
+    into 512-token bins) self-checked the way the sketch/recall gates
+    are: the greedy assignment itself is non-SQL-expressible, so the
+    oracle-checked row asserts its invariants — every doc packed exactly
+    once, no bin over capacity, aggregate fill ≥ 70% of the occupied
+    bins' capacity. A packing regression (dup/dropped docs, overflow,
+    degenerate one-doc bins) flips a boolean and fails the hash check."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", llm_text.token_count("text").alias("n_tok")
+    )
+    packed = llm_packing.pack_sequences(d, "doc_id", "n_tok", capacity=512)
+    bins = packed.groupBy("bin_id").agg(F.sum("packed_len").alias("load"))
+    stats = (
+        d.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(
+            packed.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.countDistinct("doc_id").alias("uniq"),
+            )
+        )
+        .crossJoin(
+            bins.agg(
+                F.max("load").alias("max_load"),
+                (F.sum("load") / (F.count(F.lit(1)) * 512)).alias("fill"),
+            )
+        )
+    )
+    return stats.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        ((F.col("rows") == F.col("n_docs")) & (F.col("uniq") == F.col("n_docs"))).alias(
+            "packed_once"
+        ),
+        (F.col("max_load") <= 512).alias("no_overflow"),
+        (F.col("fill") >= 0.7).alias("fill_ok"),
+    )
 
 
 # ----------------------------------------------------------------------
