@@ -38,6 +38,7 @@ from .llm import sampling as llm_sampling
 from .llm import multimodal as llm_multimodal
 from .llm import similarity as llm_similarity
 from .llm import text as llm_text
+from .operators import bucketing
 from .operators.dedup import dedup_first_seen
 from .operators.diffsync import diff_keys_single_shuffle
 from .operators.windows import assign_positions, next_position, ordered_collect
@@ -2386,6 +2387,48 @@ def seq_packing_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("max_load") <= 512).alias("no_overflow"),
         (F.col("fill") >= 0.7).alias("fill_ok"),
+    )
+
+
+@spec(
+    "bucketed_order_lines",
+    "EXT-bucketjoin J2 A8",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def bucketed_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located join path: orders and lineitem materialized as
+    bucketed tables on the join key (operators/bucketing.py), then joined
+    and aggregated — at scale this plan has NO Exchange and NO Sort (the
+    write paid the shuffle once; tests/test_bucketing.py pins the plan
+    shape). The oracle is the plain join, proving the bucketed layout
+    changes the physical plan only, never the results."""
+    import re as _re
+
+    tag = _re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    base = "/root/repo/.bucketed"
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    bo = bucketing.ensure_bucketed(
+        spark, o, f"bkt_orders_{tag}", ["o_orderkey"], 8,
+        path=f"{base}/bkt_orders_{tag}",
+    )
+    bl = bucketing.ensure_bucketed(
+        spark, li, f"bkt_lineitem_{tag}", ["l_orderkey"], 8,
+        path=f"{base}/bkt_lineitem_{tag}",
+    )
+    return (
+        bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
     )
 
 

@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 128 MB scan splits — the cluster-scale default; harmless locally.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Use bucket-sort metadata at scan time so bucketed sort-merge
+        # joins skip the Sort as well as the Exchange. Off by default
+        # since SPARK-28595 because it requires one file per bucket —
+        # which operators/bucketing.write_bucketed guarantees.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
