@@ -44,6 +44,8 @@ HEADLINE = [
     "asof_latest_order",
     "event_daily_rollup",
     "shipments_in_transit_daily",
+    "near_dup_clusters",
+    "seq_packing_gate",
 ]
 
 

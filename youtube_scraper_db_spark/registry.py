@@ -2432,6 +2432,165 @@ def bucketed_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "regional_revenue",
+    "EXT-starjoin J2 A2 O2",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema revenue rollup (TPC-H Q5 shape): the fact table joins
+    four dimensions, every one broadcast — the only shuffle in the plan
+    is the final two-column aggregation. The local-supplier predicate
+    (c_nationkey = s_nationkey) rides the supplier broadcast as a
+    residual condition. This is the canonical 100 TB star-join: fact
+    bytes stream once, dims live in every executor."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@spec(
+    "status_priority_rollup",
+    "EXT-groupingsets A2 A4",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — per (status, priority), per status, and
+    grand total in ONE pass (Spark expands grouping sets inside the
+    aggregate; no union of three scans). gid disambiguates real NULLs
+    from subtotal rows, matching DuckDB's GROUPING() bitmask."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+@spec(
+    "event_user_moving_avg",
+    "EXT-movingwindow W2 T2",
+    oracle="""
+    SELECT event_id, user_id,
+           floor((SUM(cents) OVER w) * 1.0 / (COUNT(*) OVER w)) / 100
+             AS avg_7d
+    FROM (
+      SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def event_user_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 7-day trailing average — an event-time range frame over a
+    KEYED window (partitionBy user_id: parallel by key, no global sort).
+    The frame is in epoch seconds on both engines so range semantics are
+    identical; RANGE frames treat equal-ts rows as peers (all included),
+    so the result is deterministic without a tie-break key."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-604800, 0)
+    )
+    # Average exact integer cents, not doubles: sliding-window float
+    # accumulation order differs across engines (segment tree vs
+    # sequential), so AVG(double) diverges in the last ulp and flips
+    # truncation boundaries. SUM/COUNT of BIGINTs are exact; one double
+    # division + floor is then bitwise identical everywhere.
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.floor(F.sum(cents).over(w) / F.count(F.lit(1)).over(w)) / 100).alias(
+            "avg_7d"
+        ),
+    )
+
+
+@spec(
+    "top_orders_per_customer",
+    "EXT-topkgroup W1 O7",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — the grouped top-k idiom:
+    keyed window + row_number + filter, with a unique tie-break key so
+    results are total-order deterministic. One hash shuffle on the group
+    key; per-group state is O(k) after the filter pushes into the sort.
+    (The global-top-k twin is operators/topk.py's TakeOrderedAndProject
+    path; this is its per-group counterpart.)"""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
