@@ -2591,6 +2591,52 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "incremental_dedup_new",
+    "EXT-incdedup LLM-dedup-exact E1 E4",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_fp,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' AS in_corpus
+      FROM documents
+    ),
+    new_docs AS (SELECT doc_id, content_fp FROM fp WHERE NOT in_corpus),
+    corpus AS (SELECT DISTINCT content_fp FROM fp WHERE in_corpus),
+    fresh AS (
+      SELECT n.doc_id, n.content_fp,
+             row_number() OVER (PARTITION BY n.content_fp ORDER BY n.doc_id) AS rn
+      FROM new_docs n ANTI JOIN corpus c ON n.content_fp = c.content_fp
+    )
+    SELECT doc_id, content_fp FROM fresh WHERE rn = 1
+    """,
+)
+def incremental_dedup_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion dedup — the steady-state shape of a
+    production pipeline (you never re-dedup 100 TB; you dedup today's
+    batch against it): the 'new batch' (hash-derived 20% slice) keeps a
+    doc iff its content fingerprint (a) is absent from the existing
+    corpus — one left_anti join on 16-byte hashes, never bodies — and
+    (b) is the batch's own first occurrence (keyed window). At scale the
+    corpus side is a bucketed fingerprint table (operators/bucketing.py)
+    making the anti-join exchange-free on the corpus side."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        llm_text.content_fingerprint("text").alias("content_fp"),
+        (llm_sampling.hex8("doc_id") < "cccccccc").alias("in_corpus"),
+    )
+    new_docs = fp.where(~F.col("in_corpus")).drop("in_corpus")
+    corpus = fp.where(F.col("in_corpus")).select("content_fp").distinct()
+    fresh = new_docs.join(corpus, "content_fp", "left_anti")
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "content_fp")
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------

@@ -1,5 +1,6 @@
 """Structured Streaming surface (SURVEY.md §2.9)."""
 
+from .dedup import dedup_stream
 from .inbox import read_inbox_stream, run_inbox_once
 from .windows import windowed_event_counts
 
