@@ -135,3 +135,41 @@ def test_sweep_line_has_no_single_partition_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange SinglePartition" not in plan
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """regional_revenue: the fact table must stream through four
+    BroadcastHashJoins; the only allowed sort-merge candidates are none."""
+    plan = plan_of(spark, "regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:800]
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_is_single_pass(spark):
+    """ROLLUP must expand inside one aggregate (an Expand node), not as a
+    union of per-level scans."""
+    plan = plan_of(spark, "status_priority_rollup")
+    assert "Expand" in plan
+    assert len(read_schemas(plan)) == 1  # exactly one scan feeds the rollup
+
+
+@pytest.mark.parametrize(
+    "name", ["event_user_moving_avg", "top_orders_per_customer", "near_dup_clusters"]
+)
+def test_keyed_windows_have_no_global_sort(spark, name):
+    """Keyed window queries must never plan a single-partition exchange."""
+    plan = plan_of(spark, name)
+    assert "Exchange SinglePartition" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["doc_split_assign", "doc_stratified_sample", "corpus_mix_epochs", "doc_chunks",
+     "doc_pii_scrub"],
+)
+def test_sampling_and_chunking_are_shuffle_free(spark, name):
+    """Hash-deterministic sampling/splitting/mixing and chunking are pure
+    projections — any Exchange in the plan is a regression."""
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:600]}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

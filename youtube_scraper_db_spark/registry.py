@@ -2058,11 +2058,21 @@ def shipments_in_transit_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_linenumber") % 14) + 1,
         ).alias("receipt_day"),
     )
+    # One scan, not a two-branch union (which reads lineitem twice):
+    # explode each interval into its +1/-1 endpoint deltas inline, then
+    # aggregate per day with map-side combine.
     deltas = (
-        li.select(F.col("ship_day").alias("day"), F.lit(1).alias("delta"))
-        .unionAll(
-            li.select(F.col("receipt_day").alias("day"), F.lit(-1).alias("delta"))
+        li.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("ship_day").alias("day"), F.lit(1).alias("delta")),
+                    F.struct(
+                        F.col("receipt_day").alias("day"), F.lit(-1).alias("delta")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.day", "e.delta")
         .groupBy("day")
         .agg(F.sum("delta").alias("delta"))
     )
