@@ -84,3 +84,37 @@ def test_vectors_ann_topk_routes(spark):
     assert 0 in ivf and 1000 in ivf
     assert 0 in km and 1000 in km
     assert len(set(exact) & set(ivf)) >= 3
+
+
+def test_corpus_clustered_drop_keeps_one_per_cluster(spark):
+    c = Corpus(_docs(spark))
+    kept = {r.doc_id for r in c.drop_near_dups(threshold=0.95, clustered=True).collect()}
+    for i in range(10):
+        assert i in kept and (i + 1000) not in kept
+    # clustered semantics: every doc either kept or in a cluster whose min is kept
+    labels = {r.node: r.component for r in c.dup_clusters(threshold=0.95).collect()}
+    for node, comp in labels.items():
+        assert (node in kept) == (node == comp)
+
+
+def test_corpus_split_sample_mix_are_deterministic(spark):
+    c = Corpus(_docs(spark))
+    s1 = {(r.doc_id, r.split) for r in c.split().collect()}
+    s2 = {(r.doc_id, r.split) for r in c.split().collect()}
+    assert s1 == s2 and len(s1) == 50
+    assert c.sample(0.5).count() < 50
+    mixed = Corpus(c.split(), text_col="text").mix_epochs("split", {"train": 2.0})
+    train_n = sum(1 for _, s in s1 if s == "train")
+    assert mixed.where("split = 'train'").count() == 2 * train_n
+
+
+def test_corpus_chunks_and_scrub_and_pack(spark):
+    c = Corpus(_docs(spark))
+    ch = c.chunks(size=50, stride=40)
+    assert ch.where("length(chunk_text) > 50").count() == 0
+    assert ch.count() >= 50
+    assert c.scrubbed().count() == 50
+    packed = c.packed(capacity=64)
+    assert packed.count() == 50
+    overflow = packed.groupBy("bin_id").agg(F.sum("packed_len").alias("s")).where("s > 64")
+    assert overflow.count() == 0

@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import cluster as C
 from . import dedup as D
+from . import packing as P
+from . import sampling as SA
 from . import similarity as S
 from . import text as T
 
@@ -83,14 +86,89 @@ class Corpus:
             "est_jaccard", "similarity"
         )
 
-    def drop_near_dups(self, threshold: float = 0.9, **kw) -> DataFrame:
-        """Corpus minus near-duplicates (lowest id of each pair survives)."""
-        losers = (
-            self.near_dup_text_pairs(threshold=threshold, **kw)
-            .select(F.col("doc_b").alias(self.id_col))
-            .distinct()
-        )
+    def drop_near_dups(
+        self, threshold: float = 0.9, clustered: bool = False, **kw
+    ) -> DataFrame:
+        """Corpus minus near-duplicates.
+
+        Default (greedy): every doc appearing as the GREATER id of any
+        pair is dropped — one pass, but a chain A~B~C keeps only A even
+        when A and C are not actually similar (over-removal).
+        ``clustered=True`` runs connected components over the pair graph
+        first and keeps exactly one canonical doc per cluster — the
+        correct semantics, for a few extra keyed shuffles per CC round."""
+        pairs = self.near_dup_text_pairs(threshold=threshold, **kw)
+        if clustered:
+            labels = C.connected_components(pairs, "doc_a", "doc_b")
+            keep = C.dedup_keep_list(self.docs, self.id_col, labels).select(
+                self.id_col
+            )
+            return self.docs.join(keep, self.id_col, "left_semi")
+        losers = pairs.select(F.col("doc_b").alias(self.id_col)).distinct()
         return self.docs.join(losers, self.id_col, "left_anti")
+
+    def dup_clusters(self, threshold: float = 0.5, **kw) -> DataFrame:
+        """(node, component) labels for every doc in a near-dup cluster —
+        the transitive closure of near_dup_text_pairs via large-star/
+        small-star connected components."""
+        pairs = self.near_dup_text_pairs(threshold=threshold, **kw)
+        return C.connected_components(pairs, "doc_a", "doc_b")
+
+    # -- sampling / splits / mixing (hash-deterministic, shuffle-free) -----
+
+    def split(
+        self, splits: list[tuple[str, float]] | None = None
+    ) -> DataFrame:
+        """Disjoint deterministic split assignment (default 80/10/10
+        train/valid/test) — stable across runs and engines."""
+        return SA.split_assign(
+            self.docs,
+            self.id_col,
+            splits or [("train", 0.8), ("valid", 0.1), ("test", 0.1)],
+        )
+
+    def sample(self, rate: float, by: str | None = None,
+               rates: dict[str, float] | None = None) -> DataFrame:
+        """Uniform (or per-stratum, when ``by``/``rates`` given)
+        deterministic sample."""
+        if by is not None:
+            return SA.stratified_sample(
+                self.docs, self.id_col, by, rates or {}, default_rate=rate
+            )
+        return SA.deterministic_sample(self.docs, self.id_col, rate)
+
+    def mix_epochs(
+        self, by: str, factors: dict[str, float], default_factor: float = 1.0
+    ) -> DataFrame:
+        """Epoch-weighted training mixture (see sampling.mix_epochs)."""
+        return SA.mix_epochs(
+            self.docs, self.id_col, by, factors, default_factor=default_factor
+        )
+
+    # -- shaping -----------------------------------------------------------
+
+    def chunks(self, size: int = 500, stride: int = 400) -> DataFrame:
+        """(id, chunk_idx, chunk_text) overlapping context windows."""
+        return self.docs.where(F.length(self.text_col) > 0).select(
+            F.col(self.id_col),
+            F.posexplode(T.chunks(self.text_col, size=size, stride=stride)).alias(
+                "chunk_idx", "chunk_text"
+            ),
+        )
+
+    def scrubbed(self) -> DataFrame:
+        """Corpus with email/phone PII redacted (typed placeholders)."""
+        return self.docs.withColumn(self.text_col, T.scrub_pii(self.text_col))
+
+    def packed(self, capacity: int, num_buckets: int = 32) -> DataFrame:
+        """(id, packed_len, bin_id) — bucketed FFD sequence packing of
+        token counts into ``capacity``-token training bins."""
+        with_len = self.docs.select(
+            F.col(self.id_col), T.token_count(self.text_col).alias("_n_tok")
+        )
+        return P.pack_sequences(
+            with_len, self.id_col, "_n_tok", capacity, num_buckets=num_buckets
+        )
 
 
 class Vectors:
