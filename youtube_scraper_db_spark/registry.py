@@ -2647,6 +2647,67 @@ def incremental_dedup_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "event_value_delta",
+    "EXT-laglead W2",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta,
+           CAST(CAST(floor(epoch(ts)) AS BIGINT) -
+                lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_sec
+    FROM events
+    """,
+)
+def event_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-event deltas (value change + inter-arrival
+    gap) via lag over a keyed window with a unique tie-break — the
+    sessionization/rate-of-change primitive. One hash shuffle on
+    user_id; NULL first row per user on both engines. value arithmetic
+    is a single subtraction of stored doubles (no accumulation), so
+    ROUND is engine-stable here."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.col("ts").cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        (es - F.lag(es).over(w)).alias("gap_sec"),
+    )
+
+
+@spec(
+    "user_event_type_pivot",
+    "EXT-pivot A2",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-user counts per event type as columns. The
+    pivot values are EXPLICIT — passing them to ``pivot()`` skips the
+    eager distinct-scan Spark otherwise runs at plan time to discover
+    them (a full extra pass at 100 TB), and pins the output schema. One
+    shuffle; count never returns NULL so no fill step is needed."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
