@@ -60,8 +60,18 @@ def main() -> None:
     # warmup: spin the JVM + parquet footer caches on the smallest query
     specs["top_suppliers"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    def _drop_cached_state() -> None:
+        # Isolate per-query timings: queries persist intermediates (shingle
+        # indexes, CC localCheckpoints) whose lifetime outlives the noop
+        # action; left in place they pile up across the run and make later
+        # timings measure block-manager/GC pressure instead of the plan.
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     timings: dict[str, float] = {}
     for name in names:
+        _drop_cached_state()
         t0 = time.time()
         specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
