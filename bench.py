@@ -46,6 +46,8 @@ HEADLINE = [
     "shipments_in_transit_daily",
     "near_dup_clusters",
     "seq_packing_gate",
+    "event_funnel",
+    "event_neighbor_counts",
 ]
 
 

@@ -173,3 +173,44 @@ def test_sampling_and_chunking_are_shuffle_free(spark, name):
     plan = plan_of(spark, name)
     assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:600]}"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_is_single_data_shuffle(spark):
+    """event_funnel must stack its stage windows on ONE keyed exchange —
+    a per-stage self-join (or one exchange per window) is the O(k·n)
+    anti-pattern the operator exists to avoid. The only other exchange
+    allowed is the final single-row rollup."""
+    plan = plan_of(spark, "event_funnel")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan[:800]
+    assert "Join" not in plan
+
+
+def test_grouping_sets_single_pass(spark):
+    """GROUPING SETS must expand inside one aggregate over one scan."""
+    plan = plan_of(spark, "status_priority_sets")
+    assert "Expand" in plan
+    assert len(read_schemas(plan)) == 1
+
+
+def test_band_join_is_equi_join(spark):
+    """event_neighbor_counts must run the binned rewrite: a hash/sort
+    EQUI join on (user_id, bucket) — never a NestedLoop/Cartesian over
+    the inequality predicate."""
+    plan = plan_of(spark, "event_neighbor_counts")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_weighted_sample_is_topk_no_shuffle(spark):
+    """weighted_doc_sample: scoring is a projection; the top-50 must be
+    TakeOrderedAndProject with zero Exchange (no global sort)."""
+    plan = plan_of(spark, "weighted_doc_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_share_window_runs_over_aggregate(spark):
+    """nation_share_of_region: the window must sit above the aggregate
+    (25 rows), with the fact scan feeding broadcast joins only."""
+    plan = plan_of(spark, "nation_share_of_region")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3

@@ -2708,6 +2708,354 @@ def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "status_priority_sets",
+    "EXT-groupingsets A2 A4",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical GROUPING SETS — per-status AND per-priority
+    totals in ONE aggregate pass (neither ROLLUP nor CUBE expresses
+    exactly this pair). Spark expands the sets inside the hash
+    aggregate: one scan, one shuffle, versus the two-scan UNION ALL a
+    naive plan would run — at 100 TB that's the whole difference."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+@spec(
+    "event_funnel",
+    "EXT-funnel W2 A1",
+    oracle="""
+    WITH f1 AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(event_type = 'view' AS INT) AS is_view,
+             COALESCE(MAX(CAST(event_type = 'view' AS INT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS seen_view
+      FROM events
+    ),
+    f2 AS (
+      SELECT *, CAST(event_type = 'click' AND seen_view = 1 AS INT) AS step2
+      FROM f1
+    ),
+    f3 AS (
+      SELECT *, COALESCE(MAX(step2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS seen_click
+      FROM f2
+    ),
+    f4 AS (
+      SELECT *, CAST(event_type = 'purchase' AND seen_click = 1 AS INT)
+                  AS step3
+      FROM f3
+    ),
+    u AS (
+      SELECT user_id, MAX(is_view) AS v, MAX(step2) AS c, MAX(step3) AS p
+      FROM f4 GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS users_total,
+           CAST(SUM(v) AS BIGINT) AS users_viewed,
+           CAST(SUM(c) AS BIGINT) AS users_clicked_after_view,
+           CAST(SUM(p) AS BIGINT) AS users_purchased_after_funnel
+    FROM u
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel (view → click → purchase, strictly in
+    event-time order): cumulative-max windows over ONE keyed sort carry
+    the per-user 'reached stage k so far' state, so the whole funnel is
+    a single shuffle + single per-user sort with three Window nodes
+    stacked on the same exchange — no self-joins, no per-stage passes
+    (the naive formulation is k-1 inequality self-joins; this is the
+    scale-correct alternative). The frame ends at 1 PRECEDING so a stage
+    only counts if a *prior* event completed the previous stage."""
+    e = _t(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_view = (F.col("event_type") == "view").cast("int")
+    d1 = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        is_view.alias("is_view"),
+        F.coalesce(F.max(is_view).over(w_prev), F.lit(0)).alias("seen_view"),
+    )
+    d2 = d1.withColumn(
+        "step2",
+        ((F.col("event_type") == "click") & (F.col("seen_view") == 1)).cast("int"),
+    )
+    d3 = d2.withColumn(
+        "seen_click", F.coalesce(F.max("step2").over(w_prev), F.lit(0))
+    )
+    d4 = d3.withColumn(
+        "step3",
+        ((F.col("event_type") == "purchase") & (F.col("seen_click") == 1)).cast(
+            "int"
+        ),
+    )
+    per_user = d4.groupBy("user_id").agg(
+        F.max("is_view").alias("v"),
+        F.max("step2").alias("c"),
+        F.max("step3").alias("p"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users_total"),
+        F.sum("v").alias("users_viewed"),
+        F.sum("c").alias("users_clicked_after_view"),
+        F.sum("p").alias("users_purchased_after_funnel"),
+    )
+
+
+@spec(
+    "user_retention_cohorts",
+    "EXT-cohort A2 A3",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    f AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id)
+    SELECT CAST(date_trunc('week', f.cohort_day) AS DATE) AS cohort_week,
+           CAST(floor(date_diff('day', f.cohort_day, e.d) / 7) AS BIGINT)
+             AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the product-analytics staple: cohort a user by
+    the ISO week of their first event, then count distinct active users
+    per (cohort_week, week_offset). Two shuffles, both on user_id (the
+    first-event agg and the events↔cohort join co-partition, so AQE
+    reuses the exchange); the final two-column rollup is tiny. At 100 TB
+    the cohort map is ~n_users rows — orders smaller than events — and
+    the join key is the agg key, the cheapest possible self-enrichment."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            F.date_trunc("week", F.col("cohort_day").cast("timestamp"))
+            .cast("date")
+            .alias("cohort_week"),
+            F.floor(F.datediff("d", "cohort_day") / 7).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@spec(
+    "order_price_histogram",
+    "EXT-histogram A2",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 5000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 5000) * 5000 AS DOUBLE) AS lo,
+           CAST((floor(o_totalprice / 5000) + 1) * 5000 AS DOUBLE) AS hi,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by direct bucket arithmetic — binning as a
+    pure projection feeding a hash aggregate, so the whole histogram is
+    one map-side-combinable shuffle of ~n_buckets rows per task. (The
+    anti-pattern is ntile/percent_rank global windows, which serialize
+    the table through one reducer; fixed-width binning needs no order.)"""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 5000)
+    return (
+        o.select(
+            bucket.alias("bucket"),
+            (bucket * 5000).cast("double").alias("lo"),
+            ((bucket + 1) * 5000).cast("double").alias("hi"),
+            "o_totalprice",
+        )
+        .groupBy("bucket", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@spec(
+    "weighted_doc_sample",
+    "EXT-sample-weighted O7",
+    oracle="""
+    SELECT doc_id, n_chars, priority FROM (
+      SELECT doc_id, n_chars,
+             round(pow(
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 1) / 4294967296.0,
+               1.0 / n_chars), 6) AS priority
+      FROM documents
+    ) ORDER BY priority DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res): each doc draws u ∈ (0,1] from md5(doc_id) and
+    scores u^(1/weight); the global top-k by score IS a weighted sample.
+    Fully distributed: the score is a projection and the top-50 runs as
+    TakeOrderedAndProject (O(k) state per partition, no global sort) —
+    and because u is hash-derived, membership is rerun-stable and
+    auditable per row, like every sampler in llm/sampling.py. Scores are
+    rounded to 6 dp on both engines so the ordering compares equal
+    despite last-ulp libm differences; doc_id breaks ties."""
+    d = _t(spark, sf_dir, "documents")
+    u = (F.conv(llm_sampling.hex8("doc_id"), 16, 10).cast("double") + 1) / F.lit(
+        4294967296.0
+    )
+    priority = F.round(F.pow(u, 1.0 / F.col("n_chars")), 6)
+    return (
+        d.select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+@spec(
+    "event_neighbor_counts",
+    "EXT-bandjoin J2 A2",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    )
+    SELECT a.event_id, a.user_id,
+           CAST(count(b.event_id) AS BIGINT) AS n_neighbors
+    FROM e a LEFT JOIN e b
+      ON a.user_id = b.user_id AND b.event_id <> a.event_id
+         AND abs(a.es - b.es) <= 3600
+    GROUP BY a.event_id, a.user_id
+    """,
+)
+def event_neighbor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (interval) self-join — events of the same user within ±1 h —
+    via the binned-band-join rewrite: each probe row joins only the
+    rows whose hour-bucket is its own or adjacent (the right side
+    explodes to 3 buckets), then the exact |Δt| ≤ 3600 predicate
+    filters residually. The naive plan is an O(n²)-per-user inequality
+    join (exactly what the oracle runs); the binned rewrite is an
+    EQUI-join on (user_id, bucket) that Spark hash-partitions, with
+    per-bucket cost proportional to local density. The same shape
+    serves dedup-within-window, sensor correlation, and sessionized
+    attribution."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("es")
+    )
+    left = e.withColumn("b", F.floor(F.col("es") / 3600))
+    b2 = F.floor(F.col("es") / 3600)
+    right = e.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("nbr_id"),
+        F.col("es").alias("es2"),
+        F.explode(F.array(b2 - 1, b2, b2 + 1)).alias("b"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (left["user_id"] == right["u2"]) & (left["b"] == right["b"]),
+        )
+        .where(
+            (F.abs(F.col("es") - F.col("es2")) <= 3600)
+            & (F.col("event_id") != F.col("nbr_id"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        e.select("event_id", "user_id")
+        .join(pairs, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_neighbors"),
+        )
+    )
+
+
+@spec(
+    "nation_share_of_region",
+    "EXT-sharewin A2 W2",
+    oracle="""
+    WITH rv AS (
+      SELECT r_name, n_name,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name), 4)
+             AS region_share
+    FROM rv
+    """,
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier nation's share of its region's
+    revenue — a window over an AGGREGATE (25 rows), not over the fact
+    table, which is the scale-critical distinction: the expensive sum
+    happens once in the hash aggregate; the share window touches only
+    the rollup. Dims broadcast; the fact scans once."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    rv = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return rv.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias(
+            "region_share"
+        ),
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
