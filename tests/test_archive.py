@@ -180,3 +180,33 @@ def test_inbox_ingest_upserts_video_row(spark, archive, tmp_path):
     row = {r.video_id: r for r in archive.table("videos").collect()}["aaaaaaaaaaa"]
     assert row.title == "First"  # updated from the inbox header
     assert row.description == "desc" and row.duration_seconds == 63  # survived
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, archive):
+    import glob
+    import os
+
+    videos = spark.createDataFrame(
+        [(f"vid{i:08d}", f"T{i}", None, None, None, 60, i, "Chan",
+          None, None, None, None)
+         for i in range(200)],
+        schema=archive.table("videos").schema,
+    )
+    # fragment the table: 16-way write simulates accreted merge output
+    archive._commit("videos", videos.repartition(16))
+    before = archive.table("videos").collect()
+    n_before = len(glob.glob(os.path.join(archive._path("videos"), "*.parquet")))
+    assert n_before >= 16
+
+    n_files = archive.compact("videos")
+    assert n_files == 1  # tiny table → one right-sized file
+    n_after = len(glob.glob(os.path.join(archive._path("videos"), "*.parquet")))
+    assert n_after == 1
+    assert sorted(r.video_id for r in archive.table("videos").collect()) == sorted(
+        r.video_id for r in before
+    )
+    # compaction is a commit like any other: one rollback step restores
+    # the fragmented layout
+    archive.rollback("videos")
+    n_rb = len(glob.glob(os.path.join(archive._path("videos"), "*.parquet")))
+    assert n_rb == n_before

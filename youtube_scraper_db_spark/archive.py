@@ -294,3 +294,32 @@ class Archive:
             .filter(F.col("transcript").isNotNull() & (F.col("transcript") != ""))
         )
         return write_transcript_files(joined, out_dir)
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Small-file compaction — rewrite ``name`` into files sized for
+        scan efficiency, committed like any other mutation (versioned,
+        rollback-able).
+
+        Incremental merges (upserts landing a few rows at a time, stream
+        sinks flushing per micro-batch) accrete files far below the scan
+        split size; at cluster scale the job then pays one task — and one
+        namenode/objectstore round-trip — per tiny file. Compaction is
+        the standing maintenance op every table format ships (the
+        reference never needs it only because SQLite is a single file).
+
+        File count = ceil(current_bytes / target_file_bytes), measured
+        from the committed version's footprint on disk, never from a
+        driver-side collect. Returns the new file count."""
+        src = self._path(name)
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(src):
+            for f in filenames:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        n_files = max(1, -(-total // target_file_bytes))
+        # coalesce, not repartition: compaction must not pay a shuffle —
+        # it only narrows parallelism for the write.
+        self._commit(name, self.table(name).coalesce(n_files))
+        return n_files

@@ -1,7 +1,14 @@
 """Structured Streaming surface (SURVEY.md §2.9)."""
 
 from .dedup import dedup_stream
+from .enrich import enrich_stream
 from .inbox import read_inbox_stream, run_inbox_once
 from .windows import windowed_event_counts
 
-__all__ = ["read_inbox_stream", "run_inbox_once", "windowed_event_counts"]
+__all__ = [
+    "dedup_stream",
+    "enrich_stream",
+    "read_inbox_stream",
+    "run_inbox_once",
+    "windowed_event_counts",
+]
