@@ -71,12 +71,19 @@ def main() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
 
+    # Per-query time = min over interleaved passes: this box shares its
+    # CPUs with periodic external load, and a single pass can catch a
+    # multi-second spike mid-query. The min of two full passes reports
+    # the plan's cost, not the neighbor's.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
-    for name in names:
-        _drop_cached_state()
-        t0 = time.time()
-        specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(max(1, reps)):
+        for name in names:
+            _drop_cached_state()
+            t0 = time.time()
+            specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            took = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, took), took)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,0 +1,111 @@
+"""Z-order layout: per-file footer stats must cover small 2-D regions,
+and a 2-D box predicate must prune more files than a linear layout."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from youtube_scraper_db_spark.operators.layout import write_zordered
+
+
+def _grid(spark, n=20_000):
+    # two independent uniform dims derived from a hash — deterministic
+    return (
+        spark.range(n)
+        .select(
+            (F.abs(F.xxhash64(F.col("id"))) % 1024).alias("x"),
+            (F.abs(F.xxhash64(F.col("id"), F.lit(1))) % 1024).alias("y"),
+        )
+    )
+
+
+def _file_boxes(path):
+    """Per-file (xmin, xmax, ymin, ymax) from parquet footer stats."""
+    boxes = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        xi, yi = names.index("x"), names.index("y")
+        xmn = min(md.row_group(g).column(xi).statistics.min for g in range(md.num_row_groups))
+        xmx = max(md.row_group(g).column(xi).statistics.max for g in range(md.num_row_groups))
+        ymn = min(md.row_group(g).column(yi).statistics.min for g in range(md.num_row_groups))
+        ymx = max(md.row_group(g).column(yi).statistics.max for g in range(md.num_row_groups))
+        boxes.append((xmn, xmx, ymn, ymx))
+    return boxes
+
+
+def _hits(boxes, x0, x1, y0, y1):
+    """Files whose stats-box intersects the query box (what a pruning
+    scan must read)."""
+    return sum(
+        1 for (xmn, xmx, ymn, ymx) in boxes
+        if not (xmx < x0 or xmn > x1 or ymx < y0 or ymn > y1)
+    )
+
+
+def test_zorder_files_cover_small_regions(spark, tmp_path):
+    df = _grid(spark)
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    write_zordered(df, zpath, ["x", "y"], n_files=16, bits=10)
+    # linear baseline: sorted by x only, same file count
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    zboxes, lboxes = _file_boxes(zpath), _file_boxes(lpath)
+    assert len(zboxes) == 16
+
+    def avg_area(boxes):
+        return sum(
+            (xmx - xmn + 1) * (ymx - ymn + 1) / (1024.0 * 1024.0)
+            for (xmn, xmx, ymn, ymx) in boxes
+        ) / len(boxes)
+
+    # A linear sort also yields area-1/16 stripes — area alone doesn't
+    # separate the layouts. The Z-property is that the region is
+    # square-ish: BOTH extents shrink, so predicates on either dim
+    # prune. The x-sorted baseline spans the full y range in every file.
+    assert avg_area(zboxes) < 0.25, avg_area(zboxes)
+    z_yext = sum(ymx - ymn + 1 for (_, _, ymn, ymx) in zboxes) / len(zboxes)
+    l_yext = sum(ymx - ymn + 1 for (_, _, ymn, ymx) in lboxes) / len(lboxes)
+    assert l_yext > 1000  # stripes are blind in y
+    assert z_yext < 0.6 * l_yext, (z_yext, l_yext)
+
+    # row count survives the layout
+    assert spark.read.parquet(zpath).count() == 20_000
+
+
+def test_zorder_prunes_2d_box_queries(spark, tmp_path):
+    df = _grid(spark)
+    zpath = str(tmp_path / "zorder2")
+    lpath = str(tmp_path / "linear2")
+    write_zordered(df, zpath, ["x", "y"], n_files=16, bits=10)
+    (
+        df.repartitionByRange(16, "y")
+        .sortWithinPartitions("y")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    zboxes, lboxes = _file_boxes(zpath), _file_boxes(lpath)
+
+    # average over a sweep of 128×128 boxes: the z-layout must read
+    # fewer files for a predicate that constrains BOTH dims — the
+    # y-sorted layout prunes nothing once the predicate touches x
+    queries = [
+        (x0, x0 + 127, y0, y0 + 127)
+        for x0 in (0, 256, 512, 768)
+        for y0 in (0, 256, 512, 768)
+    ]
+    z_total = sum(_hits(zboxes, *q) for q in queries)
+    l_total = sum(_hits(lboxes, *q) for q in queries)
+    assert z_total < l_total, (z_total, l_total)
+    # and in absolute terms: a 1/64-area box should touch well under
+    # half the z-ordered files on average
+    assert z_total / len(queries) <= 8, z_total / len(queries)

@@ -13,3 +13,4 @@ from .windows import (  # noqa: F401
 from .topk import top_k, top_k_per_group  # noqa: F401
 from .dedup import dedup_first_seen, exact_dedup  # noqa: F401
 from .skew import salted_count_distinct, salted_join  # noqa: F401
+from .layout import write_zordered, zorder_key  # noqa: F401
