@@ -210,3 +210,23 @@ def test_compact_reduces_files_and_preserves_rows(spark, archive):
     archive.rollback("videos")
     n_rb = len(glob.glob(os.path.join(archive._path("videos"), "*.parquet")))
     assert n_rb == n_before
+
+
+def test_adhoc_sql_over_table_views(spark, archive):
+    videos = spark.createDataFrame(
+        [("aaaaaaaaaaa", "First", None, None, None, 63, 10, "Chan",
+          None, None, None, None),
+         ("bbbbbbbbbbb", "Second", None, None, None, 120, 5, "Chan",
+          None, None, None, None)],
+        schema=archive.table("videos").schema,
+    )
+    archive.upsert_videos(videos)
+    got = archive.sql(
+        "SELECT count(*) AS n, sum(duration_seconds) AS total FROM videos"
+    ).first()
+    assert (got.n, got.total) == (2, 183)
+    # views track commits: a mutation is visible to the next sql() call
+    archive.sql("SELECT 1").count()  # registers views at old version
+    more = videos.withColumn("video_id", F.concat(F.col("video_id"), F.lit("2")))
+    archive.upsert_videos(more)
+    assert archive.sql("SELECT count(*) AS n FROM videos").first().n == 4

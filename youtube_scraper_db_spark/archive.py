@@ -295,6 +295,19 @@ class Archive:
         )
         return write_transcript_files(joined, out_dir)
 
+    # -- ad-hoc SQL --------------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """Run ad-hoc Spark SQL with every archive table registered as a
+        temp view (the reference's database is an open SQLite file any
+        user can point sqlite3 at; this is that capability on the Spark
+        engine). Views re-resolve the CURRENT committed version at call
+        time, so a query never mixes table versions committed after it
+        was registered."""
+        for name in schemas.SCHEMAS:
+            self.table(name).createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     # -- maintenance ------------------------------------------------------
 
     def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
