@@ -1,0 +1,79 @@
+"""Repo-wide physical-plan lint: every registry query's plan is checked
+for the scale anti-patterns — an unplanned cartesian product, a
+single-partition exchange carrying row data (global-sort funnel), or a
+row-at-a-time Python eval. Individual plan-shape tests live in
+test_plan_quality.py; this sweep guarantees no NEW query ships with a
+100 TB foot-gun."""
+
+from __future__ import annotations
+
+import pytest
+
+from youtube_scraper_db_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+#: queries whose plan legitimately contains an Arrow-batched Python
+#: stage (mapInPandas/applyInPandas kernels — the sanctioned escape
+#: hatch, never row-at-a-time).
+ARROW_STAGES = {
+    "seq_packing_gate",          # FFD packing is applyInPandas by design
+    "multimodal_frame_samples",  # stub decode kernel is mapInPandas
+    "mock_fetch_enrichment",     # injected fetcher runs as a pandas stage
+    "simhash_dups",              # numpy bit-matrix signature kernel
+    "simhash_recall",
+}
+
+#: queries where a BroadcastNestedLoopJoin is the documented, bounded
+#: pattern: either the build side is a 1-row scalar aggregate (gate
+#: queries joining a count), or a ≤16-row broadcast query-vector side
+#: (ANN), or the O(n²) exact baseline that exists as the recall oracle
+#: for a shipped subquadratic twin.
+BNLJ_OK = {
+    "summary_stats",        # agg-of-agg scalar comparison
+    "stale_events",         # threshold vs global-max scalar
+    "embedding_cosine_topk",  # broadcast query vectors (≤16 rows)
+    "embedding_knn_join",
+    "embedding_near_dups",  # exact twin for the LSH recall gates
+    "minhash_lsh_recall",   # scalar found/expected joins
+    "simhash_recall",
+    "lsh_near_dup_recall",
+    "lsh_ann_recall",
+    "ivf_ann_topk",         # nprobe centroid-distance scalar
+    "ivf_kmeans_recall",
+    "seq_packing_gate",     # invariant gate joins three scalar aggs
+}
+
+
+def _single_partition_carries_data(plan: str) -> bool:
+    """True iff some `Exchange SinglePartition` feeds from anything other
+    than a partial scalar aggregate (merging one row per task is the
+    correct two-phase global agg; funnelling row data is the bug)."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        below = "\n".join(lines[i + 1 : i + 3])
+        if "Aggregate(keys=[]" not in below and "partial_" not in below:
+            return True
+    return False
+
+
+@pytest.mark.parametrize("s", REGISTRY, ids=lambda s: s.name)
+def test_no_scale_antipatterns(spark, s):
+    plan = s.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{s.name} plans a cartesian product"
+    if s.name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{s.name} plans a nested-loop join"
+        )
+    assert "BatchEvalPython" not in plan, (
+        f"{s.name} uses a row-at-a-time Python UDF"
+    )
+    if s.name not in ARROW_STAGES:
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{s.name} has an unexpected Python stage"
+        )
+    assert not _single_partition_carries_data(plan), (
+        f"{s.name} funnels row data through a single partition"
+    )

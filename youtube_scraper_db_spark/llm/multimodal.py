@@ -125,8 +125,11 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 3) -> D
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
                 for i in range(max_frames):
                     frame_no = i * every_n
+                    # ASCII frame tag (not raw bytes) so the digest is
+                    # reproducible by any engine's sha256(string) — which
+                    # is what lets the registry oracle-check this kernel.
                     digest = hashlib.sha256(
-                        (content or b"") + frame_no.to_bytes(4, "big")
+                        (content or b"") + f":{frame_no}".encode()
                     ).hexdigest()
                     out_ids.append(aid)
                     out_nos.append(frame_no)

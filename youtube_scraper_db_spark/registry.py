@@ -3143,6 +3143,110 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "line_stats_by_flag",
+    "EXT-statagg A2 A8",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(stddev_samp(l_quantity), 6) AS qty_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def line_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covariance / stddev) per group —
+    all three are single-pass distributive sketches (sums of x, y, xy,
+    x², counts) that Spark merges map-side, so the full statistical
+    profile costs exactly one narrow shuffle, same as a count. Rounded
+    on both engines because the merge order of float partials differs."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+    )
+
+
+@spec(
+    "similar_part_names",
+    "EXT-fuzzyjoin J2 P4",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS noun FROM part
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 1 AND a.p_name <> b.p_name
+    """,
+)
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) self-join with blocking: candidate pairs
+    come from an EQUI-join on a blocking key (the head noun), and the
+    O(len²) levenshtein only runs inside blocks — the standard entity-
+    resolution rewrite of an otherwise O(n²) similarity join, same
+    stance as the band join and every LSH family here. At scale the
+    blocking key graduates to a q-gram/phonetic bucket; the plan shape
+    is identical."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        "noun",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("noun").alias("noun_b"),
+    )
+    return (
+        a.join(b, (a["noun"] == b["noun_b"]) & (a["part_a"] < b["part_b"]))
+        .where(
+            (F.levenshtein("name_a", "name_b") <= 1)
+            & (F.col("name_a") != F.col("name_b"))
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+    )
+
+
+@spec(
+    "multimodal_frame_samples",
+    "LLM-multimodal",
+    oracle="""
+    SELECT doc_id AS asset_id, f.frame_no,
+           sha256(text || ':' || f.frame_no) AS frame_sha256
+    FROM documents, (VALUES (0), (10), (20)) AS f(frame_no)
+    """,
+)
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end-to-end through the Arrow kernel: the
+    1→N mapInPandas fan-out (llm/multimodal.sample_frames) hash-checked
+    against the oracle's cross-join twin — proving batch shape, fan-out
+    arity, and per-frame digests all match, not just row counts. The
+    payload 'decode' is the documented stub; everything around it is the
+    real production plumbing."""
+    d = _t(spark, sf_dir, "documents")
+    media = llm_multimodal.attach_binary(d, "doc_id", "text", "video")
+    return llm_multimodal.sample_frames(media, every_n=10, max_frames=3).select(
+        "asset_id", F.col("frame_no").cast("int").alias("frame_no"), "frame_sha256"
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
