@@ -28,12 +28,19 @@ _STATE = ["n_events", "sum_value", "min_value", "max_value"]
 
 
 def rollup_batch(events: DataFrame) -> DataFrame:
-    """Aggregate one batch of raw events to mergeable day-level state."""
+    """Aggregate one batch of raw events to mergeable day-level state.
+
+    ``uniq_users_sketch`` is the HLL binary state (Apache DataSketches
+    via ``hll_sketch_agg``), NOT a count: distinct counts don't sum
+    across batches, but their sketches union losslessly — the only way
+    an incremental rollup can answer "distinct users per day" without
+    re-reading history. ~KB per group, merge is a bitwise max."""
     return (
         events.select(
             F.col("ts").cast("date").alias("day"),
             "event_type",
             "value",
+            "user_id",
         )
         .groupBy(*KEYS)
         .agg(
@@ -41,6 +48,7 @@ def rollup_batch(events: DataFrame) -> DataFrame:
             F.sum("value").alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
+            F.hll_sketch_agg("user_id").alias("uniq_users_sketch"),
         )
     )
 
@@ -49,14 +57,16 @@ def merge_rollup(current: DataFrame | None, batch_state: DataFrame) -> DataFrame
     """Fold a batch's partial state into the stored rollup.
 
     union + re-aggregate with the state-merge functions (sum of counts,
-    sum of sums, min of mins, max of maxes) — associative/commutative,
-    so refresh order and batch boundaries cannot change the result."""
+    sum of sums, min of mins, max of maxes, HLL union of sketches) —
+    associative/commutative, so refresh order and batch boundaries
+    cannot change the result."""
     both = batch_state if current is None else current.unionByName(batch_state)
     return both.groupBy(*KEYS).agg(
         F.sum("n_events").alias("n_events"),
         F.sum("sum_value").alias("sum_value"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
+        F.hll_union_agg("uniq_users_sketch").alias("uniq_users_sketch"),
     )
 
 
@@ -75,4 +85,5 @@ def read_rollup(rollup: DataFrame) -> DataFrame:
         "min_value",
         "max_value",
         (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
+        F.hll_sketch_estimate("uniq_users_sketch").alias("approx_uniq_users"),
     )
