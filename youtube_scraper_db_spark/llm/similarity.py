@@ -301,6 +301,12 @@ def kmeans_centroids(
                 .otherwise(F.col("cv"))
                 .alias("cv"),
             )
+            # Materialize the n_centroids-row frame each round: without
+            # this the loop's lineage compounds (every later use replays
+            # ALL prior assign+mean rounds — the plan grows O(iter) wide
+            # and O(iter²) deep), exactly the iterative-plan trap the CC
+            # loop (llm/cluster.py) checkpoints against.
+            .localCheckpoint(eager=True)
         )
     return cdf
 
