@@ -86,3 +86,20 @@ def test_scrub_pii(spark):
         scrub_pii("t").alias("s")
     ).first()["s"]
     assert got == "mail [EMAIL] or call [PHONE], id 42 stays"
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from youtube_scraper_db_spark.llm.sampling import weighted_sample
+
+    # weights: id 0..199 gets weight 1, 200..219 weight 1000 — nearly
+    # every heavy row must make a size-40 sample, and reruns agree
+    base = spark.range(220).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 200, 1000).otherwise(1).alias("w"),
+    )
+    s1 = weighted_sample(base, "doc_id", "w", 40)
+    picked = {r.doc_id for r in s1.collect()}
+    heavy = {i for i in range(200, 220)}
+    assert len(heavy & picked) >= 18
+    s2 = weighted_sample(base, "doc_id", "w", 40)
+    assert picked == {r.doc_id for r in s2.collect()}  # rerun-stable

@@ -137,6 +137,11 @@ class Corpus:
             )
         return SA.deterministic_sample(self.docs, self.id_col, rate)
 
+    def weighted_sample(self, n: int, weight_col: str) -> DataFrame:
+        """Deterministic A-Res weighted sample without replacement
+        (see sampling.weighted_sample) — e.g. length-weighted doc picks."""
+        return SA.weighted_sample(self.docs, self.id_col, weight_col, n)
+
     def mix_epochs(
         self, by: str, factors: dict[str, float], default_factor: float = 1.0
     ) -> DataFrame:

@@ -114,3 +114,26 @@ def mix_epochs(
         F.array().cast("array<int>")
     )
     return df.withColumn("epoch", F.explode(epochs))
+
+
+def ares_priority(id_col: Column | str, weight_col: Column | str) -> Column:
+    """Efraimidis–Spirakis A-Res priority: u^(1/w) with u ∈ (0,1] drawn
+    from md5(id). Rounded to 6 dp so cross-engine libm last-ulp
+    differences cannot reorder rows (ties broken by id downstream)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (F.conv(hex8(id_col), 16, 10).cast("double") + 1) / F.lit(4294967296.0)
+    return F.round(F.pow(u, 1.0 / w), 6)
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, n: int
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of size ``n``
+    (global top-n by A-Res priority — plans as TakeOrderedAndProject:
+    O(n) state per partition, no global sort, rerun-stable like every
+    sampler here). Adds a ``priority`` column."""
+    return (
+        df.withColumn("priority", ares_priority(id_col, weight_col))
+        .orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(n)
+    )

@@ -2933,15 +2933,9 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 dp on both engines so the ordering compares equal
     despite last-ulp libm differences; doc_id breaks ties."""
     d = _t(spark, sf_dir, "documents")
-    u = (F.conv(llm_sampling.hex8("doc_id"), 16, 10).cast("double") + 1) / F.lit(
-        4294967296.0
-    )
-    priority = F.round(F.pow(u, 1.0 / F.col("n_chars")), 6)
-    return (
-        d.select("doc_id", "n_chars", priority.alias("priority"))
-        .orderBy(F.desc("priority"), F.asc("doc_id"))
-        .limit(50)
-    )
+    return llm_sampling.weighted_sample(
+        d.select("doc_id", "n_chars"), "doc_id", "n_chars", 50
+    ).select("doc_id", "n_chars", "priority")
 
 
 @spec(
