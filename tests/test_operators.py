@@ -75,3 +75,30 @@ def test_top_k_per_group(spark):
     out = top_k_per_group(df, ["g"], [F.desc("v")], k=2)
     got = sorted((r.g, r.v) for r in out.collect())
     assert got == [("g1", 3), ("g1", 5), ("g2", 9)]
+
+
+def test_quality_report_single_pass(spark):
+    from youtube_scraper_db_spark.operators.quality import quality_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "O"), (3, None, "X"), (3, 7.0, None)],
+        ["k", "price", "status"],
+    )
+    rep = quality_report(
+        df,
+        {
+            "bad_price": F.col("price") > 0,
+            "bad_status": F.col("status").isin("O", "F"),
+        },
+        unique_keys=["k"],
+    ).first()
+    assert rep.n_rows == 4
+    assert rep.bad_price == 2      # -5.0 and NULL both violate
+    assert rep.bad_status == 2     # 'X' and NULL both violate
+    assert rep.dup_k == 1          # k=3 twice
+    # single scan: exactly one FileScan/LocalTableScan in the plan
+    plan = (
+        quality_report(df, {"p": F.col("price") > 0}, unique_keys=["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan") <= 2  # scan + possible reuse marker

@@ -3241,6 +3241,83 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "orders_quality_report",
+    "EXT-quality A1",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_custkey,
+           CAST(SUM(CASE WHEN NOT (o_totalprice > 0) OR o_totalprice IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+           CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O','F','P'))
+                              OR o_orderstatus IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+             AS dup_o_orderkey
+    FROM orders
+    """,
+)
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/quality.py): null checks,
+    range checks, domain checks, and key uniqueness — every rule compiled
+    into ONE aggregate pass, one scan for the whole report (the naive
+    one-job-per-check pattern scans the table k times). The batch-promote
+    decision a production ingest makes before `Archive._commit`."""
+    from .operators.quality import quality_report
+
+    o = _t(spark, sf_dir, "orders")
+    return quality_report(
+        o,
+        {
+            "null_custkey": F.col("o_custkey").isNotNull(),
+            "nonpositive_price": F.col("o_totalprice") > 0,
+            "bad_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+        unique_keys=["o_orderkey"],
+    ).select(
+        "n_rows", "null_custkey", "nonpositive_price", "bad_status", "dup_o_orderkey"
+    )
+
+
+@spec(
+    "daily_event_counts_dense",
+    "EXT-gapfill A2 W2",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    cal AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    )
+    SELECT cal.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+    FROM cal LEFT JOIN d ON cal.day = d.day
+    """,
+)
+def daily_event_counts_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: the calendar spine comes from
+    sequence(min, max) exploded out of a 1-row bounds aggregate — the
+    dense axis is GENERATED (O(days) rows), never joined from a stored
+    calendar table scan — then left-joins the sparse daily counts with
+    COALESCE 0. Downstream window functions (moving averages, deltas)
+    are only correct on a dense axis; this is the op that makes them so."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(F.col("ts").cast("date").alias("day")).groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cal = (
+        d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return cal.join(d, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
