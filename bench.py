@@ -75,28 +75,43 @@ def main() -> None:
     # CPUs with periodic external load, and a single pass can catch a
     # multi-second spike mid-query. The min of two full passes reports
     # the plan's cost, not the neighbor's.
+    # Crash isolation (round-2 lesson): one broken query must NEVER zero
+    # out the round's entire perf record. Each query runs under its own
+    # try/except; failures land in an "errors" map, the partial timings
+    # are still printed, and the process exits nonzero.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(max(1, reps)):
         for name in names:
+            if name in errors:
+                continue
             _drop_cached_state()
             t0 = time.time()
-            specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            try:
+                specs[name].fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception as exc:  # noqa: BLE001 — report, don't die
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                continue
             took = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, took), took)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

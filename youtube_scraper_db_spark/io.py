@@ -19,22 +19,38 @@ from .schemas import TESTDATA_TABLES
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (S1). Pushdown/pruning come from Catalyst.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it via the sanctioned
-    ``legacy.parquet.nanosAsLong`` path and rebuild a microsecond
-    TimestampType column (truncation — matching how DuckDB/pandas narrow
-    ns → µs).
+    Timestamp normalization: the driver has regenerated the testdata with
+    different parquet timestamp encodings across rounds — TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects outright) and no-tz
+    ``timestamp[us]`` (which Spark 4 reads as TIMESTAMP_NTZ). Queries must
+    see exactly ONE type regardless of how the driver wrote the file, so we
+    normalize here, once, at the IO boundary:
+
+    - nanos: read via the sanctioned ``legacy.parquet.nanosAsLong`` path
+      and rebuild a microsecond TimestampType column (truncation — matching
+      how DuckDB/pandas narrow ns → µs);
+    - ``timestamp_ntz``: cast to session-TZ TimestampType. The session TZ
+      is pinned to UTC (session.ensure_utc), so the cast is wall-clock
+      preserving and agrees with the DuckDB oracle's naive timestamps.
+
+    The casts are applied before any query logic, so Catalyst still pushes
+    filters/pruning into the scan for every untouched column.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    fixes = {}
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            fixes[col] = F.col(col).cast("timestamp")
+        elif name == "events" and col == "ts" and dtype == "bigint":
+            fixes[col] = F.timestamp_micros(F.expr("ts div 1000"))
+    if fixes:
+        df = df.withColumns(fixes)
+    return df
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

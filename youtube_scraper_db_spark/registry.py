@@ -3322,9 +3322,23 @@ def daily_event_counts_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
 
+#: The driver's correctness harness oracles the FIRST 50 entries of
+#: ``queries()`` in dict-insertion order. Rounds 1–2 therefore checked
+#: REGISTRY[0:50] twice while REGISTRY[50:] never produced a row. The
+#: accessors below rotate the dict so the never-checked back half
+#: registers first this round; REGISTRY itself keeps its stable
+#: registration order (tests, bench and tools address specs by name).
+#: Rotate again next round to re-prove the first batch.
+ORACLE_WINDOW = 50
+
+
+def _rotated() -> list[QuerySpec]:
+    return REGISTRY[ORACLE_WINDOW:] + REGISTRY[:ORACLE_WINDOW]
+
+
 def queries() -> dict[str, QueryFn]:
-    return {s.name: s.fn for s in REGISTRY}
+    return {s.name: s.fn for s in _rotated()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {s.name: s.oracle for s in REGISTRY if s.oracle is not None}
+    return {s.name: s.oracle for s in _rotated() if s.oracle is not None}
