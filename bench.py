@@ -48,6 +48,10 @@ HEADLINE = [
     "seq_packing_gate",
     "event_funnel",
     "event_neighbor_counts",
+    "salted_supplier_revenue",
+    "zorder_curve_keys",
+    "incremental_rollup_equiv",
+    "stream_correlated_pairs",
 ]
 
 

@@ -95,17 +95,26 @@ def test_zorder_prunes_2d_box_queries(spark, tmp_path):
     )
     zboxes, lboxes = _file_boxes(zpath), _file_boxes(lpath)
 
-    # average over a sweep of 128×128 boxes: the z-layout must read
-    # fewer files for a predicate that constrains BOTH dims — the
-    # y-sorted layout prunes nothing once the predicate touches x
-    queries = [
+    # 2-D boxes: a 1/64-area box must touch well under half the
+    # z-ordered files on average (measured 1.8-2.7 across session
+    # states; the bound leaves margin for repartitionByRange's
+    # sampled range boundaries, which vary with session history)
+    boxes_2d = [
         (x0, x0 + 127, y0, y0 + 127)
         for x0 in (0, 256, 512, 768)
         for y0 in (0, 256, 512, 768)
     ]
-    z_total = sum(_hits(zboxes, *q) for q in queries)
-    l_total = sum(_hits(lboxes, *q) for q in queries)
-    assert z_total < l_total, (z_total, l_total)
-    # and in absolute terms: a 1/64-area box should touch well under
-    # half the z-ordered files on average
-    assert z_total / len(queries) <= 8, z_total / len(queries)
+    z_2d = sum(_hits(zboxes, *q) for q in boxes_2d)
+    assert z_2d / len(boxes_2d) <= 8, z_2d / len(boxes_2d)
+
+    # x-only predicates are where the layouts genuinely separate: the
+    # y-sorted stripes span the full x range in every file (blind —
+    # every query reads all 16), while z-order files cover ~1/4 of x
+    # each. (A 2-D-box comparison is NOT discriminative at this file
+    # count: y-stripes prune y-constrained boxes almost as well as
+    # z-order does, and the comparison flips on boundary noise.)
+    xqueries = [(x0, x0 + 127, 0, 1023) for x0 in (0, 256, 512, 768)]
+    z_x = sum(_hits(zboxes, *q) for q in xqueries)
+    l_x = sum(_hits(lboxes, *q) for q in xqueries)
+    assert l_x == 16 * len(xqueries), l_x  # stripes read everything
+    assert z_x <= 0.66 * l_x, (z_x, l_x)

@@ -310,6 +310,13 @@ class Archive:
 
     # -- maintenance ------------------------------------------------------
 
+    def commit(self, name: str, df: DataFrame) -> None:
+        """Commit a whole-table rewrite of any user table (versioned swap,
+        rollback-able). The public entry point for tables outside the
+        reference's fixed schema set — maintenance ops (``compact``,
+        ``rollback``) work on them identically."""
+        self._commit(name, df)
+
     def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Small-file compaction — rewrite ``name`` into files sized for
         scan efficiency, committed like any other mutation (versioned,

@@ -39,7 +39,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    return normalize_timestamps(spark.read.parquet(path), name)
+
+
+def normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
+    """Rebuild driver-written timestamp encodings into session-TZ
+    TimestampType (see ``read_table``); shared by the batch and streaming
+    read paths so both surface one timestamp type."""
     from pyspark.sql import functions as F
 
     fixes = {}
@@ -48,9 +54,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             fixes[col] = F.col(col).cast("timestamp")
         elif name == "events" and col == "ts" and dtype == "bigint":
             fixes[col] = F.timestamp_micros(F.expr("ts div 1000"))
-    if fixes:
-        df = df.withColumns(fixes)
-    return df
+    return df.withColumns(fixes) if fixes else df
+
+
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Open one testdata table as a STREAMING source (file source +
+    ``pathGlobFilter``; the parquet file sits in a directory shared with
+    the other tables, and Spark's file stream source requires the
+    directory as its basePath). Timestamps are normalized exactly as in
+    ``read_table``, so a streaming query and its batch twin see identical
+    input schemas — the property the batch/stream agreement oracles rely
+    on."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_timestamps(raw, name)
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

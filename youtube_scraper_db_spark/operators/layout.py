@@ -31,14 +31,20 @@ ZKEY = "__zkey"
 
 
 def _normalized(col: str, mn: float, mx: float, bits: int) -> Column:
-    """Min-max scale ``col`` to an integer in [0, 2^bits)."""
+    """Min-max scale ``col`` to an integer in [0, 2^bits).
+
+    ``floor`` (not round): half-way rounding differs between engines
+    (HALF_UP vs HALF_EVEN), and for a space-filling curve the bucket
+    boundary choice is arbitrary — floor keeps the key bit-for-bit
+    reproducible in any ANSI SQL engine, which the correctness oracle
+    exploits."""
     top = (1 << bits) - 1
     if mx <= mn:  # constant column — every row maps to 0
         return F.lit(0).cast("long")
     scaled = (F.col(col).cast("double") - F.lit(float(mn))) / F.lit(
         float(mx - mn)
     ) * F.lit(float(top))
-    return F.least(F.greatest(F.round(scaled).cast("long"), F.lit(0)), F.lit(top))
+    return F.least(F.greatest(F.floor(scaled), F.lit(0)), F.lit(top))
 
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:

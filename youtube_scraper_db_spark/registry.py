@@ -30,8 +30,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .io import read_table
+from .archive import Archive
+from .io import read_table, read_table_stream, register_views
 from .llm import cluster as llm_cluster
+from .llm.corpus import Corpus
 from .llm import dedup as llm_dedup
 from .llm import packing as llm_packing
 from .llm import sampling as llm_sampling
@@ -41,7 +43,14 @@ from .llm import text as llm_text
 from .operators import bucketing
 from .operators.dedup import dedup_first_seen
 from .operators.diffsync import diff_keys_single_shuffle
+from .operators.layout import zorder_key
+from .operators.partitioning import read_partitioned, write_partitioned
+from .operators.skew import salted_count_distinct, salted_join
 from .operators.windows import assign_positions, next_position, ordered_collect
+from .pipelines import incremental
+from .streaming.dedup import dedup_stream
+from .streaming.enrich import enrich_stream
+from .streaming.joins import correlate_streams
 from .functions.scalars import (
     context_snippet,
     display_name,
@@ -3316,6 +3325,353 @@ def daily_event_counts_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal.join(d, "day", "left").select(
         "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
     )
+
+
+# ----------------------------------------------------------------------
+# Round 3: oracle gates for the previously test-only ids — skew
+# mitigation, ad-hoc SQL, z-order layout keys, incremental rollup,
+# partitioned layout pruning, archive compaction, the Corpus facade, and
+# the three Structured Streaming operators run end-to-end (availableNow
+# trigger → memory sink) against their batch-SQL twins.
+# ----------------------------------------------------------------------
+
+
+def _run_stream(df: DataFrame) -> DataFrame:
+    """Execute a streaming plan to completion (availableNow: process all
+    currently-available input, then stop) into an in-memory sink and
+    return the sink's contents. The stream's OUTPUT SET is deterministic
+    for the operators gated here — dedup emits each key once, joins emit
+    exactly the matching pairs — even though emission timing is not,
+    which is what makes a value-hash oracle valid."""
+    import tempfile
+    import uuid
+
+    qname = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(qname)
+
+
+@spec(
+    "salted_supplier_revenue",
+    "EXT-skew J2 A2",
+    oracle="""
+    SELECT l.l_suppkey AS suppkey, s.s_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY l.l_suppkey, s.s_name
+    """,
+)
+def salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact⋈dim join (operators/skew.py salted_join): the
+    big side's shuffle key becomes (suppkey, salt) so a heavy-hitter
+    supplier spreads over 8 reducers; the dim side replicates 8×. The
+    oracle is the UNSALTED join — proving the salt is semantically
+    invisible, which is the operator's whole contract."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    joined = salted_join(li, sup, ["suppkey"], how="inner", salt_buckets=8)
+    return joined.groupBy("suppkey", "s_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@spec(
+    "salted_distinct_users",
+    "EXT-skew A3",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_count
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed distinct-count (operators/skew.py salted_count_distinct):
+    salt = hash(value) % B partitions each group's VALUE SPACE disjointly,
+    so per-(group, salt) distinct counts SUM exactly — the hot group's
+    distinct set never funnels through one reducer. Oracle is the plain
+    COUNT(DISTINCT)."""
+    ev = _t(spark, sf_dir, "events")
+    return salted_count_distinct(ev, ["event_type"], "user_id", salt_buckets=16)
+
+
+_ADHOC_SQL = """
+    SELECT n.n_name,
+           ROUND(SUM(o.o_totalprice), 2) AS total_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@spec("adhoc_sql_nation_revenue", "EXT-adhoc-sql J2 A2", oracle=_ADHOC_SQL)
+def adhoc_sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc SQL surface (ref: the SQLite file any user can query
+    directly — archive.py:300 ``Archive.sql``): every table registered as
+    a view, ONE ANSI string executed verbatim by both Spark and the
+    oracle. Catalyst still broadcasts the dims and pushes the column
+    pruning — declarative SQL in, the same physical plan the DataFrame
+    API would get out."""
+    ensure_utc(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_ADHOC_SQL)
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    cols = ["o_totalprice", "o_custkey"]
+    k = len(cols)
+    norm = ", ".join(
+        f"LEAST(GREATEST(CAST(FLOOR((CAST({c} AS DOUBLE) - mn{i}) / (mx{i} - mn{i})"
+        f" * {(1 << bits) - 1}) AS BIGINT), 0), {(1 << bits) - 1}) AS v{i}"
+        for i, c in enumerate(cols)
+    )
+    terms = " + ".join(
+        f"(((v{c} >> {i}) & 1) << {i * k + c})"
+        for i in range(bits)
+        for c in range(k)
+    )
+    return f"""
+    WITH st AS (
+      SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn0,
+             max(CAST(o_totalprice AS DOUBLE)) AS mx0,
+             min(CAST(o_custkey AS DOUBLE)) AS mn1,
+             max(CAST(o_custkey AS DOUBLE)) AS mx1
+      FROM orders
+    ),
+    v AS (SELECT o_orderkey, {norm} FROM orders, st)
+    SELECT o_orderkey, CAST({terms} AS BIGINT) AS zkey FROM v
+    """
+
+
+@spec("zorder_curve_keys", "EXT-zorder", oracle=_zorder_oracle(bits=8))
+def zorder_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve key (operators/layout.py zorder_key) over
+    (o_totalprice, o_custkey): min-max rank-normalize each column to 8
+    bits, interleave the bits into one sort key — pure shift/mask codegen,
+    no UDF. The oracle recomputes the interleaving bit-for-bit in SQL, so
+    the layout key the writer sorts by is value-checked, not just
+    plan-checked (write_zordered's file layout itself is covered by
+    tests/test_layout.py's pruning assertions)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        zorder_key(o, ["o_totalprice", "o_custkey"], bits=8).alias("zkey"),
+    )
+
+
+@spec(
+    "incremental_rollup_equiv",
+    "EXT-incr-rollup A2 A8",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           FLOOR(ROUND(SUM(value), 2) / COUNT(*) * 100) / 100.0 AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_rollup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (pipelines/incremental.py): the
+    events table arrives as TWO batches (split by event_id parity); each
+    refresh aggregates ONLY its batch and merges partial states (sum of
+    counts/sums, min of mins, max of maxes). The oracle aggregates the
+    whole table in one pass — batch boundaries must be invisible, which
+    is the algebra the operator exists to guarantee. The HLL distinct
+    sketch column is exercised by `uniq_users_sketch`; here the exact
+    distributive columns are hash-checked."""
+    ev = _t(spark, sf_dir, "events")
+    b0 = ev.where(F.pmod("event_id", F.lit(2)) == 0)
+    b1 = ev.where(F.pmod("event_id", F.lit(2)) == 1)
+    state = incremental.refresh_rollup(None, b0)
+    state = incremental.refresh_rollup(state, b1)
+    out = incremental.read_rollup(state)
+    # avg derives from the ROUNDED sum, truncated via floor: the partial
+    # sums' float dust is squeezed out before the division, and floor has
+    # no half-way tie semantics to disagree on across engines.
+    sum_r = F.round("sum_value", 2)
+    return out.select(
+        "day",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        sum_r.alias("sum_value"),
+        "min_value",
+        "max_value",
+        (F.floor(sum_r / F.col("n_events") * 100) / F.lit(100.0)).alias(
+            "avg_value"
+        ),
+    )
+
+
+@spec(
+    "partitioned_orders_prune",
+    "EXT-partition S1 P7",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def partitioned_orders_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout round-trip (operators/partitioning):
+    write orders partitioned by o_orderstatus into a scratch dir, read it
+    back with a partition-key predicate — the scan prunes at the
+    DIRECTORY level (PartitionFilters, zero data files of other statuses
+    opened), and the surviving rows hash-match the unpartitioned
+    filter."""
+    import tempfile
+
+    ensure_utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="sg_part_")
+    write_partitioned(
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        path,
+        ["o_orderstatus"],
+    )
+    back = read_partitioned(spark, path).where(F.col("o_orderstatus") == "F")
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+    )
+
+
+@spec(
+    "compacted_docs_roundtrip",
+    "EXT-compact",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def compacted_docs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (archive.py Archive.compact): commit the
+    documents table fragmented into 16 files (the accretion pattern of
+    incremental upserts / stream sinks), compact to scan-sized files via
+    the versioned-commit path, read the new version back. Content must be
+    byte-identical to the source — compaction is layout-only."""
+    import tempfile
+
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_arch_"))
+    ar.commit("documents", d.repartition(16))
+    ar.compact("documents", target_file_bytes=64 * 1024 * 1024)
+    return ar.table("documents")
+
+
+@spec(
+    "corpus_facade_annotated",
+    "EXT-corpus-facade LLM-text LLM-langid",
+    oracle=f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS token_count,
+           CASE WHEN len(t) = 0 THEN 0.0 ELSE FLOOR((
+             0.4 * least(len(t) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1))
+             + 0.3 * (CAST(len(list_intersect(list_distinct(t), {_sql_list(_ALL_STOPS)})) AS DOUBLE)
+                      / greatest(len(list_distinct(t)), 1))) * 10000) / 10000.0 END
+             AS quality_score,
+           {_LANG_CASE} AS lang
+    FROM tok
+    """,
+)
+def corpus_facade_annotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Corpus facade's one-pass annotation surface (llm/corpus.py):
+    token count + quality score + language ID as pure Column exprs, no
+    shuffle — the entry point a pipeline user reaches first. Gating the
+    facade (not just the underlying functions) pins the API's column
+    names and defaults."""
+    d = _t(spark, sf_dir, "documents")
+    return Corpus(d).annotated()
+
+
+@spec(
+    "stream_dedup_user_types",
+    "EXT-stream-dedup T5",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup run END-TO-END (streaming/dedup.py dedup_stream →
+    dropDuplicatesWithinWatermark): the events table replayed as a file
+    stream, keys deduplicated with watermark-bounded state (state is
+    O(keys per horizon), not O(keys ever seen)), availableNow trigger
+    drains it to completion. The emitted key set equals batch
+    SELECT DISTINCT — the batch/stream agreement contract."""
+    ensure_utc(spark)
+    stream = read_table_stream(spark, sf_dir, "events")
+    deduped = dedup_stream(
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="1 hour"
+    )
+    return _run_stream(deduped.select("user_id", "event_type"))
+
+
+@spec(
+    "stream_enriched_events",
+    "EXT-stream-enrich J1",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment END-TO-END (streaming/enrich.py): the
+    event stream left-joins a broadcast customer dimension per
+    micro-batch — the stream side never shuffles, the dim rides in every
+    executor. Output rows equal the batch left join."""
+    ensure_utc(spark)
+    stream = read_table_stream(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    enriched = enrich_stream(stream, dim, on="user_id", how="left")
+    return _run_stream(enriched.select("event_id", "user_id", "c_name"))
+
+
+@spec(
+    "stream_correlated_pairs",
+    "EXT-stream-join J2",
+    oracle="""
+    SELECT a.event_id AS l_event_id, b.event_id AS r_event_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+)
+def stream_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join END-TO-END (streaming/joins.py
+    correlate_streams): two replays of the event stream joined where the
+    right event lands within [ts, ts + 30 min] of the left, watermarks
+    bounding both sides' join state. The emitted pair set equals the
+    batch interval self-join — which is exactly what the oracle runs."""
+    ensure_utc(spark)
+    left = read_table_stream(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    right = read_table_stream(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = correlate_streams(
+        left, right, on="user_id", within="30 minutes", watermark="2 hours"
+    )
+    return _run_stream(pairs.select("l_event_id", "r_event_id"))
 
 
 # ----------------------------------------------------------------------
