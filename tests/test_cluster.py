@@ -33,13 +33,20 @@ def _uf_labels(edges):
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {
-        r.node: r.component
-        for r in connected_components(df, "src", "dst").collect()
-    }
     want = _uf_labels(edges)
-    # union-find roots are minima because we always parent max under min
-    assert got == want, f"{got} != {want}"
+    # both adaptive paths must agree with the reference labels:
+    # driver_threshold=0 forces the distributed large-star/small-star
+    # loop; the default routes a small measured edge set to the
+    # driver-side union-find.
+    for threshold in (0, 500_000):
+        got = {
+            r.node: r.component
+            for r in connected_components(
+                df, "src", "dst", driver_threshold=threshold
+            ).collect()
+        }
+        # union-find roots are minima because we always parent max under min
+        assert got == want, f"threshold={threshold}: {got} != {want}"
 
 
 def test_chain_collapses_to_one_component(spark):

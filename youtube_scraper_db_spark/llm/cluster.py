@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -54,21 +55,81 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return r["n"], r["h"]
 
 
+def _union_find_local(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for a SMALL measured edge set.
+
+    Near-dup graphs are usually tiny relative to the corpus (most docs
+    match nothing), but each distributed large-star/small-star iteration
+    still pays ~6 full shuffle-stage round-trips — seconds of fixed
+    overhead to label a few hundred edges. Once the edge count (already
+    measured for the convergence test) is known to be bounded, path-
+    compressed union-find on the driver is exact, O(E α(E)), and bounded
+    in memory by the same threshold that routed us here — the identical
+    adaptive trade Spark itself makes when runtime stats turn a
+    sort-merge join into a broadcast. Arrow both ways: ``toPandas`` in,
+    ``createDataFrame(pdf)`` out; no per-row Python/JVM chatter."""
+    import pandas as pd
+
+    pdf = edges.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["a"], pdf["b"]):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # attach the larger root under the smaller:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = pd.DataFrame(
+        [(n, find(n)) for n in parent], columns=["node", "component"]
+    )
+    return edges.sparkSession.createDataFrame(
+        labels,
+        schema=T.StructType(
+            [
+                T.StructField("node", edges.schema["a"].dataType),
+                T.StructField("component", edges.schema["a"].dataType),
+            ]
+        ),
+    )
+
+
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Labels ``(node, component)`` for every vertex of the undirected
     edge list, where ``component`` is the minimum vertex id (by the
     column's natural ordering) of the node's connected component. Roots
     label themselves; isolated vertices (absent from ``edges``) are the
     caller's to union in.
-    """
+
+    Adaptive strategy: the initial canonicalized edge COUNT (computed
+    anyway for the convergence checksum) picks the execution path —
+    ≤ ``driver_threshold`` edges run driver-side union-find (bounded by
+    the threshold: ~16 B/edge, so the default caps the collect at ~8 MB);
+    anything larger runs the shuffle-based large-star/small-star loop,
+    whose per-iteration cost is what a billion-edge graph needs and what
+    a 500-edge graph must not pay."""
     cur = _canon(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     ).localCheckpoint(eager=True)
     prev_sig = _checksum(cur)
     if prev_sig[0] == 0:
         return cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    if prev_sig[0] <= driver_threshold:
+        return _union_find_local(cur)
 
     for _ in range(max_iter):
         # Symmetrize: every (u, nbr) incidence in both directions.

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import content_fingerprint, shingles
+from .text import content_fingerprint, shingle_rows
 
 
 class CacheScope:
@@ -132,8 +132,12 @@ def jaccard_pairs(
     # and ordered-set build). Cache lifetime is scope-managed (CacheScope).
     scope = _scope_or_default(scope)
     ex = scope.persist(
-        _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col)))
-        .select("doc", F.explode(shingles(text_col, k)).alias("shingle"))
+        shingle_rows(
+            _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))),
+            "doc",
+            text_col,
+            k,
+        )
     )
     dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
     # Materialized once: consumed by the prefix index and BOTH verify
@@ -207,8 +211,11 @@ def minhash_signatures(
     short shingle strings is already cheap and the stage is dominated by
     the shingle explode + partial-agg shuffle, so the extra mixing
     expressions only add codegen width. Kept the simpler family."""
-    ex = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
-        "doc", F.explode(shingles(text_col, k)).alias("shingle")
+    ex = shingle_rows(
+        _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))),
+        "doc",
+        text_col,
+        k,
     )
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")

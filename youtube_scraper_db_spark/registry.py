@@ -1142,9 +1142,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     sh_agg = (
-        spread.select("doc_id", F.explode(llm_text.shingles("text", k=3)).alias("s"))
+        llm_text.shingle_rows(spread, "doc_id", "text", k=3, out_id="doc_id")
         .groupBy("doc_id")
-        .agg(F.min(F.md5(F.col("s").cast("binary"))).alias("shingle_fp"))
+        .agg(F.min(F.md5(F.col("shingle").cast("binary"))).alias("shingle_fp"))
     )
     return base.join(sh_agg, "doc_id", "left").select(
         "doc_id", "content_fp", "shingle_fp"
