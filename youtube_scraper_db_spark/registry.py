@@ -48,8 +48,11 @@ from .operators.partitioning import read_partitioned, write_partitioned
 from .operators.skew import salted_count_distinct, salted_join
 from .operators.windows import assign_positions, next_position, ordered_collect
 from .pipelines import incremental
+from .sources.playlists_json import read_playlists_json
+from .sources.transcript_files import read_transcript_files
 from .streaming.dedup import dedup_stream
 from .streaming.enrich import enrich_stream
+from .streaming.inbox import read_inbox_stream
 from .streaming.joins import correlate_streams
 from .functions.scalars import (
     context_snippet,
@@ -3672,6 +3675,145 @@ def stream_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, on="user_id", within="30 minutes", watermark="2 hours"
     )
     return _run_stream(pairs.select("l_event_id", "r_event_id"))
+
+
+# ----------------------------------------------------------------------
+# File-source round-trips: the engine's own sinks write real files from
+# parquet-derived rows, the engine's own sources parse them back, and the
+# oracle recomputes the expected records from the originating table —
+# closing the oracle gap for the file-format edges (S2, S9, T5) that
+# previously had only fixture-based pytest coverage.
+# ----------------------------------------------------------------------
+
+
+def _write_transcript_inbox(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a transcript inbox from the first 100 documents: one
+    header-framed text file per doc, extensions cycling through the S9
+    glob set. The bounded driver-side collect (100 rows) is input
+    SCAFFOLDING — the operator under test is the file-source parse that
+    follows. Verified: no testdata document contains header-like lines,
+    carriage returns, or empty text at any scale factor."""
+    import os
+    import tempfile
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+        .collect()
+    )
+    inbox = tempfile.mkdtemp(prefix="sg_inbox_")
+    exts = ("txt", "srt", "vtt")
+    for r in rows:
+        fname = f"doc{r.doc_id}.{exts[r.doc_id % 3]}"
+        with open(os.path.join(inbox, fname), "w") as f:
+            f.write(f"TITLE: Doc {r.doc_id}\nID: doc{r.doc_id}\n\n{r.text}")
+    return inbox
+
+
+_TRANSCRIPT_RT_ORACLE = r"""
+    SELECT 'doc' || CAST(doc_id AS VARCHAR) AS video_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           'https://www.youtube.com/watch?v=doc' || CAST(doc_id AS VARCHAR)
+             AS url,
+           text AS transcript,
+           regexp_matches(text, '(\[\d{1,2}:\d{2}(:\d{2})?\]|\d{1,2}:\d{2}(:\d{2})?\s*-\s|(^|\n)\s*\d{1,2}:\d{2}(:\d{2})?\s|<\d{1,2}:\d{2}(:\d{2})?>)')
+             AS has_timestamps,
+           'doc' || CAST(doc_id AS VARCHAR) || '.' ||
+             CASE doc_id % 3 WHEN 0 THEN 'txt' WHEN 1 THEN 'srt'
+                             ELSE 'vtt' END AS source_file
+    FROM documents WHERE doc_id < 100 AND trim(text) <> ''
+"""
+
+
+@spec(
+    "transcript_files_roundtrip",
+    "S9 S15 E3 F15",
+    oracle=_TRANSCRIPT_RT_ORACLE,
+)
+def transcript_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript file source (S9) against REAL files: write a 100-file
+    inbox (txt/srt/vtt — the E3 glob union in one pathGlobFilter scan),
+    parse with the wholetext Column-expression parser (F15: header slice,
+    id/url synthesis, body extraction), and hash-match the parsed records
+    against the documents rows the files were rendered from. Provenance
+    is reduced to the basename so the scratch directory stays out of the
+    comparison."""
+    ensure_utc(spark)
+    inbox = _write_transcript_inbox(spark, sf_dir)
+    parsed = read_transcript_files(spark, inbox)
+    return parsed.select(
+        "video_id",
+        "title",
+        "url",
+        "transcript",
+        "has_timestamps",
+        F.regexp_extract("source_file", r"([^/]+)$", 1).alias("source_file"),
+    )
+
+
+@spec(
+    "inbox_stream_drain",
+    "T5 S9 E3",
+    oracle=_TRANSCRIPT_RT_ORACLE,
+)
+def inbox_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming inbox (T5) drained END-TO-END: the same 100-file
+    inbox consumed through read_inbox_stream (file-source micro-batches,
+    maxFilesPerTrigger=64, so availableNow takes >1 batch) into a memory
+    sink. The drained record set must equal the batch parse — one parser,
+    two execution modes, which is the T5 design claim."""
+    ensure_utc(spark)
+    inbox = _write_transcript_inbox(spark, sf_dir)
+    stream = read_inbox_stream(spark, inbox)
+    drained = _run_stream(
+        stream.select(
+            "video_id",
+            "title",
+            "url",
+            "transcript",
+            "has_timestamps",
+            F.regexp_extract("source_file", r"([^/]+)$", 1).alias("source_file"),
+        )
+    )
+    return drained
+
+
+@spec(
+    "playlists_json_source_roundtrip",
+    "S2 P11",
+    oracle="""
+    SELECT 'PL' || CAST(n_nationkey AS VARCHAR) AS playlist_id,
+           n_name AS title,
+           'https://www.youtube.com/playlist?list=PL' ||
+             CAST(n_nationkey AS VARCHAR) AS url
+    FROM nation
+    """,
+)
+def playlists_json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON playlist source (S2) against a REAL multiLine JSON array:
+    nation rows rendered as playlist records — alternating between the
+    ``id`` and ``playlist_id`` key variants the reference tolerates, no
+    ``url`` key (forcing the synthesis path) — plus two invalid records
+    (blank id / missing title) the P11 validity filter must drop. The
+    parsed output hash-matches the originating nation rows."""
+    import json
+    import os
+    import tempfile
+
+    ensure_utc(spark)
+    rows = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    records = [
+        {("id" if r.n_nationkey % 2 == 0 else "playlist_id"): f"PL{r.n_nationkey}",
+         "title": r.n_name}
+        for r in rows
+    ]
+    records.append({"id": "", "title": "dropped: blank id"})
+    records.append({"playlist_id": "PLnotitle"})
+    path = os.path.join(tempfile.mkdtemp(prefix="sg_pl_"), "playlists.json")
+    with open(path, "w") as f:
+        json.dump(records, f)
+    return read_playlists_json(spark, path).select("playlist_id", "title", "url")
 
 
 # ----------------------------------------------------------------------
