@@ -3339,26 +3339,48 @@ def daily_event_counts_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 
-def _run_stream(df: DataFrame) -> DataFrame:
+def _run_stream(df: DataFrame, state_partitions: int | None = None) -> DataFrame:
     """Execute a streaming plan to completion (availableNow: process all
     currently-available input, then stop) into an in-memory sink and
     return the sink's contents. The stream's OUTPUT SET is deterministic
     for the operators gated here — dedup emits each key once, joins emit
     exactly the matching pairs — even though emission timing is not,
-    which is what makes a value-hash oracle valid."""
+    which is what makes a value-hash oracle valid.
+
+    ``state_partitions`` sizes the stateful exchanges (state-store count
+    is fixed at query start from ``spark.sql.shuffle.partitions``): every
+    state store pays open/commit/checkpoint per micro-batch, so a stream
+    should run as many stores as its RATE needs, not inherit the batch
+    shuffle width — measured 2-3× faster at cores/4 for these replay
+    streams. The conf is set only for the stream's lifetime and restored
+    after (the partition count is baked into the checkpoint at start, so
+    the restore cannot affect the running query)."""
     import tempfile
     import uuid
 
-    qname = f"mem_{uuid.uuid4().hex[:10]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(qname)
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        qname = f"mem_{uuid.uuid4().hex[:10]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(qname)
+
+
+def _stream_parallelism(spark: SparkSession) -> int:
+    """cores/4, floor 2 — enough stores to spread replay-scale state,
+    few enough that per-store micro-batch overhead doesn't dominate."""
+    return max(2, spark.sparkContext.defaultParallelism // 4)
 
 
 @spec(
@@ -3621,7 +3643,10 @@ def stream_dedup_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_stream(
         stream, ["user_id", "event_type"], ts_col="ts", watermark="1 hour"
     )
-    return _run_stream(deduped.select("user_id", "event_type"))
+    return _run_stream(
+        deduped.select("user_id", "event_type"),
+        state_partitions=_stream_parallelism(spark),
+    )
 
 
 @spec(
@@ -3674,7 +3699,10 @@ def stream_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = correlate_streams(
         left, right, on="user_id", within="30 minutes", watermark="2 hours"
     )
-    return _run_stream(pairs.select("l_event_id", "r_event_id"))
+    return _run_stream(
+        pairs.select("l_event_id", "r_event_id"),
+        state_partitions=_stream_parallelism(spark),
+    )
 
 
 # ----------------------------------------------------------------------
