@@ -139,12 +139,17 @@ def jaccard_pairs(
             k,
         )
     )
-    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    # Doc-frequency via a count window over the shingle partition: one
+    # shuffle hash-partitions the index by shingle and every row picks up
+    # its df in place — versus the separate groupBy-aggregate + join it
+    # replaces, which shuffled the same rows by the same key TWICE (once
+    # into the aggregate, once as the join probe).
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     # Materialized once: consumed by the prefix index and BOTH verify
     # sides — without persist the tokenize→shingle→order pipeline (the
     # dominant cost) runs three times.
     sets = scope.persist(
-        ex.join(dfreq, "shingle")
+        ex.select("doc", "shingle", dfw.alias("df"))
         .groupBy("doc")
         .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("os"))
         .select(
