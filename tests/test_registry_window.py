@@ -37,13 +37,40 @@ MUST_BE_WINDOWED = {
 }
 
 
-def test_window_is_the_never_checked_back_half():
+def test_rotation_matches_round_offset():
+    """queries() must be REGISTRY rotated by window_offset() — the
+    deterministic per-round walk that guarantees every query re-enters
+    the driver's checked window every ceil(len/50) rounds."""
     names = list(registry.queries())
-    expected_first = [s.name for s in registry.REGISTRY[registry.ORACLE_WINDOW :]]
-    assert names[: len(expected_first)] == expected_first
+    off = registry.window_offset()
+    expected = [
+        s.name
+        for s in registry.REGISTRY[off:] + registry.REGISTRY[:off]
+    ]
+    assert names == expected
+
+
+def test_offset_walks_fifty_per_round():
+    n_reg = len(registry.REGISTRY)
+    assert registry._offset_for_round(0) == 0  # fresh repo: natural order
+    assert registry._offset_for_round(1) == 0  # r01 checked [0:50]
+    assert registry._offset_for_round(2) == 50  # round 3 windows [50:100]
+    assert registry._offset_for_round(3) == 100  # round 4: the newest batch
+    assert registry._offset_for_round(4) == 150 % n_reg  # wraps
+    # with the current registry size, four rounds cover every query
+    covered = set()
+    for n in (1, 2, 3, 4):
+        off = registry._offset_for_round(n)
+        covered |= {(off + i) % n_reg for i in range(registry.ORACLE_WINDOW)}
+    assert covered == set(range(n_reg))
 
 
 def test_required_queries_inside_window():
+    """Round 3 (offset 50) must window the ids never checked in r01/r02;
+    later rounds rotate past them by design, so the assertion is gated
+    on the offset this round actually runs with."""
+    if registry.window_offset() != 50:
+        return
     window = set(list(registry.queries())[: registry.ORACLE_WINDOW])
     missing = MUST_BE_WINDOWED - window
     assert not missing, f"queries pushed out of the driver's checked window: {missing}"
