@@ -52,6 +52,7 @@ HEADLINE = [
     "zorder_curve_keys",
     "incremental_rollup_equiv",
     "stream_correlated_pairs",
+    "decontamination_flags",
 ]
 
 

@@ -229,3 +229,33 @@ def test_simhash_signature_stability(spark):
     )
     got = {r.doc: r.simhash for r in sig.collect()}
     assert got == {1: a, 2: b, 3: 0}
+
+
+def test_decontamination_flags_finds_planted_leak(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains a 5-gram from the benchmark (leaked)
+            (1, "intro words then the quick brown fox jumps and more text"),
+            # shares 4-gram at most (below k) — clean
+            (2, "quick brown fox jumps elsewhere entirely different tail"),
+            (3, "completely unrelated content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.shared_grams, r.matched_bench_docs)
+        for r in D.decontamination_flags(corpus, bench, "doc_id", "text", k=5).collect()
+    }
+    assert got == {1: (1, 1)}
+
+
+def test_decontamination_clean_corpus_is_empty(spark):
+    bench = spark.createDataFrame([(1, "alpha beta gamma delta epsilon zeta")],
+                                  "doc_id long, text string")
+    corpus = spark.createDataFrame([(2, "one two three four five six")],
+                                   "doc_id long, text string")
+    assert D.decontamination_flags(corpus, bench, "doc_id", "text", k=5).count() == 0

@@ -300,6 +300,38 @@ def minhash_lsh_pairs(
     )
 
 
+# --- Benchmark decontamination ---------------------------------------
+
+def decontamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Training-set decontamination: flag corpus documents sharing any
+    word ``k``-gram with a benchmark/eval set — the standard leakage
+    check run before training on scraped data.
+
+    Scale shape: the benchmark is small by nature (eval sets), so its
+    distinct-gram index BROADCASTS; the corpus side is a map-only
+    explode + broadcast-hash probe — the 100 TB corpus never shuffles.
+    The only exchange is the final groupBy over MATCHED grams, a set
+    proportional to the contamination (≈0 for a clean corpus), not the
+    corpus. Returns ``(id_col, shared_grams, matched_bench_docs)`` for
+    contaminated docs only."""
+    bg = shingle_rows(benchmark, id_col, text_col, k, out_id="bench_id")
+    cg = shingle_rows(corpus, id_col, text_col, k, out_id=id_col)
+    return (
+        cg.join(F.broadcast(bg), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("shared_grams"),
+            F.countDistinct("bench_id").alias("matched_bench_docs"),
+        )
+    )
+
+
 # --- SimHash ----------------------------------------------------------
 
 _SIMHASH_SCHEMA = T.StructType(

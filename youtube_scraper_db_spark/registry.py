@@ -3705,6 +3705,50 @@ def stream_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "decontamination_flags",
+    "EXT-decontam",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(nt, ' ') END AS t
+      FROM norm
+    ),
+    gr AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 5 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 4),
+                             i -> array_to_string(t[i:i+4], ' ')))
+             ELSE CAST([] AS VARCHAR[]) END) AS shingle
+      FROM tok
+    ),
+    bench AS (SELECT doc_id AS bench_id, shingle FROM gr WHERE doc_id % 23 = 0),
+    corpus AS (SELECT doc_id, shingle FROM gr WHERE doc_id % 23 <> 0)
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.shingle) AS BIGINT) AS shared_grams,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS matched_bench_docs
+    FROM corpus c JOIN bench b USING (shingle)
+    GROUP BY c.doc_id
+    """,
+)
+def decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llm/dedup.py decontamination_flags):
+    every 23rd document plays the eval set; corpus docs sharing any
+    5-gram with it are flagged with overlap counts. The benchmark's
+    distinct-gram index is broadcast, so the corpus side is a map-only
+    probe — at 100 TB the training corpus never shuffles; only matched
+    grams reach the final aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.pmod("doc_id", F.lit(23)) == 0)
+    corpus = d.where(F.pmod("doc_id", F.lit(23)) != 0)
+    return llm_dedup.decontamination_flags(corpus, bench, "doc_id", "text", k=5)
+
+
 # ----------------------------------------------------------------------
 # File-source round-trips: the engine's own sinks write real files from
 # parquet-derived rows, the engine's own sources parse them back, and the
