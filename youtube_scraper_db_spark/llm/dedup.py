@@ -48,7 +48,10 @@ class CacheScope:
 
     def release(self) -> None:
         for df in self._pinned:
-            df.unpersist()
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — pin bound to a stopped
+                pass  # SparkContext: the cache died with the session.
         self._pinned.clear()
 
 
