@@ -6,34 +6,52 @@ queries while the other 50 never produced a correctness row. These tests
 make the window's composition an explicit, asserted artifact so a future
 registry edit can't silently push a query out of coverage again.
 
-Round-3 rotation: the never-checked back half (REGISTRY[50:]) registers
-first. When rotating next round, update ``EXPECTED_FIRST`` here — the
-test is meant to force that edit to be conscious.
+The rotation round comes from the committed ``ORACLE_ROUND`` marker
+(round-3 ADVICE: deriving it from untracked CORRECTNESS_r{N}.json
+artifacts made the window depend on filesystem state). When rotating
+next round, bump ``ORACLE_ROUND`` and update ``MUST_BE_WINDOWED_BY_ROUND``
+here — the test is meant to force that edit to be conscious.
 """
 
 from __future__ import annotations
 
 from youtube_scraper_db_spark import registry
 
-#: queries that MUST be inside the checked window this round: the 5
-#: approximate-path recall gates (each certifies a no_oracle query) plus
-#: the mutation sinks / §2 ids flagged unchecked since round 1.
-MUST_BE_WINDOWED = {
-    "simhash_recall",
-    "lsh_near_dup_recall",
-    "lsh_ann_recall",
-    "ivf_ann_topk",
-    "ivf_kmeans_recall",
-    "merge_upsert_orders",
-    "insert_if_absent_orders",
-    "keyed_delete_orders",
-    "field_update_orders",
-    "schema_evolution_union",
-    "checkpoint_skip_orders",
-    "valid_available_parts",
-    "timestamped_docs",
-    "segment_join_render",
-    "mock_fetch_enrichment",
+#: Per-round MUST-cover sets, keyed by the committed round number. Round
+#: 3 windowed the ids never checked in r01/r02; round 4 must cover
+#: minhash_lsh_recall (the only entry with no driver row ever — swapped
+#: into [0:35] for this purpose) plus the round-3 additions at
+#: REGISTRY[100:115].
+MUST_BE_WINDOWED_BY_ROUND = {
+    3: {
+        "simhash_recall",
+        "lsh_near_dup_recall",
+        "lsh_ann_recall",
+        "ivf_ann_topk",
+        "ivf_kmeans_recall",
+        "merge_upsert_orders",
+        "insert_if_absent_orders",
+        "keyed_delete_orders",
+        "field_update_orders",
+        "schema_evolution_union",
+        "checkpoint_skip_orders",
+        "valid_available_parts",
+        "timestamped_docs",
+        "segment_join_render",
+        "mock_fetch_enrichment",
+    },
+    4: {
+        "minhash_lsh_recall",
+        "salted_supplier_revenue",
+        "salted_distinct_users",
+        "adhoc_sql_nation_revenue",
+        "zorder_curve_keys",
+        "incremental_rollup_equiv",
+        "decontamination_flags",
+        "playlists_json_source_roundtrip",
+        "transcript_files_roundtrip",
+        "inbox_stream_drain",
+    },
 }
 
 
@@ -66,14 +84,34 @@ def test_offset_walks_fifty_per_round():
 
 
 def test_required_queries_inside_window():
-    """Round 3 (offset 50) must window the ids never checked in r01/r02;
-    later rounds rotate past them by design, so the assertion is gated
-    on the offset this round actually runs with."""
-    if registry.window_offset() != 50:
-        return
+    """The committed round's window must cover that round's MUST set —
+    offset-independent (round-3 ADVICE: the old offset-gated guard went
+    permanently inert once the offset moved past 50)."""
+    rnd = registry.current_round()
+    must = MUST_BE_WINDOWED_BY_ROUND.get(rnd)
+    assert must is not None, (
+        f"ORACLE_ROUND={rnd} has no MUST_BE_WINDOWED_BY_ROUND entry — "
+        "add one when bumping the marker"
+    )
     window = set(list(registry.queries())[: registry.ORACLE_WINDOW])
-    missing = MUST_BE_WINDOWED - window
+    missing = must - window
     assert not missing, f"queries pushed out of the driver's checked window: {missing}"
+
+
+def test_round_marker_is_committed():
+    """ORACLE_ROUND must exist and be tracked by git — a fresh clone has
+    to compute the same window as this checkout."""
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "ORACLE_ROUND")
+    assert os.path.exists(path)
+    out = subprocess.run(
+        ["git", "-C", root, "ls-files", "--error-unmatch", "ORACLE_ROUND"],
+        capture_output=True,
+    )
+    assert out.returncode == 0, "ORACLE_ROUND is not tracked by git"
 
 
 def test_every_windowed_query_has_an_oracle():

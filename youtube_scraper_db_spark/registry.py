@@ -3895,12 +3895,31 @@ def playlists_json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 #: The driver's correctness harness oracles the FIRST 50 entries of
 #: ``queries()`` in dict-insertion order. Rounds 1–2 therefore checked
 #: REGISTRY[0:50] twice while REGISTRY[50:] never produced a row. The
-#: accessors below rotate the dict by 50 per round — the round number is
-#: read from the newest ``CORRECTNESS_r{N}.json`` the driver committed,
-#: so each verify pass automatically windows the least-recently-checked
-#: batch with no per-round edit. REGISTRY itself keeps its stable
-#: registration order (tests, bench and tools address specs by name).
+#: accessors below rotate the dict by 50 per round — the current round
+#: number comes from the COMMITTED ``ORACLE_ROUND`` marker at the repo
+#: root (bumped explicitly each round; round-3 ADVICE flagged the
+#: previous scheme of globbing untracked CORRECTNESS_r{N}.json files as
+#: fragile — a stray or missing artifact silently shifted the window).
+#: REGISTRY itself keeps its stable registration order (tests, bench and
+#: tools address specs by name); ``tools/check_oracle.py`` mirrors the
+#: full 115-query oracle locally each round (ORACLE_LOCAL_r{N}.txt) so
+#: the rotated-out queries retain a recorded check.
 ORACLE_WINDOW = 50
+
+
+def _swap_specs(a: str, b: str) -> None:
+    names = [s.name for s in REGISTRY]
+    i, j = names.index(a), names.index(b)
+    REGISTRY[i], REGISTRY[j] = REGISTRY[j], REGISTRY[i]
+
+
+# Round-4 VERDICT item 1: ``minhash_lsh_recall`` (registered at index 49)
+# is the only registry entry with no driver CORRECTNESS row ever — the
+# rotation would not reach it until round 5. Swap it with
+# ``summary_stats`` (index 3, driver-checked twice in r01/r02) so the
+# round-4 window [100:115]+[0:35] covers it. Position swap only; both
+# specs keep their names, oracles and tags.
+_swap_specs("minhash_lsh_recall", "summary_stats")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
@@ -3912,25 +3931,27 @@ def _offset_for_round(last_checked_round: int) -> int:
     return ((last_checked_round - 1) * ORACLE_WINDOW) % len(REGISTRY)
 
 
-def window_offset() -> int:
-    """Rotation offset for the current round, derived from the newest
-    driver-committed ``CORRECTNESS_r{N}.json`` (round N's verify runs
-    with files up to r(N-1) present): round 3 → offset 50, round 4 →
-    100, …, so every query re-enters the checked window every
-    ceil(len/50) rounds with no manual registry edit."""
+def current_round() -> int:
+    """The current build round, read from the committed ``ORACLE_ROUND``
+    marker at the repo root. Defaults to 1 (natural registry order) if
+    the marker is absent or malformed — a fresh clone always carries the
+    committed marker, so the default only covers pathological states."""
     import os
-    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rounds = [0]
     try:
-        for f in os.listdir(root):
-            m = re.match(r"CORRECTNESS_r(\d+)\.json$", f)
-            if m:
-                rounds.append(int(m.group(1)))
-    except OSError:
-        pass
-    return _offset_for_round(max(rounds))
+        with open(os.path.join(root, "ORACLE_ROUND")) as f:
+            return max(1, int(f.read().strip()))
+    except (OSError, ValueError):
+        return 1
+
+
+def window_offset() -> int:
+    """Rotation offset for the current round N (committed marker):
+    round N's verify windows batch N-1 — round 3 → offset 50, round 4 →
+    100, …, so every query re-enters the checked window every
+    ceil(len/50) rounds with one explicit marker bump per round."""
+    return _offset_for_round(current_round() - 1)
 
 
 def _rotated() -> list[QuerySpec]:
