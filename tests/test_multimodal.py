@@ -32,17 +32,69 @@ def test_attach_binary_metadata(media):
     assert rows[3].content is None and rows[3].sha256 is None
 
 
-def test_decode_image_features_deterministic(media):
-    a = {r.asset_id: (r.width, r.height, r.mean_luma) for r in M.decode_image_features(media).collect()}
-    b = {r.asset_id: (r.width, r.height, r.mean_luma) for r in M.decode_image_features(media).collect()}
-    assert a == b and set(a) == {1, 2, 3}
-    w, h, luma = a[1]
-    assert 64 <= w <= 64 + 255 * 4 and 64 <= h <= 64 + 255 * 4
-    assert 0.0 <= luma <= 1.0
+def test_parse_image_header_all_formats():
+    cases = [
+        (M.encode_png(640, 480, 8), ("png", 640, 480, 8)),
+        (M.encode_png(1, 1, 16), ("png", 1, 1, 16)),
+        (M.encode_gif(320, 200, 8), ("gif", 320, 200, 8)),
+        (M.encode_gif(7, 3, 4), ("gif", 7, 3, 4)),
+        (M.encode_bmp(800, 600, 24), ("bmp", 800, 600, 24)),
+        (M.encode_bmp(13, 7, 32), ("bmp", 13, 7, 32)),
+        (M.encode_jpeg_header(1920, 1080, 8), ("jpeg", 1920, 1080, 8)),
+    ]
+    for blob, expected in cases:
+        assert M.parse_image_header(blob) == expected, expected
+    # legacy BITMAPCOREHEADER (12-byte DIB)
+    import struct
+
+    core = b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + struct.pack("<IHHHH", 12, 21, 9, 1, 8)
+    assert M.parse_image_header(core) == ("bmp", 21, 9, 8)
+    # top-down BMP stores negative height
+    topdown = bytearray(M.encode_bmp(10, 5, 24))
+    topdown[22:26] = struct.pack("<i", -5)
+    assert M.parse_image_header(bytes(topdown)) == ("bmp", 10, 5, 24)
 
 
-def test_decode_strict_raises_without_decoder(media):
-    with pytest.raises(PythonException, match="requires PIL"):
+def test_parse_image_header_rejects_garbage():
+    assert M.parse_image_header(None) is None
+    assert M.parse_image_header(b"") is None
+    assert M.parse_image_header(b"not an image at all") is None
+    assert M.parse_image_header(M.encode_png(4, 4)[:12]) is None  # truncated
+    # JPEG with no SOF segment
+    assert M.parse_image_header(b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff\xd9") is None
+
+
+def test_decode_image_features_real_headers(spark):
+    blobs = [
+        (1, M.encode_png(64, 32, 8)),
+        (2, M.encode_gif(16, 16, 8)),
+        (3, M.encode_bmp(9, 5, 24)),
+        (4, M.encode_jpeg_header(100, 50)),
+        (5, b"junk bytes"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(blobs, "id long, blob binary")
+    media = M.attach_binary(df, "id", "blob", "image")
+    got = {r.asset_id: (r.format, r.width, r.height, r.bit_depth)
+           for r in M.decode_image_features(media).collect()}
+    assert got[1] == ("png", 64, 32, 8)
+    assert got[2] == ("gif", 16, 16, 8)
+    assert got[3] == ("bmp", 9, 5, 24)
+    assert got[4] == ("jpeg", 100, 50, 8)
+    assert got[5] == (None, None, None, None)
+    assert got[6] == (None, None, None, None)
+
+
+def test_decode_strict_works_on_real_images_rejects_junk(spark, media):
+    ok = spark.createDataFrame(
+        [(1, M.encode_png(8, 8)), (2, M.encode_bmp(4, 4))], "id long, blob binary"
+    )
+    rows = M.decode_image_features(
+        M.attach_binary(ok, "id", "blob", "image"), strict=True
+    ).collect()
+    assert {r.format for r in rows} == {"png", "bmp"}
+    # the text-payload fixture is not an image → strict raises
+    with pytest.raises(PythonException, match="unsupported or malformed"):
         M.decode_image_features(media, strict=True).collect()
 
 

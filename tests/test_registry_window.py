@@ -51,6 +51,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "playlists_json_source_roundtrip",
         "transcript_files_roundtrip",
         "inbox_stream_drain",
+        "image_header_decode",
     },
 }
 

@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched stages.
 
-The container has no image/audio libraries, so the decode kernels are
-STUBBED (deterministic fakes clearly marked, or NotImplementedError when
-``strict=True``) — but the Spark-side plumbing is real and tested: schema,
-partition sizing, ``mapInPandas`` batch shape, and metadata extraction all
-work exactly as they would with PIL/ffmpeg plugged into the kernel.
+Image HEADER decode is REAL and dependency-free: ``parse_image_header``
+reads width/height/bit-depth from the published fixed-offset container
+headers of PNG, GIF, BMP and JPEG (format specs are public; no imaging
+library needed). Full pixel decode (needed e.g. for mean luminance or
+perceptual hashes) still requires PIL/ffmpeg, which this container lacks —
+those paths raise ``NotImplementedError`` and are the documented boundary.
+Video frame sampling is likewise a stub (deterministic per-frame digests)
+with the real 1→N fan-out shape.
 
 Scale notes: binary payloads dominate row size → keep
 ``spark.sql.files.maxPartitionBytes`` at 128 MB so a partition holds a
@@ -17,6 +20,8 @@ happens on the cheap columns.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -52,56 +57,164 @@ def attach_binary(df: DataFrame, id_col: str, payload_col: str, media_type: str)
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
+        T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
-        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("bit_depth", T.IntegerType()),
     ]
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-def _fake_decode(content: bytes) -> tuple[int, int, float]:
-    """STUB image decode: deterministic pseudo-dimensions derived from the
-    content hash. Replace the body with ``PIL.Image.open(io.BytesIO(...))``
-    when the imaging stack is available — the signature and batch shape are
-    what a real kernel uses."""
-    h = hashlib.sha256(content or b"").digest()
-    width = 64 + h[0] * 4
-    height = 64 + h[1] * 4
-    mean_luma = round(h[2] / 255.0, 6)
-    return width, height, mean_luma
+
+def parse_image_header(content: bytes | None) -> tuple[str, int, int, int] | None:
+    """Real, dependency-free image header parse: (format, width, height,
+    bits-per-channel/pixel) from the public container formats' fixed
+    layouts. Returns None for NULL/unrecognized/truncated payloads.
+
+    - PNG: 8-byte signature, IHDR chunk — width/height as 4-byte BE ints
+      at offsets 16/20, bit depth (per channel) at 24.
+    - GIF (87a/89a): width/height as 2-byte LE at offsets 6/8; bits per
+      pixel = (packed-byte & 7) + 1 at offset 10.
+    - BMP: 'BM' + DIB header at offset 14. BITMAPINFOHEADER (size ≥ 40):
+      LE int32 width@18, height@22 (negative = top-down → abs), bpp@28.
+      Legacy BITMAPCOREHEADER (size 12): LE uint16 width@18, height@20,
+      bpp@24.
+    - JPEG: scan marker segments for a start-of-frame (0xC0–0xCF except
+      DHT/JPG/DAC); precision/height/width at +2/+3/+5 into the segment.
+    """
+    if not content:
+        return None
+    b = bytes(content)
+    if b.startswith(_PNG_SIG) and len(b) >= 26 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h, b[24])
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 11:
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h, (b[10] & 0x07) + 1)
+    if b[:2] == b"BM" and len(b) >= 26:
+        dib = struct.unpack("<I", b[14:18])[0]
+        if dib >= 40 and len(b) >= 30:
+            w, h = struct.unpack("<ii", b[18:26])
+            bpp = struct.unpack("<H", b[28:30])[0]
+            return ("bmp", w, abs(h), bpp)
+        if dib == 12:
+            w, h, _planes, bpp = struct.unpack("<HHHH", b[18:26])
+            return ("bmp", w, h, bpp)
+        return None
+    if b[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                precision = b[i + 4]
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h, precision)
+            i += 2 + seg_len
+        return None
+    return None
 
 
 def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Per-asset image feature extraction over ``mapInPandas`` (Arrow
-    batches of blobs in, feature rows out). ``strict=True`` raises
-    NotImplementedError where a real decoder belongs, proving the stub is
-    never silently trusted in production paths."""
+    """Per-asset image header decode over ``mapInPandas`` (Arrow batches
+    of blobs in, feature rows out) — real fixed-offset parsing, no
+    imaging library. Unrecognized/truncated payloads yield NULL feature
+    columns; ``strict=True`` raises instead, so a production pipeline
+    can refuse to silently pass undecodable bytes downstream."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import PIL.Image  # noqa: F401  (not in this container)
-
-            have_pil = True
-        except ImportError:
-            have_pil = False
         for pdf in batches:
-            if strict and not have_pil:
-                raise NotImplementedError(
-                    "real image decode requires PIL; stub disabled in strict mode"
-                )
-            rows = [_fake_decode(c) for c in pdf["content"]]
+            fmts, ws, hs, depths = [], [], [], []
+            for c in pdf["content"]:
+                parsed = parse_image_header(c)
+                if parsed is None:
+                    if strict:
+                        head = bytes(c or b"")[:8]
+                        raise NotImplementedError(
+                            f"unsupported or malformed image payload "
+                            f"(header {head!r}); only PNG/GIF/BMP/JPEG "
+                            f"headers decode without an imaging library"
+                        )
+                    fmts.append(None), ws.append(None), hs.append(None), depths.append(None)
+                else:
+                    f_, w, h, d = parsed
+                    fmts.append(f_), ws.append(w), hs.append(h), depths.append(d)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "width": [r[0] for r in rows],
-                    "height": [r[1] for r in rows],
-                    "mean_luma": [r[2] for r in rows],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "bit_depth": pd.array(depths, dtype="Int32"),
                 }
             )
 
     return media.select("asset_id", "content").mapInPandas(
         kernel, schema=IMAGE_FEATURES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimal real encoders (test/fixture generators) — each emits a valid file
+# another decoder would accept; used by the registry round-trip oracle.
+# ---------------------------------------------------------------------------
+
+
+def encode_png(width: int, height: int, bit_depth: int = 8) -> bytes:
+    """Minimal valid grayscale PNG: signature + IHDR + one-pixel-row IDAT
+    (zlib, all zero bytes) + IEND, with correct CRCs."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 0, 0, 0, 0)
+    row_bytes = (width * bit_depth + 7) // 8
+    raw = (b"\x00" + b"\x00" * row_bytes) * height  # filter byte + pixels
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_gif(width: int, height: int, bits_per_pixel: int = 8) -> bytes:
+    """Minimal GIF89a header + logical screen descriptor + trailer."""
+    packed = 0x80 | ((bits_per_pixel - 1) & 0x07) | (((bits_per_pixel - 1) & 0x07) << 4)
+    palette = b"\x00\x00\x00" * (2 ** bits_per_pixel)
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([packed, 0, 0])
+        + palette
+        + b"\x3b"
+    )
+
+
+def encode_bmp(width: int, height: int, bits_per_pixel: int = 24) -> bytes:
+    """Minimal BMP: BITMAPFILEHEADER + BITMAPINFOHEADER + zeroed pixel
+    rows (4-byte aligned)."""
+    row = ((width * bits_per_pixel + 31) // 32) * 4
+    pixels = b"\x00" * (row * height)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bits_per_pixel, 0, len(pixels), 2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + info + pixels
+
+
+def encode_jpeg_header(width: int, height: int, precision: int = 8) -> bytes:
+    """JPEG SOI + APP0(JFIF) + SOF0 frame header (no scan data — enough
+    for any header parser; not a renderable image)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    sof0_payload = struct.pack(">BHHB", precision, height, width, 1) + b"\x01\x11\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof0_payload)) + sof0_payload
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType(
