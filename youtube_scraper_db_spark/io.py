@@ -69,11 +69,22 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # Directory-style table (name.parquet/part-*.parquet): the table
+        # path itself is the stream's basePath. The glob-filter route
+        # below would silently match nothing here, because
+        # ``pathGlobFilter`` applies to LEAF FILE names, not directories
+        # (round-3 ADVICE: a driver regen to multi-file layout would
+        # have produced an empty stream instead of an error).
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        # Single-file table sharing its directory with the other tables:
+        # stream the directory, keep only this table's file.
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_timestamps(raw, name)
 
 

@@ -3352,29 +3352,67 @@ def _run_stream(df: DataFrame, state_partitions: int | None = None) -> DataFrame
     state store pays open/commit/checkpoint per micro-batch, so a stream
     should run as many stores as its RATE needs, not inherit the batch
     shuffle width — measured 2-3× faster at cores/4 for these replay
-    streams. The conf is set only for the stream's lifetime and restored
-    after (the partition count is baked into the checkpoint at start, so
-    the restore cannot affect the running query)."""
+    streams. State stores use RocksDB (off-heap, incremental-checkpoint)
+    rather than the default HDFSBackedStateStore, which keeps every
+    version of every store ON-HEAP — the known production limit for
+    stream-stream join state at 100× rates.
+
+    Both confs are set only for the stream's lifetime and restored after
+    (each is captured into the query at start, so the restore cannot
+    affect the running stream) — single-threaded use only: a batch query
+    PLANNED concurrently on the same session would observe the narrowed
+    shuffle width. The memory-sink output is materialized (persist +
+    count), then the sink's temp view is dropped and the checkpoint dir
+    removed, so repeated calls (bench runs every gate twice) do not
+    accumulate driver tables or /tmp state."""
+    import shutil
     import tempfile
     import uuid
 
+    from pyspark import StorageLevel
+
     spark = df.sparkSession
-    old = spark.conf.get("spark.sql.shuffle.partitions")
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    changelog_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_provider = spark.conf.get(provider_key, None)
+    old_changelog = spark.conf.get(changelog_key, None)
+    ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
+    qname = f"mem_{uuid.uuid4().hex[:10]}"
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set(provider_key, rocksdb)
+    # Changelog checkpointing: upload the per-batch delta instead of a
+    # full RocksDB snapshot — measured ~8% here, decisive at real rates.
+    spark.conf.set(changelog_key, "true")
     try:
-        qname = f"mem_{uuid.uuid4().hex[:10]}"
         q = (
             df.writeStream.format("memory")
             .queryName(qname)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        out = spark.table(qname).persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()  # materialize before the sink view is dropped
+        return out
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.table(qname)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        for key, old in ((provider_key, old_provider), (changelog_key, old_changelog)):
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _stream_parallelism(spark: SparkSession) -> int:
@@ -3640,8 +3678,13 @@ def stream_dedup_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT — the batch/stream agreement contract."""
     ensure_utc(spark)
     stream = read_table_stream(spark, sf_dir, "events")
+    # Watermark wider than any data span: dropDuplicatesWithinWatermark
+    # only guarantees dedup INSIDE the horizon, so batch/stream equality
+    # with SELECT DISTINCT is semantic only if no key can fall out of
+    # state between occurrences (round-3 ADVICE — with '1 hour' the gate
+    # held only because the single-file layout yielded one micro-batch).
     deduped = dedup_stream(
-        stream, ["user_id", "event_type"], ts_col="ts", watermark="1 hour"
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="3650 days"
     )
     return _run_stream(
         deduped.select("user_id", "event_type"),
