@@ -106,6 +106,62 @@ def test_no_ntz_leaks_anywhere(spark):
 
 
 @needs_testdata
+def test_table_layout_inventory():
+    """Every table exists as a single parquet FILE or a parquet DIRECTORY.
+    Both layouts are supported end-to-end (io.read_table_stream handles
+    each explicitly — round-3 ADVICE: the glob-filter route silently
+    matched nothing for directory-style tables), so this is an inventory
+    canary, not a single-file pin: it fails only if a regeneration
+    produces a layout neither branch recognizes."""
+    for table in EXPECTED:
+        path = os.path.join(SF_DIR, f"{table}.parquet")
+        assert os.path.isfile(path) or os.path.isdir(path), (
+            f"{table}: unrecognized testdata layout at {path}"
+        )
+        if os.path.isdir(path):
+            assert any(f.endswith(".parquet") for f in os.listdir(path)), (
+                f"{table}: directory-style table with no part files"
+            )
+
+
+@needs_testdata
+@pytest.mark.parametrize(
+    "sf_dir",
+    [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1") if os.path.isdir(d)],
+)
+def test_transcript_roundtrip_content_invariants(spark, sf_dir):
+    """The transcript/inbox round-trip oracles (registry
+    _write_transcript_inbox + _TRANSCRIPT_RT_ORACLE) assume the first 100
+    documents contain: no empty/whitespace-only text (the oracle filters
+    trim(text) <> '' while the writer emits every file), no lines the S9
+    header grammar would capture (TITLE:/URL:/ID: at line start — the
+    parser would slice them out of the body), and no carriage returns
+    (the body regex treats \\r\\n specially). Round-3 ADVICE: assert them
+    here so a driver regeneration breaks loudly in pytest instead of as
+    an opaque hash mismatch in a driver correctness row."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    bad = docs.where(
+        F.col("text").isNull()
+        | (F.trim("text") == "")
+        | F.col("text").rlike(r"(?m)^(TITLE|URL|ID):")
+        | F.col("text").contains("\r")
+    )
+    offenders = [r.doc_id for r in bad.select("doc_id").limit(5).collect()]
+    assert not offenders, (
+        f"{sf_dir}: documents {offenders} violate the transcript "
+        f"round-trip content invariants (empty text, header-like line, "
+        f"or carriage return) — update _write_transcript_inbox / the "
+        f"oracle before the driver correctness gate hits this"
+    )
+
+
+@needs_testdata
 def test_events_ts_values_sane(spark):
     """ts must parse to plausible instants (not 1970-epoch junk from a
     mis-scaled nanos fallback)."""
