@@ -54,6 +54,13 @@ DOC_QUERIES = [
     "decontamination_flags",
     "near_dup_clusters",
 ]
+#: queries probed under a skewed key distribution (--skew): each groups
+#: or joins on the key a hot entity owns ~20% of.
+SKEW_QUERIES = [
+    "salted_supplier_revenue",  # fact⋈dim join on l_suppkey (salted)
+    "event_funnel",             # keyed window sort on user_id
+    "top_orders_per_customer",  # grouped top-k on o_custkey
+]
 
 
 def build_scaled(spark, sf_dir: str, factor: int) -> str:
@@ -102,6 +109,98 @@ def build_scaled(spark, sf_dir: str, factor: int) -> str:
     return out
 
 
+def _replicate(df, factor: int, offsets: dict[str, object]):
+    """Union ``factor`` copies, offsetting each key column by
+    copy_index * offset so entity cardinality grows with volume."""
+    copies = []
+    for i in range(factor):
+        cols = [
+            (F.col(c) + F.lit(i * off)).alias(c) if off else F.col(c)
+            for c, off in offsets.items()
+        ]
+        copies.append(df.select(*cols))
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def build_skew_pair(spark, sf_dir: str, factor: int) -> tuple[str, str]:
+    """Materialize two equal-volume ×factor datasets for the skew probe:
+    UNIFORM (keys replicated with per-copy offsets, like build_scaled)
+    and SKEWED (same rows, then ~20% of each fact table's rows — chosen
+    by a deterministic hash — reassigned to ONE hot key). Volume and
+    schema are identical; only the key distribution differs, so
+    time(skewed)/time(uniform) isolates the skew handling itself."""
+    uni = tempfile.mkdtemp(prefix=f"sg_skewU_x{factor}_")
+    skw = tempfile.mkdtemp(prefix=f"sg_skewS_x{factor}_")
+
+    def mx(df, col):
+        return df.agg(F.max(col)).first()[0] + 1
+
+    ev = read_table(spark, sf_dir, "events")
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders")
+    sup = read_table(spark, sf_dir, "supplier")
+
+    ev_n = _replicate(
+        ev,
+        factor,
+        {"event_id": mx(ev, "event_id"), "ts": 0, "user_id": mx(ev, "user_id"),
+         "event_type": 0, "value": 0, "props": 0},
+    )
+    sup_off = mx(sup, "s_suppkey")
+    li_n = _replicate(
+        li,
+        factor,
+        {"l_orderkey": mx(li, "l_orderkey"), "l_partkey": 0,
+         "l_suppkey": sup_off, "l_linenumber": 0, "l_quantity": 0,
+         "l_extendedprice": 0, "l_discount": 0, "l_tax": 0,
+         "l_returnflag": 0, "l_linestatus": 0, "l_shipdate": 0},
+    )
+    od_n = _replicate(
+        od,
+        factor,
+        {"o_orderkey": mx(od, "o_orderkey"), "o_custkey": mx(od, "o_custkey"),
+         "o_orderstatus": 0, "o_totalprice": 0, "o_orderdate": 0,
+         "o_orderpriority": 0},
+    )
+    sup_n = _replicate(
+        sup, factor, {"s_suppkey": sup_off, "s_name": 0, "s_nationkey": 0}
+    )
+
+    def hot(df, salt_col, key_col, hot_value):
+        """Reassign ~20% of rows (deterministic hash pick) to the hot key."""
+        pick = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(5)) == 0
+        return df.withColumn(
+            key_col,
+            F.when(pick, F.lit(hot_value)).otherwise(F.col(key_col)),
+        )
+
+    for out_dir, evx, lix, odx in (
+        (uni, ev_n, li_n, od_n),
+        (
+            skw,
+            hot(ev_n, "event_id", "user_id", 1),
+            hot(li_n, "l_orderkey", "l_suppkey", 1),
+            hot(od_n, "o_orderkey", "o_custkey", 1),
+        ),
+    ):
+        evx.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "events.parquet")
+        )
+        lix.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "lineitem.parquet")
+        )
+        odx.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "orders.parquet")
+        )
+        sup_n.repartition(4).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "supplier.parquet")
+        )
+    return uni, skw
+
+
 def time_query(spark, spec, sf_dir: str, reps: int = 2) -> float:
     best = float("inf")
     for _ in range(reps):
@@ -133,11 +232,56 @@ def time_all(sf_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
+def run_skew_probe(args) -> None:
+    """Skewed-key probe (round-4 VERDICT item 4): equal-volume uniform vs
+    hot-key datasets; a ratio near 1 proves the skew story (salting /
+    AQE skew-join / O(k) per-group state) on data that actually needs it."""
+    spark = get_spark("scale_probe")
+    uni_dir, skw_dir = build_skew_pair(spark, args.sf, args.factor)
+    spark.stop()
+
+    base = time_all(uni_dir, SKEW_QUERIES)
+    skewed = time_all(skw_dir, SKEW_QUERIES)
+
+    lines = [
+        "",
+        f"## Skewed-key probe (×{args.factor} volume, one hot key owning ~20% of each fact table)",
+        "",
+        "Same row count and schema on both sides; only the key distribution "
+        "differs (deterministic 20% of l_suppkey/user_id/o_custkey rows "
+        "reassigned to one hot entity). ratio = t(skewed)/t(uniform); "
+        "near 1 ⇒ the plan absorbs the hot key (salting spreads it, AQE "
+        "splits it, or per-group state is O(k)); ≫ 1 ⇒ a straggler reducer.",
+        "",
+        "| query | t(uniform) s | t(skewed) s | ratio | verdict |",
+        "|---|---|---|---|---|",
+    ]
+    for name in SKEW_QUERIES:
+        tu, ts_ = base[name], skewed[name]
+        ratio = round(ts_ / tu, 2) if tu > 0 else float("inf")
+        verdict = "skew-absorbed" if ratio <= 1.5 else "STRAGGLER"
+        lines.append(f"| {name} | {tu} | {ts_} | {ratio}× | {verdict} |")
+        print(lines[-1], flush=True)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALE_PROBE.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended skew section to SCALE_PROBE.md (data in {uni_dir}, {skw_dir})")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=20)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--skew", action="store_true",
+        help="run the skewed-key probe instead of the growth probe",
+    )
     args = ap.parse_args()
+
+    if args.skew:
+        run_skew_probe(args)
+        return
 
     spark = get_spark("scale_probe")
     scaled_dir = build_scaled(spark, args.sf, args.factor)

