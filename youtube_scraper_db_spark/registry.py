@@ -187,19 +187,22 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     built from cross-joined scalar aggregates (each a partial-combine agg)."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    multi = (
+    # One pass over orders: the per-customer rollup simultaneously feeds
+    # the global count (sum of per-customer counts), the global MAX, and
+    # the agg-of-agg — fusing what was previously a second full orders
+    # scan + scalar agg (round-3 VERDICT item 7: 6 exchanges for a
+    # handful of scalars; now one hash agg + two scalar merges).
+    stats = (
         o.groupBy("o_custkey")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .agg(F.count("*").alias("multi_order_customers"))
+        .agg(F.count("*").alias("n"), F.max("o_orderdate").alias("d"))
+        .agg(
+            F.sum("n").alias("total_orders"),
+            F.max("d").alias("last_order_date"),
+            F.sum((F.col("n") > 1).cast("long")).alias("multi_order_customers"),
+        )
     )
     return (
-        o.agg(
-            F.count("*").alias("total_orders"),
-            F.max("o_orderdate").alias("last_order_date"),
-        )
-        .crossJoin(li.agg(F.count("*").alias("total_lineitems")))
-        .crossJoin(multi)
+        stats.crossJoin(li.agg(F.count("*").alias("total_lineitems")))
         .select("total_orders", "total_lineitems", "last_order_date", "multi_order_customers")
     )
 
