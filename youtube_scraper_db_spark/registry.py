@@ -2814,14 +2814,16 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.struct("ts", "event_id").alias("pos")
     )
-    first_view = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("pos").alias("first_view"))
+    # one full scan: every user appears (users_total), first_view NULL
+    # for users with no view — the conditional MIN costs nothing extra.
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("pos"))).alias(
+            "first_view"
+        )
     )
     first_click = (
         e.where(F.col("event_type") == "click")
-        .join(first_view, "user_id")
+        .join(per_user.where(F.col("first_view").isNotNull()), "user_id")
         .where(F.col("pos") > F.col("first_view"))
         .groupBy("user_id")
         .agg(F.min("pos").alias("first_click"))
@@ -2833,10 +2835,8 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
-    totals = e.groupBy("user_id").agg(F.lit(1).alias("_one"))
     return (
-        totals.join(first_view, "user_id", "left")
-        .join(first_click, "user_id", "left")
+        per_user.join(first_click, "user_id", "left")
         .join(purchased.withColumn("_p", F.lit(1)), "user_id", "left")
         .agg(
             F.count(F.lit(1)).alias("users_total"),
