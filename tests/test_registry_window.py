@@ -52,6 +52,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "transcript_files_roundtrip",
         "inbox_stream_drain",
         "image_header_decode",
+        "gif_frame_samples",
     },
 }
 

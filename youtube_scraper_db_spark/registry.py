@@ -3986,6 +3986,58 @@ def image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm_multimodal.decode_image_features(media, strict=True)
 
 
+@spec(
+    "gif_frame_samples",
+    "LLM-multimodal",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(f AS INT) AS frame_no,
+           CAST(8 + (doc_id + f) % 13 AS INT) AS frame_w,
+           CAST(4 + (doc_id + f) % 7 AS INT) AS frame_h
+    FROM documents, unnest([0, 2, 4]) AS u(f)
+    WHERE doc_id < 150 AND f < 2 + doc_id % 4
+    """,
+)
+def gif_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling round-trip: one animated GIF per document
+    (frame count and per-frame geometry pure functions of doc_id), block
+    walk recovers every 2nd frame's descriptor geometry up to 3 samples
+    (llm/multimodal.py parse_gif_frames / sample_gif_frames). The oracle
+    regenerates the sampled (frame_no, w, h) set arithmetically, so a
+    mis-stepped sub-block walk or off-by-one in the sampling stride
+    hash-mismatches. Frame digests are pytest-covered (not SQL-
+    expressible); blob synthesis is bounded driver-side scaffolding."""
+    ensure_utc(spark)
+    ids = [
+        r.doc_id
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+        .collect()
+    ]
+    blobs = [
+        (
+            int(i),
+            bytearray(
+                llm_multimodal.encode_animated_gif(
+                    64,
+                    64,
+                    [
+                        (8 + (i + f) % 13, 4 + (i + f) % 7)
+                        for f in range(2 + i % 4)
+                    ],
+                )
+            ),
+        )
+        for i in ids
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    media = llm_multimodal.attach_binary(df, "doc_id", "blob", "gif")
+    return llm_multimodal.sample_gif_frames(media, every_n=2, max_frames=3).select(
+        "asset_id", "frame_no", "frame_w", "frame_h"
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
