@@ -175,14 +175,15 @@ def test_sampling_and_chunking_are_shuffle_free(spark, name):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_funnel_is_single_data_shuffle(spark):
-    """event_funnel must stack its stage windows on ONE keyed exchange —
-    a per-stage self-join (or one exchange per window) is the O(k·n)
-    anti-pattern the operator exists to avoid. The only other exchange
-    allowed is the final single-row rollup."""
+def test_funnel_is_skew_robust(spark):
+    """event_funnel's skew-robust formulation (first-position aggregate
+    chain): NO keyed window — a per-user sort funnels a hot user's whole
+    history through one reducer, the exact hazard the rewrite removed —
+    and every join must be an equi join (BHJ/SMJ/SHJ) that AQE's
+    skew-join can split, never NestedLoop/Cartesian."""
     plan = plan_of(spark, "event_funnel")
-    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan[:800]
-    assert "Join" not in plan
+    assert "Window" not in plan, plan[:800]
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:800]
 
 
 def test_grouping_sets_single_pass(spark):
