@@ -53,6 +53,8 @@ HEADLINE = [
     "incremental_rollup_equiv",
     "stream_correlated_pairs",
     "decontamination_flags",
+    "doc_repetition_stats",
+    "int8_ann_topk",
 ]
 
 

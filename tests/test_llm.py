@@ -259,3 +259,53 @@ def test_decontamination_clean_corpus_is_empty(spark):
     corpus = spark.createDataFrame([(2, "one two three four five six")],
                                    "doc_id long, text string")
     assert D.decontamination_flags(corpus, bench, "doc_id", "text", k=5).count() == 0
+
+
+def test_max_run_length_and_bigrams(spark):
+    from youtube_scraper_db_spark.llm import text as T
+
+    rows = [
+        (0, "a a a b b c"),      # mode 'a' ×3; bigram "a a" ×2 of 5
+        (1, "x y x y x"),        # mode ×3 unsorted→sorted; "x y" ×2 of 4
+        (2, "solo"),             # single token: no bigrams
+        (3, ""),                 # empty: everything 0
+        (4, "t t t t"),          # all same: top frac 1, "t t" ×3 of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = T.tokens("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.max_run_length(F.array_sort(tok)).alias("topw"),
+            T.max_run_length(
+                F.array_sort(T.bigrams_of_tokens(tok))
+            ).alias("topb"),
+            F.size(T.bigrams_of_tokens(tok)).alias("nbi"),
+        ).collect()
+    }
+    assert (out[0]["topw"], out[0]["topb"], out[0]["nbi"]) == (3, 2, 5)
+    assert (out[1]["topw"], out[1]["topb"], out[1]["nbi"]) == (3, 2, 4)
+    assert (out[2]["topw"], out[2]["topb"], out[2]["nbi"]) == (1, 0, 0)
+    assert (out[3]["topw"], out[3]["topb"], out[3]["nbi"]) == (0, 0, 0)
+    assert (out[4]["topw"], out[4]["topb"], out[4]["nbi"]) == (4, 3, 3)
+
+
+def test_quantize_int8_exact_ints_and_recall(spark):
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q8 = df.select(
+        "vec_id", S.quantize_int8(S.as_double("embedding")).alias("q")
+    )
+    import math
+
+    for r in q8.collect():
+        for v in r["q"]:
+            assert v == math.floor(v) and abs(v) <= 127  # exact int8 range
+        assert max(abs(v) for v in r["q"]) == 127  # scale hits the max slot
+    # quantized top-5 must broadly agree with the exact float top-5
+    qdf = df.filter("vec_id = 0").select(F.col("embedding").alias("qv"))
+    exact = {r["vec_id"] for r in S.cosine_topk(df, qdf, k=5).collect()}
+    quant = {r["vec_id"] for r in S.quantized_cosine_topk(df, qdf, k=5).collect()}
+    assert len(quant) == 5
+    assert len(exact & quant) >= 4

@@ -44,6 +44,8 @@ BNLJ_OK = {
     "ivf_ann_topk",         # nprobe centroid-distance scalar
     "ivf_kmeans_recall",
     "seq_packing_gate",     # invariant gate joins three scalar aggs
+    "int8_ann_topk",        # broadcast 1-row quantized query vector
+    "int8_ann_recall",
 }
 
 

@@ -201,6 +201,25 @@ def test_band_join_is_equi_join(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_repetition_stats_shuffle_free(spark):
+    """doc_repetition_stats must be a pure map over the scan — the
+    sorted-array fold exists precisely to avoid the explode + double
+    groupBy (two corpus-sized exchanges) its oracle uses."""
+    plan = plan_of(spark, "doc_repetition_stats")
+    assert "Exchange" not in plan, plan[:600]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_int8_topk_is_takeordered(spark):
+    """int8_ann_topk: quantized scoring is a projection over the scan;
+    the top-10 must be TakeOrderedAndProject with no shuffle exchange
+    (only the 1-row broadcast of the quantized query vector)."""
+    plan = plan_of(spark, "int8_ann_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_weighted_sample_is_topk_no_shuffle(spark):
     """weighted_doc_sample: scoring is a projection; the top-50 must be
     TakeOrderedAndProject with zero Exchange (no global sort)."""

@@ -53,6 +53,9 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "inbox_stream_drain",
         "image_header_decode",
         "gif_frame_samples",
+        "doc_repetition_stats",
+        "int8_ann_topk",
+        "int8_ann_recall",
     },
 }
 

@@ -104,6 +104,44 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def max_run_length(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    string array — i.e. the occurrence count of the array's mode. A
+    sequential left fold (``F.aggregate``) over the sorted array: O(n)
+    per row after the O(n log n) ``array_sort``, entirely inside
+    whole-stage codegen — the shuffle-free way to get "count of the most
+    frequent token" without exploding to (doc, token) rows. Empty array
+    → 0."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def bigrams_of_tokens(tok: Column) -> Column:
+    """Adjacent word-bigram array ("a b c" → ["a b", "b c"]) from an
+    already-materialized token array (same bind-once rationale as
+    ``shingles_of_tokens``). Two aligned slices zipped — no explode, no
+    shuffle. Fewer than 2 tokens → empty array."""
+    m = F.greatest(F.size(tok) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(tok, 1, m),
+        F.slice(tok, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
 def normalize(col: Column | str) -> Column:
     """Dedup normalization: lowercase + whitespace collapse."""
     return F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")

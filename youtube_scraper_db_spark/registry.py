@@ -4039,6 +4039,150 @@ def gif_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Round 4: Gopher-style repetition signals and int8-quantized ANN — the
+# two remaining staples of a training-data curation pass (repetitious
+# machine-generated text is the classic pre-training poison; quantized
+# scans are the memory-bound ANN path at corpus scale).
+# ----------------------------------------------------------------------
+
+
+@spec(
+    "doc_repetition_stats",
+    "EXT-repetition LLM-quality",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    base AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    wc AS (SELECT doc_id, w, count(*) AS c
+           FROM base, unnest(t) AS u(w) GROUP BY doc_id, w),
+    wagg AS (SELECT doc_id, max(c) AS top_w, count(*) AS n_distinct
+             FROM wc GROUP BY doc_id),
+    bg AS (SELECT doc_id,
+                  list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1]) AS b
+           FROM base),
+    bc AS (SELECT doc_id, g, count(*) AS c
+           FROM bg, unnest(b) AS u(g) GROUP BY doc_id, g),
+    bagg AS (SELECT doc_id, max(c) AS top_b FROM bc GROUP BY doc_id)
+    SELECT base.doc_id,
+           CAST(base.n AS BIGINT) AS n_tokens,
+           FLOOR((CAST(COALESCE(top_w, 0) AS DOUBLE)
+                  / greatest(base.n, 1)) * 10000) / 10000.0 AS top_word_frac,
+           FLOOR((CAST(base.n - COALESCE(n_distinct, 0) AS DOUBLE)
+                  / greatest(base.n, 1)) * 10000) / 10000.0 AS dup_word_frac,
+           FLOOR((CAST(COALESCE(top_b, 0) AS DOUBLE)
+                  / greatest(base.n - 1, 1)) * 10000) / 10000.0
+             AS top_bigram_frac
+    FROM base LEFT JOIN wagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText rules:
+    excessive repetition marks low-quality machine-generated text):
+    most-frequent-word fraction, repeated-occurrence word fraction, and
+    most-frequent-bigram fraction per document. SHUFFLE-FREE: instead of
+    exploding to (doc, token) rows and double-aggregating (two exchanges
+    over corpus-sized intermediates), each row sorts its own token array
+    and takes the longest equal-adjacent run — O(L log L) per document
+    inside whole-stage codegen, so at 100 TB this is a pure map over the
+    scan, same cost shape as doc_token_stats. The DuckDB oracle computes
+    the same statistics the orthodox way (unnest + two GROUP BYs), so
+    the fold and the relational form verify each other."""
+    d = _t(spark, sf_dir, "documents")
+    tokd = d.select("doc_id", llm_text.tokens("text").alias("t"))
+    n = F.size(F.col("t"))
+    safe_n = F.greatest(n, F.lit(1))
+    top_w = llm_text.max_run_length(F.array_sort(F.col("t")))
+    n_distinct = F.size(F.array_distinct(F.col("t")))
+    top_b = llm_text.max_run_length(
+        F.array_sort(llm_text.bigrams_of_tokens(F.col("t")))
+    )
+    return tokd.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        llm_text.trunc4(top_w / safe_n).alias("top_word_frac"),
+        llm_text.trunc4((n - n_distinct) / safe_n).alias("dup_word_frac"),
+        llm_text.trunc4(top_b / F.greatest(n - 1, F.lit(1))).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+@spec(
+    "int8_ann_topk",
+    "EXT-quantized-ann LLM-sim",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 127.0 / greatest(list_max(list_transform(v, y -> abs(y))),
+                                  1e-12) AS sc
+          FROM e),
+    q8 AS (SELECT vec_id,
+                  list_transform(v, x -> CAST(floor(x * sc + 0.5) AS DOUBLE))
+                    AS q
+           FROM s),
+    qq AS (SELECT q AS qv FROM q8 WHERE vec_id = 0),
+    scored AS (
+      SELECT q8.vec_id,
+             list_dot_product(q8.q, qq.qv)
+               / (sqrt(list_dot_product(q8.q, q8.q))
+                  * sqrt(list_dot_product(qq.qv, qq.qv))) AS raw
+      FROM q8 CROSS JOIN qq
+    )
+    SELECT vec_id, FLOOR(raw * 10000) / 10000.0 AS qcos
+    FROM scored
+    -- order by the RAW score (bit-identical across engines: exact int
+    -- dots), not the truncated one — truncation coarsens ties and could
+    -- select a different boundary row than the Spark plan does.
+    ORDER BY raw DESC, vec_id
+    LIMIT 10
+    """,
+)
+def int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by cosine over int8-quantized embeddings for the vec_id=0
+    query — the quantized-scan ANN path (4× less bytes per vector than
+    float32; at 100 TB the brute-force scan is bandwidth-bound, so
+    quantization IS the speedup). Query broadcast, corpus shuffle-free,
+    TakeOrderedAndProject top-k. Every dot product is a sum of
+    int8×int8 terms — exactly representable in doubles — so Spark and
+    DuckDB agree bit-for-bit and the value hash is meaningful, not
+    tolerance-fudged (llm/similarity.py quantize_int8)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    top = llm_similarity.quantized_cosine_topk(e, q, k=10)
+    return top.select("vec_id", llm_text.trunc4(F.col("qcos")).alias("qcos"))
+
+
+@spec(
+    "int8_ann_recall",
+    "EXT-quantized-ann LLM-sim",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS returned, TRUE AS recall_ok
+    """,
+)
+def int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-quality gate: the int8 top-10 must return a full k
+    and hit ≥ 8 of the exact float top-10 for the vec_id=0 query
+    (measured 10/10 at sf0.001 and sf0.01 — symmetric int8 loses almost
+    nothing at dim 64; the gate pins that property against a future
+    quantizer change)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
+    quant10 = llm_similarity.quantized_cosine_topk(e, q, k=10).select("vec_id")
+    hits = quant10.join(exact10, ["vec_id"], "left_semi")
+    return (
+        quant10.agg(F.count("*").alias("returned"))
+        .crossJoin(hits.agg(F.count("*").alias("hit_cnt")))
+        .select("returned", (F.col("hit_cnt") >= 8).alias("recall_ok"))
+    )
+
+
+# ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
 
