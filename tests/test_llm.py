@@ -309,3 +309,22 @@ def test_quantize_int8_exact_ints_and_recall(spark):
     quant = {r["vec_id"] for r in S.quantized_cosine_topk(df, qdf, k=5).collect()}
     assert len(quant) == 5
     assert len(exact & quant) >= 4
+
+
+def test_substring_dup_flags_catches_misaligned_copy(spark):
+    """A 120-char literal block pasted into two otherwise-distinct
+    documents at DIFFERENT offsets must flag both docs (content-defined
+    sampling is alignment-independent); unrelated docs stay unflagged."""
+    block = "the quick brown fox jumps over the lazy dog " * 3  # 135 chars
+    rows = [
+        (1, "left padding words here. " + block + " tail one"),
+        (2, "completely different and much longer preamble text " + block),
+        (3, "independent document with no shared content at all " * 4),
+        (4, "another standalone text that repeats nothing from others " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r["n_shared_grams"] for r in
+           D.substring_dup_flags(df, "doc_id", "text").collect()}
+    assert 1 in out and 2 in out, out
+    assert out[1] >= 1 and out[2] >= 1
+    assert 3 not in out and 4 not in out

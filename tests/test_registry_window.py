@@ -56,6 +56,9 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "doc_repetition_stats",
         "int8_ann_topk",
         "int8_ann_recall",
+        "substring_dup_flags",
+        "corpus_vocab_topk",
+        "training_shard_manifest",
     },
 }
 

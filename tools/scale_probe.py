@@ -53,6 +53,8 @@ DOC_QUERIES = [
     "simhash_dups",
     "decontamination_flags",
     "near_dup_clusters",
+    "doc_repetition_stats",
+    "substring_dup_flags",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

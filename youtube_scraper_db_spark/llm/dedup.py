@@ -98,6 +98,57 @@ def exact_dedup_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def substring_dup_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram: int = 64,
+    keep_mod: int = 4,
+) -> DataFrame:
+    """Exact-substring duplication detector (the Lee et al. 2022
+    "Deduplicating Training Data" mode that MinHash misses: long literal
+    copies embedded in otherwise-distinct documents). Flags every
+    document that shares at least one exact ``gram``-char substring with
+    ANOTHER document, returning ``(doc, n_shared_grams)``.
+
+    Candidate grams are CONTENT-DEFINED sampled — keep a gram iff
+    ``int(md5(gram)[:8], 16) % keep_mod == 0`` — so selection depends
+    only on the bytes themselves, never the offset: two documents
+    sharing a long substring at different alignments still sample the
+    SAME grams (a fixed-stride sample would miss misaligned copies
+    entirely). Expected 1/keep_mod of the L-gram+1 positions survive;
+    a shared span of length ``gram + k`` has k+1 chances to be sampled.
+
+    Shape at 100 TB: gram explode is map-side; one shuffle on the gram
+    key for the frequency count-window (the aggregate+join fusion used
+    for shingle doc-frequency), one key-local aggregate per doc. In
+    production the shuffle key would be an 8-byte digest of the gram
+    rather than the 64-char string (4-8× narrower exchange); the string
+    key is kept here so the DuckDB oracle is textually identical.
+    md5 is the portable sampling hash (same literal result in both
+    engines); a cluster deployment would swap in xxhash64."""
+    t = F.col(text_col)
+    positions = F.sequence(F.lit(1), F.length(t) - (gram - 1))
+    sampled = F.filter(
+        F.array_distinct(
+            F.transform(positions, lambda i: F.substring(t, i, gram))
+        ),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % keep_mod
+        == 0,
+    )
+    rows = df.where(F.length(t) >= gram).select(
+        F.col(id_col).alias("doc"), F.explode(sampled).alias("gram")
+    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    return (
+        rows.withColumn("nd", nd)
+        .where(F.col("nd") >= 2)
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+
+
 # --- n-gram Jaccard ---------------------------------------------------
 
 def jaccard_pairs(

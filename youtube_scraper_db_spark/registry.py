@@ -4182,6 +4182,125 @@ def int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "substring_dup_flags",
+    "EXT-substring-dedup LLM-dedup",
+    oracle="""
+    WITH g0 AS (
+      SELECT doc_id,
+             list_filter(
+               list_distinct(list_transform(range(1, len(text) - 62),
+                                            i -> substr(text, i, 64))),
+               g -> ('0x' || substr(md5(g), 1, 8))::BIGINT % 4 = 0) AS gs
+      FROM documents WHERE len(text) >= 64
+    ),
+    g AS (SELECT doc_id AS doc, u.g AS gram FROM g0, unnest(gs) AS u(g)),
+    c AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
+    SELECT g.doc, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM g JOIN c USING (gram)
+    WHERE c.nd >= 2
+    GROUP BY g.doc
+    """,
+)
+def substring_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication (Lee et al. 2022): documents sharing
+    any exact 64-char substring with another document, with
+    content-defined (alignment-independent) gram sampling so misaligned
+    copies are still caught — the dedup mode MinHash/SimHash miss (a
+    boilerplate block pasted into otherwise-distinct pages). One gram
+    shuffle + one doc-key aggregate (llm/dedup.py
+    substring_dup_flags)."""
+    d = _t(spark, sf_dir, "documents")
+    return llm_dedup.substring_dup_flags(d, "doc_id", "text")
+
+
+@spec(
+    "corpus_vocab_topk",
+    "EXT-vocab LLM-text A6 O7",
+    oracle=f"""
+    WITH {_TOK_CTE}
+    SELECT w AS token,
+           CAST(count(*) AS BIGINT) AS cf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok, unnest(t) AS u(w)
+    GROUP BY w
+    ORDER BY cf DESC, token
+    LIMIT 100
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by collection frequency
+    with document frequency — the first artifact of tokenizer/vocab
+    induction and the input to stopword-list construction. One token
+    shuffle with map-side partial aggregation (explode is map-side; the
+    per-token row is (token, cf, df) — tiny regardless of corpus size),
+    then TakeOrderedAndProject for the head. df via count_distinct on
+    doc_id inside the same aggregate — no second pass."""
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        "doc_id", F.explode(llm_text.tokens("text")).alias("token")
+    )
+    return (
+        rows.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("cf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("cf"), F.asc("token"))
+        .limit(100)
+    )
+
+
+@spec(
+    "training_shard_manifest",
+    "EXT-shard LLM-export A2",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 8 AS shard,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tok,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT AS content_h
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(content_h) AS BIGINT) AS content_checksum
+    FROM s GROUP BY shard
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest — the export step of the
+    curation pipeline: every document hash-routes to one of 8 shards by
+    an engine-portable digest of its id (md5 prefix, not Spark's
+    murmur3, so the assignment is reproducible outside Spark), and each
+    shard reports row count, token total, and an order-insensitive
+    content checksum (sum of per-doc digest ints — commutative, so the
+    manifest is independent of partitioning/arrival order; a writer on
+    another engine can re-derive and verify it). One shuffle of 8
+    pre-combined partial rows; at 100 TB the real writer would
+    repartition("shard") before write — the manifest aggregate itself is
+    free."""
+    d = _t(spark, sf_dir, "documents")
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
+    return (
+        d.select(
+            (h(F.col("doc_id").cast("string")) % 8).alias("shard"),
+            llm_text.token_count("text").cast("long").alias("n_tok"),
+            h(F.col("text")).alias("content_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("content_h").alias("content_checksum"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
