@@ -149,3 +149,53 @@ def test_sample_frames_fanout(media):
     # frame hashes differ per frame and per asset, except the empty and
     # NULL payloads which collide by design (both hash b"")
     assert len({r.frame_sha256 for r in rows}) == 6
+
+
+def test_parse_wav_roundtrip_and_rejects():
+    b = M.encode_wav(16000, 2, [100, 300], window=8)
+    ch, rate, bits, n_frames, data = M.parse_wav(b)
+    assert (ch, rate, bits, n_frames) == (2, 16000, 16, 16)
+    assert len(data) == 16 * 2 * 2
+    # chunk walk must skip unknown chunks (LIST before fmt/data)
+    extra = b[:12] + b"LIST" + (7).to_bytes(4, "little") + b"1234567\x00" + b[12:]
+    assert M.parse_wav(extra)[:4] == (2, 16000, 16, 16)
+    assert M.parse_wav(None) is None
+    assert M.parse_wav(b"RIFF\x00\x00\x00\x00JUNK") is None
+    assert M.parse_wav(b[:30]) is None  # truncated mid-chunk
+
+
+def test_decode_audio_features_and_strict(spark):
+    rows = [
+        (1, bytearray(M.encode_wav(8000, 1, [200, 200, 200]))),
+        (2, bytearray(M.encode_wav(44100, 2, [500]))),
+        (3, bytearray(b"not audio at all")),
+    ]
+    media = M.attach_binary(
+        spark.createDataFrame(rows, "doc_id long, blob binary"),
+        "doc_id", "blob", "audio",
+    )
+    out = {r.asset_id: r for r in M.decode_audio_features(media).collect()}
+    assert (out[1].channels, out[1].sample_rate, out[1].n_frames) == (1, 8000, 768)
+    assert out[1].duration_ms == 768 * 1000 // 8000
+    assert (out[2].channels, out[2].sample_rate) == (2, 44100)
+    assert out[3].channels is None  # lenient mode: NULL features
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="malformed audio"):
+        M.decode_audio_features(media, strict=True).collect()
+
+
+def test_audio_energy_windows_exact_rms(spark):
+    amps = [100, 250, 400]
+    rows = [
+        (1, bytearray(M.encode_wav(8000, 1, amps))),
+        (2, bytearray(M.encode_wav(8000, 2, [300]))),  # stereo: skipped
+        (3, bytearray(b"junk")),
+    ]
+    media = M.attach_binary(
+        spark.createDataFrame(rows, "doc_id long, blob binary"),
+        "doc_id", "blob", "audio",
+    )
+    out = M.audio_energy_windows(media).collect()
+    assert {r.asset_id for r in out} == {1}
+    got = {r.window_no: r.rms for r in out}
+    assert got == {0: 100, 1: 250, 2: 400}  # square wave: RMS == amplitude

@@ -21,6 +21,8 @@ ARROW_STAGES = {
     "multimodal_frame_samples",  # stub decode kernel is mapInPandas
     "image_header_decode",       # real header-parse kernel is mapInPandas
     "gif_frame_samples",         # real GIF block-walk kernel is mapInPandas
+    "audio_meta_decode",         # real WAV chunk-walk kernel is mapInPandas
+    "audio_energy_windows",      # real PCM RMS kernel is mapInPandas
     "mock_fetch_enrichment",     # injected fetcher runs as a pandas stage
     "simhash_dups",              # numpy bit-matrix signature kernel
     "simhash_recall",

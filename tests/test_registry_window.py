@@ -59,6 +59,8 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "substring_dup_flags",
         "corpus_vocab_topk",
         "training_shard_manifest",
+        "audio_meta_decode",
+        "audio_energy_windows",
     },
 }
 

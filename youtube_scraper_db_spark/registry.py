@@ -4301,6 +4301,87 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wav_blobs(spark: SparkSession, sf_dir: str, mono_only: bool = False):
+    """Bounded driver-side scaffolding for the audio round-trips: one
+    synthetic PCM WAV per document (geometry a pure function of doc_id),
+    ≤150 blobs — same pattern as the GIF round-trip."""
+    ensure_utc(spark)
+    ids = [
+        r.doc_id
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for i in ids:
+        i = int(i)
+        channels = 1 + i % 2
+        if mono_only and channels != 1:
+            continue
+        amps = [100 * (1 + (i + w) % 5) for w in range(2 + i % 3)]
+        rate = 8000 + (i % 4) * 4000
+        rows.append(
+            (i, bytearray(llm_multimodal.encode_wav(rate, channels, amps)))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    return llm_multimodal.attach_binary(df, "doc_id", "blob", "audio")
+
+
+@spec(
+    "audio_meta_decode",
+    "LLM-multimodal",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bit_depth,
+           CAST(256 * (2 + doc_id % 3) AS BIGINT) AS n_frames,
+           (256 * (2 + doc_id % 3) * 1000) // (8000 + (doc_id % 4) * 4000)
+             AS duration_ms
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def audio_meta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio metadata round-trip: one PCM WAV per document
+    (channels/rate/frame-count pure functions of doc_id), RIFF
+    chunk-walk parse recovers channels, sample rate, bit depth, frame
+    count and duration (llm/multimodal.py parse_wav /
+    decode_audio_features). The oracle regenerates every field
+    arithmetically, so a mis-walked chunk list or byte-order slip
+    hash-mismatches. Malformed-byte rows are pytest-covered."""
+    media = _wav_blobs(spark, sf_dir)
+    return llm_multimodal.decode_audio_features(media).select(
+        "asset_id", "channels", "sample_rate", "bit_depth", "n_frames",
+        "duration_ms",
+    )
+
+
+@spec(
+    "audio_energy_windows",
+    "LLM-multimodal",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS window_no,
+           CAST(100 * (1 + (doc_id + w) % 5) AS BIGINT) AS rms
+    FROM documents, unnest([0, 1, 2, 3]) AS u(w)
+    WHERE doc_id < 150 AND doc_id % 2 = 0 AND w < 2 + doc_id % 3
+    """,
+)
+def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM decode round-trip: windowed RMS energy over mono 16-bit
+    samples decoded with numpy from the WAV data chunk — each synthetic
+    256-frame block is an alternating ±amp square wave whose exact RMS
+    is its amplitude, so the oracle regenerates the energy series
+    arithmetically and any sample-decode, windowing or accumulation
+    error (wrong dtype, off-by-one block boundary, float drift)
+    hash-mismatches (llm/multimodal.py audio_energy_windows)."""
+    media = _wav_blobs(spark, sf_dir, mono_only=True)
+    return llm_multimodal.audio_energy_windows(media).select(
+        "asset_id", "window_no", "rms"
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
