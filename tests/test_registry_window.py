@@ -61,6 +61,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "training_shard_manifest",
         "audio_meta_decode",
         "audio_energy_windows",
+        "corpus_curation_report",
     },
 }
 

@@ -4382,6 +4382,90 @@ def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "corpus_curation_report",
+    "EXT-curation LLM-quality LLM-dedup A2",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    base AS (
+      SELECT tok.doc_id, d.source, d.lang, t, len(t) AS n,
+             md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+      FROM tok JOIN documents d ON tok.doc_id = d.doc_id
+    ),
+    feat AS (
+      SELECT doc_id, source, lang, n, fp,
+             CASE WHEN n = 0 THEN 0.0 ELSE FLOOR((
+               0.4 * least(n / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / greatest(n, 1))
+               + 0.3 * (CAST(len(list_intersect(list_distinct(t), {_sql_list(_ALL_STOPS)})) AS DOUBLE)
+                        / greatest(len(list_distinct(t)), 1))) * 10000) / 10000.0
+               END AS quality,
+             (SELECT max(c) FROM (SELECT count(*) AS c
+                                  FROM unnest(t) AS u(w) GROUP BY w)) AS top_w
+      FROM base
+    ),
+    flt AS (
+      SELECT *,
+             FLOOR((CAST(coalesce(top_w, 0) AS DOUBLE) / greatest(n, 1))
+                   * 10000) / 10000.0 AS twf,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM feat
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           min(quality) AS min_quality,
+           max(quality) AS max_quality
+    FROM flt
+    WHERE lang = 'en' AND quality >= 0.38 AND twf <= 0.12 AND rn = 1
+    GROUP BY source
+    """,
+)
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE composition — the whole curation path in ONE DAG, built
+    entirely from the shipped operators: language filter (metadata) ∧
+    quality gate (quality_score) ∧ repetition gate (max_run_length fold)
+    ∧ exact-dedup canonical (content_fingerprint + first-id window),
+    then a per-source survivor report (doc count, token total, quality
+    range). Everything up to the fingerprint window is a pure map over
+    the scan; the two shuffles are the 16-byte-fingerprint window and
+    the tiny source rollup — at 100 TB document bodies are read once and
+    never shuffled. min/max (not avg) for the quality range: they are
+    accumulation-order-independent, so the oracle hash is exact."""
+    d = _t(spark, sf_dir, "documents")
+    tok = llm_text.tokens("text")
+    n = F.size(tok)
+    feat = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        n.alias("n"),
+        llm_text.quality_score("text").alias("quality"),
+        llm_text.trunc4(
+            llm_text.max_run_length(F.array_sort(tok))
+            / F.greatest(n, F.lit(1))
+        ).alias("twf"),
+        llm_text.content_fingerprint("text").alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        feat.withColumn("rn", F.row_number().over(w))
+        .where(
+            (F.col("lang") == "en")
+            & (F.col("quality") >= 0.38)
+            & (F.col("twf") <= 0.12)
+            & (F.col("rn") == 1)
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
