@@ -55,6 +55,7 @@ HEADLINE = [
     "decontamination_flags",
     "doc_repetition_stats",
     "int8_ann_topk",
+    "corpus_curation_report",
 ]
 
 

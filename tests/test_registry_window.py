@@ -62,6 +62,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "audio_meta_decode",
         "audio_energy_windows",
         "corpus_curation_report",
+        "jsonl_export_roundtrip",
     },
 }
 

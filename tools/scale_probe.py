@@ -55,6 +55,7 @@ DOC_QUERIES = [
     "near_dup_clusters",
     "doc_repetition_stats",
     "substring_dup_flags",
+    "corpus_curation_report",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

@@ -4466,6 +4466,32 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "jsonl_export_roundtrip",
+    "EXT-jsonl S14 LLM-export",
+    oracle="SELECT doc_id, text, lang, source FROM documents",
+)
+def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (line-delimited JSON) round-trip — THE interchange format
+    of LLM training data. Spark's native json writer IS JSONL (one JSON
+    object per line, splittable, parallel part files); write the
+    documents table out, read it back with an EXPLICIT schema (schema
+    inference costs a full extra pass at 100 TB and can mis-type empty
+    partitions — always pass the schema on the read side). Content must
+    survive byte-exact, including unicode and whitespace inside
+    ``text``."""
+    import tempfile
+
+    ensure_utc(spark)
+    cols = ["doc_id", "text", "lang", "source"]
+    d = _t(spark, sf_dir, "documents").select(*cols)
+    out = tempfile.mkdtemp(prefix="sg_jsonl_")
+    d.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "doc_id long, text string, lang string, source string"
+    ).json(out).select(*cols)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
