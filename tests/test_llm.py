@@ -328,3 +328,21 @@ def test_substring_dup_flags_catches_misaligned_copy(spark):
     assert 1 in out and 2 in out, out
     assert out[1] >= 1 and out[2] >= 1
     assert 3 not in out and 4 not in out
+
+
+def test_pq_codebooks_deterministic_and_recall(spark):
+    import numpy as np
+
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b1 = S.pq_train_codebooks(df, m=4, k=8, sample_n=200, iters=5)
+    b2 = S.pq_train_codebooks(df, m=4, k=8, sample_n=200, iters=5)
+    assert b1.shape == (4, 8, 4)
+    assert np.array_equal(b1, b2)  # bit-for-bit repeatable
+    qdf = df.filter("vec_id = 0").select(F.col("embedding").alias("qv"))
+    exact = [r["vec_id"] for r in S.cosine_topk(df, qdf, k=5).collect()]
+    got = [r["vec_id"] for r in
+           S.pq_ann_topk(df, qdf, b1, k=5, pool=60).collect()]
+    assert len(got) == 5
+    assert got[0] == 0  # the query itself survives coarse+re-rank
+    assert len(set(exact) & set(got)) >= 4

@@ -26,6 +26,7 @@ ARROW_STAGES = {
     "mock_fetch_enrichment",     # injected fetcher runs as a pandas stage
     "simhash_dups",              # numpy bit-matrix signature kernel
     "simhash_recall",
+    "pq_ann_recall",             # PQ encode/ADC kernel is mapInPandas
 }
 
 #: queries where a BroadcastNestedLoopJoin is the documented, bounded
@@ -48,6 +49,7 @@ BNLJ_OK = {
     "seq_packing_gate",     # invariant gate joins three scalar aggs
     "int8_ann_topk",        # broadcast 1-row quantized query vector
     "int8_ann_recall",
+    "pq_ann_recall",        # scalar gate joins + broadcast query re-rank
 }
 
 

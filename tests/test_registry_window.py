@@ -63,6 +63,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "audio_energy_windows",
         "corpus_curation_report",
         "jsonl_export_roundtrip",
+        "pq_ann_recall",
     },
 }
 

@@ -152,3 +152,26 @@ def test_transcript_body_edge_cases(spark, tmp_path):
     assert nb.transcript.rstrip().endswith("straight after headers")
     lb = rows["ldbldbldbld"]
     assert lb.transcript.strip() == "actual body"  # headers not in body
+
+
+def test_jsonl_roundtrip_adversarial_strings(spark):
+    """Spark's line-delimited JSON writer must survive content that
+    stresses the format: embedded quotes, backslashes, tabs, unicode,
+    and the empty string. (Literal newlines are escaped as \\n inside
+    the JSON string, so line-delimited framing is safe.)"""
+    import tempfile
+
+    rows = [
+        (1, 'he said "hi" and left'),
+        (2, "back\\slash and tab\there"),
+        (3, "unicode: 你好 — ñandú 🚀"),
+        (4, ""),
+        (5, "line\nbreak inside"),
+        (6, "{looks: like, json: true}"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = tempfile.mkdtemp(prefix="sg_jsonl_t_")
+    df.write.mode("overwrite").json(out)
+    back = spark.read.schema("id long, text string").json(out)
+    got = {r.id: r.text for r in back.collect()}
+    assert got == dict(rows)

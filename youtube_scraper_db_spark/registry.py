@@ -4492,6 +4492,48 @@ def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(out).select(*cols)
 
 
+@spec(
+    "pq_ann_recall",
+    "EXT-pq-ann LLM-sim-ann",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS returned, TRUE AS recall_ok
+    """,
+)
+def pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN gate: PQ-ADC coarse scan (8 codes per
+    64-dim vector, 32-centroid subspace codebooks — ~5 bytes vs 256)
+    over the corpus, pool-400 candidates, exact cosine re-rank, top-10 —
+    must return a full k and hit ≥ 8 of the exact top-10 for the
+    vec_id=0 query (measured 10/10 at sf0.001/0.01/0.1 with this
+    pool/codebook; the synthetic embeddings are clusterless — the
+    hardest case for PQ — hence the generous pool; deterministic: fixed
+    training sample, first-k init, fixed Lloyd iterations). Codebook
+    training is a bounded driver-side sample — the standard production
+    recipe (llm/similarity.py pq_train_codebooks / pq_ann_topk)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    books = llm_similarity.pq_train_codebooks(e, k=32)
+    # localCheckpoint the two 10-row results: each feeds BOTH the count
+    # and the semi-join below, and re-evaluating the lineage would run
+    # the Arrow encode scan (and the exact scan) twice.
+    exact10 = (
+        llm_similarity.cosine_topk(e, q, k=10).select("vec_id").localCheckpoint()
+    )
+    pq10 = (
+        llm_similarity.pq_ann_topk(e, q, books, k=10, pool=400)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    hits = pq10.join(exact10, ["vec_id"], "left_semi")
+    return (
+        pq10.agg(F.count("*").alias("returned"))
+        .crossJoin(hits.agg(F.count("*").alias("hit_cnt")))
+        .select("returned", (F.col("hit_cnt") >= 8).alias("recall_ok"))
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
