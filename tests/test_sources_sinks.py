@@ -175,3 +175,47 @@ def test_jsonl_roundtrip_adversarial_strings(spark):
     back = spark.read.schema("id long, text string").json(out)
     got = {r.id: r.text for r in back.collect()}
     assert got == dict(rows)
+
+
+def test_csv_roundtrip_hostile_content(spark):
+    """RFC-4180 dialect (quote-doubling, multiLine for embedded
+    newlines) must survive commas, quotes, unicode and line breaks —
+    the testdata corpus is benign, so the dialect is pinned here."""
+    import tempfile
+
+    rows = [
+        (1, 'comma, inside "quoted, field"'),
+        (2, 'just "quotes" everywhere ""'),
+        (3, "unicode: 你好 — ñandú 🚀"),
+        (4, "line\nbreak inside"),
+        (5, "trailing space "),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = tempfile.mkdtemp(prefix="sg_csv_t_")
+    dialect = dict(
+        header=True,
+        quote='"',
+        escape='"',
+        ignoreLeadingWhiteSpace=False,
+        ignoreTrailingWhiteSpace=False,
+    )
+    df.write.mode("overwrite").options(**dialect).csv(out)
+    back = (
+        spark.read.schema("id long, text string")
+        .options(multiLine=True, **dialect)
+        .csv(out)
+    )
+    got = {r.id: r.text for r in back.collect()}
+    assert got == dict(rows)
+
+
+def test_orc_roundtrip_types(spark):
+    import datetime as dt
+    import tempfile
+
+    rows = [(1, "a", 1.5, dt.date(2024, 1, 2)), (2, None, None, None)]
+    df = spark.createDataFrame(rows, "id long, s string, x double, d date")
+    out = tempfile.mkdtemp(prefix="sg_orc_t_")
+    df.write.mode("overwrite").orc(out)
+    back = spark.read.schema("id long, s string, x double, d date").orc(out)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)

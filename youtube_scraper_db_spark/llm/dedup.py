@@ -463,3 +463,71 @@ def simhash_bucket_pairs(sig: DataFrame, prefix_bits: int = 16) -> DataFrame:
 def _hamming64(a: Column, b: Column) -> Column:
     """Popcount of XOR — bit_count is native in Spark SQL."""
     return F.bit_count(a.bitwiseXOR(b)).cast("int")
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Cross-document SEGMENT-level exact dedup with reassembly — the
+    paragraph/sentence-dedup pass of a curation pipeline (Lee et al.
+    2022 do it at the substring level; real pipelines usually run the
+    cheaper fixed-window variant first). Each document is cut into
+    consecutive ``seg_tokens``-token segments; a segment occurrence is a
+    duplicate iff the identical segment text appeared earlier in corpus
+    order (doc_id, then position — deterministic, retry-safe); surviving
+    segments are stitched back into ``dedup_text``.
+
+    Shape: segmentation is a per-row array slice (codegen, no shuffle);
+    first-occurrence detection is ONE window over the segment text
+    (equivalent to a groupBy on the segment — the only corpus-wide
+    exchange, and it carries (segment, doc_id, pos) not whole
+    documents); reassembly is a per-document sort-free fold:
+    ``collect_list`` of (pos, seg) structs under the doc_id partition,
+    ``array_sort`` for determinism, then join — the classic
+    order-insensitive-collect-then-sort idiom. At 100 TB the segment
+    exchange is the cost, and it is unavoidable for exact global dedup;
+    shuffling an 8-byte digest per segment instead of the text is the
+    production trim (same note as substring_dup_flags).
+
+    Columns: (id, n_segments, kept_segments, dedup_text)."""
+    from .text import tokens
+
+    t = tokens(text_col)
+    n_seg = F.ceil(F.size(t) / F.lit(float(seg_tokens))).cast("int")
+    seg_idx = F.sequence(F.lit(0), F.greatest(n_seg - 1, F.lit(0)))
+    segs = F.when(F.size(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            seg_idx,
+            lambda i: F.array_join(
+                F.slice(t, i * seg_tokens + 1, seg_tokens), " "
+            ),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(segs).alias("pos", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc", "pos")
+    first = exploded.withColumn("rn", F.row_number().over(w))
+    kept = first.withColumn("keep", F.col("rn") == 1)
+    agg = kept.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("kept_segments"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "seg")).otherwise(None)
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return agg.select(
+        F.col("doc").alias(id_col), "n_segments", "kept_segments", "dedup_text"
+    )

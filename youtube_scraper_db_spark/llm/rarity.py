@@ -1,0 +1,166 @@
+"""Corpus-frequency language-model scoring — the unigram-LM quality
+filter (the classic "does this look like natural text for our corpus"
+signal, the cheap stand-in for KenLM perplexity gating) and TF-IDF term
+extraction.
+
+Everything is integer-exact by construction so the DuckDB oracle can
+match bit-for-bit: rarity weights are ``floor(2^20 / count)`` (IEEE
+double division of exact integers, floored — identical in every
+engine), scores are integer sums (associative, order-free), and no
+transcendental function (log/exp) ever runs, sidestepping libm
+divergence between engines entirely.
+
+Scale design (the part that matters at 100 TB): the corpus→vocabulary
+aggregation is a map-side-combinable word count; scoring joins every
+token occurrence back to its corpus count, and a plain shuffle join
+there would reshuffle the whole exploded corpus AND put the heaviest
+keys ("the") on single reducers. Instead the vocabulary is split at a
+count threshold: frequent words — few distinct, covering almost all
+token mass — broadcast, so the bulk of the corpus is scored map-side
+with zero shuffle; only the rare tail (many distinct words, few
+occurrences each) takes the shuffle join, and by construction that
+shuffle contains no heavy key. This is the same heavy-hitter split a
+skew-aware optimizer performs, done declaratively.
+
+Reference parity: the reference has no LM scoring (it stores transcripts
+verbatim — transcript_lib.py:1); this is part of the §2.12 training-data
+extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import CacheScope, _scope_or_default
+from .text import tokens
+
+#: Fixed-point scale for rarity weights: floor(2^20 / corpus_count).
+RARITY_SCALE = 1 << 20
+
+
+def word_occurrences(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per token occurrence: (id, w). The exploded corpus —
+    never collected, only aggregated or joined."""
+    return docs.select(id_col, F.explode(tokens(text_col)).alias("w"))
+
+
+def vocabulary(occ: DataFrame) -> DataFrame:
+    """Corpus vocabulary with occurrence counts. Map-side combinable
+    hash aggregate; output is |vocab| rows, tiny next to the corpus."""
+    return occ.groupBy("w").agg(F.count("*").alias("wc"))
+
+
+def score_terms(tf: DataFrame, vocab: DataFrame, hot_min: int = 64) -> DataFrame:
+    """Attach corpus counts to per-(doc, word) term rows via the
+    heavy-hitter split: words with count >= hot_min broadcast (few
+    distinct, most of the token mass — matched map-side, no shuffle),
+    the rare tail shuffle-joined (cheap: every key there occurs <
+    hot_min times, so no reducer hot spot). Returns tf + ``wc``."""
+    hot = vocab.filter(F.col("wc") >= hot_min)
+    cold = vocab.filter(F.col("wc") < hot_min)
+    tagged = tf.join(F.broadcast(hot), "w", "left")
+    hot_rows = tagged.filter(F.col("wc").isNotNull())
+    cold_rows = tagged.filter(F.col("wc").isNull()).drop("wc").join(cold, "w")
+    return hot_rows.unionByName(cold_rows)
+
+
+def unigram_rarity(
+    docs: DataFrame, hot_min: int = 64, scope: CacheScope | None = None
+) -> DataFrame:
+    """Per-document unigram-LM rarity report: token count, integer
+    rarity sum (per-token weight floor(2^20 / corpus_count) — high for
+    words the corpus has rarely seen), hapax count (tokens whose corpus
+    count is 1 — the OOV analog), rarest token's corpus count, and the
+    mean rarity in [0, 1] (truncated to 4 decimals). High mean rarity
+    flags text that does not look like the corpus — the unigram version
+    of a perplexity filter, with no model file and no libm.
+
+    Everything downstream of the corpus works on per-(doc, word) TERM
+    rows, not raw occurrences: rarity_sum = Σ tf(doc,w)·weight(w), and
+    the vocabulary itself is Σ tf over docs — so the corpus is scanned
+    once, the (doc, w) partial-aggregate exchange is the single
+    corpus-wide shuffle, and both the vocabulary branch and the scoring
+    branch hang off that SAME exchange. The tf posting list is PERSISTED
+    (CacheScope, the module-wide pin-lifetime pattern): branch-specific
+    filter pushdown makes the two exchanges non-identical so
+    ReuseExchange alone cannot collapse them, and materializing tf —
+    orders of magnitude smaller than the corpus — is exactly what a
+    production pipeline does with a posting list."""
+    scope = _scope_or_default(scope)
+    tf = scope.persist(
+        word_occurrences(docs)
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = tf.groupBy("w").agg(F.sum("tf").alias("wc"))
+    scored = score_terms(tf, vocab, hot_min)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.col("tf") * F.floor(F.lit(float(RARITY_SCALE)) / F.col("wc")))
+        .cast("long")
+        .alias("rarity_sum"),
+        F.sum(F.when(F.col("wc") == 1, F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("hapax_tokens"),
+        F.min("wc").alias("min_word_count"),
+    )
+    joined = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    n = F.coalesce(F.col("n_tokens"), F.lit(0))
+    rs = F.coalesce(F.col("rarity_sum"), F.lit(0))
+    mean = F.floor(
+        rs / (F.greatest(n, F.lit(1)) * F.lit(float(RARITY_SCALE))) * 10000
+    ) / 10000.0
+    return joined.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        rs.cast("long").alias("rarity_sum"),
+        F.coalesce(F.col("hapax_tokens"), F.lit(0)).cast("long").alias("hapax_tokens"),
+        F.coalesce(F.col("min_word_count"), F.lit(0)).cast("long").alias("min_word_count"),
+        mean.alias("mean_rarity"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    hot_min: int = 64,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF, integer-
+    exact: idf weight = floor(2^20 * n_docs / doc_frequency) (rank-
+    equivalent to the log form for ordering within a fixed corpus),
+    score = term_frequency * idf_weight — an exact integer, so ranking
+    ties are real ties and the (score DESC, term ASC) tie-break makes
+    the top-k total-ordered and engine-portable.
+
+    Shape: tf is a per-(doc, word) count; df is a count-distinct-docs
+    per word (both map-side-combinable); df joins back via the same
+    heavy-hitter split as scoring; the final top-k is a rank window
+    partitioned by doc — no global sort."""
+    scope = _scope_or_default(scope)
+    occ = word_occurrences(docs)
+    tf = scope.persist(occ.groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("w").agg(F.count("*").alias("wc"))
+    n_docs = docs.count()
+    scored = score_terms(tf, df_, hot_min).withColumnRenamed("wc", "df")
+    idf_w = F.floor(F.lit(float(RARITY_SCALE * n_docs)) / F.col("df"))
+    ranked = scored.select(
+        "doc_id",
+        "w",
+        (F.col("tf") * idf_w).cast("long").alias("score"),
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            F.col("rnk").alias("term_rank"),
+            F.col("w").alias("term"),
+            "score",
+        )
+    )

@@ -558,3 +558,52 @@ def pq_ann_topk(
     cand = scored.orderBy(F.asc("adc"), F.asc("vec_id")).limit(pool).select("vec_id")
     pool_vecs = emb.join(F.broadcast(cand), emb[id_col] == cand["vec_id"], "left_semi")
     return cosine_topk(pool_vecs, query_df, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def label_centroids(vecs: DataFrame, scale: int = 1000) -> DataFrame:
+    """Per-label embedding centroids in FIXED-POINT arithmetic so the
+    result is bit-reproducible in any engine: each component is first
+    quantized to ``floor(v * scale)`` (float→double cast is exact, the
+    multiply and floor are IEEE-determined), the per-(label, dim) sum is
+    then an exact integer — associative, so accumulation order across
+    partitions cannot change it — and the mean divides back out at the
+    end (truncated to 4 decimals). The orthodox float mean would be
+    order-dependent and could hash-differently between Spark and the
+    oracle; quantize-sum-divide is the standard determinism trick for
+    cross-engine centroid parity.
+
+    Shape: posexplode to (label, dim, q) — rows = n_vecs × dim — then
+    ONE map-side-combinable hash aggregate; the exchange carries only
+    (label, dim) partials, i.e. |labels| × dim rows. Reassembly sorts
+    each label's dims into an array. At 100 TB this is the canonical
+    two-level combine; no driver-side state.
+
+    Columns: (label, n_vecs, centroid array<double>)."""
+    q = vecs.select(
+        "label",
+        "vec_id",
+        F.posexplode(as_double("embedding")).alias("dim", "v"),
+    ).select(
+        "label",
+        "vec_id",
+        "dim",
+        F.floor(F.col("v") * scale).cast("long").alias("q"),
+    )
+    per_dim = q.groupBy("label", "dim").agg(
+        F.sum("q").alias("qs"),
+        F.count("*").alias("n"),
+    )
+    mean = F.floor(F.col("qs") / (F.col("n") * F.lit(float(scale))) * 10000) / 10000.0
+    return (
+        per_dim.select("label", "dim", F.col("n").alias("n_vecs"), mean.alias("m"))
+        .groupBy("label")
+        .agg(
+            F.max("n_vecs").cast("long").alias("n_vecs"),
+            F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.transform(F.col("dm"), lambda s: s["m"]).alias("centroid"),
+        )
+    )

@@ -38,6 +38,7 @@ from .llm import dedup as llm_dedup
 from .llm import packing as llm_packing
 from .llm import sampling as llm_sampling
 from .llm import multimodal as llm_multimodal
+from .llm import rarity as llm_rarity
 from .llm import similarity as llm_similarity
 from .llm import text as llm_text
 from .operators import bucketing
@@ -3348,7 +3349,11 @@ def daily_event_counts_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 
-def _run_stream(df: DataFrame, state_partitions: int | None = None) -> DataFrame:
+def _run_stream(
+    df: DataFrame,
+    state_partitions: int | None = None,
+    output_mode: str | None = None,
+) -> DataFrame:
     """Execute a streaming plan to completion (availableNow: process all
     currently-available input, then stop) into an in-memory sink and
     return the sink's contents. The stream's OUTPUT SET is deterministic
@@ -3402,13 +3407,15 @@ def _run_stream(df: DataFrame, state_partitions: int | None = None) -> DataFrame
     # full RocksDB snapshot — measured ~8% here, decisive at real rates.
     spark.conf.set(changelog_key, "true")
     try:
-        q = (
+        writer = (
             df.writeStream.format("memory")
             .queryName(qname)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
-            .start()
         )
+        if output_mode:
+            writer = writer.outputMode(output_mode)
+        q = writer.start()
         q.awaitTermination()
         out = spark.table(qname).persist(StorageLevel.MEMORY_AND_DISK)
         out.count()  # materialize before the sink view is dropped
@@ -4531,6 +4538,272 @@ def pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq10.agg(F.count("*").alias("returned"))
         .crossJoin(hits.agg(F.count("*").alias("hit_cnt")))
         .select("returned", (F.col("hit_cnt") >= 8).alias("recall_ok"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Round 4 (cont.): corpus-frequency LM scoring, segment-level dedup with
+# reassembly, TF-IDF term extraction, fixed-point centroids — the
+# remaining staples of a curation + indexing pass, all integer-exact so
+# the oracles match bit-for-bit with no libm anywhere.
+# ----------------------------------------------------------------------
+
+
+@spec(
+    "doc_unigram_rarity",
+    "EXT-lm-rarity LLM-quality",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    occ AS (SELECT doc_id, w FROM tok, unnest(t) AS u(w)),
+    vc AS (SELECT w, count(*) AS wc FROM occ GROUP BY w),
+    sc AS (SELECT doc_id, count(*) AS n,
+                  CAST(sum(floor(1048576.0 / wc)) AS BIGINT) AS rs,
+                  CAST(sum(CASE WHEN wc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hx,
+                  min(wc) AS mc
+           FROM occ JOIN vc USING (w) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_tokens,
+           COALESCE(rs, 0) AS rarity_sum,
+           COALESCE(hx, 0) AS hapax_tokens,
+           CAST(COALESCE(mc, 0) AS BIGINT) AS min_word_count,
+           FLOOR(COALESCE(rs, 0)
+                 / (greatest(COALESCE(n, 0), 1) * 1048576.0) * 10000) / 10000.0
+             AS mean_rarity
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def doc_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM rarity scoring — the model-free stand-in for KenLM
+    perplexity gating (rare-vocabulary text does not look like the
+    corpus). Integer-exact: per-token weight floor(2^20/corpus_count),
+    scores are integer sums — no log/exp, so no libm divergence between
+    engines. Scale story (llm/rarity.py): vocabulary counts are one
+    map-side-combinable aggregate; the score join uses the heavy-hitter
+    split — frequent words broadcast (bulk of the token mass scored
+    map-side, zero shuffle), only the rare tail shuffle-joins, and that
+    shuffle has no hot key by construction."""
+    return llm_rarity.unigram_rarity(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "doc_tfidf_terms",
+    "EXT-tfidf LLM-text",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    occ AS (SELECT doc_id, w FROM tok, unnest(t) AS u(w)),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM occ GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    nd AS (SELECT count(*) AS n FROM documents),
+    sc AS (SELECT doc_id, w,
+                  CAST(tf * floor(1048576.0 * n / df) AS BIGINT) AS score
+           FROM tf JOIN df USING (w) CROSS JOIN nd),
+    rk AS (SELECT doc_id, w, score,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, w ASC) AS rnk
+           FROM sc)
+    SELECT doc_id, CAST(rnk AS INT) AS term_rank, w AS term, score
+    FROM rk WHERE rnk <= 3
+    """,
+)
+def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF with an
+    integer-exact idf weight floor(2^20 * n_docs / df) — rank-equivalent
+    to the log form within a fixed corpus, and exact, so ties are real
+    ties and (score DESC, term ASC) makes the per-doc top-k total-
+    ordered in both engines. tf and df are map-side-combinable
+    aggregates; df joins back through the same heavy-hitter split as
+    rarity scoring (llm/rarity.py tfidf_top_terms); the top-k is a rank
+    window partitioned by doc — no global sort anywhere."""
+    return llm_rarity.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@spec(
+    "segment_dedup_docs",
+    "EXT-segment-dedup LLM-dedup-exact",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    segd AS (SELECT doc_id,
+                    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(
+                                range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+                                i -> array_to_string(
+                                       t[i * 10 + 1 : i * 10 + 10], ' '))
+                    END AS segs
+             FROM tok),
+    expl AS (SELECT doc_id, CAST(g AS INT) AS pos, segs[g + 1] AS seg
+             FROM segd, unnest(range(0, len(segs))) AS u(g)),
+    rn AS (SELECT *, row_number() OVER (PARTITION BY seg
+                                        ORDER BY doc_id, pos) AS rn
+           FROM expl),
+    agg AS (SELECT doc_id, count(*) AS n_segments,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept,
+                   string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                              ORDER BY pos) AS dedup_text
+            FROM rn GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(kept, 0) AS BIGINT) AS kept_segments,
+           COALESCE(dedup_text, '') AS dedup_text
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment-level exact dedup with reassembly
+    (llm/dedup.py segment_dedup): 10-token windows, first occurrence in
+    (doc_id, pos) corpus order survives, survivors stitch back into
+    dedup_text. ONE corpus-wide exchange (the per-segment window — the
+    irreducible cost of exact global dedup), segmentation and
+    reassembly are per-row codegen. The oracle recomputes the identical
+    semantics relationally (window + ordered string_agg)."""
+    d = _t(spark, sf_dir, "documents")
+    agg = llm_dedup.segment_dedup(d)
+    joined = d.select("doc_id").join(agg, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("n_segments"), F.lit(0)).cast("long").alias("n_segments"),
+        F.coalesce(F.col("kept_segments"), F.lit(0))
+        .cast("long")
+        .alias("kept_segments"),
+        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+    )
+
+
+@spec(
+    "label_centroids",
+    "EXT-centroid LLM-sim",
+    oracle="""
+    WITH q AS (SELECT label, vec_id, g AS dim,
+                      CAST(floor(CAST(embedding[g + 1] AS DOUBLE) * 1000)
+                           AS BIGINT) AS qv
+               FROM embeddings, unnest(range(0, len(embedding))) AS u(g)),
+    pd AS (SELECT label, dim, sum(qv) AS qs, count(*) AS n
+           FROM q GROUP BY label, dim),
+    m AS (SELECT label, dim, n,
+                 FLOOR(qs / (n * 1000.0) * 10000) / 10000.0 AS mv
+          FROM pd)
+    SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+           array_agg(mv ORDER BY dim) AS centroid
+    FROM m GROUP BY label
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in fixed-point arithmetic
+    (llm/similarity.py label_centroids): components quantized to
+    floor(v*1000) integers, per-(label, dim) sums exact and associative
+    — accumulation order cannot change the hash — mean divided back out
+    at the end. Shape: posexplode + one map-side-combinable aggregate
+    whose exchange carries |labels|x|dims| partials, then a per-label
+    array reassembly. The float-sum version would be order-dependent
+    across engines; quantize-sum-divide is the determinism trick."""
+    return llm_similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+@spec(
+    "csv_export_roundtrip",
+    "EXT-csv S14 LLM-export",
+    oracle="SELECT doc_id, text, lang, source FROM documents",
+)
+def csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with RFC-4180 quoting (quote-doubling escape, not
+    backslash — the dialect every spreadsheet and warehouse bulk loader
+    speaks): documents out through Spark's parallel CSV writer, back in
+    with an EXPLICIT schema and the same dialect options. Content must
+    survive byte-exact. Schema on the read side is non-negotiable at
+    scale: CSV inference costs a full extra pass AND silently narrows
+    types on empty partitions; header=True makes part files
+    self-describing for non-Spark consumers. The whitespace-trim
+    options are pinned OFF on both sides: Spark's CSV writer and reader
+    default to trimming unquoted field edges, which silently corrupts
+    text payloads with leading/trailing spaces (pinned hostile in
+    tests/test_sources_sinks.py)."""
+    import tempfile
+
+    ensure_utc(spark)
+    dialect = dict(
+        header=True,
+        quote='"',
+        escape='"',
+        ignoreLeadingWhiteSpace=False,
+        ignoreTrailingWhiteSpace=False,
+    )
+    cols = ["doc_id", "text", "lang", "source"]
+    d = _t(spark, sf_dir, "documents").select(*cols)
+    out = tempfile.mkdtemp(prefix="sg_csv_")
+    d.write.mode("overwrite").options(**dialect).csv(out)
+    # NOTE: multiLine stays OFF — a multiLine CSV read is not splittable
+    # (whole file per task), the scale-killer variant. Newline-free text
+    # is pinned by the testdata contract; payloads with embedded
+    # newlines belong in JSONL/parquet, or pay multiLine knowingly
+    # (tests/test_sources_sinks.py covers that dialect).
+    return (
+        spark.read.schema("doc_id long, text string, lang string, source string")
+        .options(**dialect)
+        .csv(out)
+        .select(*cols)
+    )
+
+
+@spec(
+    "orc_export_roundtrip",
+    "EXT-orc S14",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def orc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the second columnar interchange format Spark
+    ships natively (the Hive-ecosystem counterpart to parquet, with the
+    same predicate-pushdown/column-pruning story through the vectorized
+    ORC reader). Write the full documents table, read it back with an
+    explicit schema; every column including the numeric one must survive
+    exactly. At 100 TB the operational difference from the text formats
+    is that ORC stripes carry min/max indexes — a filter on the read
+    side prunes stripes, the same story as parquet row groups."""
+    import tempfile
+
+    ensure_utc(spark)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    d = _t(spark, sf_dir, "documents").select(*cols)
+    out = tempfile.mkdtemp(prefix="sg_orc_")
+    d.write.mode("overwrite").orc(out)
+    return (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .orc(out)
+        .select(*cols)
+    )
+
+
+@spec(
+    "stream_top_event_types",
+    "EXT-stream-agg A6 O7",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events GROUP BY event_type
+    ORDER BY n_events DESC, event_type LIMIT 5
+    """,
+)
+def stream_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k in COMPLETE output mode END-TO-END — the live
+    leaderboard shape (append mode cannot re-rank already-emitted rows;
+    complete mode re-emits the full ranked result each micro-batch, so
+    sort+limit after a streaming aggregation is legal exactly here).
+    The memory sink's final contents equal the batch top-5 regardless of
+    how the replay splits into micro-batches — unlike the append-mode
+    gates this is deterministic BY MODE, not by emission accounting.
+    State is one count per group key (tiny, unbounded-time); the
+    total-order tie-break makes the LIMIT engine-portable."""
+    ensure_utc(spark)
+    stream = read_table_stream(spark, sf_dir, "events").select("event_type")
+    ranked = (
+        stream.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("event_type"))
+        .limit(5)
+    )
+    return _run_stream(
+        ranked,
+        state_partitions=_stream_parallelism(spark),
+        output_mode="complete",
     )
 
 
