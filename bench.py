@@ -56,6 +56,12 @@ HEADLINE = [
     "doc_repetition_stats",
     "int8_ann_topk",
     "corpus_curation_report",
+    "doc_unigram_rarity",
+    "doc_tfidf_terms",
+    "segment_dedup_docs",
+    # stream_sessionized_users stays OUT: like the file-source
+    # round-trips, most of its wall time is bounded scaffolding (staging
+    # writes + sentinel construction), not plan execution.
 ]
 
 

@@ -118,3 +118,14 @@ def test_corpus_chunks_and_scrub_and_pack(spark):
     assert packed.count() == 50
     overflow = packed.groupBy("bin_id").agg(F.sum("packed_len").alias("s")).where("s > 64")
     assert overflow.count() == 0
+
+
+def test_corpus_rarity_tfidf_segment_routes(spark):
+    c = Corpus(_docs(spark))
+    r = c.rarity()
+    assert r.count() == 50 and "mean_rarity" in r.columns
+    t = c.tfidf_terms(k=2)
+    assert t.groupBy("doc_id").count().where("count > 2").count() == 0
+    sd = c.segment_dedup()
+    row = sd.agg(F.sum("kept_segments").alias("k"), F.sum("n_segments").alias("n")).first()
+    assert 0 < row.k <= row.n

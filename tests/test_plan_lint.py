@@ -50,6 +50,8 @@ BNLJ_OK = {
     "int8_ann_topk",        # broadcast 1-row quantized query vector
     "int8_ann_recall",
     "pq_ann_recall",        # scalar gate joins + broadcast query re-rank
+    "lang_mixing_weights",  # |langs| rows × 1-row weight-total scalar
+    "vocab_coverage_curve",  # 3 cut rows × 1-row token-total scalar
 }
 
 

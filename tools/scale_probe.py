@@ -56,6 +56,9 @@ DOC_QUERIES = [
     "doc_repetition_stats",
     "substring_dup_flags",
     "corpus_curation_report",
+    "doc_unigram_rarity",
+    "doc_tfidf_terms",
+    "segment_dedup_docs",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

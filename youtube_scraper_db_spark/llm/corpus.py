@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from . import cluster as C
 from . import dedup as D
 from . import packing as P
+from . import rarity as R
 from . import sampling as SA
 from . import similarity as S
 from . import text as T
@@ -159,6 +160,35 @@ class Corpus:
             F.posexplode(T.chunks(self.text_col, size=size, stride=stride)).alias(
                 "chunk_idx", "chunk_text"
             ),
+        )
+
+    def rarity(self, hot_min: int = 64) -> DataFrame:
+        """Per-doc unigram-LM rarity report (the model-free perplexity
+        gate; heavy-hitter split join — see llm/rarity.py)."""
+        return R.unigram_rarity(
+            self.docs.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.col(self.text_col).alias("text"),
+            ),
+            hot_min=hot_min,
+        )
+
+    def tfidf_terms(self, k: int = 3, hot_min: int = 64) -> DataFrame:
+        """Top-k characteristic terms per doc (integer-exact TF-IDF)."""
+        return R.tfidf_top_terms(
+            self.docs.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.col(self.text_col).alias("text"),
+            ),
+            k=k,
+            hot_min=hot_min,
+        )
+
+    def segment_dedup(self, seg_tokens: int = 10) -> DataFrame:
+        """Cross-doc segment-level exact dedup with reassembly
+        (paragraph-dedup pass; llm/dedup.py segment_dedup)."""
+        return D.segment_dedup(
+            self.docs, self.id_col, self.text_col, seg_tokens=seg_tokens
         )
 
     def scrubbed(self) -> DataFrame:

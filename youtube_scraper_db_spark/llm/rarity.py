@@ -164,3 +164,47 @@ def tfidf_top_terms(
             "score",
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    cuts: tuple[int, ...] = (10, 100, 1000),
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Token-mass coverage of the top-``k`` vocabulary head for each cut
+    — the tokenizer-budget curve ("how much of the corpus do the N most
+    frequent words cover?"). Computed WITHOUT a global rank window: each
+    cut is an ``orderBy(count desc, word).limit(k)`` — Spark plans that
+    as TakeOrderedAndProject (per-partition heaps + a k-row merge on the
+    driver), so no single reducer ever holds the whole vocabulary; the
+    (count desc, word) total order makes boundary ties deterministic.
+    The vocabulary itself is persisted once (|vocab| rows — the ideal
+    cache), so the corpus is scanned once however many cuts are asked.
+
+    Columns: (k, covered_tokens, total_tokens, coverage)."""
+    from functools import reduce
+
+    scope = _scope_or_default(scope)
+    vc = scope.persist(vocabulary(word_occurrences(docs)))
+    total = vc.agg(F.sum("wc").cast("long").alias("total_tokens"))
+    parts = [
+        vc.orderBy(F.desc("wc"), F.asc("w"))
+        .limit(k)
+        .agg(F.sum("wc").cast("long").alias("covered_tokens"))
+        .select(F.lit(k).cast("int").alias("k"), "covered_tokens")
+        for k in cuts
+    ]
+    curve = reduce(lambda a, b: a.unionByName(b), parts)
+    return curve.crossJoin(total).select(
+        "k",
+        "covered_tokens",
+        "total_tokens",
+        (
+            F.floor(
+                F.col("covered_tokens")
+                / F.col("total_tokens").cast("double")
+                * 10000
+            )
+            / 10000.0
+        ).alias("coverage"),
+    )

@@ -4807,6 +4807,159 @@ def stream_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "stream_sessionized_users",
+    "T-session EXT-stream-state",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    e AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM src
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev IS NULL
+                      OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_sessionized_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator run END-TO-END
+    (streaming/sessions.py sessionize_stream — applyInPandasWithState,
+    per-user state machine with event-time timeout): 30-min inactivity
+    sessions over the replayed event stream, compared to the relational
+    batch sessionization the oracle computes (lag + cumulative session
+    ids + per-session min/max/count, µs-exact gap arithmetic matching
+    the kernel's integer microseconds).
+
+    The stream's append output normally under-emits: a user's LAST
+    session only closes via watermark timeout, which the bounded replay
+    may never reach. The gate therefore appends one far-future SENTINEL
+    event per user before streaming — every real session then closes
+    INLINE (deterministic emission), the sentinel's own session never
+    emits (stream ends before its timeout), and a defensive filter
+    drops anything at/after the sentinel anyway. Bounded driver state:
+    one max-timestamp scalar; sentinels are built as a DataFrame, never
+    collected. State per user is three scalars, evicted by timeout —
+    O(active users), not O(events) — the scale contract for
+    applyInPandasWithState."""
+    import datetime as dt
+    import tempfile
+
+    from .streaming.sessions import sessionize_stream
+
+    ensure_utc(spark)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = max_ts + dt.timedelta(days=30)
+    sentinels = (
+        ev.select("user_id").distinct().withColumn("ts", F.lit(sentinel_ts))
+    )
+    staged = tempfile.mkdtemp(prefix="sg_sess_")
+    ev.unionByName(sentinels).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(staged)
+    sessions = sessionize_stream(
+        stream, gap=dt.timedelta(minutes=30), watermark="1 hour"
+    )
+    out = _run_stream(sessions, state_partitions=_stream_parallelism(spark))
+    return out.filter(F.col("session_start") < F.lit(sentinel_ts)).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+@spec(
+    "lang_mixing_weights",
+    "EXT-lang-mix LLM-sampling",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    w AS (SELECT lang, n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1048576) AS BIGINT)
+                   AS weight
+          FROM c),
+    t AS (SELECT sum(weight) AS tw FROM w)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, weight,
+           FLOOR(weight / CAST(tw AS DOUBLE) * 10000) / 10000.0 AS share
+    FROM w CROSS JOIN t
+    """,
+)
+def lang_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing weights (the multilingual
+    pretraining recipe: sample language l with p ∝ n_l^(1/τ) so
+    low-resource languages are upsampled; τ=2 here). n^(1/2) is the ONE
+    temperature whose weight needs no libm — sqrt is correctly rounded
+    by IEEE-754, identical in every engine, unlike pow/exp/log — and
+    scaling by 2^20 (exact, power of two) then flooring makes the
+    weights integers, so their total is an exact associative sum and
+    the final share division is bit-deterministic. Plan: one tiny
+    aggregate (|langs| rows) + a scalar cross join — nothing at corpus
+    scale except the map-side-combined count."""
+    c = _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = c.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1048576)
+        .cast("long")
+        .alias("weight"),
+    )
+    t = w.agg(F.sum("weight").alias("tw"))
+    return w.crossJoin(t).select(
+        "lang",
+        "n_docs",
+        "weight",
+        (F.floor(F.col("weight") / F.col("tw").cast("double") * 10000) / 10000.0)
+        .alias("share"),
+    )
+
+
+@spec(
+    "vocab_coverage_curve",
+    "EXT-vocab-coverage LLM-text",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    occ AS (SELECT doc_id, w FROM tok, unnest(t) AS u(w)),
+    vc AS (SELECT w, count(*) AS wc FROM occ GROUP BY w),
+    rk AS (SELECT wc, row_number() OVER (ORDER BY wc DESC, w) AS rn FROM vc),
+    tot AS (SELECT CAST(sum(wc) AS BIGINT) AS t FROM vc)
+    SELECT CAST(k AS INT) AS k,
+           CAST(sum(CASE WHEN rn <= k THEN wc ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           (SELECT t FROM tot) AS total_tokens,
+           FLOOR(CAST(sum(CASE WHEN rn <= k THEN wc ELSE 0 END) AS BIGINT)
+                 / CAST((SELECT t FROM tot) AS DOUBLE) * 10000) / 10000.0
+             AS coverage
+    FROM rk CROSS JOIN (SELECT unnest([10, 100, 1000]) AS k) ks
+    GROUP BY k
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget curve: what fraction of the corpus token mass do
+    the 10 / 100 / 1000 most frequent words cover (llm/rarity.py
+    vocab_coverage). Each cut is an orderBy+limit — planned as
+    TakeOrderedAndProject (per-partition heaps, k-row driver merge), so
+    no single reducer ever materializes the whole ranked vocabulary;
+    the (count DESC, word) total order pins boundary ties in both
+    engines. The vocabulary is persisted once; the oracle computes the
+    same cuts with a rank window (fine at oracle scale)."""
+    return llm_rarity.vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
