@@ -234,3 +234,27 @@ def test_share_window_runs_over_aggregate(spark):
     plan = plan_of(spark, "nation_share_of_region")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_scd2_history_single_keyed_exchange(spark):
+    """user_status_history claims both windows share one (user_id)
+    shuffle + sort; a refactor that re-partitions between the change
+    filter and the interval window would double the exchange count."""
+    plan = plan_of(spark, "user_status_history")
+    # formatted explain lists each operator twice (tree + detail)
+    assert plan.count("Exchange") <= 2, plan[:800]
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_rarity_tfidf_have_no_hot_key_shuffle_join(spark):
+    """The heavy-hitter split: the frequent-word side must appear as a
+    BroadcastHashJoin; a plain sort-merge join of the full tf posting
+    list against the vocabulary would put 'the' on one reducer."""
+    for name in ("doc_unigram_rarity", "doc_tfidf_terms"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name} lost the broadcast split"
+
+
+def test_vocab_coverage_cuts_are_topk_not_global_sort(spark):
+    plan = plan_of(spark, "vocab_coverage_curve")
+    assert "TakeOrderedAndProject" in plan

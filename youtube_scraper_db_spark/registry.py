@@ -4960,6 +4960,99 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm_rarity.vocab_coverage(_t(spark, sf_dir, "documents"))
 
 
+@spec(
+    "user_status_history",
+    "EXT-scd2 T3 W2",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type AS status, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_status
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, status, ts AS valid_from, event_id
+      FROM o
+      WHERE prev_status IS NULL OR status <> prev_status
+    )
+    SELECT user_id, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) IS NULL)
+             AS is_current
+    FROM ch
+    """,
+)
+def user_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history compression — turn an event log into validity
+    intervals: consecutive repeats of the same status collapse, each
+    surviving change opens an interval [valid_from, valid_to) closed by
+    the next change (NULL = current). The dimension-table build every
+    warehouse does from a change feed. Two windows over the SAME
+    (user_id) partitioning and (ts, event_id) order — one shuffle
+    total, the second window reuses the first's sort; event_id breaks
+    timestamp ties so the compression is deterministic. At 100 TB this
+    is a single keyed exchange; no driver state, no iteration."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        e.withColumn("prev_status", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("event_type") != F.col("prev_status"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w2)
+    return changed.select(
+        "user_id",
+        "status",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@spec(
+    "stream_allowlisted_events",
+    "EXT-stream-filter J10",
+    oracle="""
+    SELECT e.event_id, e.user_id
+    FROM events e
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = e.user_id
+                    AND c.c_mktsegment = 'BUILDING')
+    """,
+)
+def stream_allowlisted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static SEMI join END-TO-END — the allowlist/consent filter
+    every event pipeline runs (keep only events whose user is in an
+    approved dimension): the event stream left-semi-joins a broadcast
+    customer subset per micro-batch. Unlike the enrichment gate
+    (stream_enriched_events, a left join carrying dim columns), a semi
+    join ships NO dimension payload downstream — the stream side never
+    shuffles and rows only shrink. Stateless per batch: emitted rows
+    equal the batch EXISTS exactly, whatever the micro-batch layout."""
+    ensure_utc(spark)
+    stream = read_table_stream(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    allowed = stream.join(F.broadcast(dim), "user_id", "left_semi")
+    return _run_stream(allowed.select("event_id", "user_id"))
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
