@@ -64,3 +64,33 @@ def test_asof_join_single_shuffle(spark):
     # union + carry-forward window: exactly one key shuffle, no join node
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_forward_semantics(spark):
+    left, right = _fixture(spark)
+    out = {
+        r.event_id: r.payload
+        for r in as_of_join(
+            left, right, key="k", left_ts="ts", right_ts="rt",
+            payload_cols=["payload"], direction="forward",
+        ).collect()
+    }
+    assert out[1] == 100       # earliest at-or-after
+    assert out[2] == 100       # inclusive at equal timestamp
+    assert out[3] == 200       # next right row after the gap
+    assert out[4] is None      # nothing follows the last right row
+    assert out[5] is None      # unmatched key
+    assert len(out) == 5
+
+
+def test_asof_join_forward_single_shuffle(spark):
+    left, right = _fixture(spark)
+    plan = (
+        as_of_join(
+            left, right, key="k", left_ts="ts", right_ts="rt",
+            payload_cols=["payload"], direction="forward",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan

@@ -36,43 +36,59 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     payload_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: all left columns + ``payload_cols`` from the
-    latest right row at-or-before each left row's timestamp (NULLs where
-    no right row precedes).
+    matched right row (NULLs where none exists).
+
+    ``direction="backward"`` (default): latest right row at-or-before
+    each left timestamp — the point-in-time-lookup everybody means by
+    "as-of". ``direction="forward"``: EARLIEST right row at-or-after —
+    the next-scheduled-event lookup (next maintenance window, next
+    order after a complaint). Same single-shuffle formulation either
+    way; only the side ordering at equal timestamps and the carry
+    frame flip: backward sorts right rows first and carries the last
+    non-null payload forward, forward sorts left rows first and takes
+    the first non-null payload from the current row onward.
 
     ``right`` must be unique per ``(key, right_ts)`` — with duplicates
     the carried payload would depend on partition-internal order.
     Pre-aggregate the right side to enforce this (the registry query
     does); uniqueness keeps the operator deterministic without paying
     for a global sort."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
+    left_side = 1 if backward else 0
     left_cols = [c for c in left.columns]
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_t"),
-        F.lit(1).alias("_side"),
+        F.lit(left_side).alias("_side"),
         *[F.col(c) for c in left_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
     )
     r_tagged = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_t"),
-        F.lit(0).alias("_side"),
+        F.lit(1 - left_side).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
     )
     u = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy("_k").orderBy("_t", "_side")
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first
     carried = u.select(
         "_side",
         *left_cols,
         *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(c)
+            pick(f"_p_{c}", ignorenulls=True).over(w).alias(c)
             for c in payload_cols
         ],
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return carried.filter(F.col("_side") == left_side).drop("_side")

@@ -5053,6 +5053,48 @@ def stream_allowlisted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(allowed.select("event_id", "user_id"))
 
 
+@spec(
+    "asof_next_order",
+    "EXT-asof-fwd J6 W2",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS k,
+             CAST(o_orderdate AS TIMESTAMP) AS rt,
+             MAX(o_orderkey) AS next_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, r.next_orderkey,
+           CAST(r.rt AS DATE) AS next_order_date
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.k AND e.ts <= r.rt
+    """,
+)
+def asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each event gets the customer's EARLIEST order
+    at-or-after the event timestamp — the next-scheduled-action lookup,
+    the mirror of asof_latest_order (operators/asof.py as_of_join with
+    direction='forward': same union + single key shuffle, the carry
+    frame flipped to first-non-null-from-here-on). The DuckDB oracle is
+    a native forward ASOF LEFT JOIN over the identical reduced table."""
+    from .operators.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders")
+    r = (
+        o.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("rt"),
+        )
+        .agg(F.max("o_orderkey").alias("next_orderkey"))
+        .withColumn("next_order_date", F.col("rt").cast("date"))
+    )
+    return as_of_join(
+        e, r, key="user_id", left_ts="ts", right_ts="rt",
+        payload_cols=["next_orderkey", "next_order_date"],
+        direction="forward",
+    ).select("event_id", "user_id", "next_orderkey", "next_order_date")
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
