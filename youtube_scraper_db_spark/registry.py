@@ -5095,6 +5095,53 @@ def asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "next_orderkey", "next_order_date")
 
 
+@spec(
+    "stream_cdc_upsert_orders",
+    "EXT-stream-cdc S10",
+    oracle=f"""
+    WITH {_SPLIT_SQL}
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM old
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM new)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM new
+    """,
+)
+def stream_cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply loop END-TO-END (streaming/cdc.py run_upsert_stream):
+    the refreshed-orders feed replayed as a file stream and folded into
+    a versioned parquet table via foreachBatch + merge_upsert, split
+    into MULTIPLE micro-batches (maxFilesPerTrigger=1 over a
+    4-file staging write) so the gate actually exercises the
+    batch-after-batch table evolution, not a single-shot merge. The
+    final table must equal the one-shot batch MERGE the oracle computes
+    — the streaming/batch agreement contract for keyed mutation. The
+    update feed is one-row-per-key (merge batches commute), so the
+    equality holds for ANY micro-batch layout."""
+    import tempfile
+
+    from .streaming.cdc import run_upsert_stream
+
+    ensure_utc(spark)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    old, new = _orders_split(spark, sf_dir)
+    staged = tempfile.mkdtemp(prefix="sg_cdc_src_")
+    new.select(*cols).repartition(4).write.mode("overwrite").parquet(staged)
+    updates = (
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_orderpriority string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    table_root = tempfile.mkdtemp(prefix="sg_cdc_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="sg_cdc_ckpt_")
+    final = run_upsert_stream(
+        updates, old.select(*cols), ["o_orderkey"], table_root, ckpt
+    )
+    return final.select(*cols)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
