@@ -1,0 +1,63 @@
+"""Exact heavy hitters (operators/heavy_hitters.py): the Misra-Gries
+candidate pass must never lose a true heavy hitter, whatever the
+distribution or partition layout — verified against the orthodox
+groupBy on adversarial inputs."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from youtube_scraper_db_spark.operators.heavy_hitters import exact_heavy_hitters
+
+
+def _exact(df, k):
+    total = df.count()
+    return {
+        (r.w, r.cnt)
+        for r in df.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(total))
+        .collect()
+    }
+
+
+def _check(spark, rows, k, partitions=8):
+    df = (
+        spark.createDataFrame([(w,) for w in rows], "w string")
+        .repartition(partitions)
+    )
+    got = {(r.w, r.cnt) for r in exact_heavy_hitters(df, "w", k=k).collect()}
+    assert got == _exact(df, k)
+    return got
+
+
+def test_skewed_with_rare_noise(spark):
+    # 2 heavy keys drowned in 5000 distinct rare keys — the summary
+    # overflows constantly; the merge rule must still keep the heavies.
+    rng = random.Random(3)
+    rows = ["hot1"] * 3000 + ["hot2"] * 2000 + [f"rare{i}" for i in range(5000)]
+    rng.shuffle(rows)
+    got = _check(spark, rows, k=8)
+    assert {w for w, _ in got} == {"hot1", "hot2"}
+
+
+def test_spread_thin_across_partitions(spark):
+    # a heavy hitter evenly smeared over many partitions still exceeds
+    # N_p/k somewhere (pigeonhole) — must survive with exact count
+    rows = ["thin"] * 1300 + [f"x{i % 900}" for i in range(8700)]
+    got = _check(spark, rows, k=8, partitions=16)
+    assert ("thin", 1300) in got
+
+
+def test_no_heavy_hitters_is_empty(spark):
+    rows = [f"u{i}" for i in range(2000)]  # all unique
+    assert _check(spark, rows, k=16) == set()
+
+
+def test_boundary_is_strictly_greater(spark):
+    # exactly N/k occurrences must NOT qualify (strict >)
+    rows = ["edge"] * 25 + [f"y{i}" for i in range(75)]  # 25 * 4 == 100
+    got = _check(spark, rows, k=4)
+    assert got == set()

@@ -5142,6 +5142,36 @@ def stream_cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(*cols)
 
 
+@spec(
+    "heavy_hitter_words",
+    "EXT-heavy-hitters LLM-text",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    occ AS (SELECT w FROM tok, unnest(t) AS u(w)),
+    tot AS (SELECT count(*) AS n FROM occ)
+    SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n_total
+    FROM occ GROUP BY w
+    HAVING count(*) * 32 > (SELECT n FROM tot)
+    """,
+)
+def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters without the full-vocabulary shuffle
+    (operators/heavy_hitters.py): words in more than 1/32 of all token
+    positions, found via per-partition Misra-Gries candidate summaries
+    (O(k) memory, map-only, pigeonhole guarantees a candidate superset)
+    + an exact recount of the broadcast candidate set only. The oracle
+    is the orthodox GROUP BY ... HAVING over the whole vocabulary — the
+    two formulations verify each other; the threshold compare is
+    integer (cnt·k > N), engine-exact. At 100 TB the full groupBy
+    shuffles billions of rare keys to answer a ≤31-key question; this
+    plan's only shuffle carries candidate keys."""
+    from .operators.heavy_hitters import exact_heavy_hitters
+
+    occ = llm_rarity.word_occurrences(_t(spark, sf_dir, "documents"))
+    return exact_heavy_hitters(occ, "w", k=32)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
