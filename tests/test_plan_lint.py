@@ -52,6 +52,7 @@ BNLJ_OK = {
     "pq_ann_recall",        # scalar gate joins + broadcast query re-rank
     "lang_mixing_weights",  # |langs| rows × 1-row weight-total scalar
     "vocab_coverage_curve",  # 3 cut rows × 1-row token-total scalar
+    "heavy_hitter_words",   # ≤k-1 candidate rows × 1-row total scalar
 }
 
 

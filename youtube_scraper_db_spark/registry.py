@@ -5172,6 +5172,104 @@ def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_heavy_hitters(occ, "w", k=32)
 
 
+@spec(
+    "referential_integrity_report",
+    "EXT-dq-fk J9 A1",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk, CAST(count(*) AS BIGINT) AS orphans
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', CAST(count(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: orphan counts for every FK relationship in
+    the schema — the referential-integrity expectations a warehouse
+    runs before publishing a snapshot. Each check is one LEFT ANTI join
+    + count; the dimension sides (customer/orders-keys/part/nation)
+    broadcast where small, and the count is a 1-row aggregate, so the
+    report costs four fact scans and nothing else. Anti-join instead of
+    NOT IN: NULL-safe and AQE-optimizable (NOT IN's three-valued NULL
+    semantics would turn one NULL key into an empty result)."""
+    ensure_utc(spark)
+
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, label: str) -> DataFrame:
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count("*").cast("long").alias("orphans"))
+            .select(F.lit(label).alias("fk"), "orphans")
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    checks = [
+        orphans(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"),
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders"),
+        orphans(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part"),
+        orphans(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation"),
+    ]
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+@spec(
+    "column_profile_events",
+    "EXT-dq-profile A1 A5 A8",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(user_id) AS BIGINT) AS user_id_nulls,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS user_id_distinct,
+           CAST(count(*) - count(event_type) AS BIGINT) AS event_type_nulls,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS event_type_distinct,
+           min(ts) AS ts_min, max(ts) AS ts_max,
+           ROUND(min(value), 2) AS value_min,
+           ROUND(max(value), 2) AS value_max,
+           ROUND(avg(value), 2) AS value_avg
+    FROM events
+    """,
+)
+def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the Deequ/Great-Expectations summary every
+    ingestion pipeline snapshots): null counts, distinct cardinalities,
+    and min/max/avg ranges — ONE aggregation pass over the table (all
+    measures fused into a single agg; the two DISTINCT columns expand
+    to the standard multi-distinct plan, still one logical pass). avg
+    rounds to 2 decimals on both sides, the repo-wide float-aggregate
+    convention. At scale this is a map-side-combinable scan profile —
+    swap countDistinct for approx_count_distinct when ±2% is acceptable
+    and the expand goes away entirely."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.count("*") - F.count("user_id")).cast("long").alias("user_id_nulls"),
+        F.countDistinct("user_id").cast("long").alias("user_id_distinct"),
+        (F.count("*") - F.count("event_type"))
+        .cast("long")
+        .alias("event_type_nulls"),
+        F.countDistinct("event_type").cast("long").alias("event_type_distinct"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.round(F.min("value"), 2).alias("value_min"),
+        F.round(F.max("value"), 2).alias("value_max"),
+        F.round(F.avg("value"), 2).alias("value_avg"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
