@@ -27,6 +27,7 @@ ARROW_STAGES = {
     "simhash_dups",              # numpy bit-matrix signature kernel
     "simhash_recall",
     "pq_ann_recall",             # PQ encode/ADC kernel is mapInPandas
+    "heavy_hitter_words",        # Misra-Gries summary is mapInPandas
 }
 
 #: queries where a BroadcastNestedLoopJoin is the documented, bounded
