@@ -5270,6 +5270,62 @@ def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "jsonl_gzip_roundtrip",
+    "EXT-jsonl-gzip S14",
+    oracle="SELECT doc_id, text, lang FROM documents",
+)
+def jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL round-trip through GZIP part files — the compressed text
+    interchange path (most public web-scrape corpora ship as .jsonl.gz).
+    Byte-exact content survival through the codec; explicit schema on
+    the read side as always. SCALE NOTE, and the reason this is a
+    side-channel format rather than the storage format: gzip is NOT
+    splittable — each .gz part is one task on read, so write-side
+    parallelism (number of part files) fixes read-side parallelism.
+    Land .jsonl.gz into parquet+snappy/zstd (splittable, columnar) as
+    step one of any 100 TB ingest."""
+    import tempfile
+
+    ensure_utc(spark)
+    cols = ["doc_id", "text", "lang"]
+    d = _t(spark, sf_dir, "documents").select(*cols)
+    out = tempfile.mkdtemp(prefix="sg_jgz_")
+    d.write.mode("overwrite").option("compression", "gzip").json(out)
+    return (
+        spark.read.schema("doc_id long, text string, lang string")
+        .json(out)
+        .select(*cols)
+    )
+
+
+@spec(
+    "order_value_percentrank",
+    "EXT-percentrank W2 O2",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FLOOR(percent_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice, o_orderkey)
+                 * 10000) / 10000.0 AS price_pr
+    FROM orders
+    """,
+)
+def order_value_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer percent_rank of order value — the relative-standing
+    window ((rank-1)/(n-1), the normalized position every spend-tier
+    segmentation uses). The ORDER BY carries o_orderkey as tie-break so
+    rank is unique and the quotient engine-exact (two exact ints, one
+    IEEE division, truncated to 4 decimals). One keyed shuffle, no
+    global sort — percent_rank needs only its partition's extent."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.floor(F.percent_rank().over(w) * 10000) / 10000.0).alias("price_pr"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
