@@ -56,6 +56,7 @@ HEADLINE = [
     "doc_repetition_stats",
     "int8_ann_topk",
     "corpus_curation_report",
+    "classic_q5_local_volume",
     "doc_unigram_rarity",
     "doc_tfidf_terms",
     "segment_dedup_docs",

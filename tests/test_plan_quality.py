@@ -258,3 +258,11 @@ def test_rarity_tfidf_have_no_hot_key_shuffle_join(spark):
 def test_vocab_coverage_cuts_are_topk_not_global_sort(spark):
     plan = plan_of(spark, "vocab_coverage_curve")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_broadcasts_all_dims_no_smj(spark):
+    """TPC-H Q5: every dimension join must broadcast — a sort-merge
+    join anywhere means the fact table is being shuffled for a dim."""
+    plan = plan_of(spark, "classic_q5_local_volume")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
