@@ -5388,6 +5388,92 @@ def classic_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "stream_window_late_drop",
+    "EXT-stream-late T2",
+    oracle="""
+    SELECT TIMESTAMP '2024-01-01 10:00:00' AS win_start,
+           CAST(2 AS BIGINT) AS n
+    """,
+)
+def stream_window_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics pinned end-to-end — the HARD
+    contract of event-time aggregation in append mode (the counterpart
+    to stream_dedup_user_types, whose wide watermark makes lateness
+    unreachable by design). Two staged files replay as two forced
+    micro-batches (maxFilesPerTrigger=1, mtime-ordered):
+
+    run 1 (files: A@10:10, A@10:20 in window [10:00, 11:00), W@12:00
+          the watermark anchor): commits watermark 12:00 - 30min =
+          11:30 > 11:00 into the CHECKPOINT, closes window [10,11) and
+          emits its count 2. W's own window [12,13) stays open — append
+          mode never emits it.
+    run 2 (same checkpoint — the restart contract: the committed
+          watermark is RESTORED, not recomputed; new file: A@10:40 and
+          B@10:05, both below 11:30): both rows are dropped as late by
+          the hard watermark guarantee, run 2 emits NOTHING — the
+          closed window's count stays 2 forever and no [10,11) row for
+          B ever appears. (If late data were NOT dropped, the evicted
+          window would re-open with the 2 late rows and immediately
+          re-emit — a visible extra row, so the gate cannot pass
+          vacuously.)
+
+    Within a SINGLE availableNow run Spark plans all files up front and
+    the intra-run watermark is not a portable contract (measured: a
+    second micro-batch in the same run still aggregated below-watermark
+    rows); across a checkpointed restart it IS the documented contract,
+    and that is the one that matters operationally — this is the gate
+    that proves streaming aggregation memory is O(open windows), not
+    O(history). Emitted rows are captured via foreachBatch (the memory
+    sink does not support checkpoint recovery)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    ensure_utc(spark)
+    T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minutes: int) -> dt.datetime:
+        return T0 + dt.timedelta(minutes=minutes)
+
+    staged = tempfile.mkdtemp(prefix="sg_late_")
+    ckpt = tempfile.mkdtemp(prefix="sg_late_ck_")
+    spark.createDataFrame(
+        [("A", at(10)), ("A", at(20)), ("W", at(120))], "k string, ts timestamp"
+    ).coalesce(1).write.parquet(os.path.join(staged, "b1"))
+
+    emitted: list[tuple] = []
+
+    def drain() -> None:
+        stream = spark.readStream.schema("k string, ts timestamp").parquet(
+            staged + "/*"
+        )
+        counts = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("win_start"), "n")
+        )
+        q = (
+            counts.writeStream.foreachBatch(
+                lambda df, _bid: emitted.extend(
+                    (r.win_start, r.n) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    spark.createDataFrame(
+        [("A", at(40)), ("B", at(5))], "k string, ts timestamp"
+    ).coalesce(1).write.parquet(os.path.join(staged, "b2"))
+    drain()
+    return spark.createDataFrame(emitted, "win_start timestamp, n long")
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
