@@ -191,6 +191,33 @@ class Corpus:
             self.docs, self.id_col, self.text_col, seg_tokens=seg_tokens
         )
 
+    def heavy_hitters(self, k: int = 32) -> DataFrame:
+        """Words in more than 1/k of all token positions, EXACT, via the
+        Misra-Gries candidate pass (operators/heavy_hitters.py) — no
+        full-vocabulary shuffle."""
+        from ..operators.heavy_hitters import exact_heavy_hitters
+        from . import rarity as R_
+
+        occ = R_.word_occurrences(
+            self.docs.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.col(self.text_col).alias("text"),
+            )
+        )
+        return exact_heavy_hitters(occ, "w", k=k)
+
+    def vocab_coverage(self, cuts: tuple = (10, 100, 1000)) -> DataFrame:
+        """Token-mass coverage of the top-k vocabulary head per cut."""
+        from . import rarity as R_
+
+        return R_.vocab_coverage(
+            self.docs.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.col(self.text_col).alias("text"),
+            ),
+            cuts=cuts,
+        )
+
     def scrubbed(self) -> DataFrame:
         """Corpus with email/phone PII redacted (typed placeholders)."""
         return self.docs.withColumn(self.text_col, T.scrub_pii(self.text_col))

@@ -5474,6 +5474,60 @@ def stream_window_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(emitted, "win_start timestamp, n long")
 
 
+@spec(
+    "classic_q18_large_orders",
+    "EXT-classic-q18 A3 J2 O7",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(total_qty AS BIGINT) AS total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def classic_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): aggregate the fact table
+    FIRST (sum quantity per order, HAVING — a map-side-combinable agg
+    that collapses 100 TB of line items to qualifying order keys), then
+    join the small survivor set back to orders and customer — both
+    joins broadcast the survivors, so the enrichment side is probed,
+    never shuffled. The ordered LIMIT compiles to
+    TakeOrderedAndProject. This is the reduce-then-join shape; the
+    join-then-reduce alternative shuffles the whole fact-dim product
+    first and is the classic anti-plan. total_qty is an exact integer
+    sum (l_quantity is integral in this dataset), tie-broken by
+    o_orderkey for a total order."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
