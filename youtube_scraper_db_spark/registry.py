@@ -5528,6 +5528,42 @@ def classic_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "doc_token_ids",
+    "EXT-encode LLM-text",
+    oracle=f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id,
+           list_transform(t,
+             x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS ids,
+           CAST(len(t) AS INT) AS n_tokens
+    FROM tok
+    """,
+)
+def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ENCODE step — tokens to stable integer ids, the last
+    transform before tensorizing training data. Ids are engine-portable
+    content digests (md5 prefix, the repo's established portable-hash
+    idiom), NOT rank-in-vocabulary ids: digest ids need no vocabulary
+    pass at all (map-only over the scan, trivially parallel, stable
+    under corpus growth — a new document never renumbers old ids),
+    which is exactly the property a 100 TB incremental encode needs.
+    The frequency-ranked head that tooling wants alongside is
+    `corpus_vocab_topk`; a full dense rank-id vocabulary would need a
+    global sort of |vocab| — buildable, but never per-encode. Per-row
+    array transform inside codegen; zero exchange (plan-linted class)."""
+    d = _t(spark, sf_dir, "documents")
+    t = llm_text.tokens("text")
+    ids = F.transform(
+        t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+    )
+    return d.select(
+        "doc_id",
+        ids.alias("ids"),
+        F.size(t).cast("int").alias("n_tokens"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
