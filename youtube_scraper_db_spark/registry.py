@@ -5564,6 +5564,58 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "stream_outer_correlated_pairs",
+    "EXT-stream-join-outer J1",
+    oracle="""
+    SELECT a.event_id AS l_event_id, b.event_id AS r_event_id
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+)
+def stream_outer_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join END-TO-END — the hardest
+    streaming join contract: a null-extended row for an unmatched left
+    emits only when the right watermark proves no partner can still
+    arrive (state eviction), so lefts near end-of-input are normally
+    UNDECIDED and never emit. The gate closes that with one far-future
+    ANCHOR row on the right stream (user_id -1, matching nothing): it
+    drags the final right watermark past every real left's match
+    window, so every real left is decided — matched or null — before
+    the replay drains, and the emitted set equals the batch LEFT JOIN
+    exactly (which is what the oracle runs). The anchor's own rows are
+    filtered from the output. Same O(rate × window) state bound as the
+    inner gate."""
+    import datetime as dt
+    import tempfile
+
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    anchor = spark.createDataFrame(
+        [(-1, -1, max_ts + dt.timedelta(days=30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    staged_r = tempfile.mkdtemp(prefix="sg_outer_r_")
+    ev.unionByName(anchor).write.mode("overwrite").parquet(staged_r)
+    left = read_table_stream(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    right = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp"
+    ).parquet(staged_r)
+    pairs = correlate_streams(
+        left, right, on="user_id", within="30 minutes", watermark="2 hours",
+        how="left_outer",
+    )
+    out = _run_stream(
+        pairs.select("l_event_id", "r_event_id"),
+        state_partitions=_stream_parallelism(spark),
+    )
+    return out.filter(F.col("l_event_id") >= 0)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------

@@ -27,9 +27,20 @@ def correlate_streams(
     watermark: str = "2 hours",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join ``left`` and ``right`` on ``on`` where the right event
+    """Join ``left`` and ``right`` on ``on`` where the right event
     lands in ``[left.ts, left.ts + within]``.
+
+    ``how="inner"`` (default) emits matches as they form.
+    ``how="left_outer"`` additionally emits a null-extended row for
+    every left event that finds NO partner — but only once that can be
+    KNOWN: when the right watermark passes the end of the left row's
+    match window, the state evicts and the null row emits. A left row
+    near the end of input whose window the final watermark never
+    covers emits nothing — the gate in the registry closes that with a
+    far-future anchor on the right stream so every real left's window
+    is decided before the replay drains.
 
     Both inputs must carry an event-time ``ts`` column; all columns are
     re-prefixed so the output schema is collision-free. Works unchanged
@@ -52,4 +63,4 @@ def correlate_streams(
         & (rts >= lts)
         & (rts <= lts + F.expr(f"INTERVAL {within}"))
     )
-    return lp.join(rp, cond, "inner")
+    return lp.join(rp, cond, how)
