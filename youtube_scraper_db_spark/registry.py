@@ -5616,6 +5616,78 @@ def stream_outer_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.filter(F.col("l_event_id") >= 0)
 
 
+@spec(
+    "event_status_attribution",
+    "EXT-scd2-lookup EXT-asof J2",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type AS status, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_status
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, status, ts AS valid_from, event_id
+      FROM o WHERE prev_status IS NULL OR status <> prev_status
+    ),
+    hist AS (
+      SELECT user_id, status, valid_from FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, valid_from
+                                     ORDER BY event_id DESC) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, h.status AS status_at_event
+    FROM events e ASOF LEFT JOIN hist h
+      ON e.user_id = h.user_id AND e.ts >= h.valid_from
+    """,
+)
+def event_status_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 CONSUMER: every event annotated with the status valid at
+    its timestamp — dimension history built by user_status_history
+    compression, then a point-in-time lookup. Rather than an interval
+    join against [valid_from, valid_to) (which range-explodes), the
+    lookup is the backward as-of join on valid_from alone — equivalent
+    because SCD2 intervals partition the timeline per key, and ONE key
+    shuffle instead of a range join. The oracle compresses the history
+    identically and uses DuckDB's native backward ASOF. Tie semantics:
+    an event at exactly a status-change timestamp sees the NEW status
+    (inclusive at-or-before), matching the warehouse convention; if two
+    changes ever share a (user, ts) — not true of today's testdata, but
+    unasserted — last-change-wins (max event_id) dedups the history on
+    BOTH sides, so the gate is content-robust, not layout-lucky."""
+    from .operators.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "valid_from").orderBy(
+        F.desc("event_id")
+    )
+    hist = (
+        e.withColumn("prev_status", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("event_type") != F.col("prev_status"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "status", "valid_from")
+    )
+    ev = e.select("event_id", "user_id", "ts")
+    return as_of_join(
+        ev, hist, key="user_id", left_ts="ts", right_ts="valid_from",
+        payload_cols=["status"],
+    ).select(
+        "event_id", "user_id", F.col("status").alias("status_at_event")
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -5661,6 +5733,10 @@ _swap_specs("minhash_lsh_recall", "summary_stats")
 _swap_specs("minhash_lsh_recall", "orc_export_roundtrip")
 _swap_specs("doc_token_ids", "jsonl_gzip_roundtrip")
 _swap_specs("stream_outer_correlated_pairs", "csv_export_roundtrip")
+# Same policy for later round-4 additions: each new operator GATE swaps
+# with the simplest remaining in-window entry (small aggregates whose
+# oracles are trivially stable and triple-SF-verified locally).
+_swap_specs("event_status_attribution", "lang_mixing_weights")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
