@@ -5688,6 +5688,88 @@ def event_status_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "top_suppliers_with_ties",
+    "EXT-topk-ties A6 O7 W2",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey, count(*) AS n_lines
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    r AS (SELECT *, rank() OVER (ORDER BY n_lines DESC) AS rnk FROM c)
+    SELECT l_suppkey, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def top_suppliers_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 suppliers by line count WITH TIES — rank(), not
+    row_number(): every supplier tied at the boundary appears, the
+    honest leaderboard semantics (row_number's arbitrary tie cut is the
+    subtle bug in most top-k reports; the repo's other top-k queries
+    total-order their ties away instead — both semantics now covered).
+    The rank window is global but runs over the AGGREGATED supplier
+    counts (|suppliers| rows, not line items), so the single-partition
+    sort is bounded by the dimension's cardinality — the same
+    aggregate-then-rank shape as Q18."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_suppkey").agg(F.count("*").alias("n_lines"))
+    w = Window.orderBy(F.desc("n_lines"))
+    return (
+        c.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "l_suppkey",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@spec(
+    "event_value_mad",
+    "EXT-mad A8 EXT-percentile",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND((SELECT med FROM med m WHERE m.event_type = e.event_type), 2)
+             AS median_value,
+           ROUND(median(abs(e.value -
+             (SELECT med FROM med m WHERE m.event_type = e.event_type))), 2)
+             AS mad
+    FROM events e GROUP BY e.event_type
+    """,
+)
+def event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the ROBUST scale
+    estimate (stddev blows up on one fat-finger outlier; MAD doesn't),
+    the statistic real anomaly thresholds use. Two grouped exact
+    percentiles: median per type, broadcast back, median of absolute
+    deviations — both engines interpolate quantile_cont-style on the
+    identical value sets, and results round to 2 decimals per the repo
+    float convention. Two keyed shuffles of |types| partials; at 100 TB
+    swap the exact percentile for approx_percentile (t-digest) exactly
+    as event_value_percentiles self-checks."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 2).alias("median_value"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)),
+                2,
+            ).alias("mad"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -5737,6 +5819,8 @@ _swap_specs("stream_outer_correlated_pairs", "csv_export_roundtrip")
 # with the simplest remaining in-window entry (small aggregates whose
 # oracles are trivially stable and triple-SF-verified locally).
 _swap_specs("event_status_attribution", "lang_mixing_weights")
+_swap_specs("top_suppliers_with_ties", "column_profile_events")
+_swap_specs("event_value_mad", "order_value_percentrank")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
