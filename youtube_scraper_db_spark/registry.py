@@ -5770,6 +5770,56 @@ def event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "custom_source_roundtrip",
+    "EXT-datasource S15 S9",
+    oracle="""
+    SELECT 'vid' || CAST(doc_id AS VARCHAR) AS video_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           text AS body
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def custom_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API round-trip: render 100 transcript
+    exports through the text sink (sinks/render_text.py — the
+    reference's TITLE:/URL:/comment/blank/body layout), then read the
+    directory back with ``spark.read.format("transcript_text")`` — the
+    custom DataSource in sources/transcript_datasource.py, where file
+    listing happens once on the driver and every file parses in its own
+    InputPartition on executors. This is the scale path for consuming a
+    rendered archive (vs the driver-staged inbox parser): a
+    million-file export reads with full cluster parallelism as a
+    first-class relation. Hash-matched against the documents rows the
+    files were rendered from; video_id recovered from the synthesized
+    URL, so filename sanitization stays out of the comparison."""
+    import tempfile
+
+    from .sinks.render_text import write_transcript_files
+    from .sources.transcript_datasource import register
+
+    ensure_utc(spark)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            F.concat(F.lit("vid"), F.col("doc_id")).alias("video_id"),
+            F.concat(F.lit("Doc "), F.col("doc_id")).alias("title"),
+            F.lit(None).cast("string").alias("video_url"),
+            F.col("text").alias("transcript"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="sg_dsrc_")
+    write_transcript_files(d, out)
+    register(spark)
+    back = spark.read.format("transcript_text").load(out)
+    return back.select(
+        F.regexp_extract("url", r"v=(.*)$", 1).alias("video_id"),
+        "title",
+        "body",
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -5821,6 +5871,7 @@ _swap_specs("stream_outer_correlated_pairs", "csv_export_roundtrip")
 _swap_specs("event_status_attribution", "lang_mixing_weights")
 _swap_specs("top_suppliers_with_ties", "column_profile_events")
 _swap_specs("event_value_mad", "order_value_percentrank")
+_swap_specs("custom_source_roundtrip", "referential_integrity_report")
 
 
 def _offset_for_round(last_checked_round: int) -> int:

@@ -1,0 +1,101 @@
+"""Custom Spark DataSource for the rendered transcript-file format —
+``spark.read.format("transcript_text")`` over a directory of the text
+exports the reference produces (TITLE:/URL: headers, comment line, blank
+line, body — export_transcript.py:70-78), giving the archive's rendered
+output a first-class, parallel, catalog-visible read path.
+
+This uses Spark 4's Python DataSource API (pyspark.sql.datasource): the
+reader lists files once on the driver, then each InputPartition parses
+ONE file on an executor — so a million-file archive reads with full
+cluster parallelism, schema projection works like any other source, and
+downstream Catalyst treats it as a normal relation. Compare
+sources/transcript_files.py, which stages parsed rows through
+``createDataFrame`` on the driver — still the right tool for a small
+inbox; this source is the scale path for reading back an entire
+rendered archive.
+
+Format contract (mirrors sinks/render_text.py): parse is header-order
+tolerant, ignores ``#`` comment lines, and treats everything after the
+first blank line as the body verbatim (bodies may contain lines that
+look like headers — only pre-blank lines are header territory).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("filename", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("body", T.StringType()),
+    ]
+)
+
+
+def parse_transcript_text(name: str, text: str) -> tuple:
+    """Parse one rendered export. Header zone = lines before the first
+    blank line; TITLE:/URL: extracted there, '#' lines ignored; the body
+    is everything after the blank line, verbatim."""
+    title, url = "", ""
+    lines = text.split("\n")
+    body_start = len(lines)
+    for i, line in enumerate(lines):
+        if line == "":
+            body_start = i + 1
+            break
+        if line.startswith("TITLE: "):
+            title = line[len("TITLE: "):]
+        elif line.startswith("URL: "):
+            url = line[len("URL: "):]
+    body = "\n".join(lines[body_start:])
+    return (name, title, url, body)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class TranscriptTextReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("transcript_text source requires a path")
+
+    def partitions(self):
+        # one partition per file: the unit of parallelism AND of retry
+        return [
+            _FilePartition(os.path.join(self.path, f))
+            for f in sorted(os.listdir(self.path))
+            if f.endswith(".txt")
+        ]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, encoding="utf-8") as f:
+            text = f.read()
+        yield parse_transcript_text(os.path.basename(partition.path), text)
+
+
+class TranscriptTextDataSource(DataSource):
+    """``spark.dataSource.register(TranscriptTextDataSource)`` then
+    ``spark.read.format("transcript_text").load(dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "transcript_text"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema) -> TranscriptTextReader:
+        return TranscriptTextReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration on a session."""
+    spark.dataSource.register(TranscriptTextDataSource)
