@@ -5820,6 +5820,46 @@ def custom_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "event_props_variant",
+    "EXT-variant F-json A2",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: parse_json
+    once into the binary variant encoding, then typed path extraction
+    (try_variant_get — returns NULL on shape mismatch instead of
+    throwing, the schema-drift-tolerant read) feeding a normal
+    aggregate. At 100 TB VARIANT beats per-query JSON string parsing:
+    the parse happens once per row into a navigable binary form, and in
+    a variant-typed PARQUET column it would be stored pre-parsed with
+    shredded-path pushdown. The DuckDB oracle runs the equivalent
+    JSON-path extraction — two engines, two semi-structured engines,
+    one answer."""
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -5872,6 +5912,7 @@ _swap_specs("event_status_attribution", "lang_mixing_weights")
 _swap_specs("top_suppliers_with_ties", "column_profile_events")
 _swap_specs("event_value_mad", "order_value_percentrank")
 _swap_specs("custom_source_roundtrip", "referential_integrity_report")
+_swap_specs("event_props_variant", "top_suppliers_with_ties")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
