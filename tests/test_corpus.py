@@ -129,3 +129,11 @@ def test_corpus_rarity_tfidf_segment_routes(spark):
     sd = c.segment_dedup()
     row = sd.agg(F.sum("kept_segments").alias("k"), F.sum("n_segments").alias("n")).first()
     assert 0 < row.k <= row.n
+
+
+def test_vectors_centroids_route(spark):
+    emb = _emb(spark).withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    out = Vectors(emb, dim=16).centroids()
+    rows = {r.label: r for r in out.collect()}
+    assert set(rows) == {0, 1}
+    assert all(len(r.centroid) == 16 for r in rows.values())

@@ -248,6 +248,16 @@ class Vectors:
         self.id_col = id_col
         self.vec_col = vec_col
 
+    def centroids(self, label_col: str = "label", scale: int = 1000) -> DataFrame:
+        """Per-label fixed-point centroids (bit-reproducible — see
+        similarity.label_centroids). Requires ``label_col`` on emb."""
+        src = self.emb.select(
+            F.col(label_col).alias("label"),
+            F.col(self.id_col).alias("vec_id"),
+            F.col(self.vec_col).alias("embedding"),
+        )
+        return S.label_centroids(src, scale=scale)
+
     def near_dups(
         self,
         threshold: float = 0.9,
