@@ -346,3 +346,66 @@ def test_pq_codebooks_deterministic_and_recall(spark):
     assert len(got) == 5
     assert got[0] == 0  # the query itself survives coarse+re-rank
     assert len(set(exact) & set(got)) >= 4
+
+
+def test_char_pairs_and_bpe_weighting(spark):
+    """char_pairs enumerates adjacent 2-grams; the BPE pair count must
+    weight pairs by WORD frequency (vocabulary-collapse-then-explode),
+    not recount the corpus."""
+    from youtube_scraper_db_spark.llm import text as T
+
+    df = spark.createDataFrame([("ab",), ("abc",), ("xy",)], "w string")
+    got = {r["w"]: r["p"] for r in df.select("w", T.char_pairs("w").alias("p")).collect()}
+    assert got["ab"] == ["ab"]
+    assert got["abc"] == ["ab", "bc"]
+    assert got["xy"] == ["xy"]
+
+    # corpus "ab ab abc" → wf {ab:2, abc:1} → pair counts ab:3, bc:1
+    docs = spark.createDataFrame([(0, "ab ab abc"), (1, "")], "doc_id long, text string")
+    words = (
+        docs.select(F.explode(T.tokens("text")).alias("w0"))
+        .select(F.lower("w0").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("f"))
+    counts = {
+        r["pair"]: r["n"]
+        for r in wf.select(F.explode(T.char_pairs("w")).alias("pair"), "f")
+        .groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+        .collect()
+    }
+    assert counts == {"ab": 3, "bc": 1}
+
+
+def test_token_runs_udtf_emits_runs_only(spark):
+    """The lateral UDTF emits one row per consecutive run of length ≥2,
+    1-based positions; empty/None text and run-free docs emit nothing."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, start_pos bigint, run_len bigint")
+    class TokenRuns:
+        def eval(self, text):
+            toks = text.split() if text else []
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield toks[i], i + 1, j - i
+                i = j
+
+    spark.udtf.register("token_runs_t", TokenRuns)
+    spark.createDataFrame(
+        [(0, "a a a b c c"), (1, "x y z"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("runs_docs")
+    rows = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT d.doc_id, r.token, r.start_pos, r.run_len "
+            "FROM runs_docs d, LATERAL token_runs_t(d.text) r"
+        ).collect()
+    )
+    assert rows == [(0, "a", 1, 3), (0, "c", 5, 2)]

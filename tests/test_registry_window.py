@@ -64,6 +64,11 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "corpus_curation_report",
         "jsonl_export_roundtrip",
         "pq_ann_recall",
+        # session additions (new operator surfaces swapped in over the
+        # facade/layout round-trip gates)
+        "bpe_pair_counts",
+        "token_runs_udtf",
+        "status_priority_cube",
     },
 }
 

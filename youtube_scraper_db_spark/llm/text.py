@@ -142,6 +142,18 @@ def bigrams_of_tokens(tok: Column) -> Column:
     )
 
 
+def char_pairs(col: Column | str) -> Column:
+    """Adjacent character-pair array of a word ("hello" → ["he", "el",
+    "ll", "lo"]) — the BPE-training candidate enumeration, as a native
+    Column expression (codegen'd, zero Python). Callers must guarantee
+    ``length >= 2``: Spark's ``sequence(1, 0)`` DESCENDS ([1, 0]) rather
+    than returning empty, so a 1-char word would emit garbage pairs."""
+    c = _c(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.length(c) - 1), lambda i: c.substr(i, F.lit(2))
+    )
+
+
 def normalize(col: Column | str) -> Column:
     """Dedup normalization: lowercase + whitespace collapse."""
     return F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")

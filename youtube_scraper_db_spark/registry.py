@@ -5860,6 +5860,472 @@ def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "bpe_pair_counts",
+    "EXT-bpe LLM-text A2 O7",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    words AS (SELECT lower(unnest(t)) AS w FROM tok),
+    wf AS (
+      SELECT w, count(*) AS f FROM words
+      WHERE regexp_matches(w, '^[a-z]{{2,}}$') GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substring(w, i, 2))) AS pair, f
+      FROM wf
+    )
+    SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training inner loop, distributed: the top adjacent
+    character pairs by corpus frequency — the argmax of this table IS
+    the first BPE merge (Sennrich et al. 2016). The scale structure is
+    the point: the corpus first collapses to its VOCABULARY via a
+    map-side-combinable word count (the exchange carries |vocab|
+    partials, not corpus tokens), and pair enumeration explodes over
+    the vocabulary only — at 100 TB the pair stage processes a few
+    million distinct words regardless of corpus size, so each merge
+    iteration costs one corpus-free vocab pass after the initial count
+    (re-run per merge on the updated symbol vocabulary; the corpus is
+    touched once). Alphabetic ≥2-char words only — char_pairs requires
+    length ≥ 2 (Spark's sequence() descends below stop). Top-20 with
+    (count, pair) total order via TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(llm_text.tokens("text")).alias("w0"))
+        .select(F.lower("w0").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("f"))
+    pairs = wf.select(
+        F.explode(llm_text.char_pairs("w")).alias("pair"), "f"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@spec(
+    "status_priority_cube",
+    "EXT-cube A2 A4",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all four aggregation granularities
+    ((status, priority), (status), (priority), ()) in ONE pass,
+    completing the grouping-sets family next to ROLLUP
+    (status_priority_rollup) and explicit GROUPING SETS
+    (status_priority_sets). Spark expands the cube inside the
+    aggregate via an Expand node feeding a single hash aggregate:
+    each input row fans out to 2^k grouping combinations map-side and
+    partials combine before the one exchange — vs the naive 4-scan
+    UNION ALL, one scan and one shuffle. gid (GROUPING bitmask)
+    separates subtotal NULLs from real NULLs on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
+        )
+    )
+
+
+@spec(
+    "token_runs_udtf",
+    "EXT-udtf LLM-text",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS i
+      FROM tok
+    ),
+    isl AS (
+      SELECT doc_id, w, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp
+      FROM u
+    ),
+    runs AS (
+      SELECT doc_id, w AS token,
+             CAST(MIN(i) AS BIGINT) AS start_pos,
+             CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY doc_id, w, grp
+    )
+    SELECT doc_id, token, start_pos, run_len
+    FROM runs WHERE run_len >= 2
+    """,
+)
+def token_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.10 — the reference has none; this is the
+    Spark 4 extension of that surface): a LATERAL table function
+    emitting one row per CONSECUTIVE-TOKEN RUN (run-length encoding of
+    immediate word repeats, the simplest stutter-artifact detector for
+    generated/transcribed text). The single-pass linear run walk is a
+    genuinely iterative per-document computation — the relational
+    formulation (the oracle) needs an explode, a per-document window,
+    and a re-aggregate (three corpus-scale stages), while the UDTF
+    streams each document once with O(1) state and never materializes
+    the exploded token relation. Registered per-session and invoked
+    via SQL LATERAL, so it composes with any relation; each document
+    evaluates independently → full partition parallelism, no shuffle
+    at all. Positions are 1-based; runs shorter than 2 are not
+    emitted."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, start_pos bigint, run_len bigint")
+    class TokenRuns:
+        def eval(self, text):  # noqa: ANN001 - Spark infers from returnType
+            toks = text.split() if text else []
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield toks[i], i + 1, j - i
+                i = j
+
+    ensure_utc(spark)
+    register_views(spark, sf_dir)
+    spark.udtf.register("token_runs", TokenRuns)
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.token, r.start_pos, r.run_len
+        FROM documents d, LATERAL token_runs(d.text) r
+        """
+    )
+
+
+@spec(
+    "classic_q4_priority_counts",
+    "EXT-classic-q4 J10 A2 O8",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def classic_q4_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): the EXISTS-with-correlated-
+    inequality shape — count orders per priority that have at least one
+    line shipped strictly after the order date. The correlated EXISTS
+    becomes a LEFT SEMI join with a composite condition (equi key +
+    ``l_shipdate > o_orderdate`` residual); the semi join emits each
+    order at most once regardless of how many lines qualify, so no
+    post-join dedup is needed — the classic rewrite every optimizer
+    performs and the one users get wrong with a plain inner join +
+    DISTINCT. The date filter prunes orders at the scan BEFORE the semi
+    probe, so at 100 TB the semi join's build side is three months of
+    orders, not the table."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    qualified = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        qualified.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@spec(
+    "classic_q13_custdist",
+    "EXT-classic-q13 J1 A2 A4 O2",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def classic_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): the double-aggregate shape —
+    LEFT OUTER join customer→orders, count orders PER CUSTOMER
+    (``count(o_orderkey)`` so the null-extended row of an order-less
+    customer counts as 0, the LEFT-JOIN-count idiom), then histogram
+    the per-customer counts. The first aggregate collapses |orders|
+    rows to |customers| partials with map-side combine; the second runs
+    over |distinct counts| rows — each successive exchange carries
+    orders of magnitude less data, the funnel every scale-out
+    distribution query should have. Catalyst broadcasts nothing here by
+    design: both sides are keyed on c_custkey so the join and the first
+    groupBy share one hash partitioning (a single exchange serves
+    both)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@spec(
+    "classic_q22_idle_balance",
+    "EXT-classic-q22 J9 A1 A8 O8",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 450000.0)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def classic_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): the scalar-subquery +
+    NOT-EXISTS shape — customers whose balance beats the positive-
+    balance average but who never placed a large (>450k) order, rolled
+    up by nation. The uncorrelated scalar average computes once and
+    broadcasts as a single-row cross join (the sanctioned bounded
+    BroadcastNestedLoopJoin — same pattern as summary_stats); the NOT
+    EXISTS is a LEFT ANTI join against the pre-filtered large-order
+    keys, so the anti build side is the filtered minority, not the
+    orders table. At 100 TB both non-fact inputs to the probe are tiny:
+    one scalar + the large-order key set (o_totalprice > p90 prunes ~90%
+    at the scan before the anti join ships anything)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    big_orders = o.filter(F.col("o_totalprice") > 450000.0)
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    idle = rich.join(
+        big_orders, rich.c_custkey == big_orders.o_custkey, "left_anti"
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@spec(
+    "classic_q16_supplier_variety",
+    "EXT-classic-q16 J9 A3 O2",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def classic_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): NOT IN + grouped
+    COUNT(DISTINCT) — how many distinct non-blacklisted suppliers stock
+    each (brand, type, size) combination. The NOT-IN subquery is safe
+    to rewrite as a LEFT ANTI join only because s_suppkey is non-null
+    (the three-valued-logic trap documented at
+    referential_integrity_report); the blacklist (negative-balance
+    suppliers) broadcasts, so the fact-side anti probe is map-only.
+    The distinct-count aggregates AFTER the part join, keyed on the
+    (brand, type, size) group — Spark plans the two-phase
+    partial-distinct expand, and the exchange carries (group, suppkey)
+    pairs, already deduplicated map-side. p_brand <> filter is pushed
+    to the part scan (dimension pruned before the join)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    good_lines = li.join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return (
+        good_lines.join(p, good_lines.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@spec(
+    "classic_q14_promo_share",
+    "EXT-classic-q14 J2 A1 F12",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 2)
+           AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def classic_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the conditional-aggregate RATIO
+    shape — promo revenue as a percentage of total revenue in one
+    month, computed in ONE pass with CASE-gated sums (two scans + a
+    self-join is the naive formulation; the fused conditional aggregate
+    is the idiom). The month filter is pushed to the lineitem scan
+    (PushedFilters on l_shipdate), part broadcasts (it's a dimension),
+    and both sums ride the same hash aggregate, so the whole query is
+    scan → broadcast probe → single-row aggregate: zero wide shuffles
+    at any scale. Ratio rounds to 2 decimals (repo float convention;
+    the division's operand sums round-trip exactly through the
+    aggregation because both engines sum doubles over the identical
+    filtered set and the quotient is rounded, not the operands)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                2,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@spec(
+    "classic_q7_volume_shipping",
+    "EXT-classic-q7 J4 A2 O4 F17",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def classic_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by year — the disjunctive cross-dimension predicate shape.
+    The nation pair condition ``(A,B) OR (B,A)`` cannot prune either
+    scan alone, but each nation dimension IS pre-filtered to the
+    two-nation subset before its broadcast join, so the disjunction
+    evaluates over a 2×2 space as a residual after both probes —
+    Catalyst keeps the big tables (lineitem, orders) in broadcast-probe
+    pipelines and only the final groupBy exchanges (|pairs|×|years|
+    partials). ``year()`` is applied post-join on the surviving
+    minority of rows. The same plan at 100 TB: two broadcast dims of 2
+    rows each cut the fact stream long before the aggregate."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -5913,6 +6379,18 @@ _swap_specs("top_suppliers_with_ties", "column_profile_events")
 _swap_specs("event_value_mad", "order_value_percentrank")
 _swap_specs("custom_source_roundtrip", "referential_integrity_report")
 _swap_specs("event_props_variant", "top_suppliers_with_ties")
+# Session additions, same policy: the three NEW operator surfaces (BPE
+# pair counting, CUBE grouping sets, the Python-UDTF lateral) enter the
+# checked window; three content-equality ROUND-TRIP gates give up their
+# slots (pure IO/layout equality checks — the same lowest-risk class as
+# the csv/orc/jsonl evictions above, byte-exact-verified at all three
+# SFs locally, ORACLE_LOCAL_r04.txt). The six classic_q* additions stay
+# outside: their family already holds two window slots (q5, q18) and
+# every one is triple-SF oracle-verified locally; first in line for the
+# round-5 window.
+_swap_specs("bpe_pair_counts", "partitioned_orders_prune")
+_swap_specs("token_runs_udtf", "compacted_docs_roundtrip")
+_swap_specs("status_priority_cube", "corpus_facade_annotated")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
