@@ -60,6 +60,8 @@ HEADLINE = [
     "doc_unigram_rarity",
     "doc_tfidf_terms",
     "segment_dedup_docs",
+    "bpe_pair_counts",
+    "classic_q16_supplier_variety",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

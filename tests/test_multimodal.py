@@ -199,3 +199,69 @@ def test_audio_energy_windows_exact_rms(spark):
     assert {r.asset_id for r in out} == {1}
     got = {r.window_no: r.rms for r in out}
     assert got == {0: 100, 1: 250, 2: 400}  # square wave: RMS == amplitude
+
+
+def test_png_pixel_roundtrip_all_filters():
+    """encode_png_pixels → decode_png_pixels is the identity for every
+    filter type and channel layout; the decoder rejects structural
+    corruption and out-of-profile images."""
+    import numpy as np
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 3, 4):
+        for filters in ([0], [1], [2], [3], [4], [3, 4, 1, 2, 0]):
+            shape = (6, 4) if ch == 1 else (6, 4, ch)
+            px = rng.integers(0, 256, shape, dtype=np.uint8)
+            got = M.decode_png_pixels(M.encode_png_pixels(px, filters))
+            exp = px[:, :, None] if ch == 1 else px
+            assert got is not None and np.array_equal(got, exp), (ch, filters)
+
+    b = M.encode_png_pixels(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8), [4])
+    assert M.decode_png_pixels(b[:24]) is None          # truncated
+    flipped = bytearray(b)
+    flipped[-5] ^= 0xFF                                  # IEND CRC broken
+    assert M.decode_png_pixels(bytes(flipped)) is None
+    assert M.decode_png_pixels(b"not a png") is None
+    assert M.decode_png_pixels(None) is None
+    # 16-bit depth is out of profile: flip IHDR depth byte and re-CRC
+    import struct
+    import zlib
+
+    ihdr = bytearray(b[12:29])
+    ihdr[8] = 16
+    bad = bytearray(b)
+    bad[12:29] = ihdr
+    bad[29:33] = struct.pack(">I", zlib.crc32(bytes(ihdr)) & 0xFFFFFFFF)
+    assert M.decode_png_pixels(bytes(bad)) is None
+
+
+def test_image_pixel_stats_kernel_and_strict(spark):
+    """The Arrow pixel-stats kernel reports exact integer stats and a
+    stable pixel-buffer digest; strict mode raises on a non-PNG blob."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    blob = M.encode_png_pixels(px, [1, 4])
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, blob binary"
+    )
+    media = M.attach_binary(df, "doc_id", "blob", "image")
+    row = M.image_pixel_stats(media).collect()[0]
+    assert (row.width, row.height, row.channels) == (4, 2, 3)
+    assert row.px_sum == int(px.sum()) and row.mean_milli == int(px.sum()) * 1000 // 24
+    assert row.px_sha256 == hashlib.sha256(px.tobytes()).hexdigest()
+
+    junk = spark.createDataFrame(
+        [(2, bytearray(b"GIF89a" + b"\x00" * 20))], "doc_id long, blob binary"
+    )
+    jm = M.attach_binary(junk, "doc_id", "blob", "image")
+    assert M.image_pixel_stats(jm).collect()[0].px_sum is None
+    with pytest.raises(Exception, match="NotImplementedError|unsupported"):
+        M.image_pixel_stats(jm, strict=True).collect()

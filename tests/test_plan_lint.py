@@ -20,6 +20,7 @@ ARROW_STAGES = {
     "seq_packing_gate",          # FFD packing is applyInPandas by design
     "multimodal_frame_samples",  # stub decode kernel is mapInPandas
     "image_header_decode",       # real header-parse kernel is mapInPandas
+    "png_pixel_stats",           # real inflate+unfilter pixel kernel is mapInPandas
     "gif_frame_samples",         # real GIF block-walk kernel is mapInPandas
     "audio_meta_decode",         # real WAV chunk-walk kernel is mapInPandas
     "audio_energy_windows",      # real PCM RMS kernel is mapInPandas
@@ -28,6 +29,7 @@ ARROW_STAGES = {
     "simhash_recall",
     "pq_ann_recall",             # PQ encode/ADC kernel is mapInPandas
     "heavy_hitter_words",        # Misra-Gries summary is mapInPandas
+    "token_runs_udtf",           # Arrow-optimized lateral UDTF (the §2.10 surface demo)
 }
 
 #: queries where a BroadcastNestedLoopJoin is the documented, bounded
@@ -54,6 +56,7 @@ BNLJ_OK = {
     "lang_mixing_weights",  # |langs| rows × 1-row weight-total scalar
     "vocab_coverage_curve",  # 3 cut rows × 1-row token-total scalar
     "heavy_hitter_words",   # ≤k-1 candidate rows × 1-row total scalar
+    "classic_q22_idle_balance",  # 1-row scalar avg-balance broadcast (Q22's uncorrelated subquery)
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

@@ -4,11 +4,13 @@ typed metadata, processed by Arrow-batched stages.
 Image HEADER decode is REAL and dependency-free: ``parse_image_header``
 reads width/height/bit-depth from the published fixed-offset container
 headers of PNG, GIF, BMP and JPEG (format specs are public; no imaging
-library needed). Full pixel decode (needed e.g. for mean luminance or
-perceptual hashes) still requires PIL/ffmpeg, which this container lacks —
-those paths raise ``NotImplementedError`` and are the documented boundary.
-Video frame sampling is likewise a stub (deterministic per-frame digests)
-with the real 1→N fan-out shape.
+library needed). PNG PIXEL decode is ALSO real (``decode_png_pixels``:
+chunk walk + CRC verify + zlib inflate + all five scanline unfilters —
+stdlib + numpy only), feeding ``image_pixel_stats``. The remaining
+boundary is the genuinely-codec-shaped work: JPEG entropy decode, GIF
+LZW, palette/16-bit/interlaced PNG — those raise ``NotImplementedError``
+in strict mode. Video frame sampling is a stub (deterministic per-frame
+digests) with the real 1→N fan-out shape.
 
 Scale notes: binary payloads dominate row size → keep
 ``spark.sql.files.maxPartitionBytes`` at 128 MB so a partition holds a
@@ -24,6 +26,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -166,22 +169,233 @@ def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
 def encode_png(width: int, height: int, bit_depth: int = 8) -> bytes:
     """Minimal valid grayscale PNG: signature + IHDR + one-pixel-row IDAT
     (zlib, all zero bytes) + IEND, with correct CRCs."""
-
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
-        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
-
     ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 0, 0, 0, 0)
     row_bytes = (width * bit_depth + 7) // 8
     raw = (b"\x00" + b"\x00" * row_bytes) * height  # filter byte + pixels
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick whichever of left/up/
+    upper-left is closest to a + b - c, ties broken left, up, upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png_pixels(pixels, row_filters: list[int] | None = None) -> bytes:
+    """REAL PNG encoder for 8-bit image arrays — (H, W) grayscale,
+    (H, W, 3) RGB, or (H, W, 4) RGBA — with per-row FILTER selection so
+    a decoder must implement every unfilter path (None/Sub/Up/Average/
+    Paeth), not just the trivial one. ``row_filters`` cycles over rows;
+    default is filter 0 everywhere. Output is a standards-conforming
+    non-interlaced PNG (signature, IHDR, one zlib IDAT, IEND, correct
+    CRCs) that any PNG reader accepts."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int64)
+    for r in range(h):
+        row = px[r].reshape(-1).astype(np.int64)
+        ft = 0 if not row_filters else int(row_filters[r % len(row_filters)])
+        left = np.concatenate([np.zeros(ch, np.int64), row[:-ch]]) if w * ch > ch else np.zeros(w * ch, np.int64)
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = (row - left) % 256
+        elif ft == 2:
+            enc = (row - prior) % 256
+        elif ft == 3:
+            enc = (row - (left + prior) // 2) % 256
+        else:  # Paeth — the predictor depends on RECONSTRUCTED bytes,
+            # which during encode are just the original row/prior.
+            upleft = np.concatenate([np.zeros(ch, np.int64), prior[:-ch]])
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, upleft)),
+                np.int64,
+                w * ch,
+            )
+            enc = (row - pred) % 256
+        raw.append(ft)
+        raw += bytes(enc.astype(np.uint8))
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(content: bytes | None):
+    """REAL, dependency-free PNG PIXEL decode (RFC 2083; stdlib zlib +
+    numpy only): chunk walk with CRC verification → IDAT concatenation →
+    zlib inflate → per-scanline unfilter of all five PNG filter types
+    (None, Sub, Up, Average, Paeth). Returns an (H, W, C) uint8 array,
+    or None for anything outside the supported profile — 8-bit
+    grayscale/RGB/RGBA (color types 0/2/6), non-interlaced — or any
+    structural corruption (bad CRC, truncated IDAT, wrong stream
+    length). Indexed-palette PNG, 16-bit depth, and Adam7 interlace stay
+    behind the documented boundary; JPEG entropy decode and GIF LZW
+    remain the genuinely-library-shaped gaps.
+
+    Sub/Average/Paeth reconstruction is inherently sequential in x (each
+    byte depends on the reconstructed byte one pixel left), so those
+    rows walk in Python — fine at thumbnail/fixture scale; a production
+    kernel would drop to a C/Cython inner loop, which changes nothing
+    about the Spark-side plumbing."""
+    if not content:
+        return None
+    b = bytes(content)
+    if not b.startswith(_PNG_SIG):
+        return None
+    i, meta, idat, saw_end = 8, None, bytearray(), False
+    while i + 12 <= len(b):
+        (ln,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        if i + 12 + ln > len(b):
+            return None
+        payload = b[i + 8 : i + 8 + ln]
+        (crc,) = struct.unpack(">I", b[i + 8 + ln : i + 12 + ln])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            return None
+        if tag == b"IHDR":
+            if ln != 13:
+                return None
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or ctype not in (0, 2, 6) or comp or filt or interlace:
+                return None
+            meta = (w, h, {0: 1, 2: 3, 6: 4}[ctype])
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            saw_end = True
+            break
+        i += 12 + ln
+    if meta is None or not saw_end:
+        return None
+    w, h, ch = meta
+    if w == 0 or h == 0:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for r in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int64)
+        pos += stride
+        if ft == 0:
+            recon = line
+        elif ft == 2:
+            recon = (line + prior) % 256
+        elif ft in (1, 3, 4):
+            recon = np.zeros(stride, np.int64)
+            for x in range(stride):
+                left = int(recon[x - ch]) if x >= ch else 0
+                up = int(prior[x])
+                ul = int(prior[x - ch]) if x >= ch else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                recon[x] = (line[x] + pred) % 256
+        else:
+            return None
+        out[r] = recon.astype(np.uint8)
+        prior = recon
+    return out.reshape(h, w, ch)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("mean_milli", T.LongType()),
+        T.StructField("px_sha256", T.StringType()),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Per-asset PIXEL-LEVEL features over ``mapInPandas`` — the stage the
+    header decode was a stand-in for in rounds ≤3: real inflate +
+    unfilter (decode_png_pixels), then integer statistics (px_sum =
+    exact sum of all samples; mean_milli = px_sum·1000 // count — pure
+    integer arithmetic, so the value is engine-exact) and a sha256 of
+    the reconstructed pixel buffer (the input a perceptual-hash or
+    embedding stage would consume). Non-PNG / unsupported-profile
+    payloads yield NULL feature rows, or raise under ``strict=True``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, chs, sums, means, shas = [], [], [], [], [], []
+            for c in pdf["content"]:
+                arr = decode_png_pixels(c)
+                if arr is None:
+                    if strict:
+                        head = bytes(c or b"")[:8]
+                        raise NotImplementedError(
+                            f"unsupported or malformed PNG payload (header "
+                            f"{head!r}); pixel decode covers 8-bit "
+                            f"gray/RGB/RGBA non-interlaced PNG"
+                        )
+                    ws.append(None), hs.append(None), chs.append(None)
+                    sums.append(None), means.append(None), shas.append(None)
+                    continue
+                h, w, ch = arr.shape
+                s = int(arr.sum(dtype=np.int64))
+                cnt = h * w * ch
+                ws.append(w), hs.append(h), chs.append(ch)
+                sums.append(s), means.append(s * 1000 // cnt)
+                shas.append(hashlib.sha256(arr.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(chs, dtype="Int32"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                    "mean_milli": pd.array(means, dtype="Int64"),
+                    "px_sha256": shas,
+                }
+            )
+
+    return media.select("asset_id", "content").mapInPandas(
+        kernel, schema=PIXEL_STATS_SCHEMA
     )
 
 

@@ -5991,11 +5991,13 @@ def token_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded token relation. Registered per-session and invoked
     via SQL LATERAL, so it composes with any relation; each document
     evaluates independently → full partition parallelism, no shuffle
-    at all. Positions are 1-based; runs shorter than 2 are not
-    emitted."""
+    at all, and ``useArrow=True`` batches rows through Arrow
+    (ArrowEvalPythonUDTF — the same sanctioned transfer path as the
+    repo's mapInPandas kernels, not row-at-a-time pickling).
+    Positions are 1-based; runs shorter than 2 are not emitted."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="token string, start_pos bigint, run_len bigint")
+    @udtf(returnType="token string, start_pos bigint, run_len bigint", useArrow=True)
     class TokenRuns:
         def eval(self, text):  # noqa: ANN001 - Spark infers from returnType
             toks = text.split() if text else []
@@ -6323,6 +6325,119 @@ def classic_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.round(F.sum("volume"), 2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@spec(
+    "png_pixel_stats",
+    "LLM-multimodal EXT-pngdecode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+      FROM documents WHERE doc_id < 120
+    ),
+    vals AS (
+      SELECT doc_id, w, h, ch,
+             SUM(((i // (w * ch)) * 31 + ((i // ch) % w) * 7
+                  + (i % ch) * 11 + doc_id) % 251) AS s
+      FROM px, LATERAL unnest(range(0, w * h * ch)) t(i)
+      GROUP BY doc_id, w, h, ch
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ch AS INT) AS channels,
+           CAST(s AS BIGINT) AS px_sum,
+           CAST((s * 1000) // (w * h * ch) AS BIGINT) AS mean_milli
+    FROM vals
+    """,
+)
+def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG PIXEL decode end-to-end — the stage the header decode
+    stood in for through round 3, now actual image decoding with zero
+    imaging libraries: each fixture is a standards-conforming PNG
+    (gray/RGB/RGBA cycling by doc_id, pixel (r,c,k) = (31r+7c+11k+id)
+    mod 251, per-row filter type (r+id) mod 5 so every scanline filter
+    — None/Sub/Up/Average/Paeth — is exercised across the corpus), and
+    the Arrow kernel must CRC-verify the chunk walk, inflate the IDAT
+    stream, and unfilter every scanline correctly to reproduce the
+    pixel sums the oracle recomputes from the generative formula. A
+    single mis-predicted byte anywhere breaks px_sum. Integer stats
+    only (px_sum, mean_milli = sum·1000 // count) so the comparison is
+    engine-exact; the pixel-buffer sha256 the kernel also emits is
+    pytest-covered (not SQL-expressible). Blob synthesis is bounded
+    driver-side scaffolding (<120 rows); decode runs distributed."""
+    ensure_utc(spark)
+    import numpy as np
+
+    ids = [
+        r.doc_id
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+        .collect()
+    ]
+    blobs = []
+    for i in ids:
+        w, h = 4 + i % 9, 3 + i % 5
+        ch = {0: 1, 1: 3, 2: 4}[i % 3]
+        r, c, k = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+        )
+        px = ((r * 31 + c * 7 + k * 11 + i) % 251).astype(np.uint8)
+        if ch == 1:
+            px = px[:, :, 0]
+        filters = [(rr + i) % 5 for rr in range(h)]
+        blobs.append(
+            (int(i), bytearray(llm_multimodal.encode_png_pixels(px, filters)))
+        )
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    media = llm_multimodal.attach_binary(df, "doc_id", "blob", "image")
+    return llm_multimodal.image_pixel_stats(media, strict=True).select(
+        "asset_id", "width", "height", "channels", "px_sum", "mean_milli"
+    )
+
+
+@spec(
+    "user_event_type_unpivot",
+    "EXT-unpivot EXT-pivot A2",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'view') AS view,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             count(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS n
+    FROM p UNPIVOT (n FOR event_type IN (click, view, purchase, signup, error))
+    """,
+)
+def user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt) — the inverse of user_event_type_pivot,
+    closing the reshape pair. The wide per-user count matrix melts back
+    to (user_id, event_type, n) tidy form via Spark's native
+    ``unpivot`` (an Expand node: each input row fans out to |values|
+    rows map-side — no shuffle, no join, no Python). Zero-filled pivot
+    cells survive the melt as explicit 0 rows on BOTH engines (Spark
+    keeps non-null values; DuckDB's UNPIVOT drops only NULLs, and the
+    FILTER counts are 0, not NULL), so the round-trip is lossless:
+    every (user, type) pair appears exactly once. The unpivot itself is
+    embarrassingly parallel at any scale — the only exchange in the
+    plan belongs to the upstream pivot aggregate."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    return wide.unpivot("user_id", types, "event_type", "n").select(
+        "user_id", "event_type", F.col("n").cast("long").alias("n")
     )
 
 
