@@ -265,3 +265,60 @@ def test_image_pixel_stats_kernel_and_strict(spark):
     assert M.image_pixel_stats(jm).collect()[0].px_sum is None
     with pytest.raises(Exception, match="NotImplementedError|unsupported"):
         M.image_pixel_stats(jm, strict=True).collect()
+
+
+def test_lzw_codec_spec_bitstream_and_roundtrip():
+    """The LZW pair is pinned against a hand-derived GIF-spec bitstream
+    (encoder and decoder verified independently, not just against each
+    other), plus roundtrips exercising dictionary growth, width
+    changes, the KwKwK case, and the 4096 dictionary reset."""
+    import numpy as np
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    # pixels [1,1,2,2], min_code_size=2:
+    # codes (width): clear=4(3), 1(3), 1(3), 2(4), 2(4), end=5(4) → 4C 44 0A
+    assert M._lzw_encode(np.array([[1, 1], [2, 2]], np.uint8), 2).hex() == "4c440a"
+    dec = M._lzw_decode(bytes.fromhex("4c440a"), 2, 4)
+    assert dec is not None and dec.tolist() == [1, 1, 2, 2]
+
+    rng = np.random.default_rng(0)
+    for shape in [(1, 1), (3, 7), (64, 80), (120, 120)]:  # largest resets dict
+        idx = rng.integers(0, 16, shape, dtype=np.uint8)
+        out = M._lzw_decode(M._lzw_encode(idx, 4), 4, idx.size)
+        assert out is not None and np.array_equal(out, idx.ravel()), shape
+    runs = np.zeros((1, 9), np.uint8)  # all-same input → immediate KwKwK codes
+    out = M._lzw_decode(M._lzw_encode(runs, 2), 2, 9)
+    assert out is not None and np.array_equal(out, runs.ravel())
+    assert M._lzw_decode(b"\xff\xff", 2, 4) is None  # garbage stream
+
+
+def test_gif_and_palette_png_pixel_roundtrips():
+    """Full-image roundtrips: palette PNG (all filter types), GIF plain
+    and interlaced; the sniffing decoder routes by signature; junk and
+    out-of-palette payloads are rejected."""
+    import numpy as np
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    rng = np.random.default_rng(3)
+    pal = [(i * 17 % 256, i * 29 % 256, i * 43 % 256) for i in range(16)]
+    pal_arr = np.array(pal, np.uint8)
+
+    idx = rng.integers(0, 16, (6, 5), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [2, 4, 1, 3, 0]):
+        arr = M.decode_png_pixels(M.encode_png_pixels(idx, filters, palette=pal))
+        assert arr is not None and np.array_equal(arr, pal_arr[idx]), filters
+    # out-of-palette index rejected
+    assert M.decode_png_pixels(M.encode_png_pixels(idx, [0], palette=pal[:8])) is None
+
+    for il in (False, True):
+        idx = rng.integers(0, 16, (13, 9), dtype=np.uint8)
+        g = M.encode_gif_pixels(idx, pal, interlace=il)
+        arr = M.decode_gif_pixels(g)
+        assert arr is not None and np.array_equal(arr, pal_arr[idx]), il
+        # sniffing router reaches the same result
+        assert np.array_equal(M.decode_image_pixels(g), pal_arr[idx])
+    assert M.decode_gif_pixels(b"GIF89a" + b"\x00" * 5) is None
+    assert M.decode_image_pixels(b"\xff\xd8junk") is None
+    assert M.decode_image_pixels(None) is None

@@ -21,6 +21,7 @@ ARROW_STAGES = {
     "multimodal_frame_samples",  # stub decode kernel is mapInPandas
     "image_header_decode",       # real header-parse kernel is mapInPandas
     "png_pixel_stats",           # real inflate+unfilter pixel kernel is mapInPandas
+    "gif_pixel_stats",           # real LZW+de-interlace pixel kernel is mapInPandas
     "gif_frame_samples",         # real GIF block-walk kernel is mapInPandas
     "audio_meta_decode",         # real WAV chunk-walk kernel is mapInPandas
     "audio_energy_windows",      # real PCM RMS kernel is mapInPandas
@@ -66,6 +67,7 @@ BNLJ_OK = {
 #: this list short and justified; fact-row funnels stay forbidden.
 SINGLE_PARTITION_OK = {
     "top_suppliers_with_ties",  # global rank over |suppliers| aggregated counts
+    "supplier_revenue_deciles",  # ntile/cume_dist over |suppliers| aggregated partials
 }
 
 

@@ -200,19 +200,30 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png_pixels(pixels, row_filters: list[int] | None = None) -> bytes:
+def encode_png_pixels(
+    pixels,
+    row_filters: list[int] | None = None,
+    palette: list[tuple[int, int, int]] | None = None,
+) -> bytes:
     """REAL PNG encoder for 8-bit image arrays — (H, W) grayscale,
     (H, W, 3) RGB, or (H, W, 4) RGBA — with per-row FILTER selection so
     a decoder must implement every unfilter path (None/Sub/Up/Average/
     Paeth), not just the trivial one. ``row_filters`` cycles over rows;
-    default is filter 0 everywhere. Output is a standards-conforming
+    default is filter 0 everywhere. With ``palette`` given, ``pixels``
+    is an (H, W) INDEX array and the output is an indexed-color PNG
+    (color type 3 + PLTE chunk). Output is a standards-conforming
     non-interlaced PNG (signature, IHDR, one zlib IDAT, IEND, correct
     CRCs) that any PNG reader accepts."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
-    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    if palette is not None:
+        if ch != 1:
+            raise ValueError("palette PNG takes an (H, W) index array")
+        color_type = 3
+    else:
+        color_type = {1: 0, 3: 2, 4: 6}[ch]
     raw = bytearray()
     prior = np.zeros(w * ch, dtype=np.int64)
     for r in range(h):
@@ -240,9 +251,17 @@ def encode_png_pixels(pixels, row_filters: list[int] | None = None) -> bytes:
         raw += bytes(enc.astype(np.uint8))
         prior = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    plte = (
+        _png_chunk(
+            b"PLTE", b"".join(bytes((r_, g_, b_)) for r_, g_, b_ in palette)
+        )
+        if palette is not None
+        else b""
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -252,13 +271,13 @@ def decode_png_pixels(content: bytes | None):
     """REAL, dependency-free PNG PIXEL decode (RFC 2083; stdlib zlib +
     numpy only): chunk walk with CRC verification → IDAT concatenation →
     zlib inflate → per-scanline unfilter of all five PNG filter types
-    (None, Sub, Up, Average, Paeth). Returns an (H, W, C) uint8 array,
-    or None for anything outside the supported profile — 8-bit
-    grayscale/RGB/RGBA (color types 0/2/6), non-interlaced — or any
-    structural corruption (bad CRC, truncated IDAT, wrong stream
-    length). Indexed-palette PNG, 16-bit depth, and Adam7 interlace stay
-    behind the documented boundary; JPEG entropy decode and GIF LZW
-    remain the genuinely-library-shaped gaps.
+    (None, Sub, Up, Average, Paeth) → palette lookup for indexed color.
+    Returns an (H, W, C) uint8 array, or None for anything outside the
+    supported profile — 8-bit grayscale/RGB/indexed/RGBA (color types
+    0/2/3/6), non-interlaced — or any structural corruption (bad CRC,
+    truncated IDAT, wrong stream length, out-of-palette index). 16-bit
+    depth and Adam7 interlace stay behind the documented boundary; JPEG
+    entropy decode remains the genuinely-library-shaped gap.
 
     Sub/Average/Paeth reconstruction is inherently sequential in x (each
     byte depends on the reconstructed byte one pixel left), so those
@@ -271,6 +290,7 @@ def decode_png_pixels(content: bytes | None):
     if not b.startswith(_PNG_SIG):
         return None
     i, meta, idat, saw_end = 8, None, bytearray(), False
+    plte = None
     while i + 12 <= len(b):
         (ln,) = struct.unpack(">I", b[i : i + 4])
         tag = b[i + 4 : i + 8]
@@ -284,9 +304,13 @@ def decode_png_pixels(content: bytes | None):
             if ln != 13:
                 return None
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or ctype not in (0, 2, 6) or comp or filt or interlace:
+            if depth != 8 or ctype not in (0, 2, 3, 6) or comp or filt or interlace:
                 return None
-            meta = (w, h, {0: 1, 2: 3, 6: 4}[ctype])
+            meta = (w, h, {0: 1, 2: 3, 3: 1, 6: 4}[ctype], ctype)
+        elif tag == b"PLTE":
+            if ln % 3:
+                return None
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -295,7 +319,9 @@ def decode_png_pixels(content: bytes | None):
         i += 12 + ln
     if meta is None or not saw_end:
         return None
-    w, h, ch = meta
+    w, h, ch, ctype = meta
+    if ctype == 3 and plte is None:
+        return None
     if w == 0 or h == 0:
         return None
     try:
@@ -334,7 +360,269 @@ def decode_png_pixels(content: bytes | None):
             return None
         out[r] = recon.astype(np.uint8)
         prior = recon
+    if ctype == 3:
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            return None
+        return plte[idx]  # (H, W, 3) — palette lookup IS the decode
     return out.reshape(h, w, ch)
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """REAL GIF-flavor LZW compression (the GIF89a appendix algorithm):
+    variable-width codes packed LSB-first, CLEAR emitted up front,
+    string table reset at 4096 entries, code width growing whenever the
+    next assignable code would overflow the current width. Symmetric
+    with ``_lzw_decode``; both are additionally pinned in pytest against
+    a hand-derived spec bitstream so an encoder/decoder pair bug cannot
+    hide behind roundtrip symmetry."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    acc = 0
+    pos = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, pos
+        acc |= code << pos
+        pos += width
+        while pos >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            pos -= 8
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    prev = b""
+    for v in np.asarray(indices, dtype=np.uint8).flat:
+        c = bytes([int(v)])
+        cur = prev + c
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        prev = c
+    if prev:
+        emit(table[prev], width)
+    emit(end, width)
+    if pos:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int):
+    """REAL GIF LZW decompression: the inverse of ``_lzw_encode`` with
+    the standard KwKwK case (code == next unassigned code → previous
+    string + its own first byte). Returns a uint8 array of ``expected``
+    indices, or None on any malformed stream (bad code, short output,
+    width overflow)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    pos = 0
+    i = 0
+
+    def read(width: int) -> int | None:
+        nonlocal acc, pos, i
+        while pos < width:
+            if i >= len(data):
+                return None
+            acc |= data[i] << pos
+            i += 1
+            pos += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        pos -= width
+        return code
+
+    table: list[bytes] = []
+    width = min_code_size + 1
+    next_code = end + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code is None:
+            return None
+        if code == clear:
+            table = [bytes([j]) for j in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < next_code:
+            if code >= len(table):
+                return None
+            entry = table[code]
+            table.append(prev + entry[:1])
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+            next_code += 1
+        else:
+            return None
+        # Width grows ONE ENTRY EARLY relative to the encoder's rule: the
+        # decoder's table lags the encoder's by exactly one entry (the
+        # encoder adds WHEN it emits code #k; the decoder adds when it
+        # CONSUMES code #k+1), so the code the encoder emitted at the
+        # wider width must already be read wide here.
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+        if len(out) > expected:
+            return None
+    if len(out) != expected:
+        return None
+    return np.frombuffer(bytes(out), np.uint8)
+
+
+#: GIF Adam-less interlace passes: (start row, step) in emission order.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif_pixels(
+    indices,
+    palette: list[tuple[int, int, int]],
+    interlace: bool = False,
+) -> bytes:
+    """REAL single-frame GIF89a encoder: logical screen descriptor,
+    global color table, image descriptor (optionally interlaced — rows
+    emitted in the four-pass GIF order), real LZW-compressed pixel
+    data in ≤255-byte sub-blocks, trailer. A standards-conforming GIF
+    any viewer renders."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    bits = max(2, int(np.ceil(np.log2(max(2, len(palette))))))
+    packed = 0x80 | (bits - 1) | ((bits - 1) << 4)
+    pal = bytearray()
+    for r_, g_, b_ in palette:
+        pal += bytes((r_, g_, b_))
+    pal += b"\x00" * (3 * (2**bits) - len(pal))
+    if interlace:
+        order = [r for start, step in _GIF_INTERLACE for r in range(start, h, step)]
+        idx = idx[order]
+    min_code = max(2, bits)
+    lzw = _lzw_encode(idx, min_code)
+    blocks = bytearray()
+    for j in range(0, len(lzw), 255):
+        chunk = lzw[j : j + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([packed, 0, 0])
+        + bytes(pal)
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlace else 0x00])
+        + bytes([min_code])
+        + bytes(blocks)
+        + b"\x00"
+        + b"\x3b"
+    )
+
+
+def decode_gif_pixels(content: bytes | None):
+    """REAL GIF PIXEL decode, zero imaging libraries: block-structure
+    walk (shared with parse_gif_frames) → real LZW decompression of the
+    FIRST frame's data sub-blocks → four-pass de-interlacing when the
+    descriptor says so → palette lookup (local table wins over global).
+    Returns (H, W, 3) uint8, or None for structurally invalid payloads,
+    LZW stream errors, or frames without any color table. This closes
+    the 'GIF LZW stays out of scope' boundary from rounds ≤4-early;
+    animation beyond frame 0 decodes the same way (frame compositing /
+    disposal is presentation logic, not decoding)."""
+    if not content:
+        return None
+    b = bytes(content)
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 14:
+        return None
+    packed = b[10]
+    i = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        global_pal = np.frombuffer(b[i : i + 3 * n], np.uint8)
+        if len(global_pal) != 3 * n:
+            return None
+        global_pal = global_pal.reshape(-1, 3)
+        i += 3 * n
+    try:
+        while i < len(b):
+            tag = b[i]
+            if tag == 0x3B:
+                return None  # trailer before any image
+            if tag == 0x21:  # extension
+                i += 2
+                while b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+                continue
+            if tag != 0x2C:
+                return None
+            _left, _top, w, h = struct.unpack_from("<HHHH", b, i + 1)
+            fpacked = b[i + 9]
+            j = i + 10
+            pal = global_pal
+            if fpacked & 0x80:
+                n = 2 ** ((fpacked & 0x07) + 1)
+                pal = np.frombuffer(b[j : j + 3 * n], np.uint8).reshape(-1, 3)
+                j += 3 * n
+            if pal is None or w == 0 or h == 0:
+                return None
+            min_code = b[j]
+            j += 1
+            data = bytearray()
+            while b[j] != 0:
+                ln = b[j]
+                data += b[j + 1 : j + 1 + ln]
+                j += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if idx is None or int(idx.max(initial=0)) >= len(pal):
+                return None
+            idx = idx.reshape(h, w)
+            if fpacked & 0x40:  # de-interlace: invert the 4-pass order
+                order = [
+                    r for start, step in _GIF_INTERLACE for r in range(start, h, step)
+                ]
+                out = np.empty_like(idx)
+                out[order] = idx
+                idx = out
+            return pal[idx]
+    except (IndexError, struct.error):
+        return None
+    return None
+
+
+def decode_image_pixels(content: bytes | None):
+    """Format-sniffing pixel decode: PNG (decode_png_pixels) or GIF
+    (decode_gif_pixels) by signature. Returns (H, W, C) uint8 or None."""
+    if not content:
+        return None
+    b = bytes(content)
+    if b.startswith(_PNG_SIG):
+        return decode_png_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(b)
+    return None
 
 
 PIXEL_STATS_SCHEMA = T.StructType(
@@ -344,6 +632,7 @@ PIXEL_STATS_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
         T.StructField("px_sum", T.LongType()),
+        T.StructField("px_wsum", T.LongType()),
         T.StructField("mean_milli", T.LongType()),
         T.StructField("px_sha256", T.StringType()),
     ]
@@ -352,35 +641,43 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def image_pixel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
     """Per-asset PIXEL-LEVEL features over ``mapInPandas`` — the stage the
-    header decode was a stand-in for in rounds ≤3: real inflate +
-    unfilter (decode_png_pixels), then integer statistics (px_sum =
-    exact sum of all samples; mean_milli = px_sum·1000 // count — pure
-    integer arithmetic, so the value is engine-exact) and a sha256 of
-    the reconstructed pixel buffer (the input a perceptual-hash or
-    embedding stage would consume). Non-PNG / unsupported-profile
-    payloads yield NULL feature rows, or raise under ``strict=True``."""
+    header decode was a stand-in for in rounds ≤3: real format-sniffed
+    decode (PNG: inflate + unfilter + palette; GIF: LZW + de-interlace +
+    palette — ``decode_image_pixels``), then integer statistics: px_sum
+    (exact sum of all samples), px_wsum (position-weighted
+    Σ (i+1)·sample_i over the flattened buffer — ORDER-SENSITIVE, so a
+    de-interlace or row-order bug changes it even when the plain sum
+    survives the permutation), mean_milli (px_sum·1000 // count, pure
+    integer arithmetic → engine-exact), and a sha256 of the
+    reconstructed buffer (the input a perceptual-hash or embedding
+    stage would consume). Undecodable payloads yield NULL feature rows,
+    or raise under ``strict=True``."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ws, hs, chs, sums, means, shas = [], [], [], [], [], []
+            ws, hs, chs, sums, wsums, means, shas = [], [], [], [], [], [], []
             for c in pdf["content"]:
-                arr = decode_png_pixels(c)
+                arr = decode_image_pixels(c)
                 if arr is None:
                     if strict:
                         head = bytes(c or b"")[:8]
                         raise NotImplementedError(
-                            f"unsupported or malformed PNG payload (header "
+                            f"unsupported or malformed image payload (header "
                             f"{head!r}); pixel decode covers 8-bit "
-                            f"gray/RGB/RGBA non-interlaced PNG"
+                            f"gray/RGB/indexed/RGBA PNG and LZW GIF"
                         )
                     ws.append(None), hs.append(None), chs.append(None)
-                    sums.append(None), means.append(None), shas.append(None)
+                    sums.append(None), wsums.append(None)
+                    means.append(None), shas.append(None)
                     continue
                 h, w, ch = arr.shape
-                s = int(arr.sum(dtype=np.int64))
+                flat = arr.reshape(-1).astype(np.int64)
+                s = int(flat.sum())
                 cnt = h * w * ch
                 ws.append(w), hs.append(h), chs.append(ch)
-                sums.append(s), means.append(s * 1000 // cnt)
+                sums.append(s)
+                wsums.append(int(((np.arange(cnt, dtype=np.int64) + 1) * flat).sum()))
+                means.append(s * 1000 // cnt)
                 shas.append(hashlib.sha256(arr.tobytes()).hexdigest())
             yield pd.DataFrame(
                 {
@@ -389,6 +686,7 @@ def image_pixel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                     "height": pd.array(hs, dtype="Int32"),
                     "channels": pd.array(chs, dtype="Int32"),
                     "px_sum": pd.array(sums, dtype="Int64"),
+                    "px_wsum": pd.array(wsums, dtype="Int64"),
                     "mean_milli": pd.array(means, dtype="Int64"),
                     "px_sha256": shas,
                 }

@@ -6341,7 +6341,9 @@ def classic_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals AS (
       SELECT doc_id, w, h, ch,
              SUM(((i // (w * ch)) * 31 + ((i // ch) % w) * 7
-                  + (i % ch) * 11 + doc_id) % 251) AS s
+                  + (i % ch) * 11 + doc_id) % 251) AS s,
+             SUM((i + 1) * (((i // (w * ch)) * 31 + ((i // ch) % w) * 7
+                  + (i % ch) * 11 + doc_id) % 251)) AS ws
       FROM px, LATERAL unnest(range(0, w * h * ch)) t(i)
       GROUP BY doc_id, w, h, ch
     )
@@ -6349,6 +6351,7 @@ def classic_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(ch AS INT) AS channels,
            CAST(s AS BIGINT) AS px_sum,
+           CAST(ws AS BIGINT) AS px_wsum,
            CAST((s * 1000) // (w * h * ch) AS BIGINT) AS mean_milli
     FROM vals
     """,
@@ -6395,7 +6398,93 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(blobs, "doc_id long, blob binary")
     media = llm_multimodal.attach_binary(df, "doc_id", "blob", "image")
     return llm_multimodal.image_pixel_stats(media, strict=True).select(
-        "asset_id", "width", "height", "channels", "px_sum", "mean_milli"
+        "asset_id", "width", "height", "channels", "px_sum", "px_wsum",
+        "mean_milli",
+    )
+
+
+@spec(
+    "gif_pixel_stats",
+    "LLM-multimodal EXT-gifdecode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, 5 + doc_id % 8 AS w, 4 + doc_id % 6 AS h
+      FROM documents WHERE doc_id < 120
+    ),
+    vals AS (
+      SELECT doc_id, w, h,
+             SUM(CASE i % 3
+                   WHEN 0 THEN ((((i // 3) // w) * 5 + ((i // 3) % w)
+                                 + doc_id) % 16 * 17) % 256
+                   WHEN 1 THEN ((((i // 3) // w) * 5 + ((i // 3) % w)
+                                 + doc_id) % 16 * 29) % 256
+                   ELSE ((((i // 3) // w) * 5 + ((i // 3) % w)
+                                 + doc_id) % 16 * 43) % 256 END) AS s,
+             SUM((i + 1) * CASE i % 3
+                   WHEN 0 THEN ((((i // 3) // w) * 5 + ((i // 3) % w)
+                                 + doc_id) % 16 * 17) % 256
+                   WHEN 1 THEN ((((i // 3) // w) * 5 + ((i // 3) % w)
+                                 + doc_id) % 16 * 29) % 256
+                   ELSE ((((i // 3) // w) * 5 + ((i // 3) % w)
+                                 + doc_id) % 16 * 43) % 256 END) AS ws
+      FROM px, LATERAL unnest(range(0, w * h * 3)) t(i)
+      GROUP BY doc_id, w, h
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(s AS BIGINT) AS px_sum,
+           CAST(ws AS BIGINT) AS px_wsum,
+           CAST((s * 1000) // (w * h * 3) AS BIGINT) AS mean_milli
+    FROM vals
+    """,
+)
+def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF PIXEL decode end-to-end — actual LZW decompression, no
+    imaging library: each fixture is a standards-conforming GIF89a
+    (global 16-color palette, index (r,c) = (5r+c+id) mod 16, every odd
+    doc_id INTERLACED so the four-pass row reordering is exercised),
+    and the Arrow kernel must walk the block structure, concatenate the
+    data sub-blocks, run the variable-width LZW decode (dictionary
+    growth, width changes, KwKwK), de-interlace, and map the palette to
+    reproduce the oracle's arithmetic. px_wsum is position-weighted, so
+    a row-order bug (wrong de-interlace) fails even though the plain
+    sum is permutation-invariant; a single wrong LZW code breaks both.
+    The codec itself is additionally pinned in pytest against a
+    hand-derived spec bitstream (encoder/decoder bugs cannot hide
+    behind roundtrip symmetry). Blob synthesis is bounded driver-side
+    scaffolding; decode runs distributed."""
+    ensure_utc(spark)
+    import numpy as np
+
+    ids = [
+        r.doc_id
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+        .collect()
+    ]
+    pal = [(i * 17 % 256, i * 29 % 256, i * 43 % 256) for i in range(16)]
+    blobs = []
+    for i in ids:
+        w, h = 5 + i % 8, 4 + i % 6
+        r, c = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        idx = ((r * 5 + c + i) % 16).astype(np.uint8)
+        blobs.append(
+            (
+                int(i),
+                bytearray(
+                    llm_multimodal.encode_gif_pixels(
+                        idx, pal, interlace=bool(i % 2)
+                    )
+                ),
+            )
+        )
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    media = llm_multimodal.attach_binary(df, "doc_id", "blob", "image")
+    return llm_multimodal.image_pixel_stats(media, strict=True).select(
+        "asset_id", "width", "height", "channels", "px_sum", "px_wsum",
+        "mean_milli",
     )
 
 
@@ -6438,6 +6527,52 @@ def user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wide.unpivot("user_id", types, "event_type", "n").select(
         "user_id", "event_type", F.col("n").cast("long").alias("n")
+    )
+
+
+@spec(
+    "supplier_revenue_deciles",
+    "EXT-ntile A2 O8 W1",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(round(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, rev_cents,
+           CAST(ntile(10) OVER w AS INT) AS decile,
+           ROUND(cume_dist() OVER w, 4) AS cum_frac
+    FROM r WINDOW w AS (ORDER BY rev_cents, l_suppkey)
+    """,
+)
+def supplier_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE + CUME_DIST — the remaining ranking-window surface (the
+    family now covers row_number / rank / percent_rank / ntile /
+    cume_dist). Decile bucketing and cumulative distribution of
+    supplier revenue, in the aggregate-then-rank shape: the global
+    ordered window runs over |suppliers| AGGREGATED partials, never
+    fact rows (same boundedness class as top_suppliers_with_ties —
+    a dimension-cardinality sort, not a data funnel). Revenue is
+    integer cents (round half-even agrees across engines on these
+    sums) and the window order carries the suppkey tie-break, so both
+    ntile bucket boundaries and the cume_dist quotient are
+    deterministic and engine-exact; the quotient rounds to 4 decimals
+    per the repo float convention."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+        )
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("rev_cents", "l_suppkey")
+    return r.select(
+        "l_suppkey",
+        "rev_cents",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(F.cume_dist().over(w), 4).alias("cum_frac"),
     )
 
 
