@@ -322,3 +322,30 @@ def test_gif_and_palette_png_pixel_roundtrips():
     assert M.decode_gif_pixels(b"GIF89a" + b"\x00" * 5) is None
     assert M.decode_image_pixels(b"\xff\xd8junk") is None
     assert M.decode_image_pixels(None) is None
+
+
+def test_bmp_pixel_roundtrip_and_quirks():
+    """24-bit BMP roundtrip across all four row-padding residues; the
+    decoder undoes bottom-up order, BGR, and padding; top-down
+    (negative height) BMPs decode without the flip."""
+    import struct
+
+    import numpy as np
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    rng = np.random.default_rng(5)
+    for w in (1, 2, 3, 4, 9):
+        px = rng.integers(0, 256, (4, w, 3), dtype=np.uint8)
+        b = M.encode_bmp_pixels(px)
+        got = M.decode_bmp_pixels(b)
+        assert got is not None and np.array_equal(got, px), w
+        assert np.array_equal(M.decode_image_pixels(b), px)
+    # top-down variant: flip height sign and pre-flip the stored rows
+    px = rng.integers(0, 256, (3, 2, 3), dtype=np.uint8)
+    b = bytearray(M.encode_bmp_pixels(px[::-1]))  # stored bottom-up of flipped = original top-down
+    b[22:26] = struct.pack("<i", -3)
+    got = M.decode_bmp_pixels(bytes(b))
+    assert got is not None and np.array_equal(got, px)
+    assert M.decode_bmp_pixels(M.encode_bmp(4, 4, 24))[0].sum() == 0  # legacy zero fixture
+    assert M.decode_bmp_pixels(b"BM\x00") is None

@@ -612,9 +612,63 @@ def decode_gif_pixels(content: bytes | None):
     return None
 
 
+def encode_bmp_pixels(pixels) -> bytes:
+    """REAL 24-bit BMP encoder: (H, W, 3) RGB array → BITMAPFILEHEADER +
+    BITMAPINFOHEADER + pixel data in the format's on-disk layout —
+    BOTTOM-UP row order, BGR channel order, rows padded to 4 bytes. A
+    standards-conforming BMP any viewer renders."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError("encode_bmp_pixels takes (H, W, 3) RGB")
+    row_len = ((w * 3 + 3) // 4) * 4
+    data = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = px[r][:, ::-1].reshape(-1)  # RGB → BGR
+        data += bytes(row) + b"\x00" * (row_len - w * 3)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return header + info + bytes(data)
+
+
+def decode_bmp_pixels(content: bytes | None):
+    """REAL BMP pixel decode (24-bit uncompressed BITMAPINFOHEADER, the
+    overwhelmingly common profile): header-validated offset math, then
+    undo the format's three storage quirks — bottom-up row order
+    (negative height = already top-down), BGR channel order, 4-byte row
+    padding. Returns (H, W, 3) uint8 RGB or None (other bit depths /
+    compressions stay behind the boundary)."""
+    if not content:
+        return None
+    b = bytes(content)
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    (off,) = struct.unpack("<I", b[10:14])
+    (dib,) = struct.unpack("<I", b[14:18])
+    if dib < 40:
+        return None
+    w, h_signed = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    (compression,) = struct.unpack("<I", b[30:34])
+    if bpp != 24 or compression != 0 or w <= 0 or h_signed == 0:
+        return None
+    h = abs(h_signed)
+    row_len = ((w * 3 + 3) // 4) * 4
+    if off + row_len * h > len(b):
+        return None
+    rows = np.frombuffer(b, np.uint8, row_len * h, off).reshape(h, row_len)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if h_signed > 0:
+        px = px[::-1]  # bottom-up → top-down
+    return np.ascontiguousarray(px)
+
+
 def decode_image_pixels(content: bytes | None):
-    """Format-sniffing pixel decode: PNG (decode_png_pixels) or GIF
-    (decode_gif_pixels) by signature. Returns (H, W, C) uint8 or None."""
+    """Format-sniffing pixel decode: PNG (decode_png_pixels), GIF
+    (decode_gif_pixels) or BMP (decode_bmp_pixels) by signature.
+    Returns (H, W, C) uint8 or None."""
     if not content:
         return None
     b = bytes(content)
@@ -622,6 +676,8 @@ def decode_image_pixels(content: bytes | None):
         return decode_png_pixels(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(b)
+    if b[:2] == b"BM":
+        return decode_bmp_pixels(b)
     return None
 
 

@@ -6489,6 +6489,71 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "bmp_pixel_stats",
+    "LLM-multimodal EXT-bmpdecode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, 3 + doc_id % 10 AS w, 2 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 120
+    ),
+    vals AS (
+      SELECT doc_id, w, h,
+             SUM(((i // (w * 3)) * 13 + ((i // 3) % w) * 3
+                  + (i % 3) * 7 + doc_id) % 256) AS s,
+             SUM((i + 1) * (((i // (w * 3)) * 13 + ((i // 3) % w) * 3
+                  + (i % 3) * 7 + doc_id) % 256)) AS ws
+      FROM px, LATERAL unnest(range(0, w * h * 3)) t(i)
+      GROUP BY doc_id, w, h
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(s AS BIGINT) AS px_sum,
+           CAST(ws AS BIGINT) AS px_wsum,
+           CAST((s * 1000) // (w * h * 3) AS BIGINT) AS mean_milli
+    FROM vals
+    """,
+)
+def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP pixel decode end-to-end: fixtures are on-disk-layout
+    BMPs (bottom-up rows, BGR channel order, 4-byte row padding —
+    widths cycle through all four padding residues), and the kernel
+    must undo all three storage quirks to reproduce the oracle's
+    top-down RGB arithmetic. px_wsum is position-weighted, so a missed
+    vertical flip or BGR↔RGB swap hash-mismatches even though the
+    plain sum is invariant to both. With PNG (inflate+unfilter+
+    palette) and GIF (LZW+de-interlace), every multimodal image format
+    except JPEG now has a REAL pixel decode path; JPEG's entropy
+    decode is the one remaining genuinely-codec-library boundary."""
+    ensure_utc(spark)
+    import numpy as np
+
+    ids = [
+        r.doc_id
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+        .collect()
+    ]
+    blobs = []
+    for i in ids:
+        w, h = 3 + i % 10, 2 + i % 7
+        r, c, k = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        px = ((r * 13 + c * 3 + k * 7 + i) % 256).astype(np.uint8)
+        blobs.append(
+            (int(i), bytearray(llm_multimodal.encode_bmp_pixels(px)))
+        )
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    media = llm_multimodal.attach_binary(df, "doc_id", "blob", "image")
+    return llm_multimodal.image_pixel_stats(media, strict=True).select(
+        "asset_id", "width", "height", "channels", "px_sum", "px_wsum",
+        "mean_milli",
+    )
+
+
+@spec(
     "user_event_type_unpivot",
     "EXT-unpivot EXT-pivot A2",
     oracle="""
