@@ -59,6 +59,7 @@ DOC_QUERIES = [
     "doc_unigram_rarity",
     "doc_tfidf_terms",
     "segment_dedup_docs",
+    "bpe_pair_counts",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

@@ -5568,10 +5568,14 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_outer_correlated_pairs",
     "EXT-stream-join-outer J1",
     oracle="""
-    SELECT a.event_id AS l_event_id, b.event_id AS r_event_id
-    FROM events a LEFT JOIN events b
-      ON a.user_id = b.user_id
-     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    WITH v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase')
+    SELECT v.event_id AS l_event_id, p.event_id AS r_event_id
+    FROM v LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
     """,
 )
 def stream_outer_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5584,27 +5588,50 @@ def stream_outer_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     drags the final right watermark past every real left's match
     window, so every real left is decided — matched or null — before
     the replay drains, and the emitted set equals the batch LEFT JOIN
-    exactly (which is what the oracle runs). The anchor's own rows are
-    filtered from the output. Same O(rate × window) state bound as the
-    inner gate."""
+    exactly (which is what the oracle runs). The two sides are
+    DISJOINT event subsets (views ⋈ purchases — the funnel
+    correlation): the round-3/4-early version of this gate joined the
+    full stream to itself, where every left matched ITSELF at zero
+    time distance and the null-extension path passed VACUOUSLY (zero
+    null rows on either engine — measured); with disjoint sides ~98%
+    of views have no purchase within the window, so eviction-driven
+    null emission is what the hash actually checks. BOTH streams carry
+    an anchor even though only left rows null-extend: Spark's
+    operator watermark is GLOBAL — the MIN over every source's
+    watermark — so an unanchored left side pins the global watermark
+    at (real max ts − delay) and the views inside that final window
+    stay undecided forever (measured: exactly the last-2.5h views
+    went missing with a right-only anchor). Anchor rows are filtered
+    from the output. Same O(rate × window) state bound as the inner
+    gate."""
     import datetime as dt
     import tempfile
 
     ensure_utc(spark)
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    anchor = spark.createDataFrame(
-        [(-1, -1, max_ts + dt.timedelta(days=30))],
-        "event_id long, user_id long, ts timestamp",
+    far = max_ts + dt.timedelta(days=30)
+
+    def staged(event_type: str, anchor_user: int, prefix: str) -> str:
+        d = tempfile.mkdtemp(prefix=prefix)
+        anchor = spark.createDataFrame(
+            [(-1, anchor_user, far)],
+            "event_id long, user_id long, ts timestamp",
+        )
+        ev.filter(F.col("event_type") == event_type).drop(
+            "event_type"
+        ).unionByName(anchor).write.mode("overwrite").parquet(d)
+        return d
+
+    schema = "event_id long, user_id long, ts timestamp"
+    left = spark.readStream.schema(schema).parquet(
+        staged("view", -2, "sg_outer_l_")
     )
-    staged_r = tempfile.mkdtemp(prefix="sg_outer_r_")
-    ev.unionByName(anchor).write.mode("overwrite").parquet(staged_r)
-    left = read_table_stream(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts"
+    right = spark.readStream.schema(schema).parquet(
+        staged("purchase", -1, "sg_outer_r_")
     )
-    right = spark.readStream.schema(
-        "event_id long, user_id long, ts timestamp"
-    ).parquet(staged_r)
     pairs = correlate_streams(
         left, right, on="user_id", within="30 minutes", watermark="2 hours",
         how="left_outer",
@@ -5614,6 +5641,74 @@ def stream_outer_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         state_partitions=_stream_parallelism(spark),
     )
     return out.filter(F.col("l_event_id") >= 0)
+
+
+@spec(
+    "stream_full_outer_pairs",
+    "EXT-stream-join-full J1",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase')
+    SELECT v.event_id AS l_event_id, p.event_id AS r_event_id
+    FROM v FULL JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+    """,
+)
+def stream_full_outer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — null-extension on BOTH
+    sides, completing the streaming join family (inner / left_outer /
+    full_outer): an unmatched view emits (view, NULL) when the right
+    watermark passes its window, an unmatched purchase emits (NULL,
+    purchase) when the LEFT watermark passes its timestamp. Both
+    decisions need the OPPOSITE side's watermark to advance past
+    end-of-input, so the gate anchors BOTH streams with one far-future
+    row each (matching nothing, filtered from the output); each
+    anchor's own null row stays undecided by construction — the other
+    side's watermark never reaches it — so the replay drains with
+    exactly the batch FULL JOIN's row set. Disjoint sides (views ⋈
+    purchases) keep the self-match vacuity documented on the
+    left-outer gate out of play; at sf0.01 ~98% of rows on each side
+    null-extend, so both eviction paths carry real weight in the
+    hash."""
+    import datetime as dt
+    import tempfile
+
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    far = max_ts + dt.timedelta(days=30)
+
+    def staged(event_type: str, anchor_user: int) -> str:
+        d = tempfile.mkdtemp(prefix=f"sg_fo_{event_type}_")
+        anchor = spark.createDataFrame(
+            [(-1, anchor_user, far)],
+            "event_id long, user_id long, ts timestamp",
+        )
+        ev.filter(F.col("event_type") == event_type).drop(
+            "event_type"
+        ).unionByName(anchor).write.mode("overwrite").parquet(d)
+        return d
+
+    schema = "event_id long, user_id long, ts timestamp"
+    left = spark.readStream.schema(schema).parquet(staged("view", -2))
+    right = spark.readStream.schema(schema).parquet(staged("purchase", -1))
+    pairs = correlate_streams(
+        left, right, on="user_id", within="30 minutes", watermark="2 hours",
+        how="full_outer",
+    )
+    out = _run_stream(
+        pairs.select("l_event_id", "r_event_id"),
+        state_partitions=_stream_parallelism(spark),
+    )
+    return out.filter(
+        (F.col("l_event_id").isNull() | (F.col("l_event_id") >= 0))
+        & (F.col("r_event_id").isNull() | (F.col("r_event_id") >= 0))
+    )
 
 
 @spec(
