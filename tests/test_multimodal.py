@@ -349,3 +349,42 @@ def test_bmp_pixel_roundtrip_and_quirks():
     assert got is not None and np.array_equal(got, px)
     assert M.decode_bmp_pixels(M.encode_bmp(4, 4, 24))[0].sum() == 0  # legacy zero fixture
     assert M.decode_bmp_pixels(b"BM\x00") is None
+
+
+def test_lzw_width_schedule_boundary_and_animation():
+    """Regression: the code-width schedule is driven by EMITTED/CONSUMED
+    data-code count, not table size — the final flush emit adds no
+    encoder entry while the decoder still adds one, so a table-driven
+    schedule desynchronizes exactly when the last data code lands on a
+    width boundary (measured: END read one bit wide on a 6-symbol
+    all-distinct stream at min_code_size 3). Plus the animated
+    multi-frame path with mixed interlacing."""
+    import numpy as np
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    # the exact boundary stream that desynchronized the old schedule
+    seq = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    out = M._lzw_decode(M._lzw_encode(seq, 3), 3, 6)
+    assert out is not None and out.tolist() == [0, 1, 2, 3, 4, 5]
+    # exhaustive short-length sweep at several code sizes
+    rng = np.random.default_rng(1)
+    for mcs in (2, 3, 8):
+        for ln in range(1, 33):
+            s = rng.integers(0, 1 << mcs, ln).astype(np.uint8)
+            d = M._lzw_decode(M._lzw_encode(s.reshape(1, -1), mcs), mcs, ln)
+            assert d is not None and np.array_equal(d, s), (mcs, ln)
+
+    pal = [(i * 31 % 256, i * 59 % 256, i * 83 % 256) for i in range(8)]
+    pa = np.array(pal, np.uint8)
+    frames = [
+        rng.integers(0, 8, (4, 6), dtype=np.uint8),
+        rng.integers(0, 8, (3, 3), dtype=np.uint8),
+        rng.integers(0, 8, (5, 4), dtype=np.uint8),
+    ]
+    g = M.encode_animated_gif_pixels(frames, pal, interlace_odd=True)
+    dec = list(M.iter_gif_frame_pixels(g))
+    assert len(dec) == 3
+    for f, d in zip(frames, dec):
+        assert np.array_equal(d, pa[f])
+    assert len(M.parse_gif_frames(g)) == 3  # inventory walk agrees

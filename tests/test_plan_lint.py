@@ -23,6 +23,7 @@ ARROW_STAGES = {
     "png_pixel_stats",           # real inflate+unfilter pixel kernel is mapInPandas
     "gif_pixel_stats",           # real LZW+de-interlace pixel kernel is mapInPandas
     "bmp_pixel_stats",           # real BMP layout-quirk kernel is mapInPandas
+    "gif_frame_pixel_stats",     # per-frame LZW decode fan-out kernel is mapInPandas
     "gif_frame_samples",         # real GIF block-walk kernel is mapInPandas
     "audio_meta_decode",         # real WAV chunk-walk kernel is mapInPandas
     "audio_energy_windows",      # real PCM RMS kernel is mapInPandas

@@ -391,11 +391,26 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
             acc >>= 8
             pos -= 8
 
-    def fresh() -> tuple[dict[bytes, int], int, int]:
-        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+    def fresh() -> tuple[dict[bytes, int], int, int, int]:
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1, 0
 
-    table, next_code, width = fresh()
+    # The width SCHEDULE counts EMITTED data codes (m), not table size:
+    # the two coincide mid-stream (every miss emits AND adds), but the
+    # final flush emit adds no entry while the decoder still adds one on
+    # consuming it — driving width off table size desynchronizes the
+    # last one or two codes (measured: END read one bit wide). The
+    # decoder mirrors m as codes CONSUMED (its next_code == base+m-1,
+    # hence its "one early" growth rule).
+    table, next_code, width, m = fresh()
     emit(clear, width)
+
+    def emit_data(code: int) -> None:
+        nonlocal width, m
+        emit(code, width)
+        m += 1
+        if end + 1 + m == (1 << width) and width < 12:
+            width += 1
+
     prev = b""
     for v in np.asarray(indices, dtype=np.uint8).flat:
         c = bytes([int(v)])
@@ -403,17 +418,15 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
         if cur in table:
             prev = cur
             continue
-        emit(table[prev], width)
+        emit_data(table[prev])
         table[cur] = next_code
         next_code += 1
-        if next_code == (1 << width) and width < 12:
-            width += 1
         if next_code == 4096:
             emit(clear, width)
-            table, next_code, width = fresh()
+            table, next_code, width, m = fresh()
         prev = c
     if prev:
-        emit(table[prev], width)
+        emit_data(table[prev])
     emit(end, width)
     if pos:
         out.append(acc & 0xFF)
@@ -540,21 +553,20 @@ def encode_gif_pixels(
     )
 
 
-def decode_gif_pixels(content: bytes | None):
-    """REAL GIF PIXEL decode, zero imaging libraries: block-structure
-    walk (shared with parse_gif_frames) → real LZW decompression of the
-    FIRST frame's data sub-blocks → four-pass de-interlacing when the
-    descriptor says so → palette lookup (local table wins over global).
-    Returns (H, W, 3) uint8, or None for structurally invalid payloads,
-    LZW stream errors, or frames without any color table. This closes
-    the 'GIF LZW stays out of scope' boundary from rounds ≤4-early;
-    animation beyond frame 0 decodes the same way (frame compositing /
-    disposal is presentation logic, not decoding)."""
+def iter_gif_frame_pixels(content: bytes | None):
+    """Lazily decode EVERY frame of a (possibly animated) GIF to pixels:
+    block-structure walk → per-frame LZW decompression → de-interlace →
+    palette lookup (local table wins over global). Yields (H, W, 3)
+    uint8 arrays in frame order; raises ValueError on any structural or
+    LZW-stream error (callers convert to None/strict as policy). Frame
+    compositing/disposal against the logical screen is presentation
+    logic, not decoding — each frame decodes to its OWN descriptor
+    geometry, which is what per-frame feature extraction wants."""
     if not content:
-        return None
+        raise ValueError("empty payload")
     b = bytes(content)
     if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 14:
-        return None
+        raise ValueError("not a GIF")
     packed = b[10]
     i = 13
     global_pal = None
@@ -562,14 +574,14 @@ def decode_gif_pixels(content: bytes | None):
         n = 2 ** ((packed & 0x07) + 1)
         global_pal = np.frombuffer(b[i : i + 3 * n], np.uint8)
         if len(global_pal) != 3 * n:
-            return None
+            raise ValueError("truncated global color table")
         global_pal = global_pal.reshape(-1, 3)
         i += 3 * n
     try:
         while i < len(b):
             tag = b[i]
             if tag == 0x3B:
-                return None  # trailer before any image
+                return  # trailer
             if tag == 0x21:  # extension
                 i += 2
                 while b[i] != 0:
@@ -577,7 +589,7 @@ def decode_gif_pixels(content: bytes | None):
                 i += 1
                 continue
             if tag != 0x2C:
-                return None
+                raise ValueError(f"unexpected block tag {tag:#x}")
             _left, _top, w, h = struct.unpack_from("<HHHH", b, i + 1)
             fpacked = b[i + 9]
             j = i + 10
@@ -587,7 +599,7 @@ def decode_gif_pixels(content: bytes | None):
                 pal = np.frombuffer(b[j : j + 3 * n], np.uint8).reshape(-1, 3)
                 j += 3 * n
             if pal is None or w == 0 or h == 0:
-                return None
+                raise ValueError("frame without color table or empty")
             min_code = b[j]
             j += 1
             data = bytearray()
@@ -595,9 +607,10 @@ def decode_gif_pixels(content: bytes | None):
                 ln = b[j]
                 data += b[j + 1 : j + 1 + ln]
                 j += 1 + ln
+            j += 1  # past the sub-block terminator
             idx = _lzw_decode(bytes(data), min_code, w * h)
             if idx is None or int(idx.max(initial=0)) >= len(pal):
-                return None
+                raise ValueError("bad LZW stream or out-of-palette index")
             idx = idx.reshape(h, w)
             if fpacked & 0x40:  # de-interlace: invert the 4-pass order
                 order = [
@@ -606,10 +619,119 @@ def decode_gif_pixels(content: bytes | None):
                 out = np.empty_like(idx)
                 out[order] = idx
                 idx = out
-            return pal[idx]
-    except (IndexError, struct.error):
+            yield pal[idx]
+            i = j
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated GIF structure: {exc}") from exc
+
+
+def decode_gif_pixels(content: bytes | None):
+    """REAL GIF PIXEL decode of the FIRST frame (see
+    ``iter_gif_frame_pixels`` for the full animation): returns
+    (H, W, 3) uint8 or None for structurally invalid payloads. This
+    closes the 'GIF LZW stays out of scope' boundary from rounds
+    ≤4-early."""
+    try:
+        return next(iter_gif_frame_pixels(content))
+    except (ValueError, StopIteration):
         return None
-    return None
+
+
+def encode_animated_gif_pixels(
+    frames: list,
+    palette: list[tuple[int, int, int]],
+    interlace_odd: bool = False,
+) -> bytes:
+    """REAL animated GIF89a encoder: one image descriptor per (H, W)
+    index array in ``frames`` (each LZW-compressed for real, placed at
+    origin with its own geometry), shared global color table, trailer.
+    ``interlace_odd`` interlaces every odd-numbered frame so a decoder
+    must handle mixed interlacing within one animation."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    w0 = max(f.shape[1] for f in frames)
+    h0 = max(f.shape[0] for f in frames)
+    bits = max(2, int(np.ceil(np.log2(max(2, len(palette))))))
+    packed = 0x80 | (bits - 1) | ((bits - 1) << 4)
+    pal = bytearray()
+    for r_, g_, b_ in palette:
+        pal += bytes((r_, g_, b_))
+    pal += b"\x00" * (3 * (2**bits) - len(pal))
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HH", w0, h0) + bytes([packed, 0, 0]) + bytes(pal)
+    )
+    min_code = max(2, bits)
+    for fno, fr in enumerate(frames):
+        h, w = fr.shape
+        il = interlace_odd and fno % 2 == 1
+        if il:
+            order = [r for start, step in _GIF_INTERLACE for r in range(start, h, step)]
+            fr = fr[order]
+        lzw = _lzw_encode(fr, min_code)
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if il else 0x00])
+        out += bytes([min_code])
+        for j in range(0, len(lzw), 255):
+            chunk = lzw[j : j + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+GIF_FRAME_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_w", T.IntegerType()),
+        T.StructField("frame_h", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_wsum", T.LongType()),
+    ]
+)
+
+
+def gif_frame_pixel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Per-FRAME pixel features over a (possibly animated) GIF column —
+    the real version of the video-frame-feature fan-out: each asset row
+    yields one output row per frame, with the frame LZW-decoded to
+    actual pixels (iter_gif_frame_pixels) and reduced to exact integer
+    stats (px_sum, position-weighted px_wsum). Invalid payloads yield
+    no rows, or raise under ``strict=True``. Frames decode lazily and
+    independently inside the Arrow batch — the 1→N row fan-out happens
+    in the kernel, so Spark sees an ordinary mapInPandas stage whose
+    output partitioning follows the input's."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, ws, hs, sums, wsums = [], [], [], [], [], []
+            for aid, c in zip(pdf["asset_id"], pdf["content"]):
+                try:
+                    for fno, arr in enumerate(iter_gif_frame_pixels(c)):
+                        h, w, _ = arr.shape
+                        flat = arr.reshape(-1).astype(np.int64)
+                        ids.append(aid), nos.append(fno)
+                        ws.append(w), hs.append(h)
+                        sums.append(int(flat.sum()))
+                        wsums.append(
+                            int(((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum())
+                        )
+                except ValueError:
+                    if strict:
+                        raise
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_no": pd.array(nos, dtype="Int32"),
+                    "frame_w": pd.array(ws, dtype="Int32"),
+                    "frame_h": pd.array(hs, dtype="Int32"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                    "px_wsum": pd.array(wsums, dtype="Int64"),
+                }
+            )
+
+    return media.select("asset_id", "content").mapInPandas(
+        kernel, schema=GIF_FRAME_PIXEL_SCHEMA
+    )
 
 
 def encode_bmp_pixels(pixels) -> bytes:

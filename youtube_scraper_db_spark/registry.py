@@ -6736,6 +6736,120 @@ def supplier_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "gif_frame_pixel_stats",
+    "LLM-multimodal EXT-gifdecode",
+    oracle="""
+    WITH fr AS (
+      SELECT doc_id, f,
+             3 + (doc_id + f) % 5 AS w, 2 + (doc_id + f) % 4 AS h
+      FROM documents, unnest([0, 1, 2]) AS u(f)
+      WHERE doc_id < 100 AND f < 1 + doc_id % 3
+    ),
+    vals AS (
+      SELECT doc_id, f, w, h,
+             SUM(CASE i % 3
+                   WHEN 0 THEN ((((i // 3) // w) * 3 + ((i // 3) % w)
+                                 + doc_id + f) % 8 * 31) % 256
+                   WHEN 1 THEN ((((i // 3) // w) * 3 + ((i // 3) % w)
+                                 + doc_id + f) % 8 * 59) % 256
+                   ELSE ((((i // 3) // w) * 3 + ((i // 3) % w)
+                                 + doc_id + f) % 8 * 83) % 256 END) AS s,
+             SUM((i + 1) * CASE i % 3
+                   WHEN 0 THEN ((((i // 3) // w) * 3 + ((i // 3) % w)
+                                 + doc_id + f) % 8 * 31) % 256
+                   WHEN 1 THEN ((((i // 3) // w) * 3 + ((i // 3) % w)
+                                 + doc_id + f) % 8 * 59) % 256
+                   ELSE ((((i // 3) // w) * 3 + ((i // 3) % w)
+                                 + doc_id + f) % 8 * 83) % 256 END) AS ws
+      FROM fr, LATERAL unnest(range(0, w * h * 3)) t(i)
+      GROUP BY doc_id, f, w, h
+    )
+    SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_no,
+           CAST(w AS INT) AS frame_w, CAST(h AS INT) AS frame_h,
+           CAST(s AS BIGINT) AS px_sum, CAST(ws AS BIGINT) AS px_wsum
+    FROM vals
+    """,
+)
+def gif_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF per-frame PIXEL decode — the real version of the
+    video frame-feature fan-out (1 asset → N frame rows, each frame an
+    independent LZW stream): fixtures are real multi-frame GIF89a
+    animations (1-3 frames per doc, per-frame geometry and pixels pure
+    functions of (doc_id, frame_no), every ODD frame interlaced so
+    mixed interlacing within one animation is exercised), and the
+    kernel must walk the blocks, LZW-decode EVERY frame, de-interlace
+    the odd ones, and map the shared palette. The oracle regenerates
+    per-frame integer pixel stats arithmetically; px_wsum is
+    position-weighted so frame-order or row-order confusion
+    hash-mismatches. Completes the multimodal story: geometry
+    inventory (gif_frame_samples) → real per-frame pixels (this gate);
+    only JPEG entropy decode remains library-bound."""
+    ensure_utc(spark)
+    import numpy as np
+
+    ids = [
+        r.doc_id
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id")
+        .collect()
+    ]
+    pal = [(i * 31 % 256, i * 59 % 256, i * 83 % 256) for i in range(8)]
+    blobs = []
+    for i in ids:
+        frames = []
+        for f in range(1 + i % 3):
+            w, h = 3 + (i + f) % 5, 2 + (i + f) % 4
+            r, c = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            frames.append(((r * 3 + c + i + f) % 8).astype(np.uint8))
+        blobs.append(
+            (
+                int(i),
+                bytearray(
+                    llm_multimodal.encode_animated_gif_pixels(
+                        frames, pal, interlace_odd=True
+                    )
+                ),
+            )
+        )
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    media = llm_multimodal.attach_binary(df, "doc_id", "blob", "image")
+    return llm_multimodal.gif_frame_pixel_stats(media, strict=True).select(
+        "asset_id", "frame_no", "frame_w", "frame_h", "px_sum", "px_wsum"
+    )
+
+
+_NOT_IN_SQL = """
+    SELECT 'with_null' AS arm, CAST(count(*) AS BIGINT) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 1) FROM orders)
+    UNION ALL
+    SELECT 'no_null' AS arm, CAST(count(*) AS BIGINT) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_custkey <> 1)
+"""
+
+
+@spec("not_in_null_semantics", "EXT-naaj J9 E4", oracle=_NOT_IN_SQL)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-AWARE anti join — the three-valued-logic contract of NOT IN
+    that the naive LEFT ANTI rewrite silently violates: when the
+    subquery list contains even one NULL, ``x NOT IN (list)`` is never
+    TRUE (x = NULL is UNKNOWN), so the with_null arm must return count
+    0 — a plain anti join would return every order-less customer plus
+    customer 1 and be WRONG. Catalyst handles this by planning a
+    null-aware anti join (the streamed row probes both the value and
+    the null-existence flag) instead of the fast hash anti join; the
+    no_null arm shows the same query shape degrading back to the fast
+    path when the optimizer can prove the list null-free. One ANSI
+    string, both engines (the referential_integrity_report docstring
+    documents this trap; this gate makes the engine's handling of it a
+    checked artifact rather than a comment)."""
+    ensure_utc(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
