@@ -6820,6 +6820,80 @@ def gif_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "xml_export_roundtrip",
+    "EXT-xml S14 LLM-export",
+    oracle="SELECT doc_id, text, lang, source FROM documents",
+)
+def xml_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip through Spark 4's NATIVE xml format (the spark-xml
+    package folded into core — no external jar): documents out as
+    <row> elements under a root tag via the parallel writer, back in
+    with an EXPLICIT schema and the same rowTag. Content must survive
+    byte-exact — entity escaping (&, <, >) is the format's job, not
+    the caller's. Explicit read schema for the same reason as CSV/JSON:
+    XML inference is a full extra pass at 100 TB and type-narrows on
+    sparse elements. The interchange-format family is now parquet /
+    JSON / JSONL(+gzip) / CSV / ORC / XML / custom-datasource —
+    every hand-off format a scraped-corpus consumer asks for."""
+    import tempfile
+
+    ensure_utc(spark)
+    cols = ["doc_id", "text", "lang", "source"]
+    d = _t(spark, sf_dir, "documents").select(*cols)
+    out = tempfile.mkdtemp(prefix="sg_xml_")
+    d.write.mode("overwrite").format("xml").option("rootTag", "docs").option(
+        "rowTag", "doc"
+    ).save(out)
+    return (
+        spark.read.schema("doc_id long, text string, lang string, source string")
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(out)
+        .select(*cols)
+    )
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE nxt AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders WHERE o_custkey <= 100
+    ),
+    chain(custkey, orderkey, depth) AS (
+      SELECT o_custkey, o_orderkey, 1 FROM nxt WHERE rn = 1
+      UNION ALL
+      SELECT n.o_custkey, n.o_orderkey, c.depth + 1
+      FROM chain c JOIN nxt n
+        ON n.o_custkey = c.custkey AND n.rn = c.depth + 1
+    )
+    SELECT custkey, orderkey, CAST(depth AS BIGINT) AS depth
+    FROM chain
+"""
+
+
+@spec("recursive_cte_closure", "EXT-recursive J2 W1", oracle=_RECURSIVE_SQL)
+def recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE — Spark 4's recursive CTE surface (SQL:1999
+    linear recursion, the hierarchy/graph-walk idiom ORACLE CONNECT BY
+    users ask for first): walk each customer's order chain from its
+    first order, one hop per iteration, emitting (custkey, orderkey,
+    depth) until each chain ends. One ANSI string executed verbatim by
+    BOTH engines (same pattern as the adhoc-SQL gate) — DuckDB's
+    recursive executor must agree with Spark's iterative union-loop
+    row for row. Execution model note for scale: Spark runs each
+    recursion step as a fresh join of the previous step against the
+    (here pre-windowed, custkey-bounded) build side, so depth × join
+    cost is the budget — bounded chains (max orders per customer)
+    keep it linear; unbounded graph closure belongs to the
+    large-star/small-star operator (llm/cluster.py), which converges
+    in O(log diameter) rounds instead of O(diameter)."""
+    ensure_utc(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
 _NOT_IN_SQL = """
     SELECT 'with_null' AS arm, CAST(count(*) AS BIGINT) AS n FROM customer
     WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 1) FROM orders)
