@@ -388,3 +388,34 @@ def test_lzw_width_schedule_boundary_and_animation():
     for f, d in zip(frames, dec):
         assert np.array_equal(d, pa[f])
     assert len(M.parse_gif_frames(g)) == 3  # inventory walk agrees
+
+
+def test_avi_container_walk_and_sampler(spark):
+    """AVI/MJPEG: the RIFF walk recovers every frame payload byte-exact
+    (odd-length frames exercise the even-alignment rule), the sampler
+    emits stride-sampled frames with real JPEG header geometry and
+    byte digests, and non-AVI payloads yield nothing."""
+    import hashlib
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    frames = [M.encode_jpeg_header(20 + f, 10 + f) for f in range(5)]
+    frames.append(b"\xff\xd8odd!")  # odd length → RIFF pad byte
+    avi = M.encode_avi_mjpeg(frames)
+    back = M.parse_avi_frames(avi)
+    assert back is not None and back == frames
+    assert M.parse_avi_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"not avi"))],
+        "doc_id long, blob binary",
+    )
+    media = M.attach_binary(df, "doc_id", "blob", "video")
+    rows = {
+        r.frame_no: r
+        for r in M.sample_avi_frames(media, every_n=2, max_frames=3).collect()
+    }
+    assert sorted(rows) == [0, 2, 4]
+    assert (rows[2].frame_w, rows[2].frame_h) == (22, 12)
+    assert rows[4].frame_sha256 == hashlib.sha256(frames[4]).hexdigest()
+    assert all(r.asset_id == 1 for r in rows.values())

@@ -24,6 +24,7 @@ ARROW_STAGES = {
     "gif_pixel_stats",           # real LZW+de-interlace pixel kernel is mapInPandas
     "bmp_pixel_stats",           # real BMP layout-quirk kernel is mapInPandas
     "gif_frame_pixel_stats",     # per-frame LZW decode fan-out kernel is mapInPandas
+    "avi_frame_samples",         # real RIFF container-walk sampler is mapInPandas
     "gif_frame_samples",         # real GIF block-walk kernel is mapInPandas
     "audio_meta_decode",         # real WAV chunk-walk kernel is mapInPandas
     "audio_energy_windows",      # real PCM RMS kernel is mapInPandas

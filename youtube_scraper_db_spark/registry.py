@@ -6894,6 +6894,57 @@ def recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_SQL)
 
 
+@spec(
+    "avi_frame_samples",
+    "LLM-multimodal EXT-avidecode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(f AS INT) AS frame_no,
+           CAST(16 + (doc_id + f) % 21 AS INT) AS frame_w,
+           CAST(9 + (doc_id + f) % 11 AS INT) AS frame_h
+    FROM documents, unnest([0, 2, 4]) AS u(f)
+    WHERE doc_id < 100 AND f < 2 + doc_id % 4
+    """,
+)
+def avi_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container frame sampling — AVI/MJPEG RIFF walk
+    (llm/multimodal.py parse_avi_frames / sample_avi_frames), replacing
+    the round-1 stub sampler: each fixture is a structurally valid AVI
+    (hdrl header with true frame count, movi LIST of '00dc' chunks —
+    one real JPEG header blob per frame, geometry a pure function of
+    (doc_id, frame_no), with RIFF even-byte alignment exercised by
+    odd-length frames), and the kernel must walk the container, sample
+    every 2nd frame up to 3, and decode each sampled frame's JPEG
+    header geometry. The oracle regenerates the sampled (frame_no, w,
+    h) set arithmetically; frame digests are pytest-covered. Only the
+    JPEG entropy decode of frame interiors remains library-bound —
+    container, inventory, sampling and geometry are real."""
+    ensure_utc(spark)
+    ids = [
+        r.doc_id
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id")
+        .collect()
+    ]
+    blobs = []
+    for i in ids:
+        frames = [
+            llm_multimodal.encode_jpeg_header(
+                16 + (i + f) % 21, 9 + (i + f) % 11
+            )
+            for f in range(2 + i % 4)
+        ]
+        blobs.append(
+            (int(i), bytearray(llm_multimodal.encode_avi_mjpeg(frames)))
+        )
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    media = llm_multimodal.attach_binary(df, "doc_id", "blob", "video")
+    return llm_multimodal.sample_avi_frames(media, every_n=2, max_frames=3).select(
+        "asset_id", "frame_no", "frame_w", "frame_h"
+    )
+
+
 _NOT_IN_SQL = """
     SELECT 'with_null' AS arm, CAST(count(*) AS BIGINT) AS n FROM customer
     WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 1) FROM orders)
