@@ -1,16 +1,23 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched stages.
 
-Image HEADER decode is REAL and dependency-free: ``parse_image_header``
-reads width/height/bit-depth from the published fixed-offset container
-headers of PNG, GIF, BMP and JPEG (format specs are public; no imaging
-library needed). PNG PIXEL decode is ALSO real (``decode_png_pixels``:
-chunk walk + CRC verify + zlib inflate + all five scanline unfilters —
-stdlib + numpy only), feeding ``image_pixel_stats``. The remaining
-boundary is the genuinely-codec-shaped work: JPEG entropy decode, GIF
-LZW, palette/16-bit/interlaced PNG — those raise ``NotImplementedError``
-in strict mode. Video frame sampling is a stub (deterministic per-frame
-digests) with the real 1→N fan-out shape.
+Everything structural here is REAL and dependency-free (stdlib +
+numpy):
+
+- header decode for PNG/GIF/BMP/JPEG (``parse_image_header``);
+- PNG PIXEL decode — chunk walk + CRC verify + zlib inflate + all five
+  scanline unfilters + PLTE indexed color (``decode_png_pixels``);
+- GIF PIXEL decode — real variable-width LZW, four-pass de-interlace,
+  palette mapping, per-frame over animations (``iter_gif_frame_pixels``);
+- BMP PIXEL decode — bottom-up/BGR/row-padding undone
+  (``decode_bmp_pixels``);
+- WAV/PCM audio — RIFF chunk walk + numpy sample decode (below);
+- AVI/MJPEG video — RIFF container walk, frame inventory, stride
+  sampling, per-frame JPEG header geometry (``sample_avi_frames``).
+
+The one remaining boundary is genuinely codec-library work — JPEG
+entropy decode (and 16-bit/interlaced PNG) — which raises
+``NotImplementedError`` in strict mode.
 
 Scale notes: binary payloads dominate row size → keep
 ``spark.sql.files.maxPartitionBytes`` at 128 MB so a partition holds a

@@ -6945,6 +6945,63 @@ def avi_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "native_session_rollup",
+    "EXT-sessionwin T-session A8",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                      OR date_diff('second', prev_ts, ts) > 1800
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def native_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` aggregation (the dynamic-gap
+    grouping operator behind streaming sessionization, here in batch):
+    per-user sessions that merge while events arrive within 30 minutes
+    of the LAST event, aggregated in one groupBy — Spark plans a keyed
+    exchange + sort + session-merge aggregate, no self-join. Boundary
+    semantics pinned by the oracle AGAINST the obvious reading: the
+    window is reported as [start, last + gap), which suggests an event
+    at exactly last + gap starts a new session — but Spark MERGES
+    sessions whose intervals touch (new.start == current.end
+    coalesces), so that event CONTINUES the session and the oracle's
+    island break must be ``> gap``, not ``>= gap``. The driver data
+    contains a real exact-1800 s tie at sf0.1 that decides this
+    empirically (measured: the ``>=`` oracle hash-mismatches at sf0.1
+    and nowhere else). Matches sessionized_events' ``>`` convention,
+    so both sessionization products agree on ties."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 _NOT_IN_SQL = """
     SELECT 'with_null' AS arm, CAST(count(*) AS BIGINT) AS n FROM customer
     WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 1) FROM orders)
