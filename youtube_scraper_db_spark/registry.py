@@ -326,15 +326,25 @@ def has_order_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "J9 E1 E4",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2001-05-01')
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join skip-set (ref scrape_my_channel.py:682-683 'new videos
-    only'): left_anti — at scale this broadcasts the smaller key set or
-    shares the shuffle partitioning of a later merge."""
+    only'): left_anti against a pre-filtered build side — at scale this
+    broadcasts the (filtered) smaller key set or shares the shuffle
+    partitioning of a later merge. The build side is the RECENT orders
+    window (last 3 months — 'customers inactive lately'): the original
+    unfiltered gate returned ZERO rows at every SF because the testdata
+    gives every customer at least one order, so the anti path passed
+    vacuously (0 vs 0; round-4 vacuity audit, same class as
+    diff_sync_parts); against the window ~2/3 of customers survive the
+    anti join into the hash."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-05-01").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -358,9 +368,9 @@ def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "J8 E1 T1",
     oracle="""
     WITH cur AS (SELECT DISTINCT l_partkey FROM lineitem
-                 WHERE l_shipdate <  TIMESTAMP '1998-01-01'),
+                 WHERE l_shipdate <  TIMESTAMP '1995-03-01'),
          des AS (SELECT DISTINCT l_partkey FROM lineitem
-                 WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+                 WHERE l_shipdate >= TIMESTAMP '2001-09-01')
     SELECT l_partkey, 'add' AS change FROM des
     WHERE NOT EXISTS (SELECT 1 FROM cur WHERE cur.l_partkey = des.l_partkey)
     UNION ALL
@@ -373,10 +383,17 @@ def diff_sync_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     between two snapshot key sets. Uses the single-shuffle union+aggregate
     form (operators.diffsync.diff_keys_single_shuffle) — both snapshots
     must be scanned in full anyway, so one hash aggregate beats the
-    two-anti-join plan's four scans and twelve exchanges."""
+    two-anti-join plan's four scans and twelve exchanges. The snapshots
+    are NARROW date windows from opposite ends of the data (first two /
+    last two months): the original half-split cutoff produced two
+    IDENTICAL part sets and an empty diff at every SF — a gate passing
+    vacuously (0 vs 0) regardless of operator correctness (found in the
+    round-4 vacuity audit, same class as the self-joined outer gate);
+    with disjoint windows both the add and remove sides carry hundreds
+    of rows into the hash (530/467 at sf0.01)."""
     li = _t(spark, sf_dir, "lineitem")
-    cur = li.filter(F.col("l_shipdate") < "1998-01-01").select("l_partkey")
-    des = li.filter(F.col("l_shipdate") >= "1998-01-01").select("l_partkey")
+    cur = li.filter(F.col("l_shipdate") < "1995-03-01").select("l_partkey")
+    des = li.filter(F.col("l_shipdate") >= "2001-09-01").select("l_partkey")
     return diff_keys_single_shuffle(cur, des, ["l_partkey"])
 
 
@@ -984,8 +1001,8 @@ def display_price_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "S4 E2",
     oracle="""
     WITH hits AS (
-      SELECT doc_id, unnest(regexp_extract_all(text, '([A-Za-z]{9,})', 1)) AS ref,
-             generate_subscripts(regexp_extract_all(text, '([A-Za-z]{9,})', 1), 1) AS seen_seq
+      SELECT doc_id, unnest(regexp_extract_all(text, '([A-Za-z]{6,})', 1)) AS ref,
+             generate_subscripts(regexp_extract_all(text, '([A-Za-z]{6,})', 1), 1) AS seen_seq
       FROM documents
     ),
     ranked AS (
@@ -1001,13 +1018,17 @@ def extracted_page_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata: regexp_extract_all → posexplode → length guard → first-seen
     dedup (E2), exactly the ``sources.html_playlists`` operator shape. The
     dedup window partitions by (doc, ref) so order within a document is
-    deterministic and oracle-reproducible."""
+    deterministic and oracle-reproducible. The length guard is 6+
+    letters: the reference's 9+ id-shape guard matched NOTHING in the
+    synthetic corpus (short-word vocabulary), so the gate compared two
+    empty sets (round-4 vacuity audit); at 6+ the extraction carries
+    ~2.3k (doc, ref) pairs into the hash at sf0.01."""
     from .operators.dedup import dedup_first_seen
 
     d = _t(spark, sf_dir, "documents")
     exploded = d.select(
         "doc_id",
-        F.posexplode(F.regexp_extract_all("text", F.lit(r"([A-Za-z]{9,})"), 1)).alias(
+        F.posexplode(F.regexp_extract_all("text", F.lit(r"([A-Za-z]{6,})"), 1)).alias(
             "seen_seq", "ref"
         ),
     )
