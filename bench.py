@@ -62,6 +62,8 @@ HEADLINE = [
     "segment_dedup_docs",
     "bpe_pair_counts",
     "classic_q16_supplier_variety",
+    "classic_q21_waiting_supplier",
+    "classic_q8_market_share",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

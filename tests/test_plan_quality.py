@@ -266,3 +266,32 @@ def test_q5_broadcasts_all_dims_no_smj(spark):
     plan = plan_of(spark, "classic_q5_local_volume")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q8_single_aggregate_conditional_ratio(spark):
+    """TPC-H Q8: numerator and denominator must ride ONE aggregate —
+    a second scan or a self-join to compute the share means the 7-way
+    join ran twice. The region/nation dims must broadcast."""
+    plan = plan_of(spark, "classic_q8_market_share")
+    # 7 scans = one per relation ROLE (nation appears twice: customer's
+    # and supplier's side); formatted-mode explain mentions each scan
+    # twice (tree + details), hence 14. A conditional-ratio via
+    # self-join would double the fact scan and push past this.
+    assert plan.count("Scan parquet") <= 14
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q17_threshold_join_is_decorrelated(spark):
+    """TPC-H Q17: the correlated avg-quantity subquery must decorrelate
+    to one grouped aggregate joined back — no nested-loop per-row
+    subquery execution (BNLJ) and no duplicate lineitem aggregation."""
+    plan = plan_of(spark, "classic_q17_small_qty")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_anti_side_reuses_late_set(spark):
+    """TPC-H Q21: EXISTS/NOT-EXISTS decorrelate to semi + anti joins —
+    no nested-loop correlation anywhere in the plan."""
+    plan = plan_of(spark, "classic_q21_waiting_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
