@@ -58,3 +58,35 @@ def test_end_to_end_read(spark, tmp_path):
     assert rows[0].title == "Alpha" and rows[0].body == "hello world"
     # schema projection works like any relation
     assert df.select("url").collect()[0].url.endswith("v=a1")
+
+
+def test_stream_reader_incremental_offsets(tmp_path):
+    """The SimpleDataSourceStreamReader tracks the seen-file set as its
+    offset: new files appear exactly once in subsequent reads, an
+    unchanged directory yields an empty batch, and readBetweenOffsets
+    replays exactly the delta (the post-crash contract)."""
+    from youtube_scraper_db_spark.sources.transcript_datasource import (
+        TranscriptTextStreamReader,
+    )
+
+    def put(name, body):
+        (tmp_path / name).write_text(
+            f"TITLE: {name}\nURL: u\n\n{body}", encoding="utf-8"
+        )
+
+    r = TranscriptTextStreamReader({"path": str(tmp_path)})
+    start = r.initialOffset()
+    put("a.txt", "A")
+    put("b.txt", "B")
+    rows1, off1 = r.read(start)
+    assert sorted(x[0] for x in rows1) == ["a.txt", "b.txt"]
+    rows_empty, off_same = r.read(off1)
+    assert rows_empty == [] and off_same == off1
+    put("c.txt", "C")
+    rows2, off2 = r.read(off1)
+    assert [x[0] for x in rows2] == ["c.txt"]
+    assert sorted(off2["seen"]) == ["a.txt", "b.txt", "c.txt"]
+    # replay between checkpointed offsets is exactly the delta
+    replay = r.readBetweenOffsets(off1, off2)
+    assert [x[0] for x in replay] == ["c.txt"]
+    assert r.readBetweenOffsets(start, off1) == rows1

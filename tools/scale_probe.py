@@ -67,6 +67,7 @@ SKEW_QUERIES = [
     "salted_supplier_revenue",  # fact⋈dim join on l_suppkey (salted)
     "event_funnel",             # keyed window sort on user_id
     "top_orders_per_customer",  # grouped top-k on o_custkey
+    "classic_q21_waiting_supplier",  # semi+anti self-joins on l_orderkey, supplier agg on the hot key
 ]
 
 

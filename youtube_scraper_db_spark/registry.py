@@ -7525,6 +7525,84 @@ def classic_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "custom_source_stream_drain",
+    "EXT-datasource-stream S9 T5",
+    oracle="""
+    SELECT 'vid' || CAST(doc_id AS VARCHAR) AS video_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           text AS body
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def custom_source_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python DataSource end-to-end (Spark 4
+    SimpleDataSourceStreamReader — the streaming half of the
+    transcript_text source): the rendered-archive directory consumed
+    as a live inbox across TWO separate runs sharing one checkpoint.
+    Run 1 renders and drains the first 50 documents; run 2 adds the
+    other 50 and drains the SAME checkpoint — the engine restores the
+    source offset (the seen-file set) and the second run must emit
+    ONLY the new files: a source that re-reads from scratch would
+    duplicate the first 50 and hash-mismatch, one that mis-tracks
+    offsets would drop rows. Combined output equals the batch read of
+    all 100 — exactly-once file accounting across restarts, the
+    contract a production inbox needs. Emitted rows are captured via
+    foreachBatch (memory sink doesn't recover checkpoints)."""
+    import tempfile
+
+    from .sinks.render_text import write_transcript_files
+    from .sources.transcript_datasource import register
+
+    ensure_utc(spark)
+    register(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.concat(F.lit("vid"), F.col("doc_id")).alias("video_id"),
+            F.concat(F.lit("Doc "), F.col("doc_id")).alias("title"),
+            F.lit(None).cast("string").alias("video_url"),
+            F.col("text").alias("transcript"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="sg_dsrc_stream_")
+    ckpt = tempfile.mkdtemp(prefix="sg_dsrc_ck_")
+    emitted: list[tuple] = []
+
+    def drain() -> None:
+        stream = spark.readStream.format("transcript_text").load(out)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _bid: emitted.extend(
+                    (r.url, r.title, r.body) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_transcript_files(
+        docs.filter(F.col("doc_id") < 50).drop("doc_id"), out
+    )
+    drain()
+    write_transcript_files(
+        docs.filter(F.col("doc_id") >= 50).drop("doc_id"), out
+    )
+    drain()
+    back = spark.createDataFrame(
+        emitted, "url string, title string, body string"
+    )
+    return back.select(
+        F.regexp_extract("url", r"v=(.*)$", 1).alias("video_id"),
+        "title",
+        "body",
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------

@@ -24,7 +24,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql import types as T
 
 SCHEMA = T.StructType(
@@ -81,9 +86,61 @@ class TranscriptTextReader(DataSourceReader):
         yield parse_transcript_text(os.path.basename(partition.path), text)
 
 
+class TranscriptTextStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING read path for the same format —
+    ``spark.readStream.format("transcript_text").load(dir)``: each
+    micro-batch picks up files not seen by any earlier batch, so a
+    rendered-archive directory becomes a live inbox with exactly-once
+    file accounting (the offset IS the seen-file set, checkpointed by
+    the engine; ``readBetweenOffsets`` makes post-crash replay
+    deterministic). This is the Spark 4 Python streaming-source
+    surface; the simple-reader variant reads on the driver per batch —
+    right for inbox rates. Production notes: at archive scale, swap
+    the ever-growing filename-list offset for a (sequence-number,
+    mtime-watermark) offset, and the driver-side read for the
+    partition-based ``DataSourceStreamReader`` so file parses fan out
+    to executors like the batch reader's InputPartitions."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("transcript_text source requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _listing(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.path) if f.endswith(".txt")
+        )
+
+    def _rows(self, names: list[str]) -> list[tuple]:
+        # MATERIALIZED list, not a generator: the engine pickles the
+        # batch for prefetch/replay, and generators don't pickle.
+        out = []
+        for name in names:
+            with open(os.path.join(self.path, name), encoding="utf-8") as fh:
+                out.append(parse_transcript_text(name, fh.read()))
+        return out
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        new = [f for f in self._listing() if f not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        return self._rows(new)
+
+    def commit(self, end: dict) -> None:
+        pass  # no source-side cleanup: files remain the system of record
+
+
 class TranscriptTextDataSource(DataSource):
     """``spark.dataSource.register(TranscriptTextDataSource)`` then
-    ``spark.read.format("transcript_text").load(dir)``."""
+    ``spark.read.format("transcript_text").load(dir)`` (batch) or
+    ``spark.readStream.format("transcript_text").load(dir)`` (stream)."""
 
     @classmethod
     def name(cls) -> str:
@@ -94,6 +151,9 @@ class TranscriptTextDataSource(DataSource):
 
     def reader(self, schema) -> TranscriptTextReader:
         return TranscriptTextReader(self.options)
+
+    def simpleStreamReader(self, schema) -> TranscriptTextStreamReader:
+        return TranscriptTextStreamReader(self.options)
 
 
 def register(spark) -> None:
