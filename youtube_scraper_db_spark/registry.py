@@ -7603,6 +7603,63 @@ def custom_source_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "stream_update_mode_counts",
+    "EXT-stream-update A2 T2",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third and last streaming output mode
+    (append: stream_window_late_drop; complete: stream_top_event_types):
+    an unwindowed running aggregate whose per-batch emission is ONLY
+    the keys that changed in that micro-batch, with the latest
+    emission per key superseding earlier ones — the mode a live
+    dashboard sink consumes. The replay is FORCED through four
+    micro-batches (events staged into four files,
+    maxFilesPerTrigger=1), so intermediate counts genuinely emit and
+    are overwritten; the gate keeps the LAST emission per key
+    (batch_id order) and that final picture must equal the batch
+    GROUP BY — a sink that missed an update or applied them out of
+    order mismatches. State is O(|event types|) — unwindowed running
+    aggregates never evict, which is exactly why this shape is for
+    low-cardinality keys (the docstring contract) and windowed+
+    watermarked aggregation is the unbounded-key path."""
+    import os
+    import tempfile
+
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    staged = tempfile.mkdtemp(prefix="sg_upd_")
+    for i in range(4):
+        ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i).coalesce(
+            1
+        ).write.parquet(os.path.join(staged, f"b{i}"))
+    stream = spark.readStream.schema("event_id long, event_type string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(staged + "/*")
+    counts = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    ckpt = tempfile.mkdtemp(prefix="sg_upd_ck_")
+    latest: dict[str, tuple[int, int]] = {}
+
+    def absorb(df, bid: int) -> None:
+        for r in df.collect():
+            latest[r.event_type] = (bid, r.n)
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(k, v[1]) for k, v in latest.items()]
+    return spark.createDataFrame(rows, "event_type string, n long")
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
