@@ -8,6 +8,15 @@ uses the sanctioned escape hatch: Arrow-batched per-group state. State
 per user is three scalars (session start, last seen, count) — bounded by
 active keys, evicted by event-time timeout once the watermark passes
 last_seen + gap, so state never grows with event volume.
+
+Spark 4's newer arbitrary-state API (``transformWithStateInPandas``:
+typed ValueState/ListState/MapState + timers over RocksDB) would be the
+successor surface for this operator, but its Python state-server
+protocol requires the ``protobuf`` package, which this container lacks
+(verified: the TWS driver worker crashes on ``google.protobuf`` import;
+no packages may be installed). Environment boundary, not an engine one —
+the migration is mechanical (state scalars → a ValueState, the timeout
+branch → an event-time timer callback).
 """
 
 from __future__ import annotations
