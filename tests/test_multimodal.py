@@ -276,10 +276,14 @@ def test_lzw_codec_spec_bitstream_and_roundtrip():
 
     from youtube_scraper_db_spark.llm import multimodal as M
 
-    # pixels [1,1,2,2], min_code_size=2:
-    # codes (width): clear=4(3), 1(3), 1(3), 2(4), 2(4), end=5(4) → 4C 44 0A
-    assert M._lzw_encode(np.array([[1, 1], [2, 2]], np.uint8), 2).hex() == "4c440a"
-    dec = M._lzw_decode(bytes.fromhex("4c440a"), 2, 4)
+    # pixels [1,1,2,2], min_code_size=2 (re-derived round 5 against an
+    # independently written spec-rule decoder — the previous pin 4c440a
+    # encoded a one-early width bump symmetric with the old decoder bug):
+    # table adds get 6,7,8; the add of code 8 fills width 3, so codes
+    # after it widen. codes (width): clear=4(3), 1(3), 1(3), 2(3),
+    # 2(4), end=5(4) → 4C 24 05
+    assert M._lzw_encode(np.array([[1, 1], [2, 2]], np.uint8), 2).hex() == "4c2405"
+    dec = M._lzw_decode(bytes.fromhex("4c2405"), 2, 4)
     assert dec is not None and dec.tolist() == [1, 1, 2, 2]
 
     rng = np.random.default_rng(0)
@@ -291,6 +295,92 @@ def test_lzw_codec_spec_bitstream_and_roundtrip():
     out = M._lzw_decode(M._lzw_encode(runs, 2), 2, 9)
     assert out is not None and np.array_equal(out, runs.ravel())
     assert M._lzw_decode(b"\xff\xff", 2, 4) is None  # garbage stream
+
+
+#: The canonical 10×10 4-color sample GIF from the public GIF89a format
+#: reference — produced by a THIRD-PARTY encoder, so interop bugs in the
+#: width schedule cannot hide behind encoder/decoder roundtrip symmetry
+#: (exactly how the pre-round-5 one-early bump survived every roundtrip
+#: test while rejecting all real-world GIFs).
+_CANONICAL_GIF = bytes.fromhex(
+    "474946383961"  # GIF89a
+    "0a000a00" "910000"  # 10×10 logical screen, GCT, 2 bits/pixel
+    "ffffff" "ff0000" "0000ff" "000000"  # palette: white red blue black
+    "21f9040000000000"  # graphic control extension
+    "2c000000000a000a0000"  # image descriptor
+    "02"  # LZW min code size
+    "168c2d99872a1cdc33a00275ec95faa8de608c04914c01"  # 22-byte sub-block
+    "00"  # block terminator
+    "3b"  # trailer
+)
+
+#: The reference's documented pixel indices for that sample.
+_CANONICAL_IDX = [
+    [1, 1, 1, 1, 1, 2, 2, 2, 2, 2],
+    [1, 1, 1, 1, 1, 2, 2, 2, 2, 2],
+    [1, 1, 1, 1, 1, 2, 2, 2, 2, 2],
+    [1, 1, 1, 0, 0, 0, 0, 2, 2, 2],
+    [1, 1, 1, 0, 0, 0, 0, 2, 2, 2],
+    [2, 2, 2, 0, 0, 0, 0, 1, 1, 1],
+    [2, 2, 2, 0, 0, 0, 0, 1, 1, 1],
+    [2, 2, 2, 2, 2, 1, 1, 1, 1, 1],
+    [2, 2, 2, 2, 2, 1, 1, 1, 1, 1],
+    [2, 2, 2, 2, 2, 1, 1, 1, 1, 1],
+]
+
+
+def test_gif_third_party_interop():
+    """Decode a GIF produced OUTSIDE this repo (the GIF89a reference's
+    canonical sample) to its documented pixels, and accept a stream with
+    no leading CLEAR code (GIF89a permits omitting it; the pre-round-5
+    decoder started with an empty table and rejected such streams)."""
+    import numpy as np
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    arr = M.decode_gif_pixels(_CANONICAL_GIF)
+    assert arr is not None and arr.shape == (10, 10, 3)
+    pal = {(255, 255, 255): 0, (255, 0, 0): 1, (0, 0, 255): 2, (0, 0, 0): 3}
+    idx = [[pal[tuple(arr[r, c])] for c in range(10)] for r in range(10)]
+    assert idx == _CANONICAL_IDX
+    frames = list(M.iter_gif_frame_pixels(_CANONICAL_GIF))
+    assert len(frames) == 1 and np.array_equal(frames[0], arr)
+
+    # no leading CLEAR: codes 1(3b), 2(3b), END=5(3b) at mcs=2 → 51 01
+    no_clear = bytes([0x51, 0x01])
+    dec = M._lzw_decode(no_clear, 2, 2)
+    assert dec is not None and dec.tolist() == [1, 2]
+
+
+def test_gif_frame_stats_all_or_nothing(spark):
+    """A GIF corrupt at frame k yields NO rows from
+    gif_frame_pixel_stats (the documented contract) — not rows for
+    frames 0..k-1 (round-5 fix: per-asset staging buffer)."""
+    import numpy as np
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    rng = np.random.default_rng(7)
+    pal = [(i * 31 % 256, i * 59 % 256, i * 83 % 256) for i in range(8)]
+    frames = [
+        rng.integers(0, 8, (4, 6), dtype=np.uint8),
+        rng.integers(0, 8, (3, 3), dtype=np.uint8),
+    ]
+    good = M.encode_animated_gif_pixels(frames, pal)
+    # corrupt the SECOND frame's LZW payload: flip bytes near the end,
+    # leaving frame 0 and the container walk intact
+    bad = bytearray(good)
+    bad[-12:-4] = b"\xff" * 8
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bad)], "doc_id long, blob binary"
+    )
+    media = M.attach_binary(df, "doc_id", "blob", "image")
+    rows = M.gif_frame_pixel_stats(media).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r.frame_no)
+    assert sorted(by_asset.get(1, [])) == [0, 1]
+    assert 2 not in by_asset, f"partial frames leaked: {by_asset.get(2)}"
 
 
 def test_gif_and_palette_png_pixel_roundtrips():

@@ -91,7 +91,25 @@ def _single_partition_carries_data(plan: str) -> bool:
 
 @pytest.mark.parametrize("s", REGISTRY, ids=lambda s: s.name)
 def test_no_scale_antipatterns(spark, s):
-    plan = s.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    df = s.fn(spark, SF)
+    # Driver-output contract (VERDICT r04): the driver's canonicalizer
+    # sorts result columns with pandas and cannot hash list/dict cells —
+    # the ONLY two r04-red rows were the two queries emitting array
+    # columns. Nested output types are therefore forbidden registry-wide;
+    # render arrays to deterministic strings (the ordered_part_lists /
+    # label_centroids pattern) before returning.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{s.name} emits nested output columns {nested} — the driver's "
+        "canonicalizer cannot hash them; stringify (see label_centroids)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{s.name} plans a cartesian product"
     if s.name not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (

@@ -70,6 +70,60 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "token_runs_udtf",
         "status_priority_cube",
     },
+    # Round 5: the natural offset-150 window covers all 40 entries that
+    # had never produced a driver row (round-4 session additions, the
+    # facade/layout/round-trip evictees, the full classic_q* catalog),
+    # plus three targeted swaps — the two r04-red array-output gates
+    # (label_centroids, doc_token_ids — now stringified) and
+    # extracted_page_refs (driver row predates its r4 rewrite) — and the
+    # two r1-rewritten gates already in window.
+    5: {
+        "avi_frame_samples",
+        "bmp_pixel_stats",
+        "classic_q11_important_stock",
+        "classic_q13_custdist",
+        "classic_q14_promo_share",
+        "classic_q15_top_supplier",
+        "classic_q16_supplier_variety",
+        "classic_q17_small_qty",
+        "classic_q19_bracket_revenue",
+        "classic_q20_excess_stock",
+        "classic_q21_waiting_supplier",
+        "classic_q22_idle_balance",
+        "classic_q2_min_cost",
+        "classic_q4_priority_counts",
+        "classic_q6_revenue_delta",
+        "classic_q7_volume_shipping",
+        "classic_q8_market_share",
+        "column_profile_events",
+        "compacted_docs_roundtrip",
+        "corpus_facade_annotated",
+        "csv_export_roundtrip",
+        "custom_source_stream_drain",
+        "customers_without_orders",
+        "diff_sync_parts",
+        "doc_token_ids",
+        "extracted_page_refs",
+        "gif_frame_pixel_stats",
+        "gif_pixel_stats",
+        "jsonl_gzip_roundtrip",
+        "label_centroids",
+        "lang_mixing_weights",
+        "native_session_rollup",
+        "not_in_null_semantics",
+        "orc_export_roundtrip",
+        "order_value_percentrank",
+        "partitioned_orders_prune",
+        "png_pixel_stats",
+        "recursive_cte_closure",
+        "referential_integrity_report",
+        "stream_full_outer_pairs",
+        "stream_update_mode_counts",
+        "supplier_revenue_deciles",
+        "top_suppliers_with_ties",
+        "user_event_type_unpivot",
+        "xml_export_roundtrip",
+    },
 }
 
 

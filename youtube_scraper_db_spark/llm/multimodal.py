@@ -406,8 +406,14 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
     # final flush emit adds no entry while the decoder still adds one on
     # consuming it — driving width off table size desynchronizes the
     # last one or two codes (measured: END read one bit wide). The
-    # decoder mirrors m as codes CONSUMED (its next_code == base+m-1,
-    # hence its "one early" growth rule).
+    # GIF89a rule in m-terms: the m-th emitted data code's table add
+    # gets value end+m, and the width must widen only once a code VALUE
+    # of 1<<width exists to emit — i.e. after the emit where
+    # end + m == 1<<width. (Round-5 interop fix: the previous
+    # `end + 1 + m` grew one code early; symmetric with the old decoder
+    # bug, so roundtrips passed while real GIF89a streams desynced —
+    # pinned now by the spec-bitstream + canonical-fixture tests in
+    # tests/test_multimodal.py.)
     table, next_code, width, m = fresh()
     emit(clear, width)
 
@@ -415,7 +421,7 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
         nonlocal width, m
         emit(code, width)
         m += 1
-        if end + 1 + m == (1 << width) and width < 12:
+        if end + m == (1 << width) and width < 12:
             width += 1
 
     prev = b""
@@ -466,7 +472,11 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int):
         pos -= width
         return code
 
-    table: list[bytes] = []
+    # The table starts PRE-INITIALIZED: GIF89a does not require a
+    # leading CLEAR code (some real encoders omit it), so an empty
+    # initial table would reject their streams at the first data code
+    # (round-5 interop fix, ADVICE r04).
+    table: list[bytes] = [bytes([j]) for j in range(clear)] + [b"", b""]
     width = min_code_size + 1
     next_code = end + 1
     prev: bytes | None = None
@@ -490,20 +500,28 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int):
             if code >= len(table):
                 return None
             entry = table[code]
-            table.append(prev + entry[:1])
-            next_code += 1
-        elif code == next_code:
+            if next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+        elif code == next_code and next_code < 4096:
             entry = prev + prev[:1]  # KwKwK
             table.append(entry)
             next_code += 1
         else:
             return None
-        # Width grows ONE ENTRY EARLY relative to the encoder's rule: the
-        # decoder's table lags the encoder's by exactly one entry (the
-        # encoder adds WHEN it emits code #k; the decoder adds when it
-        # CONSUMES code #k+1), so the code the encoder emitted at the
-        # wider width must already be read wide here.
-        if next_code == (1 << width) - 1 and width < 12:
+        # GIF89a width schedule: widen once the table holds every value
+        # the current width can carry — after the add, when next_code
+        # reaches 1<<width ("when the decoder adds code 2^width - 1, the
+        # code size increases"). The decoder's table lags the encoder's
+        # by one entry (encoder adds when EMITTING code #k, decoder when
+        # CONSUMING code #k+1), which is exactly what keeps this aligned
+        # with the encoder's end+m == 1<<width emit-count rule.
+        # (Round-5 interop fix: the previous `(1 << width) - 1` grew one
+        # entry early, mirroring the old encoder bug — roundtrips passed
+        # while canonical GIF89a streams were rejected.) Past 4095 the
+        # table freezes ("deferred clear": conforming encoders may keep
+        # emitting existing 12-bit codes without a CLEAR).
+        if next_code == (1 << width) and width < 12:
             width += 1
         out += entry
         prev = entry
@@ -712,19 +730,38 @@ def gif_frame_pixel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
         for pdf in batches:
             ids, nos, ws, hs, sums, wsums = [], [], [], [], [], []
             for aid, c in zip(pdf["asset_id"], pdf["content"]):
+                # Per-asset staging buffer: a GIF corrupt at frame k
+                # must yield NO rows (the documented contract), not
+                # rows for frames 0..k-1 — so the asset's rows land in
+                # the batch lists only after the full iteration
+                # finishes clean (round-5 fix, ADVICE r04).
+                rows = []
                 try:
                     for fno, arr in enumerate(iter_gif_frame_pixels(c)):
                         h, w, _ = arr.shape
                         flat = arr.reshape(-1).astype(np.int64)
-                        ids.append(aid), nos.append(fno)
-                        ws.append(w), hs.append(h)
-                        sums.append(int(flat.sum()))
-                        wsums.append(
-                            int(((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum())
+                        rows.append(
+                            (
+                                fno,
+                                w,
+                                h,
+                                int(flat.sum()),
+                                int(
+                                    (
+                                        (np.arange(flat.size, dtype=np.int64) + 1)
+                                        * flat
+                                    ).sum()
+                                ),
+                            )
                         )
                 except ValueError:
                     if strict:
                         raise
+                    continue
+                for fno, w, h, s, wsum in rows:
+                    ids.append(aid), nos.append(fno)
+                    ws.append(w), hs.append(h)
+                    sums.append(s), wsums.append(wsum)
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
