@@ -509,3 +509,105 @@ def test_avi_container_walk_and_sampler(spark):
     assert (rows[2].frame_w, rows[2].frame_h) == (22, 12)
     assert rows[4].frame_sha256 == hashlib.sha256(frames[4]).hexdigest()
     assert all(r.asset_id == 1 for r in rows.values())
+
+
+def test_jpeg_spec_bitstream_and_exactness():
+    """The baseline JPEG codec pinned against HAND-DERIVED spec
+    bitstreams, not just roundtrips (the GIF LZW lesson): a flat 8×8
+    block at value 130 under the fixture table (q00=8) must entropy-
+    code to exactly 0x28 0x03 — DC category 2 '0010' + magnitude '10'
+    + EOB '00000000' + 1-padding — and block-constant images must
+    decode BIT-EXACTLY (the property the registry oracle relies on),
+    including across restart markers."""
+    import struct
+
+    import numpy as np
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    data = M.encode_jpeg_pixels(np.full((8, 8), 130, np.uint8))
+    sos = data.find(b"\xff\xda")
+    slen = struct.unpack(">H", data[sos + 2 : sos + 4])[0]
+    assert data[sos + 2 + slen : -2].hex() == "2803"
+    dec = M.decode_jpeg_pixels(data)
+    assert dec is not None and dec.shape == (8, 8, 1) and (dec == 130).all()
+
+    rng = np.random.default_rng(0)
+    for w, h in [(8, 8), (16, 8), (24, 16), (32, 24)]:
+        bv = rng.integers(0, 251, (h // 8, w // 8))
+        img = np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1).astype(np.uint8)
+        for dri in (0, 2, 3):
+            d = M.decode_jpeg_pixels(M.encode_jpeg_pixels(img, restart_interval=dri))
+            assert d is not None and (d[:, :, 0] == img).all(), (w, h, dri)
+
+
+def test_jpeg_third_party_tables_interop():
+    """Decode a JPEG hand-assembled with DIFFERENT Huffman tables than
+    the encoder ever writes (Annex-K-layout DC lengths + a 1-bit EOB AC
+    table) — the decoder must build tables from DHT, so interop bugs
+    cannot hide behind the encoder's fixed-table choices. The entropy
+    byte 0x73 is hand-derived: DC cat-2 code '011' (canonical for
+    bits=[0,1,5,1,…]) + '10' + EOB '0' + 1-padding."""
+    import struct
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    import numpy as np
+
+    qt = np.full(64, 16, np.uint8)
+    qt[0] = 8
+    dqt = seg(0xDB, b"\x00" + bytes(qt))
+    dc_bits = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+    dht = seg(
+        0xC4,
+        b"\x00" + dc_bits + bytes(range(12))
+        + b"\x10" + bytes([1] + [0] * 15) + bytes([0x00]),
+    )
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    jpg = b"\xff\xd8" + dqt + dht + sof0 + sos + bytes([0x73]) + b"\xff\xd9"
+    arr = M.decode_jpeg_pixels(jpg)
+    assert arr is not None and (arr == 130).all()
+
+    # out-of-profile: progressive (SOF2) and truncated entropy data
+    sof2 = seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    assert (
+        M.decode_jpeg_pixels(
+            b"\xff\xd8" + dqt + dht + sof2 + sos + bytes([0x73]) + b"\xff\xd9"
+        )
+        is None
+    )
+    assert M.decode_jpeg_pixels(b"\xff\xd8" + dqt + dht + sof0 + sos) is None
+    assert M.decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+
+
+def test_jpeg_lossy_roundtrip_and_sniffing(spark):
+    """General (non-flat) images: encode→decode error stays within the
+    quantization budget for gray and RGB; the format-sniffing stats
+    kernel decodes JPEG payloads end-to-end like the other formats."""
+    import numpy as np
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (21, 37), dtype=np.uint8)
+    dg = M.decode_jpeg_pixels(M.encode_jpeg_pixels(gray))
+    assert dg is not None and dg.shape == (21, 37, 1)
+    assert np.abs(dg[:, :, 0].astype(int) - gray.astype(int)).max() <= 40
+
+    rgb = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    dc = M.decode_jpeg_pixels(M.encode_jpeg_pixels(rgb))
+    assert dc is not None and dc.shape == (17, 23, 3)
+    assert np.abs(dc.astype(int) - rgb.astype(int)).max() <= 64
+
+    flat = np.full((16, 16), 99, np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(M.encode_jpeg_pixels(flat)))], "doc_id long, blob binary"
+    )
+    media = M.attach_binary(df, "doc_id", "blob", "image")
+    row = M.image_pixel_stats(media, strict=True).collect()[0]
+    assert (row.width, row.height, row.channels) == (16, 16, 1)
+    assert row.px_sum == 99 * 256

@@ -21,6 +21,7 @@ ARROW_STAGES = {
     "multimodal_frame_samples",  # stub decode kernel is mapInPandas
     "image_header_decode",       # real header-parse kernel is mapInPandas
     "png_pixel_stats",           # real inflate+unfilter pixel kernel is mapInPandas
+    "jpeg_pixel_stats",          # real Huffman+IDCT pixel kernel is mapInPandas
     "gif_pixel_stats",           # real LZW+de-interlace pixel kernel is mapInPandas
     "bmp_pixel_stats",           # real BMP layout-quirk kernel is mapInPandas
     "gif_frame_pixel_stats",     # per-frame LZW decode fan-out kernel is mapInPandas

@@ -6581,6 +6581,88 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "jpeg_pixel_stats",
+    "LLM-multimodal EXT-jpegdecode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h
+      FROM documents WHERE doc_id < 120
+    ),
+    vals AS (
+      SELECT doc_id, w, h,
+             SUM((((i // w) // 8) * 31 + ((i % w) // 8) * 7 + doc_id)
+                 % 251) AS s,
+             SUM((i + 1) * ((((i // w) // 8) * 31 + ((i % w) // 8) * 7
+                 + doc_id) % 251)) AS ws
+      FROM px, LATERAL unnest(range(0, w * h)) t(i)
+      GROUP BY doc_id, w, h
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(s AS BIGINT) AS px_sum,
+           CAST(ws AS BIGINT) AS px_wsum,
+           CAST((s * 1000) // (w * h) AS BIGINT) AS mean_milli
+    FROM vals
+    """,
+)
+def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG PIXEL decode end-to-end — the boundary that
+    stayed behind strict-mode NotImplementedError through round 4, now
+    actual entropy decoding with zero imaging libraries: each fixture
+    is a standards-conforming JFIF baseline JPEG (grayscale, 1-4 blocks
+    wide × 1-3 high, restart interval cycling 0/1/2 by doc_id so the
+    DRI + RSTn path — byte alignment, predictor reset — is exercised
+    across the corpus), and the Arrow kernel must walk the markers,
+    build the DHT Huffman tables, un-stuff the entropy bytes, decode
+    DC-diff + AC run-lengths, dequantize and IDCT every block to
+    reproduce the oracle's arithmetic. The fixtures are BLOCK-CONSTANT
+    images under a q[0,0]=8 table, which makes the lossy codec's
+    output bit-exact (flat block ⇒ only the DC coefficient is nonzero
+    and its quantize/dequantize/IDCT chain is integer-exact), so the
+    SQL oracle can recompute decoded pixels from the generative
+    formula — same trick as the PNG/GIF gates, chosen so correctness
+    is hash-checked, not eyeballed. General (non-flat) images are
+    covered by the pytest roundtrip/error-bound and hand-derived
+    spec-bitstream suites (tests/test_multimodal.py). px_wsum is
+    position-weighted, so a block-placement or restart-desync bug
+    fails even when the plain sum survives. Blob synthesis is bounded
+    driver-side scaffolding (<120 rows); decode runs distributed.
+    Ref: youtube_scraper_db parity is N/A (media extension surface);
+    layout per ITU-T T.81 public spec."""
+    ensure_utc(spark)
+    import numpy as np
+
+    ids = [
+        r.doc_id
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+        .collect()
+    ]
+    blobs = []
+    for i in ids:
+        w, h = 8 * (1 + i % 4), 8 * (1 + i % 3)
+        bi, bj = np.meshgrid(np.arange(h // 8), np.arange(w // 8), indexing="ij")
+        bv = ((bi * 31 + bj * 7 + i) % 251).astype(np.uint8)
+        px = np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1)
+        blobs.append(
+            (
+                int(i),
+                bytearray(
+                    llm_multimodal.encode_jpeg_pixels(px, restart_interval=i % 3)
+                ),
+            )
+        )
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    media = llm_multimodal.attach_binary(df, "doc_id", "blob", "image")
+    return llm_multimodal.image_pixel_stats(media, strict=True).select(
+        "asset_id", "width", "height", "channels", "px_sum", "px_wsum",
+        "mean_milli",
+    )
+
+
+@spec(
     "gif_pixel_stats",
     "LLM-multimodal EXT-gifdecode",
     oracle="""
@@ -7801,6 +7883,12 @@ _swap_specs("status_priority_cube", "corpus_facade_annotated")
 _swap_specs("label_centroids", "point_lookup_order")
 _swap_specs("doc_token_ids", "ci_name_search")
 _swap_specs("extracted_page_refs", "has_order_flag")
+# Registry growth bookkeeping: each round-5 addition (jpeg_pixel_stats,
+# …) grows the registry, which shrinks the window's wrapped [0:N] tail
+# by one — `diff_sync_parts` (index 10, rewritten in r4, needs a fresh
+# row) fell off the edge. Swap it with `customers_with_orders` (index
+# 9, r02-double-checked, unmodified since).
+_swap_specs("diff_sync_parts", "customers_with_orders")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
