@@ -225,16 +225,60 @@ def test_png_pixel_roundtrip_all_filters():
     assert M.decode_png_pixels(bytes(flipped)) is None
     assert M.decode_png_pixels(b"not a png") is None
     assert M.decode_png_pixels(None) is None
-    # 16-bit depth is out of profile: flip IHDR depth byte and re-CRC
+    # sub-8-bit depth is out of profile: flip IHDR depth byte and re-CRC
+    # (16-bit became a SUPPORTED depth in round 5 — and this same flip
+    # at depth 16 still returns None because the 8-bit IDAT stream no
+    # longer matches the expected 2-byte-per-sample length)
     import struct
     import zlib
 
-    ihdr = bytearray(b[12:29])
-    ihdr[8] = 16
-    bad = bytearray(b)
-    bad[12:29] = ihdr
-    bad[29:33] = struct.pack(">I", zlib.crc32(bytes(ihdr)) & 0xFFFFFFFF)
-    assert M.decode_png_pixels(bytes(bad)) is None
+    for bad_depth in (4, 16):
+        ihdr = bytearray(b[12:29])
+        ihdr[8] = bad_depth
+        bad = bytearray(b)
+        bad[12:29] = ihdr
+        bad[29:33] = struct.pack(">I", zlib.crc32(bytes(ihdr)) & 0xFFFFFFFF)
+        assert M.decode_png_pixels(bytes(bad)) is None, bad_depth
+
+
+def test_png_16bit_and_adam7_roundtrips():
+    """Round 5: the two former PNG boundaries decode for real — 16-bit
+    depth (big-endian sample pairs, unfiltering at the 2-byte-per-
+    sample left offset) and Adam7 interlace (seven independently
+    filtered reduced images scattered onto the pass grid), in every
+    combination, including ragged dimensions where some passes are
+    empty and palette + interlace."""
+    import numpy as np
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 3, 4):
+        shape = (6, 5) if ch == 1 else (6, 5, ch)
+        px = rng.integers(0, 65536, shape, dtype=np.uint16)
+        for filt in ([0], [4], [2, 3, 1, 0, 4]):
+            d = M.decode_png_pixels(M.encode_png_pixels(px, filt, bit_depth=16))
+            assert d is not None and d.dtype == np.uint16
+            assert np.array_equal(d, px.reshape(6, 5, ch)), (ch, filt)
+
+    for h, w in [(1, 1), (2, 3), (8, 8), (9, 10), (16, 17), (5, 4)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        d = M.decode_png_pixels(
+            M.encode_png_pixels(px, [1, 4, 2, 0, 3], interlace=True)
+        )
+        assert d is not None and np.array_equal(d, px), (h, w)
+        px16 = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+        d = M.decode_png_pixels(
+            M.encode_png_pixels(px16, [4, 3], bit_depth=16, interlace=True)
+        )
+        assert d is not None and np.array_equal(d[:, :, 0], px16), (h, w, 16)
+
+    pal = [(i * 17 % 256, i * 29 % 256, i * 43 % 256) for i in range(16)]
+    idx = rng.integers(0, 16, (9, 7), dtype=np.uint8)
+    d = M.decode_png_pixels(
+        M.encode_png_pixels(idx, [2, 4], palette=pal, interlace=True)
+    )
+    assert d is not None and np.array_equal(d, np.array(pal, np.uint8)[idx])
 
 
 def test_image_pixel_stats_kernel_and_strict(spark):

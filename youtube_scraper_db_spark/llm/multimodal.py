@@ -210,36 +210,33 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png_pixels(
-    pixels,
-    row_filters: list[int] | None = None,
-    palette: list[tuple[int, int, int]] | None = None,
-) -> bytes:
-    """REAL PNG encoder for 8-bit image arrays — (H, W) grayscale,
-    (H, W, 3) RGB, or (H, W, 4) RGBA — with per-row FILTER selection so
-    a decoder must implement every unfilter path (None/Sub/Up/Average/
-    Paeth), not just the trivial one. ``row_filters`` cycles over rows;
-    default is filter 0 everywhere. With ``palette`` given, ``pixels``
-    is an (H, W) INDEX array and the output is an indexed-color PNG
-    (color type 3 + PLTE chunk). Output is a standards-conforming
-    non-interlaced PNG (signature, IHDR, one zlib IDAT, IEND, correct
-    CRCs) that any PNG reader accepts."""
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, ch = px.shape
-    if palette is not None:
-        if ch != 1:
-            raise ValueError("palette PNG takes an (H, W) index array")
-        color_type = 3
-    else:
-        color_type = {1: 0, 3: 2, 4: 6}[ch]
+#: Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_filter_pass(rows: np.ndarray, filters, bpp: int) -> bytearray:
+    """Filter one (sub-)image of raw SAMPLE BYTES (H, stride): per-row
+    filter byte + filtered bytes. ``filters`` cycles per row; the prior
+    row resets per pass (each Adam7 pass filters independently)."""
+    h, stride = rows.shape
     raw = bytearray()
-    prior = np.zeros(w * ch, dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
     for r in range(h):
-        row = px[r].reshape(-1).astype(np.int64)
-        ft = 0 if not row_filters else int(row_filters[r % len(row_filters)])
-        left = np.concatenate([np.zeros(ch, np.int64), row[:-ch]]) if w * ch > ch else np.zeros(w * ch, np.int64)
+        row = rows[r].astype(np.int64)
+        ft = 0 if not filters else int(filters[r % len(filters)])
+        left = (
+            np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            if stride > bpp
+            else np.zeros(stride, np.int64)
+        )
         if ft == 0:
             enc = row
         elif ft == 1:
@@ -250,17 +247,75 @@ def encode_png_pixels(
             enc = (row - (left + prior) // 2) % 256
         else:  # Paeth — the predictor depends on RECONSTRUCTED bytes,
             # which during encode are just the original row/prior.
-            upleft = np.concatenate([np.zeros(ch, np.int64), prior[:-ch]])
+            upleft = np.concatenate([np.zeros(bpp, np.int64), prior[:-bpp]])
             pred = np.fromiter(
                 (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, upleft)),
                 np.int64,
-                w * ch,
+                stride,
             )
             enc = (row - pred) % 256
         raw.append(ft)
         raw += bytes(enc.astype(np.uint8))
         prior = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return raw
+
+
+def _png_sample_bytes(px: np.ndarray, depth: int) -> np.ndarray:
+    """(H, W, C) samples → (H, W·C·(depth/8)) big-endian byte rows."""
+    h, w, ch = px.shape
+    if depth == 8:
+        return px.astype(np.uint8).reshape(h, w * ch)
+    hi = (px >> 8).astype(np.uint8)
+    lo = (px & 0xFF).astype(np.uint8)
+    return np.stack([hi, lo], axis=3).reshape(h, w * ch * 2)
+
+
+def encode_png_pixels(
+    pixels,
+    row_filters: list[int] | None = None,
+    palette: list[tuple[int, int, int]] | None = None,
+    bit_depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """REAL PNG encoder — (H, W) grayscale, (H, W, 3) RGB, or (H, W, 4)
+    RGBA at 8- or 16-bit depth (16-bit samples big-endian per spec) —
+    with per-row FILTER selection so a decoder must implement every
+    unfilter path (None/Sub/Up/Average/Paeth), not just the trivial
+    one. ``row_filters`` cycles over rows; default is filter 0
+    everywhere. With ``palette`` given, ``pixels`` is an (H, W) INDEX
+    array and the output is an indexed-color PNG (color type 3 + PLTE
+    chunk, 8-bit only). ``interlace=True`` emits ADAM7: seven
+    independently-filtered reduced images in pass order (round 5 —
+    previously a documented boundary). Output is a standards-conforming
+    PNG (signature, IHDR, one zlib IDAT, IEND, correct CRCs) that any
+    PNG reader accepts."""
+    if bit_depth not in (8, 16):
+        raise ValueError("bit_depth must be 8 or 16")
+    px = np.asarray(pixels, dtype=np.uint8 if bit_depth == 8 else np.uint16)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if palette is not None:
+        if ch != 1 or bit_depth != 8:
+            raise ValueError("palette PNG takes an 8-bit (H, W) index array")
+        color_type = 3
+    else:
+        color_type = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch * (bit_depth // 8)
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes no scanlines at all
+            raw += _png_filter_pass(
+                _png_sample_bytes(sub, bit_depth), row_filters, bpp
+            )
+    else:
+        raw = _png_filter_pass(_png_sample_bytes(px, bit_depth), row_filters, bpp)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1 if interlace else 0
+    )
     plte = (
         _png_chunk(
             b"PLTE", b"".join(bytes((r_, g_, b_)) for r_, g_, b_ in palette)
@@ -282,12 +337,14 @@ def decode_png_pixels(content: bytes | None):
     numpy only): chunk walk with CRC verification → IDAT concatenation →
     zlib inflate → per-scanline unfilter of all five PNG filter types
     (None, Sub, Up, Average, Paeth) → palette lookup for indexed color.
-    Returns an (H, W, C) uint8 array, or None for anything outside the
-    supported profile — 8-bit grayscale/RGB/indexed/RGBA (color types
-    0/2/3/6), non-interlaced — or any structural corruption (bad CRC,
-    truncated IDAT, wrong stream length, out-of-palette index). 16-bit
-    depth and Adam7 interlace stay behind the documented boundary; JPEG
-    entropy decode remains the genuinely-library-shaped gap.
+    Supports 8- and 16-bit depths (16-bit big-endian samples; filtering
+    operates on BYTES with the left-neighbor offset at bytes-per-pixel,
+    per spec) and ADAM7 interlace (seven independently-filtered reduced
+    images scattered back onto the (x0,y0,dx,dy) grid) — both were
+    documented boundaries through round 4. Returns (H, W, C) uint8, or
+    uint16 for 16-bit files, or None for anything outside the profile —
+    sub-8-bit depths (1/2/4) — or any structural corruption (bad CRC,
+    truncated IDAT, wrong stream length, out-of-palette index).
 
     Sub/Average/Paeth reconstruction is inherently sequential in x (each
     byte depends on the reconstructed byte one pixel left), so those
@@ -314,9 +371,16 @@ def decode_png_pixels(content: bytes | None):
             if ln != 13:
                 return None
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or ctype not in (0, 2, 3, 6) or comp or filt or interlace:
+            if (
+                depth not in (8, 16)
+                or ctype not in (0, 2, 3, 6)
+                or (ctype == 3 and depth != 8)
+                or comp
+                or filt
+                or interlace > 1
+            ):
                 return None
-            meta = (w, h, {0: 1, 2: 3, 3: 1, 6: 4}[ctype], ctype)
+            meta = (w, h, {0: 1, 2: 3, 3: 1, 6: 4}[ctype], ctype, depth, interlace)
         elif tag == b"PLTE":
             if ln % 3:
                 return None
@@ -329,7 +393,7 @@ def decode_png_pixels(content: bytes | None):
         i += 12 + ln
     if meta is None or not saw_end:
         return None
-    w, h, ch, ctype = meta
+    w, h, ch, ctype, depth, interlace = meta
     if ctype == 3 and plte is None:
         return None
     if w == 0 or h == 0:
@@ -338,12 +402,53 @@ def decode_png_pixels(content: bytes | None):
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) != h * (1 + stride):
+    bs = depth // 8
+    bpp = ch * bs
+    passes = (
+        [
+            (x0, y0, dx, dy)
+            for x0, y0, dx, dy in _ADAM7
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
+        ]
+        if interlace
+        else [(0, 0, 1, 1)]
+    )
+    expected = sum(
+        ((h - y0 + dy - 1) // dy) * (1 + ((w - x0 + dx - 1) // dx) * bpp)
+        for x0, y0, dx, dy in passes
+    )
+    if len(raw) != expected:
         return None
+    full = np.zeros((h, w, ch), dtype=np.uint8 if depth == 8 else np.uint16)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        rec = _png_unfilter_pass(raw, pos, ph, pw * bpp, bpp)
+        if rec is None:
+            return None
+        out, pos = rec
+        if depth == 8:
+            samples = out.reshape(ph, pw, ch)
+        else:
+            pairs = out.reshape(ph, pw, ch, 2).astype(np.uint16)
+            samples = (pairs[:, :, :, 0] << 8) | pairs[:, :, :, 1]
+        full[y0::dy, x0::dx] = samples
+    if ctype == 3:
+        idx = full.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            return None
+        return plte[idx]  # (H, W, 3) — palette lookup IS the decode
+    return full
+
+
+def _png_unfilter_pass(raw: bytes, pos: int, h: int, stride: int, bpp: int):
+    """Unfilter one (sub-)image of ``h`` scanlines × ``stride`` sample
+    bytes starting at ``pos``; the prior row starts zero per pass (each
+    Adam7 pass is filtered independently). Returns ((H, stride) uint8,
+    new pos) or None on an invalid filter byte."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int64)
-    pos = 0
     for r in range(h):
         ft = raw[pos]
         pos += 1
@@ -356,9 +461,9 @@ def decode_png_pixels(content: bytes | None):
         elif ft in (1, 3, 4):
             recon = np.zeros(stride, np.int64)
             for x in range(stride):
-                left = int(recon[x - ch]) if x >= ch else 0
+                left = int(recon[x - bpp]) if x >= bpp else 0
                 up = int(prior[x])
-                ul = int(prior[x - ch]) if x >= ch else 0
+                ul = int(prior[x - bpp]) if x >= bpp else 0
                 if ft == 1:
                     pred = left
                 elif ft == 3:
@@ -370,12 +475,7 @@ def decode_png_pixels(content: bytes | None):
             return None
         out[r] = recon.astype(np.uint8)
         prior = recon
-    if ctype == 3:
-        idx = out.reshape(h, w)
-        if int(idx.max(initial=0)) >= len(plte):
-            return None
-        return plte[idx]  # (H, W, 3) — palette lookup IS the decode
-    return out.reshape(h, w, ch)
+    return out, pos
 
 
 def _lzw_encode(indices, min_code_size: int) -> bytes:

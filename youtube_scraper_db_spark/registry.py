@@ -6517,10 +6517,12 @@ def classic_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     vals AS (
       SELECT doc_id, w, h, ch,
-             SUM(((i // (w * ch)) * 31 + ((i // ch) % w) * 7
-                  + (i % ch) * 11 + doc_id) % 251) AS s,
-             SUM((i + 1) * (((i // (w * ch)) * 31 + ((i // ch) % w) * 7
-                  + (i % ch) * 11 + doc_id) % 251)) AS ws
+             SUM((((i // (w * ch)) * 31 + ((i // ch) % w) * 7
+                  + (i % ch) * 11 + doc_id) % 251)
+                 * (CASE WHEN doc_id % 5 = 0 THEN 257 ELSE 1 END)) AS s,
+             SUM((i + 1) * ((((i // (w * ch)) * 31 + ((i // ch) % w) * 7
+                  + (i % ch) * 11 + doc_id) % 251)
+                 * (CASE WHEN doc_id % 5 = 0 THEN 257 ELSE 1 END))) AS ws
       FROM px, LATERAL unnest(range(0, w * h * ch)) t(i)
       GROUP BY doc_id, w, h, ch
     )
@@ -6543,11 +6545,19 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow kernel must CRC-verify the chunk walk, inflate the IDAT
     stream, and unfilter every scanline correctly to reproduce the
     pixel sums the oracle recomputes from the generative formula. A
-    single mis-predicted byte anywhere breaks px_sum. Integer stats
-    only (px_sum, mean_milli = sum·1000 // count) so the comparison is
-    engine-exact; the pixel-buffer sha256 the kernel also emits is
-    pytest-covered (not SQL-expressible). Blob synthesis is bounded
-    driver-side scaffolding (<120 rows); decode runs distributed."""
+    single mis-predicted byte anywhere breaks px_sum. Round 5 closes
+    the two remaining PNG boundaries and folds them into this gate's
+    corpus: every ODD doc_id is ADAM7-INTERLACED (seven independently
+    filtered reduced images the kernel must scatter back onto the
+    pass grid — a wrong pass origin/step breaks the position-weighted
+    px_wsum even where the plain sum survives), and every doc_id ≡ 0
+    (mod 5) is 16-BIT (samples ×257 spread over the full range,
+    big-endian byte pairs, unfiltering at the 2-byte-per-sample
+    offset). Integer stats only (px_sum, mean_milli = sum·1000 //
+    count) so the comparison is engine-exact; the pixel-buffer sha256
+    the kernel also emits is pytest-covered (not SQL-expressible).
+    Blob synthesis is bounded driver-side scaffolding (<120 rows);
+    decode runs distributed."""
     ensure_utc(spark)
     import numpy as np
 
@@ -6565,12 +6575,28 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r, c, k = np.meshgrid(
             np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
         )
-        px = ((r * 31 + c * 7 + k * 11 + i) % 251).astype(np.uint8)
+        base = (r * 31 + c * 7 + k * 11 + i) % 251
+        depth = 16 if i % 5 == 0 else 8
+        px = (
+            (base * 257).astype(np.uint16)
+            if depth == 16
+            else base.astype(np.uint8)
+        )
         if ch == 1:
             px = px[:, :, 0]
         filters = [(rr + i) % 5 for rr in range(h)]
         blobs.append(
-            (int(i), bytearray(llm_multimodal.encode_png_pixels(px, filters)))
+            (
+                int(i),
+                bytearray(
+                    llm_multimodal.encode_png_pixels(
+                        px,
+                        filters,
+                        bit_depth=depth,
+                        interlace=bool(i % 2),
+                    )
+                ),
+            )
         )
     df = spark.createDataFrame(blobs, "doc_id long, blob binary")
     media = llm_multimodal.attach_binary(df, "doc_id", "blob", "image")
