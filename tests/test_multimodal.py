@@ -655,3 +655,43 @@ def test_jpeg_lossy_roundtrip_and_sniffing(spark):
     row = M.image_pixel_stats(media, strict=True).collect()[0]
     assert (row.width, row.height, row.channels) == (16, 16, 1)
     assert row.px_sum == 99 * 256
+
+
+def test_avi_frame_pixel_stats_full_decode(spark):
+    """MJPEG frames decode to PIXELS through the RIFF walk: exact stats
+    for block-constant frames, stride sampling honored, all-or-nothing
+    per asset (one undecodable frame ⇒ zero rows), strict raises."""
+    import numpy as np
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    def flat_jpeg(v, w=16, h=8):
+        return M.encode_jpeg_pixels(np.full((h, w), v, np.uint8))
+
+    good = M.encode_avi_mjpeg([flat_jpeg(10), flat_jpeg(20), flat_jpeg(30)])
+    # asset 2: middle frame is a header-only JPEG (no scan data)
+    bad = M.encode_avi_mjpeg([flat_jpeg(10), M.encode_jpeg_header(16, 8)])
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad)), (3, bytearray(b"junk"))],
+        "doc_id long, blob binary",
+    )
+    media = M.attach_binary(df, "doc_id", "blob", "video")
+    rows = M.avi_frame_pixel_stats(media).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert sorted(r.frame_no for r in by_asset[1]) == [0, 1, 2]
+    got = {r.frame_no: r.px_sum for r in by_asset[1]}
+    assert got == {0: 10 * 128, 1: 20 * 128, 2: 30 * 128}
+    assert 2 not in by_asset and 3 not in by_asset
+
+    # stride sampling: every 2nd frame, cap 1
+    sampled = M.avi_frame_pixel_stats(
+        media.filter("asset_id = 1"), every_n=2, max_frames=1
+    ).collect()
+    assert [(r.frame_no, r.px_sum) for r in sampled] == [(0, 1280)]
+
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        M.avi_frame_pixel_stats(media, strict=True).collect()

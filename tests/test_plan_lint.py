@@ -22,6 +22,7 @@ ARROW_STAGES = {
     "image_header_decode",       # real header-parse kernel is mapInPandas
     "png_pixel_stats",           # real inflate+unfilter pixel kernel is mapInPandas
     "jpeg_pixel_stats",          # real Huffman+IDCT pixel kernel is mapInPandas
+    "mjpeg_frame_pixel_stats",   # RIFF walk + per-frame JPEG decode kernel
     "gif_pixel_stats",           # real LZW+de-interlace pixel kernel is mapInPandas
     "bmp_pixel_stats",           # real BMP layout-quirk kernel is mapInPandas
     "gif_frame_pixel_stats",     # per-frame LZW decode fan-out kernel is mapInPandas

@@ -123,6 +123,10 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "top_suppliers_with_ties",
         "user_event_type_unpivot",
         "xml_export_roundtrip",
+        # round-5 session additions (new gates must debut with a driver
+        # row — registered at the tail, inside [150:len])
+        "jpeg_pixel_stats",
+        "mjpeg_frame_pixel_stats",
     },
 }
 

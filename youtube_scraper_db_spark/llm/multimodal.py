@@ -1803,6 +1803,98 @@ def sample_avi_frames(media: DataFrame, every_n: int = 2, max_frames: int = 3) -
     )
 
 
+AVI_FRAME_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_w", T.IntegerType()),
+        T.StructField("frame_h", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_wsum", T.LongType()),
+    ]
+)
+
+
+def avi_frame_pixel_stats(
+    media: DataFrame,
+    every_n: int = 1,
+    max_frames: int = 1 << 30,
+    strict: bool = False,
+) -> DataFrame:
+    """Per-FRAME PIXEL decode over AVI/MJPEG — the full video path the
+    header-geometry sampler stood in for: RIFF container walk
+    (parse_avi_frames) → stride sampling → REAL baseline JPEG entropy
+    decode of each sampled frame's interior (decode_jpeg_pixels,
+    round 5) → exact integer stats (px_sum, position-weighted px_wsum
+    over the flattened sample buffer). All-or-nothing per asset: a
+    payload whose container walk fails, or any SAMPLED frame that is
+    not a decodable baseline JPEG, yields no rows (or raises under
+    ``strict=True``) — the gif_frame_pixel_stats staging contract.
+    1→N fan-out happens inside the Arrow kernel; Spark sees one
+    mapInPandas stage whose output partitioning follows the input's."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, ws, hs, sums, wsums = [], [], [], [], [], []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                frames = parse_avi_frames(content)
+                if frames is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "payload is not a structurally valid AVI"
+                        )
+                    continue
+                rows = []
+                ok = True
+                for k, fno in enumerate(range(0, len(frames), max(1, every_n))):
+                    if k >= max_frames:
+                        break
+                    arr = decode_jpeg_pixels(frames[fno])
+                    if arr is None:
+                        if strict:
+                            raise NotImplementedError(
+                                f"frame {fno} is not a decodable baseline JPEG"
+                            )
+                        ok = False
+                        break
+                    h, w = arr.shape[:2]
+                    flat = arr.reshape(-1).astype(np.int64)
+                    rows.append(
+                        (
+                            fno,
+                            w,
+                            h,
+                            int(flat.sum()),
+                            int(
+                                (
+                                    (np.arange(flat.size, dtype=np.int64) + 1)
+                                    * flat
+                                ).sum()
+                            ),
+                        )
+                    )
+                if not ok:
+                    continue
+                for fno, w, h, s, wsum in rows:
+                    ids.append(aid), nos.append(fno)
+                    ws.append(w), hs.append(h)
+                    sums.append(s), wsums.append(wsum)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_no": pd.array(nos, dtype="Int32"),
+                    "frame_w": pd.array(ws, dtype="Int32"),
+                    "frame_h": pd.array(hs, dtype="Int32"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                    "px_wsum": pd.array(wsums, dtype="Int64"),
+                }
+            )
+
+    return media.select("asset_id", "content").mapInPandas(
+        kernel, schema=AVI_FRAME_PIXEL_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 3) -> DataFrame:
     """Legacy stub video frame sampler (superseded by the REAL
     ``sample_avi_frames`` container walk above; kept for the round-3

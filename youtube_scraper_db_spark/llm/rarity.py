@@ -23,8 +23,8 @@ shuffle contains no heavy key. This is the same heavy-hitter split a
 skew-aware optimizer performs, done declaratively.
 
 Reference parity: the reference has no LM scoring (it stores transcripts
-verbatim — transcript_lib.py:1); this is part of the §2.12 training-data
-extension surface.
+verbatim — ref add_transcripts.py:1); this is part of the §2.12
+training-data extension surface.
 """
 
 from __future__ import annotations

@@ -7829,6 +7829,79 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, n long")
 
 
+@spec(
+    "mjpeg_frame_pixel_stats",
+    "LLM-multimodal EXT-avidecode EXT-jpegdecode",
+    oracle="""
+    WITH fx AS (
+      SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
+             1 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id < 100
+    ),
+    fr AS (SELECT doc_id, w, h, f FROM fx, LATERAL unnest(range(0, nf)) t(f)),
+    vals AS (
+      SELECT doc_id, f, w, h,
+             SUM((((i // w) // 8) * 31 + ((i % w) // 8) * 7 + f * 13
+                  + doc_id) % 251) AS s,
+             SUM((i + 1) * ((((i // w) // 8) * 31 + ((i % w) // 8) * 7
+                  + f * 13 + doc_id) % 251)) AS ws
+      FROM fr, LATERAL unnest(range(0, w * h)) t(i)
+      GROUP BY doc_id, f, w, h
+    )
+    SELECT doc_id AS asset_id,
+           CAST(f AS INT) AS frame_no,
+           CAST(w AS INT) AS frame_w, CAST(h AS INT) AS frame_h,
+           CAST(s AS BIGINT) AS px_sum,
+           CAST(ws AS BIGINT) AS px_wsum
+    FROM vals
+    """,
+)
+def mjpeg_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL video pixel path end-to-end — the composition round 5's
+    JPEG codec unlocks: each fixture is a structurally valid AVI whose
+    movi frames are REAL baseline JPEGs (1-4 frames per asset,
+    block-constant grayscale under the q00=8 fixture table — the same
+    bit-exactness trick as jpeg_pixel_stats, so the SQL oracle can
+    recompute decoded pixels per frame), and the Arrow kernel must walk
+    the RIFF container, extract every frame payload, entropy-decode its
+    interior to pixels, and reduce to exact integer stats. The
+    header-geometry sampler (avi_frame_samples) remains the cheap scan;
+    this is the decode stage a frame-embedding pipeline would feed.
+    px_wsum is position-weighted so a frame-order or block-placement
+    bug fails even when plain sums survive. All-or-nothing per asset
+    (one bad frame ⇒ zero rows for the asset). Blob synthesis is
+    bounded driver-side scaffolding (<100 rows); decode runs
+    distributed. Ref: parity N/A (media extension surface); layouts
+    per public RIFF/AVI + ITU-T T.81 specs."""
+    ensure_utc(spark)
+    import numpy as np
+
+    ids = [
+        r.doc_id
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id")
+        .collect()
+    ]
+    blobs = []
+    for i in ids:
+        w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+        frames = []
+        for f in range(1 + i % 4):
+            bi, bj = np.meshgrid(
+                np.arange(h // 8), np.arange(w // 8), indexing="ij"
+            )
+            bv = ((bi * 31 + bj * 7 + f * 13 + i) % 251).astype(np.uint8)
+            px = np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1)
+            frames.append(llm_multimodal.encode_jpeg_pixels(px))
+        blobs.append(
+            (int(i), bytearray(llm_multimodal.encode_avi_mjpeg(frames)))
+        )
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    media = llm_multimodal.attach_binary(df, "doc_id", "blob", "video")
+    return llm_multimodal.avi_frame_pixel_stats(media, strict=True)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -7910,11 +7983,13 @@ _swap_specs("label_centroids", "point_lookup_order")
 _swap_specs("doc_token_ids", "ci_name_search")
 _swap_specs("extracted_page_refs", "has_order_flag")
 # Registry growth bookkeeping: each round-5 addition (jpeg_pixel_stats,
-# …) grows the registry, which shrinks the window's wrapped [0:N] tail
-# by one — `diff_sync_parts` (index 10, rewritten in r4, needs a fresh
-# row) fell off the edge. Swap it with `customers_with_orders` (index
-# 9, r02-double-checked, unmodified since).
-_swap_specs("diff_sync_parts", "customers_with_orders")
+# mjpeg_frame_pixel_stats) grows the registry, which shrinks the
+# window's wrapped [0:N] tail by one — `diff_sync_parts` (index 10,
+# rewritten in r4, needs a fresh row) fell off the edge. Swap it deep
+# into the tail with `per_customer_stats` (r02-double-checked,
+# unmodified since), which is safely clear of further growth this
+# round; test_registry_window pins the outcome either way.
+_swap_specs("diff_sync_parts", "per_customer_stats")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
