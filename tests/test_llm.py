@@ -161,7 +161,12 @@ def test_dedup_cache_scope_does_not_leak(spark):
         D.jaccard_pairs(c, "doc_id", "text", k=3, threshold=0.9).count()
         D.minhash_lsh_pairs(c, "doc_id", "text", num_hashes=16, bands=8).count()
         sizes.append(spark.sparkContext._jsc.getPersistentRDDs().size())
-    assert sizes[1] == sizes[2], f"persisted-RDD count grows: {sizes}"
+    # No-growth, not equality: Spark's async ContextCleaner unpersists
+    # RDDs whose DataFrames were garbage-collected, so the absolute
+    # count can legitimately SHRINK between iterations when the suite
+    # shares one session (flaked in the round-5 full run, passes alone).
+    # A leak is strictly monotone growth; that is what this pins.
+    assert sizes[2] <= sizes[1], f"persisted-RDD count grows: {sizes}"
 
     # explicit scope: caller releases everything after the terminal action
     scope = D.CacheScope()

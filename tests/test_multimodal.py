@@ -695,3 +695,61 @@ def test_avi_frame_pixel_stats_full_decode(spark):
 
     with pytest.raises(PythonException, match="NotImplementedError"):
         M.avi_frame_pixel_stats(media, strict=True).collect()
+
+
+def test_jpeg_subsampled_mcu_decode():
+    """Chroma subsampling (4:2:0, 4:2:2, 4:4:0): hand-built interleaved
+    MCU streams — the repo encoder only writes 4:4:4, so these bytes
+    exercise the multi-block-per-MCU walk and nearest-neighbor chroma
+    upsample independently of it. Flat gray (Y=130, Cb=Cr=128) decodes
+    bit-exactly to RGB 130 under the q00=8 table."""
+    import struct
+
+    import numpy as np
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def build(h, w, y_hv, ny_blocks):
+        tabs = M._jpeg_fixed_tables()
+        dqt = seg(
+            0xDB,
+            b"\x00"
+            + bytes(M._JPEG_FIXTURE_QT.reshape(-1)[M._JPEG_ZZ].astype(np.uint8)),
+        )
+        dht = seg(
+            0xC4,
+            b"\x00" + bytes(tabs["dc_bits"]) + bytes(tabs["dc_vals"])
+            + b"\x10" + bytes(tabs["ac_bits"]) + bytes(tabs["ac_vals"]),
+        )
+        sof = seg(
+            0xC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, y_hv, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+        )
+        sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
+        dc = M._jpeg_huff_codes(tabs["dc_bits"], tabs["dc_vals"])
+        ac = M._jpeg_huff_codes(tabs["ac_bits"], tabs["ac_vals"])
+        wtr = M._JpegBitWriter()
+        for i in range(ny_blocks):  # Y blocks: dc diff 2 then 0s
+            t = 2 if i == 0 else 0
+            c, ln = dc[t]
+            wtr.put(c, ln)
+            if t:
+                wtr.put(2, t)
+            c, ln = ac[0x00]
+            wtr.put(c, ln)
+        for _ in range(2):  # Cb, Cr: dc 0
+            c, ln = dc[0]
+            wtr.put(c, ln)
+            c, ln = ac[0x00]
+            wtr.put(c, ln)
+        wtr.flush()
+        return b"\xff\xd8" + dqt + dht + sof + sos + bytes(wtr.buf) + b"\xff\xd9"
+
+    for h, w, hv, nb in [(16, 16, 0x22, 4), (8, 16, 0x21, 2), (16, 8, 0x12, 2)]:
+        arr = M.decode_jpeg_pixels(build(h, w, hv, nb))
+        assert arr is not None and arr.shape == (h, w, 3), (hv,)
+        assert (arr == 130).all(), (hv,)

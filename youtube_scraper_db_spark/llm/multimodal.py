@@ -19,7 +19,7 @@ numpy):
 - AVI/MJPEG video — RIFF container walk, frame inventory, stride
   sampling, per-frame JPEG header geometry (``sample_avi_frames``).
 
-Remaining boundaries: progressive/arithmetic/12-bit/hierarchical JPEG
+Remaining boundaries: arithmetic-coded/12-bit/hierarchical/lossless JPEG
 (decode returns None; strict kernels raise ``NotImplementedError``).
 
 Scale notes: binary payloads dominate row size → keep
@@ -939,8 +939,11 @@ def decode_bmp_pixels(content: bytes | None):
 # Round 5: closes the "JPEG entropy decode" boundary — real Huffman +
 # dequant + IDCT pixel decode, and a standards-conforming baseline
 # encoder whose tables travel in DHT/DQT so any external decoder reads
-# its output. Remaining boundaries: progressive (SOF2), arithmetic
-# coding, 12-bit precision, hierarchical — decode returns None there.
+# its output. Round 5 also adds progressive (SOF2) decode: T.81 Annex G
+# spectral-selection + successive-approximation scans accumulate into a
+# per-component coefficient store reconstructed at EOI. Remaining
+# boundaries: arithmetic coding, 12-bit precision, hierarchical,
+# lossless — decode returns None there.
 # ---------------------------------------------------------------------------
 
 #: Zigzag scan order: raster index of each of the 64 coefficients in
@@ -1256,10 +1259,12 @@ def decode_jpeg_pixels(content: bytes | None):
     run-length Huffman per block → dequantize, de-zigzag, float64 IDCT,
     level shift → nearest-neighbor chroma upsample (sampling factors 1
     or 2) → YCbCr→RGB. Returns (H, W, 1) uint8 for grayscale, (H, W, 3)
-    for color, or None for anything outside the profile — progressive
-    (SOF2), arithmetic coding, 12-bit, hierarchical — or any structural
+    for color, or None for anything outside the profile — arithmetic
+    coding, 12-bit, hierarchical, lossless — or any structural
     corruption (bad marker walk, missing tables, truncated entropy
-    data). IDCT in float64 is IEEE-deterministic, so output bytes are
+    data). Progressive (SOF2) streams take the Annex G path: each scan
+    merges into a per-component zigzag coefficient store
+    (``_jpeg_prog_scan``) and pixels materialize at EOI. IDCT in float64 is IEEE-deterministic, so output bytes are
     stable across runs and hosts."""
     if not content:
         return None
@@ -1272,11 +1277,15 @@ def decode_jpeg_pixels(content: bytes | None):
     ac_tabs: dict[int, dict] = {}
     sof = None
     restart = 0
-    while i + 4 <= len(b):
+    progressive = False
+    store = None  # progressive: per-component zigzag coefficient arrays
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             return None
         marker = b[i + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI: valid end for a progressive stream
+            if progressive and store is not None:
+                return _jpeg_prog_reconstruct(sof, qts, store)
             return None
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             i += 2
@@ -1332,23 +1341,318 @@ def decode_jpeg_pixels(content: bytes | None):
                 tq = payload[8 + 3 * c_]
                 comps.append([cid, hv >> 4, hv & 0x0F, tq])
             sof = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+        elif marker == 0xC2:  # progressive, Huffman (round 5: supported)
+            prec = payload[0]
+            if prec != 8:
+                return None
+            fh, fw = struct.unpack(">HH", payload[1:5])
+            nc = payload[5]
+            comps = []
+            for c_ in range(nc):
+                cid = payload[6 + 3 * c_]
+                hv = payload[7 + 3 * c_]
+                tq = payload[8 + 3 * c_]
+                comps.append([cid, hv >> 4, hv & 0x0F, tq])
+            sof = (fh, fw, comps)
+            progressive = True
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 return None
             ns = payload[0]
             smap = {}
+            order = []
             for s_ in range(ns):
-                smap[payload[1 + 2 * s_]] = (
+                cs = payload[1 + 2 * s_]
+                smap[cs] = (
                     payload[2 + 2 * s_] >> 4,
                     payload[2 + 2 * s_] & 0x0F,
                 )
-            return _jpeg_scan(
-                b, seg_end, sof, smap, qts, dc_tabs, ac_tabs, restart
+                order.append(cs)
+            if not progressive:
+                return _jpeg_scan(
+                    b, seg_end, sof, smap, qts, dc_tabs, ac_tabs, restart
+                )
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            if store is None:
+                store = _jpeg_prog_store(sof)
+                if store is None:
+                    return None
+            nxt = _jpeg_prog_scan(
+                b, seg_end, sof, order, smap, dc_tabs, ac_tabs, restart,
+                store, ss, se, ahal >> 4, ahal & 0x0F,
             )
+            if nxt is None:
+                return None
+            i = nxt
+            continue
         i = seg_end
     return None
+
+
+def _jpeg_prog_store(sof):
+    """Per-component ZIGZAG-order coefficient arrays sized to the padded
+    MCU grid (interleaved DC scans code the padding blocks too;
+    reconstruction crops them away)."""
+    fh, fw, comps = sof
+    if fh == 0 or fw == 0:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        return None
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+        for _, ch, cv, _ in comps
+    ]
+
+
+def _jpeg_prog_scan(
+    b, pos, sof, order, smap, dc_tabs, ac_tabs, restart,
+    store, ss, se, ah, al,
+):
+    """Decode ONE progressive scan (T.81 Annex G) into the coefficient
+    store; returns the byte position of the next marker, or None on any
+    structural violation. The four scan species: DC first (Ah=0, Huffman
+    diff coding, values shifted left Al), DC refinement (one bit per
+    block ORed in at Al), AC first (per-band run-length with EOB-run
+    coding across blocks), AC refinement (correction bits for
+    already-nonzero coefficients + ±1<<Al insertions)."""
+    fh, fw, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    byid = {c[0]: (k, c) for k, c in enumerate(comps)}
+    if any(cs not in byid for cs in order):
+        return None
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        return None
+    if not is_dc and (len(order) != 1 or not 1 <= ss <= se <= 63):
+        return None
+    reader = _JpegBitReader(b, pos)
+    state = {"eobrun": 0, "pred": {cs: 0 for cs in order}}
+
+    def check_restart(unit: int, total_units: int) -> bool:
+        if restart and unit and unit % restart == 0 and unit < total_units:
+            m = reader.align_to_marker()
+            if m is None or not 0xD0 <= m <= 0xD7:
+                return False
+            state["eobrun"] = 0
+            for cs in state["pred"]:
+                state["pred"][cs] = 0
+        return True
+
+    def dc_block(cs: int, coefz) -> bool:
+        if ah == 0:
+            td = smap[cs][0]
+            if td not in dc_tabs:
+                return False
+            t = _huff_read(reader, dc_tabs[td])
+            if t is None or t > 11:
+                return False
+            if t:
+                r_ = reader.receive(t)
+                if r_ is None:
+                    return False
+                state["pred"][cs] += _jpeg_extend(r_, t)
+            coefz[0] = state["pred"][cs] << al
+        else:
+            bit = reader.bit()
+            if bit is None:
+                return False
+            if bit:
+                coefz[0] = int(coefz[0]) | (1 << al)
+        return True
+
+    def ac_first_block(act, coefz) -> bool:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return True
+        k = ss
+        while k <= se:
+            sym = _huff_read(reader, act)
+            if sym is None:
+                return False
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r < 15:
+                    eob = (1 << r) - 1
+                    if r:
+                        bits = reader.receive(r)
+                        if bits is None:
+                            return False
+                        eob += bits
+                    state["eobrun"] = eob
+                    return True
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                return False
+            rv = reader.receive(s)
+            if rv is None:
+                return False
+            coefz[k] = _jpeg_extend(rv, s) << al
+            k += 1
+        return True
+
+    def ac_refine_block(act, coefz) -> bool:
+        p1, m1 = 1 << al, -(1 << al)
+
+        def correct(k: int) -> bool:
+            bit = reader.bit()
+            if bit is None:
+                return False
+            if bit and not (int(coefz[k]) & p1):
+                coefz[k] = int(coefz[k]) + (p1 if coefz[k] > 0 else m1)
+            return True
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = _huff_read(reader, act)
+                if sym is None:
+                    return False
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0 and r < 15:
+                    eob = (1 << r) - 1
+                    if r:
+                        bits = reader.receive(r)
+                        if bits is None:
+                            return False
+                        eob += bits
+                    state["eobrun"] = eob
+                    break
+                if s == 0:  # ZRL: skip 16 zero-history coefficients
+                    val = 0
+                else:
+                    if s != 1:
+                        return False  # refinement inserts only ±1
+                    bit = reader.bit()
+                    if bit is None:
+                        return False
+                    val = p1 if bit else m1
+                # advance past r zero-history coefficients, applying
+                # correction bits to the nonzero ones along the way
+                while k <= se:
+                    if coefz[k]:
+                        if not correct(k):
+                            return False
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coefz[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if coefz[k]:
+                    if not correct(k):
+                        return False
+                k += 1
+            state["eobrun"] -= 1
+        return True
+
+    if is_dc and len(order) > 1:
+        # interleaved DC scan: MCU walk over the padded grid
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if not check_restart(mcu, mcux * mcuy):
+                    return None
+                for cs in order:
+                    ci, (_, ch, cv, _) = byid[cs]
+                    for v_ in range(cv):
+                        for h_ in range(ch):
+                            if not dc_block(
+                                cs, store[ci][my * cv + v_, mx * ch + h_]
+                            ):
+                                return None
+                mcu += 1
+    else:
+        # single-component scan: block walk over the COMPONENT's own
+        # (un-padded) block grid
+        cs = order[0]
+        ci, (_, ch, cv, _) = byid[cs]
+        cw = (fw * ch + hmax - 1) // hmax
+        chh = (fh * cv + vmax - 1) // vmax
+        bw = (cw + 7) // 8
+        bh = (chh + 7) // 8
+        if not is_dc:
+            ta = smap[cs][1]
+            if ta not in ac_tabs:
+                return None
+            act = ac_tabs[ta]
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if not check_restart(unit, bw * bh):
+                    return None
+                coefz = store[ci][by, bx]
+                if is_dc:
+                    if not dc_block(cs, coefz):
+                        return None
+                elif ah == 0:
+                    if not ac_first_block(act, coefz):
+                        return None
+                else:
+                    if not ac_refine_block(act, coefz):
+                        return None
+                unit += 1
+    # drop any padding bits and report where the next marker starts
+    return reader.i
+
+
+def _jpeg_prog_reconstruct(sof, qts, store):
+    """Dequantize + IDCT the accumulated progressive coefficients into
+    pixels (same color path as the sequential decoder)."""
+    fh, fw, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    zz = _JPEG_ZZ
+    out_planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        if tq not in qts:
+            return None
+        q = qts[tq].reshape(-1)[zz].astype(np.float64)
+        coef = store[ci].astype(np.float64)  # (bh, bw, 64) zigzag order
+        bh, bw = coef.shape[:2]
+        deq = coef * q  # broadcast over the zigzag axis
+        blocks = np.zeros((bh * bw, 64))
+        blocks[:, zz] = deq.reshape(-1, 64)
+        f = np.einsum(
+            "ux,nuv,vy->nxy", _DCT_A, blocks.reshape(-1, 8, 8), _DCT_A
+        )
+        plane = (
+            f.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            + 128.0
+        )
+        cw = (fw * ch + hmax - 1) // hmax
+        chh = (fh * cv + vmax - 1) // vmax
+        plane = plane[:chh, :cw]
+        plane = np.repeat(
+            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+        )
+        out_planes.append(plane[:fh, :fw])
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    if len(out_planes) != 3:
+        return None
+    y, cb, cr = out_planes
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r_, g_, b_], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _jpeg_scan(b, pos, sof, smap, qts, dc_tabs, ac_tabs, restart):
