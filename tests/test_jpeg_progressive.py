@@ -261,6 +261,37 @@ def test_progressive_color_interleaved_dc_and_subsampling():
         assert np.array_equal(got[:, :, c], exp)
 
 
+def test_progressive_encoder_matches_baseline_and_interops():
+    """encode_jpeg_pixels(progressive=True) writes SOF2 with an
+    interleaved DC-first (Al=1) scan, a DC refinement scan, and
+    per-component EOB-run-coded AC scans; the quantized coefficients
+    are the baseline stream's, so both modes must decode to identical
+    pixels — across shapes, color, and restart intervals."""
+    rng = np.random.default_rng(11)
+    for shape, ri in [
+        ((8, 8), 0), ((24, 33), 0), ((24, 33), 3),
+        ((16, 16, 3), 0), ((21, 13, 3), 2), ((40, 40), 1),
+    ]:
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        blob = M.encode_jpeg_pixels(px, restart_interval=ri, progressive=True)
+        assert b"\xff\xc2" in blob and blob.count(b"\xff\xda") >= 3, (shape, ri)
+        base = M.decode_jpeg_pixels(
+            M.encode_jpeg_pixels(px, restart_interval=ri)
+        )
+        prog = M.decode_jpeg_pixels(blob)
+        assert prog is not None and np.array_equal(base, prog), (shape, ri)
+
+    # flat multi-block image: every AC block is empty, so each
+    # component's whole AC scan collapses to ONE cross-block EOBn —
+    # the encoder must emit it and the decoder must coast through it
+    px = np.full((64, 64), 77, np.uint8)
+    blob = M.encode_jpeg_pixels(px, progressive=True)
+    assert len(blob) < len(M.encode_jpeg_pixels(px))
+    got = M.decode_jpeg_pixels(blob)
+    exp = M.decode_jpeg_pixels(M.encode_jpeg_pixels(px))
+    assert got is not None and np.array_equal(got, exp)
+
+
 def test_progressive_rejects_malformed():
     head = _head(8, 8, [(1, 0x11)])
     assert M.decode_jpeg_pixels(head + b"\xff\xd9") is None  # no scans

@@ -982,22 +982,29 @@ _JPEG_FIXTURE_QT = np.full((8, 8), 16, dtype=np.int64)
 _JPEG_FIXTURE_QT[0, 0] = 8
 
 
-def _jpeg_fixed_tables() -> dict:
+def _jpeg_fixed_tables(progressive: bool = False) -> dict:
     """Fixed, spec-valid canonical Huffman tables for the encoder: DC —
     the 12 magnitude categories at 4 bits each (codes 0000…1011; the
     all-ones code stays unused as T.81 requires); AC — all 162 baseline
     symbols (EOB, ZRL, and (run 0-15, size 1-10)) at 8 bits each (codes
     0x00…0xA1). Deliberately flat rather than Annex-K-optimal: the
     tables are written into DHT, so any conforming decoder reads the
-    stream; optimality only changes compression ratio."""
+    stream; optimality only changes compression ratio. With
+    ``progressive`` the AC table additionally carries the EOBn symbols
+    0x10…0xE0 (run lengths 2…2^15-1, T.81 G.1.2.2) — 176 codes, still
+    within the 255 eight-bit codes canonical assignment allows."""
     dc_vals = list(range(12))
     dc_bits = [0] * 16
     dc_bits[3] = 12  # twelve 4-bit codes
     ac_vals = [0x00, 0xF0] + [
         (r << 4) | s for r in range(16) for s in range(1, 11)
     ]
+    if progressive:
+        ac_vals = [0x00] + [r << 4 for r in range(1, 15)] + [0xF0] + [
+            (r << 4) | s for r in range(16) for s in range(1, 11)
+        ]
     ac_bits = [0] * 16
-    ac_bits[7] = len(ac_vals)  # 162 eight-bit codes
+    ac_bits[7] = len(ac_vals)  # 162 (baseline) / 176 (progressive) codes
     return {
         "dc_bits": dc_bits, "dc_vals": dc_vals,
         "ac_bits": ac_bits, "ac_vals": ac_vals,
@@ -1136,19 +1143,60 @@ def _huff_read(r: _JpegBitReader, table: dict[tuple[int, int], int]) -> int | No
     return None
 
 
+def _jpeg_code_dc_diff(writer, dc_enc, diff: int) -> None:
+    t = _jpeg_category(diff)
+    code, ln = dc_enc[t]
+    writer.put(code, ln)
+    if t:
+        writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _jpeg_code_ac_runs(writer, ac_enc, q, last: int) -> None:
+    """Run-length code AC coefficients q[1..last] (zigzag order), NOT
+    including any trailing EOB — the caller decides between baseline
+    EOB and a progressive EOB run."""
+    run = 0
+    for k in range(1, last + 1):
+        v = int(q[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c_, l_ = ac_enc[0xF0]  # ZRL
+            writer.put(c_, l_)
+            run -= 16
+        s = _jpeg_category(v)
+        if s > 10:  # baseline AC categories stop at 10
+            v = 1023 if v > 0 else -1023
+            s = 10
+        c_, l_ = ac_enc[(run << 4) | s]
+        writer.put(c_, l_)
+        writer.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+
+
 def encode_jpeg_pixels(
     pixels,
     qt: np.ndarray | None = None,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """REAL baseline JPEG encoder (SOF0, Huffman): (H, W) grayscale or
-    (H, W, 3) RGB uint8 → a standards-conforming JFIF byte stream. RGB
-    converts to YCbCr and codes 4:4:4 (one block per component per
-    MCU); edges pad by replication; ``restart_interval`` > 0 emits DRI
-    + RSTn markers (DC predictors reset, byte-aligned) every that many
-    MCUs. The quantization and Huffman tables travel in DQT/DHT, so any
+    """REAL JPEG encoder (Huffman): (H, W) grayscale or (H, W, 3) RGB
+    uint8 → a standards-conforming JFIF byte stream. RGB converts to
+    YCbCr and codes 4:4:4 (one block per component per MCU); edges pad
+    by replication; ``restart_interval`` > 0 emits DRI + RSTn markers
+    (DC predictors reset, byte-aligned) every that many MCUs (baseline
+    /interleaved scans) or data units (per-component scans). The
+    quantization and Huffman tables travel in DQT/DHT, so any
     conforming decoder reads the output — interop is pinned in pytest
-    by a hand-derived spec bitstream, not just roundtrips."""
+    by a hand-derived spec bitstream, not just roundtrips.
+
+    ``progressive`` writes SOF2 (T.81 Annex G) instead of SOF0: an
+    interleaved DC-first scan at Al=1, a DC refinement scan delivering
+    the final bit, then one full-band (Ss=1..Se=63) AC scan per
+    component with cross-block EOB-run coding — the quantized
+    coefficients are identical to the baseline stream's, so both modes
+    decode to the same pixels."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -1166,90 +1214,182 @@ def encode_jpeg_pixels(
         planes = [y, cb, cr]
     bh, bw = (h + 7) // 8, (w + 7) // 8
     ph, pw = bh * 8, bw * 8
-    padded = []
+    zz = _JPEG_ZZ
+    qzz = qt.reshape(-1)[zz]
+    qcoef = []  # per component: (bh, bw, 64) quantized zigzag ints
     for p in planes:
         pp = np.empty((ph, pw))
         pp[:h, :w] = p
         pp[h:, :w] = p[h - 1 : h, :]  # edge replication
         pp[:, w:] = pp[:, w - 1 : w]
-        padded.append(pp)
+        arr = np.empty((bh, bw, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_A @ block @ _DCT_A.T
+                arr[by, bx] = np.round(coef.reshape(-1)[zz] / qzz).astype(
+                    np.int64
+                )
+        qcoef.append(arr)
+    ncomp = len(planes)
 
-    tabs = _jpeg_fixed_tables()
+    tabs = _jpeg_fixed_tables(progressive)
     dc_enc = _jpeg_huff_codes(tabs["dc_bits"], tabs["dc_vals"])
     ac_enc = _jpeg_huff_codes(tabs["ac_bits"], tabs["ac_vals"])
-    zz = _JPEG_ZZ
-    qzz = qt.reshape(-1)[zz]
-
-    writer = _JpegBitWriter()
-    pred = [0] * len(planes)
-    mcu_count = 0
-    rst = 0
-    for by in range(bh):
-        for bx in range(bw):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                writer.flush()
-                writer.buf += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                pred = [0] * len(planes)
-            for ci, p in enumerate(padded):
-                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = _DCT_A @ block @ _DCT_A.T
-                q = np.round(coef.reshape(-1)[zz] / qzz).astype(np.int64)
-                diff = int(q[0]) - pred[ci]
-                pred[ci] = int(q[0])
-                t = _jpeg_category(diff)
-                code, ln = dc_enc[t]
-                writer.put(code, ln)
-                if t:
-                    writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                run = 0
-                nz = np.nonzero(q[1:])[0]
-                last = nz[-1] + 1 if len(nz) else 0
-                for k in range(1, last + 1):
-                    v = int(q[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c_, l_ = ac_enc[0xF0]  # ZRL
-                        writer.put(c_, l_)
-                        run -= 16
-                    s = _jpeg_category(v)
-                    if s > 10:  # baseline AC categories stop at 10
-                        v = 1023 if v > 0 else -1023
-                        s = 10
-                    c_, l_ = ac_enc[(run << 4) | s]
-                    writer.put(c_, l_)
-                    writer.put(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last < 63:
-                    c_, l_ = ac_enc[0x00]  # EOB
-                    writer.put(c_, l_)
-            mcu_count += 1
-    writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
-    ncomp = len(planes)
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    if progressive:
+        entropy = _jpeg_progressive_scans(
+            qcoef, restart_interval, dc_enc, ac_enc, sos
+        )
+    else:
+        writer = _JpegBitWriter()
+        pred = [0] * ncomp
+        mcu_count = 0
+        rst = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    writer.flush()
+                    writer.buf += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    pred = [0] * ncomp
+                for ci in range(ncomp):
+                    q = qcoef[ci][by, bx]
+                    diff = int(q[0]) - pred[ci]
+                    pred[ci] = int(q[0])
+                    _jpeg_code_dc_diff(writer, dc_enc, diff)
+                    nz = np.nonzero(q[1:])[0]
+                    last = int(nz[-1] + 1) if len(nz) else 0
+                    _jpeg_code_ac_runs(writer, ac_enc, q, last)
+                    if last < 63:
+                        c_, l_ = ac_enc[0x00]  # EOB
+                        writer.put(c_, l_)
+                mcu_count += 1
+        writer.flush()
+        entropy = sos(list(range(1, ncomp + 1)), 0, 63, 0, 0) + bytes(
+            writer.buf
+        )
+
     dqt = seg(0xDB, b"\x00" + bytes(qt.reshape(-1)[zz].astype(np.uint8)))
     sof_comps = b"".join(
         bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
     )
-    sof0 = seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    sof_ = seg(
+        0xC2 if progressive else 0xC0,
+        struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps,
+    )
     dht = seg(
         0xC4,
         b"\x00" + bytes(tabs["dc_bits"]) + bytes(tabs["dc_vals"])
         + b"\x10" + bytes(tabs["ac_bits"]) + bytes(tabs["ac_vals"]),
     )
     dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
-    sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
-    sos = seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
     app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00")
     return (
-        b"\xff\xd8" + app0 + dqt + dht + dri + sof0 + sos
-        + bytes(writer.buf) + b"\xff\xd9"
+        b"\xff\xd8" + app0 + dqt + dht + dri + sof_ + entropy + b"\xff\xd9"
     )
+
+
+def _jpeg_progressive_scans(qcoef, restart_interval, dc_enc, ac_enc, sos):
+    """Entropy-coded progressive scan sequence (T.81 Annex G) over the
+    precomputed quantized coefficients: interleaved DC first (Al=1) →
+    DC refinement (the final bit, raw) → per-component full-band AC
+    scans with cross-block EOB-run accumulation. Restart markers
+    byte-align, reset DC predictors, and terminate any pending EOB run
+    — matching the decoder contract that a run may not span a restart
+    interval."""
+    ncomp = len(qcoef)
+    bh, bw = qcoef[0].shape[:2]
+    comp_ids = list(range(1, ncomp + 1))
+    out = b""
+
+    # scan 1: DC first, Al=1 (arithmetic shift per G.1.2.1)
+    writer = _JpegBitWriter()
+    pred = [0] * ncomp
+    rst = 0
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                writer.flush()
+                writer.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                dc = int(qcoef[ci][by, bx, 0]) >> 1
+                _jpeg_code_dc_diff(writer, dc_enc, dc - pred[ci])
+                pred[ci] = dc
+            unit += 1
+    writer.flush()
+    out += sos(comp_ids, 0, 0, 0, 1) + bytes(writer.buf)
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block (two's
+    # complement low bit, matching the decoder's OR-in)
+    writer = _JpegBitWriter()
+    rst = 0
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                writer.flush()
+                writer.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+            for ci in range(ncomp):
+                writer.put(int(qcoef[ci][by, bx, 0]) & 1, 1)
+            unit += 1
+    writer.flush()
+    out += sos(comp_ids, 0, 0, 1, 0) + bytes(writer.buf)
+
+    # per-component AC scans: Ss=1 Se=63, Al=0, EOB-run coding
+    for ci in range(ncomp):
+        writer = _JpegBitWriter()
+        pending = 0  # blocks covered by the open EOB run
+        rst = 0
+
+        def flush_eob():
+            nonlocal pending
+            if pending:
+                r = pending.bit_length() - 1
+                c_, l_ = ac_enc[r << 4]
+                writer.put(c_, l_)
+                if r:
+                    writer.put(pending - (1 << r), r)
+                pending = 0
+
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    flush_eob()
+                    writer.flush()
+                    writer.buf += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                q = qcoef[ci][by, bx]
+                nz = np.nonzero(q[1:])[0]
+                last = int(nz[-1] + 1) if len(nz) else 0
+                if last == 0:
+                    if pending == 32767:  # EOBn caps at 2^15 - 1 blocks
+                        flush_eob()
+                    pending += 1
+                else:
+                    flush_eob()
+                    _jpeg_code_ac_runs(writer, ac_enc, q, last)
+                    if last < 63:
+                        pending = 1
+                unit += 1
+        flush_eob()
+        writer.flush()
+        out += sos([ci + 1], 1, 63, 0, 0) + bytes(writer.buf)
+    return out
 
 
 def decode_jpeg_pixels(content: bytes | None):

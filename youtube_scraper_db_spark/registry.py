@@ -6636,13 +6636,16 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG PIXEL decode end-to-end — the boundary that
     stayed behind strict-mode NotImplementedError through round 4, now
     actual entropy decoding with zero imaging libraries: each fixture
-    is a standards-conforming JFIF baseline JPEG (grayscale, 1-4 blocks
-    wide × 1-3 high, restart interval cycling 0/1/2 by doc_id so the
-    DRI + RSTn path — byte alignment, predictor reset — is exercised
-    across the corpus), and the Arrow kernel must walk the markers,
-    build the DHT Huffman tables, un-stuff the entropy bytes, decode
-    DC-diff + AC run-lengths, dequantize and IDCT every block to
-    reproduce the oracle's arithmetic. The fixtures are BLOCK-CONSTANT
+    is a standards-conforming JFIF JPEG (grayscale, 1-4 blocks wide ×
+    1-3 high, restart interval cycling 0/1/2 by doc_id so the DRI +
+    RSTn path — byte alignment, predictor reset — is exercised across
+    the corpus; odd doc_ids are PROGRESSIVE SOF2 streams — DC-first
+    Al=1, DC refinement, EOB-run-coded AC scans — so both entropy
+    layouts are oracle-gated), and the Arrow kernel must walk the
+    markers, build the DHT Huffman tables, un-stuff the entropy bytes,
+    decode DC-diff + AC run-lengths (or accumulate Annex G scans),
+    dequantize and IDCT every block to reproduce the oracle's
+    arithmetic. The fixtures are BLOCK-CONSTANT
     images under a q[0,0]=8 table, which makes the lossy codec's
     output bit-exact (flat block ⇒ only the DC coefficient is nonzero
     and its quantize/dequantize/IDCT chain is integer-exact), so the
@@ -6676,7 +6679,11 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 int(i),
                 bytearray(
-                    llm_multimodal.encode_jpeg_pixels(px, restart_interval=i % 3)
+                    llm_multimodal.encode_jpeg_pixels(
+                        px,
+                        restart_interval=i % 3,
+                        progressive=bool(i % 2),
+                    )
                 ),
             )
         )
