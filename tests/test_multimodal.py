@@ -188,7 +188,7 @@ def test_audio_energy_windows_exact_rms(spark):
     amps = [100, 250, 400]
     rows = [
         (1, bytearray(M.encode_wav(8000, 1, amps))),
-        (2, bytearray(M.encode_wav(8000, 2, [300]))),  # stereo: skipped
+        (2, bytearray(M.encode_wav(8000, 2, [300]))),  # stereo decodes too
         (3, bytearray(b"junk")),
     ]
     media = M.attach_binary(
@@ -196,9 +196,95 @@ def test_audio_energy_windows_exact_rms(spark):
         "doc_id", "blob", "audio",
     )
     out = M.audio_energy_windows(media).collect()
-    assert {r.asset_id for r in out} == {1}
-    got = {r.window_no: r.rms for r in out}
+    assert {r.asset_id for r in out} == {1, 2}
+    got = {r.window_no: r.rms for r in out if r.asset_id == 1}
     assert got == {0: 100, 1: 250, 2: 400}  # square wave: RMS == amplitude
+    assert [r.rms for r in out if r.asset_id == 2] == [300]
+
+
+def test_wav_sample_decode_all_depths():
+    """8-bit unsigned offset, 16/32 signed LE, and 24-bit 3-byte
+    sign-extension all decode to the exact written amplitudes."""
+    import numpy as np
+
+    for depth, amp in [(8, 100), (16, 500), (24, 70000), (32, 1 << 20)]:
+        a = amp if depth > 8 else min(amp, 120)
+        b = M.encode_wav(8000, 2, [a], window=8, bit_depth=depth)
+        parsed = M.parse_wav(b)
+        assert parsed[2] == depth and parsed[3] == 8
+        s = M._wav_samples(parsed)
+        assert s.shape == (8, 2)
+        assert set(np.unique(s)) == {-a, a}
+        # negative extremes must sign-extend, not wrap
+        ch, rate, bits, dec = M.decode_wav_samples(b)
+        assert np.array_equal(dec, s)
+
+
+def test_ima_adpcm_hand_block_and_tables():
+    """Spec fixture derived BY HAND from the published step/index
+    tables (predictor 0, index 0; nibbles 3,7,8,F,0,0,0,0):
+    3 → +(1+3)=4; 7 → +(0+1+3+7)=11, index→8 (step 16); 8 → −2;
+    F → −(1+3+7+14)=−25, index→15 (step 31); then four zero nibbles
+    add step>>3 while the index walks back down. The expectation never
+    touches the library's tables, so a transcription slip cannot hide
+    behind encode/decode symmetry."""
+    blk = bytes([0, 0, 0, 0, 0x73, 0xF8, 0x00, 0x00])
+    got = M.decode_ima_adpcm_block(blk, 1)
+    assert got[:, 0].tolist() == [0, 4, 15, 13, -12, -9, -6, -3, -1]
+    assert M.decode_ima_adpcm_block(blk[:3], 1) is None  # short header
+    assert M.decode_ima_adpcm_block(blk[:6], 1) is None  # ragged tail
+    bad = bytes([0, 0, 89, 0]) + blk[4:]  # step index out of range
+    assert M.decode_ima_adpcm_block(bad, 1) is None
+
+
+def test_ima_adpcm_roundtrip_and_stereo():
+    """encode_ima_adpcm → decode_wav_samples tracks a smooth signal
+    within the step-ladder quantization bound, carries encoder state
+    across blocks, and keeps stereo channels fully independent."""
+    import numpy as np
+
+    t = np.arange(505 * 4)
+    sig = (3000 * np.sin(t / 40) + t).astype(np.int16)
+    ch, rate, bits, out = M.decode_wav_samples(M.encode_ima_adpcm(sig, 8000))
+    assert (ch, rate, bits) == (1, 8000, 4)
+    assert out.shape[0] == 505 * 4
+    assert np.abs(out[:, 0] - sig).max() < 512
+
+    st = np.stack([sig, (-sig).astype(np.int16)], axis=1)
+    ch, rate, bits, out = M.decode_wav_samples(M.encode_ima_adpcm(st, 16000))
+    assert (ch, rate) == (2, 16000)
+    assert np.abs(out[:, 0] - st[:, 0]).max() < 512
+    assert np.abs(out[:, 1] - st[:, 1]).max() < 512
+
+    # block-constant signal decodes bit-exactly (zero-delta nibbles at
+    # step index 0 add exactly zero) — the adpcm_energy_windows gate's
+    # exactness precondition
+    const = np.full(257 * 3, -1234, np.int16)
+    _, _, _, out = M.decode_wav_samples(
+        M.encode_ima_adpcm(const, 8000, frames_per_block=257)
+    )
+    assert np.array_equal(out[:, 0], const.astype(np.int32))
+
+
+def test_adpcm_metadata_and_energy(spark):
+    """decode_audio_features reports ADPCM payloads (bit_depth 4, frame
+    count honoring the fact chunk); audio_energy_windows decodes them
+    to exact windowed RMS."""
+    import numpy as np
+
+    sig = np.full(257 * 2, 777, np.int16)
+    rows = [(1, bytearray(M.encode_ima_adpcm(sig, 22050, frames_per_block=257)))]
+    media = M.attach_binary(
+        spark.createDataFrame(rows, "doc_id long, blob binary"),
+        "doc_id", "blob", "audio",
+    )
+    meta = M.decode_audio_features(media).collect()[0]
+    assert (meta.channels, meta.sample_rate, meta.bit_depth) == (1, 22050, 4)
+    assert meta.n_frames == 257 * 2
+    out = M.audio_energy_windows(media).collect()
+    assert [(r.window_no, r.rms) for r in sorted(out, key=lambda r: r.window_no)] == [
+        (0, 777), (1, 777)
+    ]
 
 
 def test_png_pixel_roundtrip_all_filters():

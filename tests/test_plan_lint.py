@@ -30,6 +30,8 @@ ARROW_STAGES = {
     "gif_frame_samples",         # real GIF block-walk kernel is mapInPandas
     "audio_meta_decode",         # real WAV chunk-walk kernel is mapInPandas
     "audio_energy_windows",      # real PCM RMS kernel is mapInPandas
+    "pcm_depth_energy_windows",  # same kernel, 8/24/32-bit depth fixtures
+    "adpcm_energy_windows",      # same kernel, IMA ADPCM decode fixtures
     "mock_fetch_enrichment",     # injected fetcher runs as a pandas stage
     "simhash_dups",              # numpy bit-matrix signature kernel
     "simhash_recall",

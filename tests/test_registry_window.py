@@ -127,6 +127,8 @@ MUST_BE_WINDOWED_BY_ROUND = {
         # row — registered at the tail, inside [150:len])
         "jpeg_pixel_stats",
         "mjpeg_frame_pixel_stats",
+        "pcm_depth_energy_windows",
+        "adpcm_energy_windows",
     },
 }
 

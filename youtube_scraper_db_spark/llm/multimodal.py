@@ -2370,9 +2370,12 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 3) -> D
 
 
 # ---------------------------------------------------------------------------
-# Audio: REAL RIFF/WAVE PCM parsing — header metadata and windowed RMS
-# energy, both dependency-free (the WAV container layout is public; PCM16
-# samples decode with numpy alone, no audio library needed).
+# Audio: REAL RIFF/WAVE parsing — header metadata and windowed RMS
+# energy, both dependency-free (the WAV container layout is public).
+# Linear PCM decodes at 8/16/24/32-bit, any channel count, with numpy
+# alone; IMA ADPCM (codec 0x11) decodes through the spec's integer
+# state machine (step/index tables below), with a conforming encoder
+# for fixtures and interop tests.
 # ---------------------------------------------------------------------------
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -2400,19 +2403,35 @@ def encode_wav(
     channels: int,
     window_amps: list[int],
     window: int = 256,
+    bit_depth: int = 16,
 ) -> bytes:
-    """Minimal valid RIFF/WAVE PCM16 file: one ``window``-frame block per
-    entry of ``window_amps``, each block an alternating ±amp square wave
-    (zero DC, exact integer RMS == amp). Any standards-conforming WAV
-    reader accepts the output; used by the registry round-trip oracle."""
+    """Minimal valid RIFF/WAVE PCM file at 8/16/24/32-bit depth: one
+    ``window``-frame block per entry of ``window_amps``, each block an
+    alternating ±amp square wave (zero DC, exact integer RMS == amp;
+    8-bit stores the WAV-conventional unsigned offset-128 form, so amp
+    must stay ≤ 127 there). Any standards-conforming WAV reader accepts
+    the output; used by the registry round-trip oracle."""
+    if bit_depth not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported bit depth {bit_depth}")
     frames = []
     for amp in window_amps:
         for i in range(window):
             s = amp if i % 2 == 0 else -amp
             frames.extend([s] * channels)
-    data = struct.pack("<%dh" % len(frames), *frames)
+    nb = bit_depth // 8
+    if bit_depth == 8:
+        data = bytes(128 + s for s in frames)
+    elif bit_depth == 16:
+        data = struct.pack("<%dh" % len(frames), *frames)
+    elif bit_depth == 32:
+        data = struct.pack("<%di" % len(frames), *frames)
+    else:  # 24-bit: 3-byte little-endian two's complement
+        data = b"".join(
+            (s & 0xFFFFFF).to_bytes(3, "little") for s in frames
+        )
     fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * nb, channels * nb, bit_depth,
     )
     body = (
         b"WAVE"
@@ -2420,6 +2439,215 @@ def encode_wav(
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+#: IMA/DVI ADPCM tables (public IMA ADPCM spec / Microsoft WAVE format
+#: docs): 89-entry step size table and the 4-bit index adjustment.
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (predictor, step index) + 4-bit code →
+    next (predictor, step index). Integer-exact per the spec's shift
+    ladder (diff = step/8 + step/4·b0 + step/2·b1 + step·b2)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return pred, index
+
+
+def decode_ima_adpcm_block(
+    block: bytes, channels: int
+) -> "np.ndarray | None":
+    """Decode ONE IMA ADPCM WAV block to (frames, channels) int16: a
+    4-byte per-channel header (predictor int16, step index, reserved)
+    whose predictor IS the first output frame, then 4-byte-per-channel
+    interleaved nibble groups (low nibble first). Returns None on a
+    malformed block (short header, bad index, ragged tail)."""
+    hdr = 4 * channels
+    if len(block) < hdr or (len(block) - hdr) % (4 * channels) != 0:
+        return None
+    preds, idxs = [], []
+    for c in range(channels):
+        p, ix = struct.unpack_from("<hB", block, 4 * c)
+        if ix > 88:
+            return None
+        preds.append(p)
+        idxs.append(ix)
+    spb = 1 + (len(block) - hdr) * 2 // channels  # samples per channel
+    out = np.empty((spb, channels), np.int16)
+    out[0] = preds
+    pos = hdr
+    frame = 1
+    while pos < len(block):
+        for c in range(channels):
+            p, ix = preds[c], idxs[c]
+            for k in range(8):  # 4 bytes = 8 nibbles for this channel
+                byte = block[pos + (k >> 1)]
+                nib = (byte >> 4) if k & 1 else (byte & 0x0F)
+                p, ix = _ima_step(p, ix, nib)
+                out[frame + k, c] = p
+            preds[c], idxs[c] = p, ix
+            pos += 4
+        frame += 8
+    return out
+
+
+def encode_ima_adpcm(
+    samples, sample_rate: int, frames_per_block: int = 505
+) -> bytes:
+    """REAL IMA ADPCM WAV encoder (codec 0x11): (n, ch) int16 → a
+    standards-conforming stream any ADPCM-capable WAV reader decodes.
+    Each block stores the first frame verbatim in the per-channel
+    header and quantizes the rest through the spec's sign+shift ladder;
+    state (predictor, step index) carries across blocks the way real
+    encoders do. frames_per_block must be 1 mod 8 (whole nibble
+    groups); input is truncated to whole blocks."""
+    a = np.asarray(samples, np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    ch = a.shape[1]
+    if (frames_per_block - 1) % 8:
+        raise ValueError("frames_per_block must be 1 mod 8")
+    nblocks = a.shape[0] // frames_per_block
+    a = a[: nblocks * frames_per_block]
+    block_align = 4 * ch + (frames_per_block - 1) // 2 * ch
+    idxs = [0] * ch
+    out = bytearray()
+    for bi in range(nblocks):
+        blk = a[bi * frames_per_block : (bi + 1) * frames_per_block]
+        preds = [int(v) for v in blk[0]]
+        for c in range(ch):
+            out += struct.pack("<hBB", preds[c], idxs[c], 0)
+        nibbles: list[list[int]] = [[] for _ in range(ch)]
+        for fr in range(1, frames_per_block):
+            for c in range(ch):
+                step = _IMA_STEPS[idxs[c]]
+                d = int(blk[fr, c]) - preds[c]
+                nib = 0
+                if d < 0:
+                    nib = 8
+                    d = -d
+                if d >= step:
+                    nib |= 4
+                    d -= step
+                if d >= step >> 1:
+                    nib |= 2
+                    d -= step >> 1
+                if d >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibbles[c].append(nib)
+        for g in range(0, frames_per_block - 1, 8):
+            for c in range(ch):
+                grp = nibbles[c][g : g + 8]
+                for k in range(0, 8, 2):
+                    out.append(grp[k] | (grp[k + 1] << 4))
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, sample_rate,
+        sample_rate * block_align // frames_per_block, block_align, 4,
+        2, frames_per_block,
+    )
+    fact = struct.pack("<I", nblocks * frames_per_block)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(out)) + bytes(out)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples(
+    content: bytes | None,
+) -> tuple[int, int, int, "np.ndarray"] | None:
+    """Unified WAV sample decode: (channels, sample_rate, bit_depth,
+    (n_frames, ch) int32 samples) for linear PCM at 8/16/24/32-bit OR
+    IMA ADPCM (codec 0x11, reported bit_depth 4, decoded through the
+    real spec state machine). None for any other codec or malformed
+    container."""
+    parsed = parse_wav(content)
+    if parsed is not None:
+        ch, rate, bits, _n, _data = parsed
+        return ch, rate, bits, _wav_samples(parsed)
+    if content is None or len(content) < 12:
+        return None
+    b = bytes(content)
+    if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = data = None
+    fact_frames = None
+    o = 12
+    while o + 8 <= len(b):
+        tag = b[o : o + 4]
+        (size,) = struct.unpack_from("<I", b, o + 4)
+        if o + 8 + size > len(b):
+            return None
+        if tag == b"fmt " and size >= 16:
+            codec, ch, rate = struct.unpack_from("<HHI", b, o + 8)
+            (balign,) = struct.unpack_from("<H", b, o + 20)
+            if codec != 0x11:
+                return None
+            fmt = (ch, rate, balign)
+        elif tag == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack_from("<I", b, o + 8)
+        elif tag == b"data":
+            data = b[o + 8 : o + 8 + size]
+        o += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        return None
+    ch, rate, balign = fmt
+    if ch < 1 or rate <= 0 or balign < 4 * ch:
+        return None
+    blocks = []
+    for off in range(0, len(data) - balign + 1, balign):
+        blk = decode_ima_adpcm_block(data[off : off + balign], ch)
+        if blk is None:
+            return None
+        blocks.append(blk)
+    if not blocks:
+        return None
+    samples = np.concatenate(blocks).astype(np.int32)
+    if fact_frames is not None:
+        samples = samples[:fact_frames]
+    return ch, rate, 4, samples
+
+
+def _wav_samples(parsed) -> "np.ndarray":
+    """Decode the data chunk of a parse_wav result to an
+    (n_frames, channels) int32 array — 8-bit is WAV-conventional
+    unsigned (offset 128 removed), 16/32 signed little-endian, 24-bit
+    3-byte sign-extended. Pure numpy; no audio library."""
+    ch, _rate, bits, n_frames, data = parsed
+    n = n_frames * ch
+    if bits == 8:
+        a = np.frombuffer(data, np.uint8, n).astype(np.int32) - 128
+    elif bits == 16:
+        a = np.frombuffer(data, "<i2", n).astype(np.int32)
+    elif bits == 32:
+        a = np.frombuffer(data, "<i4", n).astype(np.int32)
+    else:  # 24-bit
+        raw = np.frombuffer(data, np.uint8, n * 3).reshape(-1, 3).astype(np.int32)
+        a = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        a = np.where(a >= 1 << 23, a - (1 << 24), a)
+    return a.reshape(n_frames, ch)
 
 
 def parse_wav(
@@ -2464,30 +2692,38 @@ def parse_wav(
 
 def decode_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Per-asset WAV metadata over ``mapInPandas`` — real RIFF chunk-walk
-    parsing (parse_wav). Undecodable payloads yield NULL feature columns,
-    or raise under ``strict=True`` (same contract as
-    ``decode_image_features``)."""
+    parsing (parse_wav for linear PCM; decode_wav_samples for IMA ADPCM,
+    whose bit_depth reports as 4 and whose frame count comes from the
+    decoded stream honoring the fact chunk). Undecodable payloads yield
+    NULL feature columns, or raise under ``strict=True`` (same contract
+    as ``decode_image_features``)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             chs, rates, bits_, frames_, durs = [], [], [], [], []
             for c in pdf["content"]:
                 parsed = parse_wav(c)
-                if parsed is None:
-                    if strict:
-                        head = bytes(c or b"")[:8]
-                        raise NotImplementedError(
-                            f"unsupported or malformed audio payload "
-                            f"(header {head!r}); only PCM RIFF/WAVE "
-                            f"decodes without an audio library"
-                        )
-                    for lst in (chs, rates, bits_, frames_, durs):
-                        lst.append(None)
-                else:
+                if parsed is not None:
                     ch, rate, bits, n_frames, _ = parsed
-                    chs.append(ch), rates.append(rate), bits_.append(bits)
-                    frames_.append(n_frames)
-                    durs.append(n_frames * 1000 // rate)
+                else:
+                    dec = decode_wav_samples(c)
+                    if dec is None:
+                        if strict:
+                            head = bytes(c or b"")[:8]
+                            raise NotImplementedError(
+                                f"unsupported or malformed audio payload "
+                                f"(header {head!r}); only PCM and IMA "
+                                f"ADPCM RIFF/WAVE decode without an "
+                                f"audio library"
+                            )
+                        for lst in (chs, rates, bits_, frames_, durs):
+                            lst.append(None)
+                        continue
+                    ch, rate, bits, samples = dec
+                    n_frames = samples.shape[0]
+                chs.append(ch), rates.append(rate), bits_.append(bits)
+                frames_.append(n_frames)
+                durs.append(n_frames * 1000 // rate)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -2505,31 +2741,30 @@ def decode_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
 
 
 def audio_energy_windows(media: DataFrame, window: int = 256) -> DataFrame:
-    """Windowed RMS energy over REAL decoded PCM16 mono samples (numpy
-    ``frombuffer``; int64 square accumulation so the mean square is
-    exact, as in any production loudness/VAD feature stage). One row per
-    full ``window``-frame block; the partial tail is dropped
-    (deterministic boundary). Non-WAV / non-mono-16-bit payloads emit no
-    rows — the strict decode path owns rejection. Same 1→N fan-out shape
-    as frame sampling; at scale the Arrow batch size bounds peak kernel
-    memory, not the file count."""
+    """Windowed RMS energy over REAL decoded PCM samples at any
+    supported depth (8/16/24/32-bit) and channel count — RMS is taken
+    across all channels of each ``window``-frame block (int64 square
+    accumulation so the mean square is exact, as in any production
+    loudness/VAD feature stage). One row per full ``window``-frame
+    block; the partial tail is dropped (deterministic boundary).
+    Non-WAV payloads emit no rows — the strict decode path owns
+    rejection. Same 1→N fan-out shape as frame sampling; at scale the
+    Arrow batch size bounds peak kernel memory, not the file count."""
     import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nos, rms_ = [], [], []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
-                parsed = parse_wav(content)
-                if parsed is None:
+                dec = decode_wav_samples(content)
+                if dec is None:
                     continue
-                ch, _rate, bits, n_frames, data = parsed
-                if ch != 1 or bits != 16:
-                    continue
-                a = np.frombuffer(data, dtype="<i2")[: (n_frames // window) * window]
+                ch, _rate, _bits, samples = dec
+                a = samples[: (samples.shape[0] // window) * window]
                 if a.size == 0:
                     continue
                 sq = a.astype(np.int64) ** 2
-                for w, block in enumerate(sq.reshape(-1, window)):
+                for w, block in enumerate(sq.reshape(-1, window * ch)):
                     ids.append(aid)
                     nos.append(w)
                     rms_.append(int(round(float(np.sqrt(block.mean())))))
