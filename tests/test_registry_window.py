@@ -101,7 +101,9 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "csv_export_roundtrip",
         "custom_source_stream_drain",
         "customers_without_orders",
-        "diff_sync_parts",
+        # diff_sync_parts yielded its slot to the six round-5 gate
+        # debuts: it alone has both an r02 driver row and a judge
+        # post-rewrite check, so it waits for the round-8 rotation.
         "doc_token_ids",
         "extracted_page_refs",
         "gif_frame_pixel_stats",
@@ -129,6 +131,8 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "mjpeg_frame_pixel_stats",
         "pcm_depth_energy_windows",
         "adpcm_energy_windows",
+        "bpe_apply_tokens",
+        "bpe_trained_merges",
     },
 }
 

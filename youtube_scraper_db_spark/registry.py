@@ -8032,6 +8032,176 @@ def adpcm_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed inference merge table for the BPE-apply gate: rank order
+#: respects symbol creation (an operand only references symbols minted
+#: by earlier ranks), and every pair is distinct-symbol, which makes
+#: the SQL oracle's double-replace transduction EXACT (see
+#: ``_bpe_word_sql``: one `replace` pass misses an occurrence whose
+#: leading delimiter was consumed by an adjacent match; a second pass
+#: provably catches every survivor when left ≠ right, because the
+#: first pass isolates them between freshly-minted symbols).
+_BPE_FIXED_MERGES = [
+    ("t", "a"), ("l", "e"), ("ta", "b"), ("tab", "le"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("v", "a"), ("u", "e"), ("va", "l"), ("val", "ue"),
+    ("r", "o"), ("ro", "w"),
+]
+
+
+def _bpe_word_sql(var: str) -> str:
+    """DuckDB expression tokenizing one word under the fixed merges:
+    space-join the characters, then per rank (in order) replace the
+    delimited pair twice — the exact transduction of the engine's
+    one-pass leftmost merge for distinct-symbol pairs."""
+    s = f"' ' || array_to_string(string_split({var}, ''), ' ') || ' '"
+    for left, right in _BPE_FIXED_MERGES:
+        pat, rep = f"' {left} {right} '", f"' {left}{right} '"
+        s = f"replace({s}, '{pat[1:-1]}', '{rep[1:-1]}')"
+        s = f"replace({s}, '{pat[1:-1]}', '{rep[1:-1]}')"
+    return s
+
+
+@spec(
+    "bpe_apply_tokens",
+    "EXT-bpe EXT-encode LLM-text",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    enc AS (
+      SELECT doc_id,
+             flatten(list_transform(t,
+               w -> string_split(trim({_bpe_word_sql('w')}), ' '))) AS toks
+      FROM tok
+    )
+    SELECT doc_id,
+           array_to_string(toks, ' ') AS token_text,
+           CAST(len(toks) AS INT) AS n_tokens
+    FROM enc
+    """,
+)
+def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION over the corpus — the inference half of
+    tokenizer training, under a fixed 13-rank merge table (chained
+    multi-character symbols: t+a→ta→tab→table, s+c→…→scan, …). The
+    engine side is a PURE Column expression: per word, a char split
+    then one native ``F.aggregate`` fold per rank implementing the
+    one-pass leftmost non-overlapping merge (llm/bpe.py
+    bpe_apply_expr) — whole-stage codegen, zero Python, trivially
+    parallel over the scan (the vocabulary-memoized Arrow kernel
+    ``bpe_apply`` is the arbitrary-vocab-size variant, pinned equal in
+    pytest). The DuckDB oracle replays the same transduction with
+    per-rank double `replace` over space-joined characters (exact for
+    the distinct-symbol merge table — see _BPE_FIXED_MERGES), so any
+    fold bug (pending-symbol state, rank order, pair overlap)
+    hash-mismatches on real text. Sequential-by-rank equals
+    priority-queue BPE apply because a merge can never re-create a
+    lower rank's pair (llm/bpe.py module docstring has the argument).
+    Ref: parity N/A (§2.12 training-data surface)."""
+    ensure_utc(spark)
+    from .llm import bpe as llm_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    words = llm_text.tokens("text")
+    toks = F.flatten(
+        F.transform(
+            words, lambda w: llm_bpe.bpe_apply_expr(w, _BPE_FIXED_MERGES)
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.concat_ws(" ", toks).alias("token_text"),
+        F.size(toks).cast("int").alias("n_tokens"),
+    )
+
+
+def _bpe_train_sql(num_merges: int) -> str:
+    """DuckDB mirror of the distinct-pair BPE training loop: the corpus
+    collapses to a word vocabulary once, then each rank is three CTEs —
+    adjacent-pair counts over the current segmentation, the
+    deterministic argmax (count DESC, then lexicographic), and the
+    double-replace rewrite. Generated programmatically because the
+    iteration count is structural, not data-dependent."""
+    parts = [
+        """
+    v0 AS (
+      SELECT word, COUNT(*) AS wcount FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents WHERE trim(text) <> ''
+      ) GROUP BY word
+    ),
+    s0 AS (
+      SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' '
+               AS seg, wcount
+      FROM v0
+    )"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(f"""
+    p{i} AS (
+      SELECT l, r, SUM(wcount) AS cnt FROM (
+        SELECT wcount, parts[k] AS l, parts[k + 1] AS r FROM (
+          SELECT string_split(trim(seg), ' ') AS parts, wcount FROM s{i - 1}
+        ), LATERAL unnest(range(1, len(parts))) t(k)
+      ) WHERE l <> r GROUP BY l, r
+    ),
+    m{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    s{i} AS (
+      SELECT replace(replace(seg,
+               ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+               ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')
+               AS seg, wcount
+      FROM s{i - 1}, m{i} m
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, cnt FROM m{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs,
+           CAST(cnt AS BIGINT) AS pair_count
+    FROM ({union})
+    """
+    )
+
+
+@spec(
+    "bpe_trained_merges",
+    "EXT-bpe LLM-text",
+    oracle=_bpe_train_sql(8),
+)
+def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING end-to-end — the full iterative merge
+    loop, not just one iteration's pair count (that is
+    ``bpe_pair_counts``): 8 ranks learned from the documents corpus,
+    output (rank, pair, support count). Engine side is the adaptive
+    trainer (llm/bpe.py bpe_train): ONE corpus-sized shuffle collapses
+    text to a word vocabulary, then every iteration costs O(|vocab|)
+    regardless of corpus size — the measured-vocabulary driver loop
+    here (vocabulary is language-bounded), the distributed
+    Column-fold loop beyond 500k words (both semantics-pinned to an
+    independent reference in tests/test_bpe.py). The DuckDB oracle
+    replays the loop as generated CTE ranks with the same
+    deterministic argmax (count DESC, lexicographic tie-break). The
+    gate trains the DISTINCT-PAIR variant (same-symbol candidates
+    excluded) because that is the class whose double-replace SQL
+    transduction is provably exact; standard same-symbol-allowed
+    training is reference-pinned in pytest. Ref: parity N/A (§2.12
+    training-data surface)."""
+    ensure_utc(spark)
+    from .llm import bpe as llm_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = llm_bpe.bpe_train(d, "text", 8, distinct_pairs=True)
+    rows = [
+        (i + 1, left, right, int(cnt))
+        for i, (left, right, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -8126,6 +8296,19 @@ _swap_specs("diff_sync_parts", "per_customer_stats")
 # r01/r02 double-checked aggregates unmodified since their rows.
 _swap_specs("extracted_page_refs", "customer_order_counts")
 _swap_specs("customers_without_orders", "cross_linked_parts")
+# …and the BPE train/apply gates shrink it twice more: the two
+# round-4-red array-output fixes at the head's edge move inward over
+# the last two non-MUST head entries (r02-green, unmodified,
+# triple-SF-verified round-trips).
+_swap_specs("label_centroids", "top_suppliers")
+_swap_specs("doc_token_ids", "orc_export_roundtrip")
+# Six new gates this round leave the 50-slot window one short of the
+# wish list. `diff_sync_parts` yields: it is the only candidate with
+# BOTH a prior driver row (r02) and a judge-verified post-rewrite
+# check this round, so evicting it keeps every never-driver-checked
+# round-4 entry (e.g. orc_export_roundtrip) on track for its first
+# row. It re-enters the natural rotation at round 8.
+_swap_specs("diff_sync_parts", "orc_export_roundtrip")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
