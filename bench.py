@@ -61,6 +61,8 @@ HEADLINE = [
     "doc_tfidf_terms",
     "segment_dedup_docs",
     "bpe_pair_counts",
+    "bpe_trained_merges",
+    "bpe_apply_tokens",
     "classic_q16_supplier_variety",
     "classic_q21_waiting_supplier",
     "classic_q8_market_share",

@@ -1943,9 +1943,10 @@ def image_pixel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                         head = bytes(c or b"")[:8]
                         raise NotImplementedError(
                             f"unsupported or malformed image payload (header "
-                            f"{head!r}); pixel decode covers 8-bit "
-                            f"gray/RGB/indexed/RGBA PNG, LZW GIF, "
-                            f"24-bit BMP and baseline JPEG"
+                            f"{head!r}); pixel decode covers 8/16-bit "
+                            f"gray/RGB/indexed/RGBA PNG (incl. Adam7), "
+                            f"LZW GIF, 24-bit BMP, and baseline or "
+                            f"progressive JPEG"
                         )
                     ws.append(None), hs.append(None), chs.append(None)
                     sums.append(None), wsums.append(None)
@@ -2297,7 +2298,7 @@ def avi_frame_pixel_stats(
                     if arr is None:
                         if strict:
                             raise NotImplementedError(
-                                f"frame {fno} is not a decodable baseline JPEG"
+                                f"frame {fno} is not a decodable JPEG"
                             )
                         ok = False
                         break
