@@ -105,6 +105,50 @@ def test_adpcm_encode_agrees_with_independent_reference(samples, channels):
     assert got.tolist() == ref
 
 
+def test_g711_spec_anchors_and_symmetry():
+    """Published G.711 anchor values (the sign conventions DIFFER
+    between laws — A-law's post-XOR MSB set means POSITIVE) and the
+    0x80-flip negation symmetry both laws share."""
+    assert M._ULAW_DECODE[0xFF] == 0 and M._ULAW_DECODE[0x7F] == 0
+    assert M._ULAW_DECODE[0x80] == 32124 and M._ULAW_DECODE[0x00] == -32124
+    assert M._ALAW_DECODE[0xD5] == 8 and M._ALAW_DECODE[0x55] == -8
+    assert M._ALAW_DECODE[0xAA] == 32256 and M._ALAW_DECODE[0x2A] == -32256
+    for t in (M._ULAW_DECODE, M._ALAW_DECODE):
+        for b in range(256):
+            assert t[b] == -t[b ^ 0x80]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=200,
+    ),
+    st.sampled_from(["ulaw", "alaw"]),
+)
+def test_g711_compress_is_nearest_level(samples, law):
+    """decode(compress(x)) must be the nearest representable companding
+    level for every sample — the defining property of the quantizer."""
+    table = M._ULAW_DECODE if law == "ulaw" else M._ALAW_DECODE
+    levels = np.sort(table)
+    x = np.asarray(samples, np.int32)
+    dec = table[np.frombuffer(M.g711_compress(x, law), np.uint8)]
+    for xi, di in zip(x, dec):
+        nearest = levels[np.argmin(np.abs(levels - xi))]
+        assert abs(int(di) - int(xi)) <= abs(int(nearest) - int(xi))
+
+
+def test_g711_container_roundtrip():
+    payload = bytes(range(256)) * 2
+    for law, table in (("ulaw", M._ULAW_DECODE), ("alaw", M._ALAW_DECODE)):
+        wav = M.encode_g711_wav(16000, 2, payload, law)
+        ch, rate, bits, s = M.decode_wav_samples(wav)
+        assert (ch, rate, bits) == (2, 16000, 8)
+        exp = table[np.frombuffer(payload, np.uint8)].reshape(-1, 2)
+        assert np.array_equal(s, exp)
+
+
 @settings(max_examples=30, deadline=None)
 @given(st.binary(min_size=0, max_size=300))
 def test_media_decoders_total_over_garbage(data):

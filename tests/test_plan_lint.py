@@ -32,6 +32,8 @@ ARROW_STAGES = {
     "audio_energy_windows",      # real PCM RMS kernel is mapInPandas
     "pcm_depth_energy_windows",  # same kernel, 8/24/32-bit depth fixtures
     "adpcm_energy_windows",      # same kernel, IMA ADPCM decode fixtures
+    "g711_energy_windows",       # same kernel, G.711 companding fixtures
+    "bpe_apply_tokens",          # vocabulary-memoized BPE encode kernel
     "mock_fetch_enrichment",     # injected fetcher runs as a pandas stage
     "simhash_dups",              # numpy bit-matrix signature kernel
     "simhash_recall",

@@ -100,10 +100,10 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "corpus_facade_annotated",
         "csv_export_roundtrip",
         "custom_source_stream_drain",
-        "customers_without_orders",
-        # diff_sync_parts yielded its slot to the six round-5 gate
-        # debuts: it alone has both an r02 driver row and a judge
-        # post-rewrite check, so it waits for the round-8 rotation.
+        # diff_sync_parts and customers_without_orders yielded their
+        # slots to the seven round-5 gate debuts: they alone have both
+        # an r02 driver row and a judge post-rewrite check, so they
+        # wait for the round-8 rotation.
         "doc_token_ids",
         "extracted_page_refs",
         "gif_frame_pixel_stats",
@@ -133,6 +133,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "adpcm_energy_windows",
         "bpe_apply_tokens",
         "bpe_trained_merges",
+        "g711_energy_windows",
     },
 }
 

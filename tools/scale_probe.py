@@ -60,6 +60,8 @@ DOC_QUERIES = [
     "doc_tfidf_terms",
     "segment_dedup_docs",
     "bpe_pair_counts",
+    "bpe_trained_merges",
+    "bpe_apply_tokens",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

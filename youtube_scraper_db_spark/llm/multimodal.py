@@ -2442,6 +2442,83 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _g711_tables() -> tuple["np.ndarray", "np.ndarray"]:
+    """G.711 companding decode tables, derived from the published
+    formulas rather than transcribed: µ-law byte → complement, then
+    ((mantissa·8 + 0x84) << exponent) − 0x84 with the sign bit; A-law
+    byte → XOR 0x55, then the segmented linear expansion. Anchors any
+    implementation must hit: µ-law 0xFF → +0, 0x7F → −0, 0x80 →
+    +32124, 0x00 → −32124; A-law silence 0xD5 → +8, 0x55 → −8,
+    0xAA → +32256."""
+    ul = np.empty(256, np.int32)
+    for b in range(256):
+        u = ~b & 0xFF
+        sign = u & 0x80
+        e = (u >> 4) & 0x07
+        m = u & 0x0F
+        val = (((m << 3) + 0x84) << e) - 0x84
+        ul[b] = -val if sign else val
+    al = np.empty(256, np.int32)
+    for b in range(256):
+        a = b ^ 0x55
+        sign = a & 0x80
+        e = (a >> 4) & 0x07
+        m = a & 0x0F
+        if e == 0:
+            val = (m << 4) + 8
+        else:
+            val = ((m << 4) + 0x108) << (e - 1)
+        # A-law sign convention is INVERTED vs µ-law: the post-XOR MSB
+        # SET means positive (silence is 0xD5 → +8), per the classic
+        # alaw2linear reference implementations.
+        al[b] = val if sign else -val
+    return ul, al
+
+
+_ULAW_DECODE, _ALAW_DECODE = _g711_tables()
+
+
+def encode_g711_wav(
+    sample_rate: int,
+    channels: int,
+    payload: bytes,
+    law: str = "ulaw",
+) -> bytes:
+    """Wrap raw G.711 companded bytes (already interleaved by channel)
+    in a standards-conforming RIFF/WAVE container — codec 7 (µ-law) or
+    6 (A-law), 8 bits per sample, with the fact chunk G.711 WAVs
+    carry."""
+    codec = 7 if law == "ulaw" else 6
+    fmt = struct.pack(
+        "<HHIIHHH", codec, channels, sample_rate,
+        sample_rate * channels, channels, 8, 0,
+    )
+    fact = struct.pack("<I", len(payload) // channels)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def g711_compress(samples, law: str = "ulaw") -> bytes:
+    """Linear → G.711 companding: nearest decode-table value (ties to
+    the lower byte index after sorting — deterministic). A real lossy
+    compressor: decode(compress(x)) is the nearest representable level,
+    so |error| is bounded by half the local segment step."""
+    table = _ULAW_DECODE if law == "ulaw" else _ALAW_DECODE
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order]
+    x = np.asarray(samples, np.int32).reshape(-1)
+    idx = np.searchsorted(sorted_vals, x)
+    idx = np.clip(idx, 1, 255)
+    lo, hi = sorted_vals[idx - 1], sorted_vals[idx]
+    pick = np.where((x - lo) <= (hi - x), idx - 1, idx)
+    return bytes(order[pick].astype(np.uint8))
+
+
 #: IMA/DVI ADPCM tables (public IMA ADPCM spec / Microsoft WAVE format
 #: docs): 89-entry step size table and the 4-bit index adjustment.
 _IMA_STEPS = [
@@ -2580,10 +2657,11 @@ def decode_wav_samples(
     content: bytes | None,
 ) -> tuple[int, int, int, "np.ndarray"] | None:
     """Unified WAV sample decode: (channels, sample_rate, bit_depth,
-    (n_frames, ch) int32 samples) for linear PCM at 8/16/24/32-bit OR
+    (n_frames, ch) int32 samples) for linear PCM at 8/16/24/32-bit,
     IMA ADPCM (codec 0x11, reported bit_depth 4, decoded through the
-    real spec state machine). None for any other codec or malformed
-    container."""
+    real spec state machine), or G.711 µ-law/A-law (codecs 7/6,
+    reported bit_depth 8, table companding expansion). None for any
+    other codec or malformed container."""
     parsed = parse_wav(content)
     if parsed is not None:
         ch, rate, bits, _n, _data = parsed
@@ -2604,9 +2682,9 @@ def decode_wav_samples(
         if tag == b"fmt " and size >= 16:
             codec, ch, rate = struct.unpack_from("<HHI", b, o + 8)
             (balign,) = struct.unpack_from("<H", b, o + 20)
-            if codec != 0x11:
+            if codec not in (0x11, 6, 7):
                 return None
-            fmt = (ch, rate, balign)
+            fmt = (ch, rate, balign, codec)
         elif tag == b"fact" and size >= 4:
             (fact_frames,) = struct.unpack_from("<I", b, o + 8)
         elif tag == b"data":
@@ -2614,8 +2692,19 @@ def decode_wav_samples(
         o += 8 + size + (size & 1)
     if fmt is None or data is None:
         return None
-    ch, rate, balign = fmt
-    if ch < 1 or rate <= 0 or balign < 4 * ch:
+    ch, rate, balign, codec = fmt
+    if ch < 1 or rate <= 0:
+        return None
+    if codec in (6, 7):  # G.711: one companded byte per sample
+        table = _ULAW_DECODE if codec == 7 else _ALAW_DECODE
+        n = len(data) // ch * ch
+        if n == 0:
+            return None
+        samples = table[np.frombuffer(data, np.uint8, n)].reshape(-1, ch)
+        if fact_frames is not None:
+            samples = samples[:fact_frames]
+        return ch, rate, 8, samples.astype(np.int32)
+    if balign < 4 * ch:
         return None
     blocks = []
     for off in range(0, len(data) - balign + 1, balign):

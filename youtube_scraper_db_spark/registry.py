@@ -8032,6 +8032,91 @@ def adpcm_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "g711_energy_windows",
+    "LLM-multimodal EXT-g711decode",
+    oracle="""
+    WITH par AS (
+      SELECT doc_id,
+             1 + (doc_id * 7) % 127 AS u,       -- µ-law magnitude code
+             129 + (doc_id * 5) % 127 AS a      -- A-law magnitude code
+      FROM documents WHERE doc_id < 150
+    ),
+    v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN ((u % 16) * 8 + 132) * (1 << (u // 16)) - 132
+                  ELSE CASE WHEN (a - 128) // 16 = 0
+                            THEN (a % 16) * 16 + 8
+                            ELSE ((a % 16) * 16 + 264)
+                                 * (1 << ((a - 128) // 16 - 1))
+                       END
+             END AS amp
+      FROM par
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS window_no,
+           CAST(amp AS BIGINT) AS rms
+    FROM v, unnest([0, 1, 2, 3]) AS t(w)
+    WHERE w < 2 + doc_id % 3
+    """,
+)
+def g711_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 companded-audio decode (WAV codecs 7/6): each fixture
+    is a conforming µ-law (even doc_ids, mono) or A-law (odd doc_ids,
+    stereo) stream of alternating ±magnitude bytes — negation in BOTH
+    laws is the 0x80 byte flip, so each frame pair decodes to exact
+    ±v and the windowed RMS is exactly |v|. The ORACLE re-derives v
+    from the byte arithmetic itself (µ-law: complement, mantissa·8 +
+    0x84 shifted by exponent, minus 0x84; A-law: XOR 0x55 segmented
+    expansion), so a transposed table row, sign-convention flip (the
+    A-law MSB means POSITIVE — the classic transcription trap), or
+    channel-interleave bug hash-mismatches. Kernel is the same
+    mapInPandas RMS stage as every audio gate (decode_wav_samples
+    routes codec 6/7 through the derived tables). Compressor
+    (nearest-level search) and anchors are pytest-pinned. Blob
+    synthesis is bounded driver scaffolding (<150 rows); decode runs
+    distributed. Ref: parity N/A (media extension surface); layout per
+    ITU-T G.711 + RIFF/WAVE public specs."""
+    ensure_utc(spark)
+    import numpy as np
+
+    ids = [
+        int(r.doc_id)
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for i in ids:
+        nb = 2 + i % 3
+        if i % 2 == 0:
+            law, channels = "ulaw", 1
+            b = 0xFF ^ (1 + (i * 7) % 127)  # complement of the code
+        else:
+            law, channels = "alaw", 2
+            b = (129 + (i * 5) % 127) ^ 0x55
+        frames = np.empty(256 * nb, np.uint8)
+        frames[0::2] = b
+        frames[1::2] = b ^ 0x80  # sign flip in both laws
+        payload = bytes(np.repeat(frames, channels))
+        rate = 8000 + (i % 4) * 4000
+        rows.append(
+            (
+                i,
+                bytearray(
+                    llm_multimodal.encode_g711_wav(rate, channels, payload, law)
+                ),
+            )
+        )
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    media = llm_multimodal.attach_binary(df, "doc_id", "blob", "audio")
+    return llm_multimodal.audio_energy_windows(media).select(
+        "asset_id", "window_no", "rms"
+    )
+
+
 #: Fixed inference merge table for the BPE-apply gate: rank order
 #: respects symbol creation (an operand only references symbols minted
 #: by earlier ranks), and every pair is distinct-symbol, which makes
@@ -8082,34 +8167,34 @@ def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION over the corpus — the inference half of
     tokenizer training, under a fixed 13-rank merge table (chained
     multi-character symbols: t+a→ta→tab→table, s+c→…→scan, …). The
-    engine side is a PURE Column expression: per word, a char split
-    then one native ``F.aggregate`` fold per rank implementing the
-    one-pass leftmost non-overlapping merge (llm/bpe.py
-    bpe_apply_expr) — whole-stage codegen, zero Python, trivially
-    parallel over the scan (the vocabulary-memoized Arrow kernel
-    ``bpe_apply`` is the arbitrary-vocab-size variant, pinned equal in
-    pytest). The DuckDB oracle replays the same transduction with
-    per-rank double `replace` over space-joined characters (exact for
-    the distinct-symbol merge table — see _BPE_FIXED_MERGES), so any
-    fold bug (pending-symbol state, rank order, pair overlap)
-    hash-mismatches on real text. Sequential-by-rank equals
-    priority-queue BPE apply because a merge can never re-create a
-    lower rank's pair (llm/bpe.py module docstring has the argument).
-    Ref: parity N/A (§2.12 training-data surface)."""
+    engine side is the vocabulary-MEMOIZED Arrow kernel (llm/bpe.py
+    bpe_apply): per batch, each DISTINCT word is merged once and
+    reused, so the per-row cost is a dict hit and the fold cost scales
+    with vocabulary, not corpus tokens — the property that matters at
+    100 TB (the ×20 growth probe first ran the pure-Column-fold twin
+    ``bpe_apply_expr`` here and measured its per-token O(len²)
+    array-fold cost dominating the scan; the expr twin stays for small
+    inference vocabularies and is pinned token-identical to the kernel
+    in tests/test_bpe.py). The DuckDB oracle replays the same
+    transduction with per-rank double `replace` over space-joined
+    characters (exact for the distinct-symbol merge table — see
+    _BPE_FIXED_MERGES), so any merge bug (pending-symbol state, rank
+    order, pair overlap) hash-mismatches on real text.
+    Sequential-by-rank equals priority-queue BPE apply because a merge
+    can never re-create a lower rank's pair (llm/bpe.py module
+    docstring has the argument). Ref: parity N/A (§2.12 training-data
+    surface)."""
     ensure_utc(spark)
     from .llm import bpe as llm_bpe
 
     d = _t(spark, sf_dir, "documents")
-    words = llm_text.tokens("text")
-    toks = F.flatten(
-        F.transform(
-            words, lambda w: llm_bpe.bpe_apply_expr(w, _BPE_FIXED_MERGES)
-        )
+    out = llm_bpe.bpe_apply(
+        d, "doc_id", "text", [m[:2] for m in _BPE_FIXED_MERGES]
     )
-    return d.select(
-        "doc_id",
-        F.concat_ws(" ", toks).alias("token_text"),
-        F.size(toks).cast("int").alias("n_tokens"),
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.col("tokens")).alias("token_text"),
+        F.col("n_tokens"),
     )
 
 
@@ -8302,13 +8387,15 @@ _swap_specs("customers_without_orders", "cross_linked_parts")
 # triple-SF-verified round-trips).
 _swap_specs("label_centroids", "top_suppliers")
 _swap_specs("doc_token_ids", "orc_export_roundtrip")
-# Six new gates this round leave the 50-slot window one short of the
-# wish list. `diff_sync_parts` yields: it is the only candidate with
-# BOTH a prior driver row (r02) and a judge-verified post-rewrite
-# check this round, so evicting it keeps every never-driver-checked
-# round-4 entry (e.g. orc_export_roundtrip) on track for its first
-# row. It re-enters the natural rotation at round 8.
+# Seven new gates this round leave the 50-slot window two short of the
+# wish list. `diff_sync_parts` and `customers_without_orders` yield:
+# they are the only candidates with BOTH a prior driver row (r02) and
+# a judge-verified post-rewrite check this round, so evicting them
+# keeps every never-driver-checked round-4 entry (e.g.
+# orc_export_roundtrip) on track for its first row. Both re-enter the
+# natural rotation at round 8.
 _swap_specs("diff_sync_parts", "orc_export_roundtrip")
+_swap_specs("customers_without_orders", "orc_export_roundtrip")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
