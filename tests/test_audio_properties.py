@@ -105,6 +105,40 @@ def test_adpcm_encode_agrees_with_independent_reference(samples, channels):
     assert got.tolist() == ref
 
 
+def test_msadpcm_hand_block_and_roundtrip():
+    """MS-ADPCM (WAV codec 2): hand-derived single block — predictor 0
+    (coefs 256,0 ⇒ pred = sample1), delta 16; nibble 0x1 → 110+16=126,
+    delta stays max(16, 230·16>>8)=16; nibble 0xF (−1) → 126−16=110.
+    Plus: constant signals decode bit-exactly (the gate's exactness
+    precondition), smooth signals stay within the delta ladder's
+    bound, and stereo channels remain independent."""
+    blk = (
+        bytes([0])
+        + (16).to_bytes(2, "little")
+        + (110).to_bytes(2, "little")
+        + (100).to_bytes(2, "little")
+        + bytes([0x1F])
+    )
+    got = M.decode_msadpcm_block(blk, 1)
+    assert got[:, 0].tolist() == [100, 110, 126, 110]
+    assert M.decode_msadpcm_block(blk[:5], 1) is None  # short header
+    assert M.decode_msadpcm_block(bytes([9]) + blk[1:], 1) is None  # bad pred
+
+    const = np.full(500 * 3, -777, np.int16)
+    _, _, bits, out = M.decode_wav_samples(M.encode_msadpcm(const, 8000))
+    assert bits == 4 and np.array_equal(out[:, 0], const.astype(np.int32))
+
+    t = np.arange(500 * 4)
+    sig = (3000 * np.sin(t / 40) + t).astype(np.int16)
+    _, _, _, out = M.decode_wav_samples(M.encode_msadpcm(sig, 8000))
+    assert np.abs(out[:, 0] - sig).max() < 64
+    st_ = np.stack([sig, (-sig).astype(np.int16)], axis=1)
+    ch, rate, _, out2 = M.decode_wav_samples(M.encode_msadpcm(st_, 16000))
+    assert (ch, rate) == (2, 16000)
+    assert np.abs(out2[:, 0] - st_[:, 0]).max() < 64
+    assert np.abs(out2[:, 1] - st_[:, 1]).max() < 64
+
+
 def test_g711_spec_anchors_and_symmetry():
     """Published G.711 anchor values (the sign conventions DIFFER
     between laws — A-law's post-XOR MSB set means POSITIVE) and the

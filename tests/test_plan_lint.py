@@ -33,6 +33,7 @@ ARROW_STAGES = {
     "pcm_depth_energy_windows",  # same kernel, 8/24/32-bit depth fixtures
     "adpcm_energy_windows",      # same kernel, IMA ADPCM decode fixtures
     "g711_energy_windows",       # same kernel, G.711 companding fixtures
+    "msadpcm_energy_windows",    # same kernel, MS-ADPCM decode fixtures
     "bpe_apply_tokens",          # vocabulary-memoized BPE encode kernel
     "mock_fetch_enrichment",     # injected fetcher runs as a pandas stage
     "simhash_dups",              # numpy bit-matrix signature kernel

@@ -100,12 +100,12 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "corpus_facade_annotated",
         "csv_export_roundtrip",
         "custom_source_stream_drain",
-        # diff_sync_parts and customers_without_orders yielded their
-        # slots to the seven round-5 gate debuts: they alone have both
-        # an r02 driver row and a judge post-rewrite check, so they
-        # wait for the round-8 rotation.
+        # diff_sync_parts, customers_without_orders and
+        # extracted_page_refs yielded their slots to the eight round-5
+        # gate debuts: they alone have both an r02 driver row and a
+        # judge post-rewrite check, so they wait for the round-8
+        # rotation.
         "doc_token_ids",
-        "extracted_page_refs",
         "gif_frame_pixel_stats",
         "gif_pixel_stats",
         "jsonl_gzip_roundtrip",
@@ -134,6 +134,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "bpe_apply_tokens",
         "bpe_trained_merges",
         "g711_energy_windows",
+        "msadpcm_energy_windows",
     },
 }
 

@@ -2519,6 +2519,129 @@ def g711_compress(samples, law: str = "ulaw") -> bytes:
     return bytes(order[pick].astype(np.uint8))
 
 
+#: MS-ADPCM tables (public Microsoft WAVE format docs): the 7 standard
+#: predictor coefficient pairs and the 16-entry delta adaptation table
+#: indexed by the unsigned nibble.
+_MSADPCM_COEFS = [
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+    (392, -232),
+]
+_MSADPCM_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+
+
+def decode_msadpcm_block(block: bytes, channels: int) -> "np.ndarray | None":
+    """Decode ONE MS-ADPCM WAV block (codec 2) to (frames, channels)
+    int16. Header layout interleaves per FIELD, not per channel: all
+    predictor indices (1 byte each), all initial deltas (int16), all
+    sample1, all sample2; sample2 is emitted first (it is the OLDER
+    sample). Nibbles then alternate channels, HIGH nibble first (the
+    opposite of IMA). Returns None on malformed structure."""
+    hdr = 7 * channels
+    if len(block) < hdr:
+        return None
+    preds = list(block[:channels])
+    if any(p >= len(_MSADPCM_COEFS) for p in preds):
+        return None
+    deltas = [
+        struct.unpack_from("<h", block, channels + 2 * c)[0]
+        for c in range(channels)
+    ]
+    s1 = [
+        struct.unpack_from("<h", block, 3 * channels + 2 * c)[0]
+        for c in range(channels)
+    ]
+    s2 = [
+        struct.unpack_from("<h", block, 5 * channels + 2 * c)[0]
+        for c in range(channels)
+    ]
+    data = block[hdr:]
+    n_nibbles = len(data) * 2
+    spb = 2 + n_nibbles // channels
+    out = np.empty((spb, channels), np.int16)
+    out[0] = s2
+    out[1] = s1
+    frame = 2
+    ch_i = 0
+    for byte in data:
+        for nib in ((byte >> 4) & 0x0F, byte & 0x0F):
+            c = ch_i % channels
+            c1, c2 = _MSADPCM_COEFS[preds[c]]
+            pred = (s1[c] * c1 + s2[c] * c2) >> 8
+            s = nib - 16 if nib & 8 else nib  # signed 4-bit
+            val = max(-32768, min(32767, pred + s * deltas[c]))
+            s2[c], s1[c] = s1[c], val
+            deltas[c] = max(16, (_MSADPCM_ADAPT[nib] * deltas[c]) >> 8)
+            out[frame + (ch_i // channels), c] = val
+            ch_i += 1
+    return out
+
+
+def encode_msadpcm(
+    samples, sample_rate: int, frames_per_block: int = 500
+) -> bytes:
+    """REAL MS-ADPCM WAV encoder (codec 2): (n, ch) int16 → a
+    standards-conforming stream. Uses predictor 0 (coefs 256, 0 — pure
+    first-order) with initial delta 16 per block; each block stores its
+    first two frames verbatim in the header (sample2 = frame 0,
+    sample1 = frame 1) and quantizes the rest through the adaptive
+    delta ladder. frames_per_block must be even (whole bytes per
+    channel); input truncates to whole blocks."""
+    a = np.asarray(samples, np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    ch = a.shape[1]
+    if frames_per_block % 2:
+        raise ValueError("frames_per_block must be even")
+    nblocks = a.shape[0] // frames_per_block
+    a = a[: nblocks * frames_per_block]
+    block_align = 7 * ch + (frames_per_block - 2) // 2 * ch
+    out = bytearray()
+    for bi in range(nblocks):
+        blk = a[bi * frames_per_block : (bi + 1) * frames_per_block]
+        s2 = [int(v) for v in blk[0]]
+        s1 = [int(v) for v in blk[1]]
+        deltas = [16] * ch
+        out += bytes([0] * ch)
+        for d in deltas:
+            out += struct.pack("<h", d)
+        for v in s1:
+            out += struct.pack("<h", v)
+        for v in s2:
+            out += struct.pack("<h", v)
+        nibs: list[int] = []
+        for fr in range(2, frames_per_block):
+            for c in range(ch):
+                pred = (s1[c] * 256 + s2[c] * 0) >> 8
+                want = int(blk[fr, c]) - pred
+                s = max(-8, min(7, int(round(want / deltas[c]))))
+                nib = s & 0x0F
+                val = max(-32768, min(32767, pred + s * deltas[c]))
+                s2[c], s1[c] = s1[c], val
+                deltas[c] = max(16, (_MSADPCM_ADAPT[nib] * deltas[c]) >> 8)
+                nibs.append(nib)
+        for k in range(0, len(nibs), 2):
+            out.append((nibs[k] << 4) | nibs[k + 1])
+    extra = struct.pack(
+        "<HH", frames_per_block, len(_MSADPCM_COEFS)
+    ) + b"".join(struct.pack("<hh", c1, c2) for c1, c2 in _MSADPCM_COEFS)
+    fmt = struct.pack(
+        "<HHIIHHH", 2, ch, sample_rate,
+        sample_rate * block_align // frames_per_block, block_align, 4,
+        len(extra),
+    ) + extra
+    fact = struct.pack("<I", nblocks * frames_per_block)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(out)) + bytes(out)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 #: IMA/DVI ADPCM tables (public IMA ADPCM spec / Microsoft WAVE format
 #: docs): 89-entry step size table and the 4-bit index adjustment.
 _IMA_STEPS = [
@@ -2682,7 +2805,7 @@ def decode_wav_samples(
         if tag == b"fmt " and size >= 16:
             codec, ch, rate = struct.unpack_from("<HHI", b, o + 8)
             (balign,) = struct.unpack_from("<H", b, o + 20)
-            if codec not in (0x11, 6, 7):
+            if codec not in (0x11, 2, 6, 7):
                 return None
             fmt = (ch, rate, balign, codec)
         elif tag == b"fact" and size >= 4:
@@ -2704,11 +2827,12 @@ def decode_wav_samples(
         if fact_frames is not None:
             samples = samples[:fact_frames]
         return ch, rate, 8, samples.astype(np.int32)
-    if balign < 4 * ch:
+    if balign < (7 if codec == 2 else 4) * ch:
         return None
+    block_fn = decode_msadpcm_block if codec == 2 else decode_ima_adpcm_block
     blocks = []
     for off in range(0, len(data) - balign + 1, balign):
-        blk = decode_ima_adpcm_block(data[off : off + balign], ch)
+        blk = block_fn(data[off : off + balign], ch)
         if blk is None:
             return None
         blocks.append(blk)
