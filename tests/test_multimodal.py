@@ -287,6 +287,64 @@ def test_adpcm_metadata_and_energy(spark):
     ]
 
 
+def test_png_sub8_depths_roundtrip_and_bit_order():
+    """1/2/4-bit PNG: gray (×255/(2^d−1) expansion) and indexed, all
+    filters, plain and Adam7. The MSB-first packing itself is pinned by
+    HAND-DERIVED bytes (the GIF-LZW lesson: roundtrip symmetry would
+    mask an LSB-first slip in both halves)."""
+    import numpy as np
+
+    from youtube_scraper_db_spark.llm import multimodal as M
+
+    # hand-pinned packing: [1,0,1,1,0,0,1,0] → 0b10110010
+    row = np.array([[1, 0, 1, 1, 0, 0, 1, 0]], np.uint8)[:, :, None]
+    assert M._png_sample_bytes(row, 1)[0, 0] == 0xB2
+    row2 = np.array([[3, 0, 2, 1, 1]], np.uint8)[:, :, None]
+    assert M._png_sample_bytes(row2, 2)[0].tolist() == [0xC9, 0x40]
+    assert M._png_unpack_bits(np.array([[0xB2]], np.uint8), 1, 8)[0].tolist() \
+        == [1, 0, 1, 1, 0, 0, 1, 0]
+
+    rng = np.random.default_rng(9)
+    for d in (1, 2, 4):
+        scale = 255 // ((1 << d) - 1)
+        for shape in [(3, 5), (7, 13)]:
+            for interlace in (False, True):
+                px = rng.integers(0, 1 << d, shape).astype(np.uint8)
+                blob = M.encode_png_pixels(
+                    px, [1, 2, 3, 4, 0], bit_depth=d, interlace=interlace
+                )
+                got = M.decode_png_pixels(blob)
+                exp = (px * scale).astype(np.uint8)[:, :, None]
+                assert got is not None and np.array_equal(got, exp), (
+                    d, shape, interlace,
+                )
+
+    pal = [(10, 20, 30), (200, 100, 0), (1, 2, 3), (9, 9, 9)]
+    idx = rng.integers(0, 4, (5, 9)).astype(np.uint8)
+    got = M.decode_png_pixels(
+        M.encode_png_pixels(idx, [3, 1], palette=pal, bit_depth=2)
+    )
+    assert np.array_equal(got, np.array(pal, np.uint8)[idx])
+
+    # spec violations reject: sub-8 RGB encode, and a sub-8 truecolor
+    # IHDR on the decode side
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.encode_png_pixels(
+            np.zeros((2, 2, 3), np.uint8), bit_depth=4
+        )
+    blob = bytearray(M.encode_png_pixels(idx, palette=pal, bit_depth=2))
+    ihdr_at = blob.index(b"IHDR")
+    blob[ihdr_at + 13] = 2  # color type 3 → 2 (truecolor) at depth 2
+    import struct as _struct
+    import zlib as _zlib
+
+    crc = _zlib.crc32(bytes(blob[ihdr_at : ihdr_at + 17])) & 0xFFFFFFFF
+    blob[ihdr_at + 17 : ihdr_at + 21] = _struct.pack(">I", crc)
+    assert M.decode_png_pixels(bytes(blob)) is None
+
+
 def test_png_pixel_roundtrip_all_filters():
     """encode_png_pixels → decode_png_pixels is the identity for every
     filter type and channel layout; the decoder rejects structural

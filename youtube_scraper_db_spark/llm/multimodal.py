@@ -261,13 +261,38 @@ def _png_filter_pass(rows: np.ndarray, filters, bpp: int) -> bytearray:
 
 
 def _png_sample_bytes(px: np.ndarray, depth: int) -> np.ndarray:
-    """(H, W, C) samples → (H, W·C·(depth/8)) big-endian byte rows."""
+    """(H, W, C) samples → scanline byte rows: 8-bit passthrough,
+    16-bit big-endian pairs, sub-8 (1/2/4) packed MSB-first with the
+    final byte zero-padded, per spec."""
     h, w, ch = px.shape
     if depth == 8:
         return px.astype(np.uint8).reshape(h, w * ch)
-    hi = (px >> 8).astype(np.uint8)
-    lo = (px & 0xFF).astype(np.uint8)
-    return np.stack([hi, lo], axis=3).reshape(h, w * ch * 2)
+    if depth == 16:
+        hi = (px >> 8).astype(np.uint8)
+        lo = (px & 0xFF).astype(np.uint8)
+        return np.stack([hi, lo], axis=3).reshape(h, w * ch * 2)
+    n = 8 // depth  # samples per byte (ch == 1 for sub-8)
+    wpad = (w + n - 1) // n * n
+    padded = np.zeros((h, wpad), np.uint8)
+    padded[:, :w] = px.reshape(h, w)
+    grp = padded.reshape(h, wpad // n, n).astype(np.uint16)
+    shifts = [8 - depth * (k + 1) for k in range(n)]
+    out = np.zeros((h, wpad // n), np.uint16)
+    for k, s in enumerate(shifts):
+        out |= grp[:, :, k] << s
+    return out.astype(np.uint8)
+
+
+def _png_unpack_bits(rows: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(H, stride) packed bytes → (H, width) sub-8 sample values,
+    MSB-first, pad bits discarded."""
+    n = 8 // depth
+    mask = (1 << depth) - 1
+    h, stride = rows.shape
+    vals = np.zeros((h, stride, n), np.uint8)
+    for k in range(n):
+        vals[:, :, k] = (rows >> (8 - depth * (k + 1))) & mask
+    return vals.reshape(h, stride * n)[:, :width]
 
 
 def encode_png_pixels(
@@ -278,30 +303,37 @@ def encode_png_pixels(
     interlace: bool = False,
 ) -> bytes:
     """REAL PNG encoder — (H, W) grayscale, (H, W, 3) RGB, or (H, W, 4)
-    RGBA at 8- or 16-bit depth (16-bit samples big-endian per spec) —
-    with per-row FILTER selection so a decoder must implement every
-    unfilter path (None/Sub/Up/Average/Paeth), not just the trivial
-    one. ``row_filters`` cycles over rows; default is filter 0
-    everywhere. With ``palette`` given, ``pixels`` is an (H, W) INDEX
-    array and the output is an indexed-color PNG (color type 3 + PLTE
-    chunk, 8-bit only). ``interlace=True`` emits ADAM7: seven
-    independently-filtered reduced images in pass order (round 5 —
-    previously a documented boundary). Output is a standards-conforming
-    PNG (signature, IHDR, one zlib IDAT, IEND, correct CRCs) that any
-    PNG reader accepts."""
-    if bit_depth not in (8, 16):
-        raise ValueError("bit_depth must be 8 or 16")
-    px = np.asarray(pixels, dtype=np.uint8 if bit_depth == 8 else np.uint16)
+    RGBA at ANY legal depth: 16-bit (big-endian samples), 8-bit, or
+    sub-8 (1/2/4, grayscale/indexed only per spec, samples packed
+    MSB-first with zero pad) — with per-row FILTER selection so a
+    decoder must implement every unfilter path
+    (None/Sub/Up/Average/Paeth), not just the trivial one.
+    ``row_filters`` cycles over rows; default is filter 0 everywhere.
+    With ``palette`` given, ``pixels`` is an (H, W) INDEX array and the
+    output is an indexed-color PNG (color type 3 + PLTE chunk, depth ≤
+    8). ``interlace=True`` emits ADAM7: seven independently-filtered
+    reduced images in pass order, each packing its own scanlines.
+    Output is a standards-conforming PNG (signature, IHDR, one zlib
+    IDAT, IEND, correct CRCs) that any PNG reader accepts."""
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError("bit_depth must be 1, 2, 4, 8 or 16")
+    px = np.asarray(pixels, dtype=np.uint16 if bit_depth == 16 else np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
+    if bit_depth < 8:
+        # spec: sub-8 depths exist only for grayscale and indexed color
+        if ch != 1:
+            raise ValueError("sub-8-bit PNG is grayscale or indexed only")
+        if int(px.max(initial=0)) >= (1 << bit_depth):
+            raise ValueError("sample exceeds bit depth")
     if palette is not None:
-        if ch != 1 or bit_depth != 8:
-            raise ValueError("palette PNG takes an 8-bit (H, W) index array")
+        if ch != 1 or bit_depth == 16:
+            raise ValueError("palette PNG takes a ≤8-bit (H, W) index array")
         color_type = 3
     else:
         color_type = {1: 0, 3: 2, 4: 6}[ch]
-    bpp = ch * (bit_depth // 8)
+    bpp = max(1, ch * (bit_depth // 8))
     raw = bytearray()
     if interlace:
         for x0, y0, dx, dy in _ADAM7:
@@ -337,14 +369,17 @@ def decode_png_pixels(content: bytes | None):
     numpy only): chunk walk with CRC verification → IDAT concatenation →
     zlib inflate → per-scanline unfilter of all five PNG filter types
     (None, Sub, Up, Average, Paeth) → palette lookup for indexed color.
-    Supports 8- and 16-bit depths (16-bit big-endian samples; filtering
-    operates on BYTES with the left-neighbor offset at bytes-per-pixel,
-    per spec) and ADAM7 interlace (seven independently-filtered reduced
-    images scattered back onto the (x0,y0,dx,dy) grid) — both were
-    documented boundaries through round 4. Returns (H, W, C) uint8, or
-    uint16 for 16-bit files, or None for anything outside the profile —
-    sub-8-bit depths (1/2/4) — or any structural corruption (bad CRC,
-    truncated IDAT, wrong stream length, out-of-palette index).
+    Supports EVERY legal PNG bit depth: 16-bit (big-endian sample
+    pairs), 8-bit, and sub-8 (1/2/4 — grayscale and indexed only, per
+    spec) with MSB-first packed samples unpacked after unfiltering and
+    grayscale expanded to the full 8-bit range (×255/(2^d−1));
+    filtering operates on BYTES with the left-neighbor offset at
+    max(1, bytes-per-pixel); ADAM7 interlace scatters seven
+    independently-filtered reduced images back onto the (x0,y0,dx,dy)
+    grid, each pass packing its own scanlines. Returns (H, W, C)
+    uint8, or uint16 for 16-bit files, or None for any structural
+    corruption (bad CRC, truncated IDAT, wrong stream length,
+    out-of-palette index, sub-8 color types the spec forbids).
 
     Sub/Average/Paeth reconstruction is inherently sequential in x (each
     byte depends on the reconstructed byte one pixel left), so those
@@ -372,9 +407,10 @@ def decode_png_pixels(content: bytes | None):
                 return None
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
             if (
-                depth not in (8, 16)
+                depth not in (1, 2, 4, 8, 16)
                 or ctype not in (0, 2, 3, 6)
-                or (ctype == 3 and depth != 8)
+                or (depth < 8 and ctype not in (0, 3))
+                or (ctype == 3 and depth == 16)
                 or comp
                 or filt
                 or interlace > 1
@@ -402,8 +438,11 @@ def decode_png_pixels(content: bytes | None):
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    bs = depth // 8
-    bpp = ch * bs
+    bpp = max(1, ch * (depth // 8))
+
+    def _stride(pw: int) -> int:
+        return (pw * ch * depth + 7) // 8
+
     passes = (
         [
             (x0, y0, dx, dy)
@@ -414,31 +453,35 @@ def decode_png_pixels(content: bytes | None):
         else [(0, 0, 1, 1)]
     )
     expected = sum(
-        ((h - y0 + dy - 1) // dy) * (1 + ((w - x0 + dx - 1) // dx) * bpp)
+        ((h - y0 + dy - 1) // dy) * (1 + _stride((w - x0 + dx - 1) // dx))
         for x0, y0, dx, dy in passes
     )
     if len(raw) != expected:
         return None
-    full = np.zeros((h, w, ch), dtype=np.uint8 if depth == 8 else np.uint16)
+    full = np.zeros((h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8)
     pos = 0
     for x0, y0, dx, dy in passes:
         pw = (w - x0 + dx - 1) // dx
         ph = (h - y0 + dy - 1) // dy
-        rec = _png_unfilter_pass(raw, pos, ph, pw * bpp, bpp)
+        rec = _png_unfilter_pass(raw, pos, ph, _stride(pw), bpp)
         if rec is None:
             return None
         out, pos = rec
         if depth == 8:
             samples = out.reshape(ph, pw, ch)
-        else:
+        elif depth == 16:
             pairs = out.reshape(ph, pw, ch, 2).astype(np.uint16)
             samples = (pairs[:, :, :, 0] << 8) | pairs[:, :, :, 1]
+        else:  # sub-8: MSB-first packed samples, ch == 1
+            samples = _png_unpack_bits(out, depth, pw)[:, :, None]
         full[y0::dy, x0::dx] = samples
     if ctype == 3:
         idx = full.reshape(h, w)
         if int(idx.max(initial=0)) >= len(plte):
             return None
         return plte[idx]  # (H, W, 3) — palette lookup IS the decode
+    if depth < 8:  # grayscale: expand to the full 8-bit range, per spec
+        return (full * (255 // ((1 << depth) - 1))).astype(np.uint8)
     return full
 
 
@@ -1943,7 +1986,7 @@ def image_pixel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                         head = bytes(c or b"")[:8]
                         raise NotImplementedError(
                             f"unsupported or malformed image payload (header "
-                            f"{head!r}); pixel decode covers 8/16-bit "
+                            f"{head!r}); pixel decode covers 1-16-bit "
                             f"gray/RGB/indexed/RGBA PNG (incl. Adam7), "
                             f"LZW GIF, 24-bit BMP, and baseline or "
                             f"progressive JPEG"

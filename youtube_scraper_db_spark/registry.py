@@ -6512,19 +6512,32 @@ def classic_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH px AS (
       SELECT doc_id,
              4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h,
-             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch,
+             CASE WHEN doc_id % 5 = 0 THEN 16
+                  WHEN doc_id % 3 = 0 THEN
+                    CASE (doc_id // 3) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                         WHEN 2 THEN 4 ELSE 8 END
+                  ELSE 8 END AS d
       FROM documents WHERE doc_id < 120
+    ),
+    cell AS (
+      SELECT doc_id, w, h, ch, d, i,
+             (((i // (w * ch)) * 31 + ((i // ch) % w) * 7
+               + (i % ch) * 11 + doc_id) % 251) AS base
+      FROM px, LATERAL unnest(range(0, w * h * ch)) t(i)
+    ),
+    dec AS (
+      SELECT doc_id, w, h, ch, i,
+             CASE WHEN d = 16 THEN base * 257
+                  WHEN d = 8 THEN base
+                  ELSE (base % (1 << d)) * (255 // ((1 << d) - 1))
+             END AS v
+      FROM cell
     ),
     vals AS (
       SELECT doc_id, w, h, ch,
-             SUM((((i // (w * ch)) * 31 + ((i // ch) % w) * 7
-                  + (i % ch) * 11 + doc_id) % 251)
-                 * (CASE WHEN doc_id % 5 = 0 THEN 257 ELSE 1 END)) AS s,
-             SUM((i + 1) * ((((i // (w * ch)) * 31 + ((i // ch) % w) * 7
-                  + (i % ch) * 11 + doc_id) % 251)
-                 * (CASE WHEN doc_id % 5 = 0 THEN 257 ELSE 1 END))) AS ws
-      FROM px, LATERAL unnest(range(0, w * h * ch)) t(i)
-      GROUP BY doc_id, w, h, ch
+             SUM(v) AS s, SUM((i + 1) * v) AS ws
+      FROM dec GROUP BY doc_id, w, h, ch
     )
     SELECT doc_id AS asset_id,
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
@@ -6546,14 +6559,17 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, and unfilter every scanline correctly to reproduce the
     pixel sums the oracle recomputes from the generative formula. A
     single mis-predicted byte anywhere breaks px_sum. Round 5 closes
-    the two remaining PNG boundaries and folds them into this gate's
+    the remaining PNG boundaries and folds them into this gate's
     corpus: every ODD doc_id is ADAM7-INTERLACED (seven independently
     filtered reduced images the kernel must scatter back onto the
     pass grid — a wrong pass origin/step breaks the position-weighted
-    px_wsum even where the plain sum survives), and every doc_id ≡ 0
+    px_wsum even where the plain sum survives), every doc_id ≡ 0
     (mod 5) is 16-BIT (samples ×257 spread over the full range,
     big-endian byte pairs, unfiltering at the 2-byte-per-sample
-    offset). Integer stats only (px_sum, mean_milli = sum·1000 //
+    offset), and grayscale rows cycle SUB-8 depths ((doc_id//3)%4 →
+    1/2/4/8 bits — MSB-first packed samples the kernel must unpack
+    after unfiltering and expand ×255/(2^d−1), including packed Adam7
+    pass rows). Integer stats only (px_sum, mean_milli = sum·1000 //
     count) so the comparison is engine-exact; the pixel-buffer sha256
     the kernel also emits is pytest-covered (not SQL-expressible).
     Blob synthesis is bounded driver-side scaffolding (<120 rows);
@@ -6576,12 +6592,18 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
         )
         base = (r * 31 + c * 7 + k * 11 + i) % 251
-        depth = 16 if i % 5 == 0 else 8
-        px = (
-            (base * 257).astype(np.uint16)
-            if depth == 16
-            else base.astype(np.uint8)
-        )
+        if i % 5 == 0:
+            depth = 16
+        elif i % 3 == 0:
+            depth = (1, 2, 4, 8)[(i // 3) % 4]
+        else:
+            depth = 8
+        if depth == 16:
+            px = (base * 257).astype(np.uint16)
+        elif depth == 8:
+            px = base.astype(np.uint8)
+        else:  # sub-8 rows are grayscale (ch == 1 ⟺ i % 3 == 0)
+            px = (base % (1 << depth)).astype(np.uint8)
         if ch == 1:
             px = px[:, :, 0]
         filters = [(rr + i) % 5 for rr in range(h)]
