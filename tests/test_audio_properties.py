@@ -105,6 +105,67 @@ def test_adpcm_encode_agrees_with_independent_reference(samples, channels):
     assert got.tolist() == ref
 
 
+#: Independent MS-ADPCM tables (Microsoft WAVE docs) — NOT imported
+#: from the library.
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ref_ms_decode_block(block: bytes, channels: int) -> list[list[int]]:
+    """Spec-rule MS-ADPCM block decode, structured differently from the
+    library (nibble list per channel first, then a flat replay)."""
+    import struct as _s
+
+    preds = list(block[:channels])
+    deltas = [_s.unpack_from("<h", block, channels + 2 * c)[0] for c in range(channels)]
+    s1 = [_s.unpack_from("<h", block, 3 * channels + 2 * c)[0] for c in range(channels)]
+    s2 = [_s.unpack_from("<h", block, 5 * channels + 2 * c)[0] for c in range(channels)]
+    nibs = []
+    for byte in block[7 * channels:]:
+        nibs.extend([(byte >> 4) & 0x0F, byte & 0x0F])
+    frames = [list(s2), list(s1)]
+    row: list[int] = []
+    for j, nib in enumerate(nibs):
+        c = j % channels
+        c1, c2 = _MS_COEFS[preds[c]]
+        pred = (s1[c] * c1 + s2[c] * c2) >> 8
+        signed = nib - 16 if nib >= 8 else nib
+        val = max(-32768, min(32767, pred + signed * deltas[c]))
+        s2[c], s1[c] = s1[c], val
+        deltas[c] = max(16, (_MS_ADAPT[nib] * deltas[c]) >> 8)
+        row.append(val)
+        if len(row) == channels:
+            frames.append(row)
+            row = []
+    return frames
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=2,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_msadpcm_encode_agrees_with_independent_reference(samples, channels):
+    n = max(2, len(samples) // 2 * 2)  # even frame count
+    sig = np.tile(np.asarray(samples[:n], np.int16)[:, None], (1, channels))
+    for c in range(1, channels):
+        sig[:, c] = np.roll(sig[:, c], c)
+    wav = M.encode_msadpcm(sig, 8000, frames_per_block=n)
+    dec = M.decode_wav_samples(wav)
+    assert dec is not None
+    _, _, _, got = dec
+    i = wav.index(b"data")
+    size = int.from_bytes(wav[i + 4 : i + 8], "little")
+    ref = _ref_ms_decode_block(wav[i + 8 : i + 8 + size], channels)
+    assert got.tolist() == ref
+
+
 def test_msadpcm_hand_block_and_roundtrip():
     """MS-ADPCM (WAV codec 2): hand-derived single block — predictor 0
     (coefs 256,0 ⇒ pred = sample1), delta 16; nibble 0x1 → 110+16=126,
