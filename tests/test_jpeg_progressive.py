@@ -292,6 +292,43 @@ def test_progressive_encoder_matches_baseline_and_interops():
     assert got is not None and np.array_equal(got, exp)
 
 
+def test_twelve_bit_precision_both_entropy_layouts():
+    """12-bit JPEG (SOF1 extended sequential / 12-bit SOF2): wider
+    DC/AC category ranges, 2048 level shift, uint16 output. Both
+    layouts must decode a block-constant image bit-exactly (the gate's
+    exactness precondition) and agree bit-for-bit on arbitrary images;
+    SOF0 claiming 12-bit precision is a spec violation and rejects."""
+    rng = np.random.default_rng(21)
+    bv = ((np.arange(3)[:, None] * 31 + np.arange(4)[None, :] * 7) * 16 + 5) % 4096
+    px = np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1).astype(np.uint16)
+    for prog in (False, True):
+        for ri in (0, 2):
+            got = M.decode_jpeg_pixels(
+                M.encode_jpeg_pixels(
+                    px, restart_interval=ri, progressive=prog, precision=12
+                )
+            )
+            assert got is not None and got.dtype == np.uint16
+            assert np.array_equal(got[:, :, 0], px), (prog, ri)
+
+    rnd = rng.integers(0, 4096, (24, 17)).astype(np.uint16)
+    a = M.decode_jpeg_pixels(M.encode_jpeg_pixels(rnd, precision=12))
+    b = M.decode_jpeg_pixels(
+        M.encode_jpeg_pixels(rnd, precision=12, progressive=True)
+    )
+    assert a is not None and np.array_equal(a, b)
+    assert np.abs(a[:, :, 0].astype(int) - rnd.astype(int)).max() <= 4 * 8
+
+    color = rng.integers(0, 4096, (16, 16, 3)).astype(np.uint16)
+    c = M.decode_jpeg_pixels(M.encode_jpeg_pixels(color, precision=12))
+    assert c is not None and c.shape == (16, 16, 3) and c.dtype == np.uint16
+
+    blob = bytearray(M.encode_jpeg_pixels(px.astype(np.uint8)))
+    i = blob.index(b"\xff\xc0")
+    blob[i + 4] = 12  # SOF0 + 12-bit: forbidden combination
+    assert M.decode_jpeg_pixels(bytes(blob)) is None
+
+
 def test_progressive_rejects_malformed():
     head = _head(8, 8, [(1, 0x11)])
     assert M.decode_jpeg_pixels(head + b"\xff\xd9") is None  # no scans

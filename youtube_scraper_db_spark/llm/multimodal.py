@@ -19,7 +19,7 @@ numpy):
 - AVI/MJPEG video — RIFF container walk, frame inventory, stride
   sampling, per-frame JPEG header geometry (``sample_avi_frames``).
 
-Remaining boundaries: arithmetic-coded/12-bit/hierarchical/lossless JPEG
+Remaining boundaries: arithmetic-coded/hierarchical/lossless JPEG
 (decode returns None; strict kernels raise ``NotImplementedError``).
 
 Scale notes: binary payloads dominate row size → keep
@@ -984,9 +984,10 @@ def decode_bmp_pixels(content: bytes | None):
 # encoder whose tables travel in DHT/DQT so any external decoder reads
 # its output. Round 5 also adds progressive (SOF2) decode: T.81 Annex G
 # spectral-selection + successive-approximation scans accumulate into a
-# per-component coefficient store reconstructed at EOI. Remaining
-# boundaries: arithmetic coding, 12-bit precision, hierarchical,
-# lossless — decode returns None there.
+# per-component coefficient store reconstructed at EOI, and 12-BIT
+# precision (SOF1/12-bit SOF2: wider DC/AC category ranges, 2048 level
+# shift, uint16 output). Remaining boundaries: arithmetic coding,
+# hierarchical, lossless — decode returns None there.
 # ---------------------------------------------------------------------------
 
 #: Zigzag scan order: raster index of each of the 64 coefficients in
@@ -1025,7 +1026,7 @@ _JPEG_FIXTURE_QT = np.full((8, 8), 16, dtype=np.int64)
 _JPEG_FIXTURE_QT[0, 0] = 8
 
 
-def _jpeg_fixed_tables(progressive: bool = False) -> dict:
+def _jpeg_fixed_tables(progressive: bool = False, precision: int = 8) -> dict:
     """Fixed, spec-valid canonical Huffman tables for the encoder: DC —
     the 12 magnitude categories at 4 bits each (codes 0000…1011; the
     all-ones code stays unused as T.81 requires); AC — all 162 baseline
@@ -1034,20 +1035,20 @@ def _jpeg_fixed_tables(progressive: bool = False) -> dict:
     tables are written into DHT, so any conforming decoder reads the
     stream; optimality only changes compression ratio. With
     ``progressive`` the AC table additionally carries the EOBn symbols
-    0x10…0xE0 (run lengths 2…2^15-1, T.81 G.1.2.2) — 176 codes, still
-    within the 255 eight-bit codes canonical assignment allows."""
-    dc_vals = list(range(12))
+    0x10…0xE0 (run lengths 2…2^15-1, T.81 G.1.2.2). At 12-bit
+    ``precision`` the ranges widen per spec: DC categories 0-15 (coded
+    at 5 bits so the all-ones word stays free) and AC sizes 1-14 —
+    still within the 255 codes canonical 8-bit assignment allows."""
+    n_dc = 12 if precision == 8 else 16
+    dc_vals = list(range(n_dc))
     dc_bits = [0] * 16
-    dc_bits[3] = 12  # twelve 4-bit codes
-    ac_vals = [0x00, 0xF0] + [
-        (r << 4) | s for r in range(16) for s in range(1, 11)
-    ]
-    if progressive:
-        ac_vals = [0x00] + [r << 4 for r in range(1, 15)] + [0xF0] + [
-            (r << 4) | s for r in range(16) for s in range(1, 11)
-        ]
+    dc_bits[3 if precision == 8 else 4] = n_dc
+    s_max = 10 if precision == 8 else 14
+    ac_vals = ([0x00] + ([r << 4 for r in range(1, 15)] if progressive else [])
+               + [0xF0]
+               + [(r << 4) | s for r in range(16) for s in range(1, s_max + 1)])
     ac_bits = [0] * 16
-    ac_bits[7] = len(ac_vals)  # 162 (baseline) / 176 (progressive) codes
+    ac_bits[7] = len(ac_vals)
     return {
         "dc_bits": dc_bits, "dc_vals": dc_vals,
         "ac_bits": ac_bits, "ac_vals": ac_vals,
@@ -1194,10 +1195,11 @@ def _jpeg_code_dc_diff(writer, dc_enc, diff: int) -> None:
         writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
 
 
-def _jpeg_code_ac_runs(writer, ac_enc, q, last: int) -> None:
+def _jpeg_code_ac_runs(writer, ac_enc, q, last: int, s_max: int = 10) -> None:
     """Run-length code AC coefficients q[1..last] (zigzag order), NOT
     including any trailing EOB — the caller decides between baseline
-    EOB and a progressive EOB run."""
+    EOB and a progressive EOB run. ``s_max`` is 10 at 8-bit precision,
+    14 at 12-bit (T.81 magnitude-category limits)."""
     run = 0
     for k in range(1, last + 1):
         v = int(q[k])
@@ -1209,9 +1211,9 @@ def _jpeg_code_ac_runs(writer, ac_enc, q, last: int) -> None:
             writer.put(c_, l_)
             run -= 16
         s = _jpeg_category(v)
-        if s > 10:  # baseline AC categories stop at 10
-            v = 1023 if v > 0 else -1023
-            s = 10
+        if s > s_max:
+            v = (1 << s_max) - 1 if v > 0 else -((1 << s_max) - 1)
+            s = s_max
         c_, l_ = ac_enc[(run << 4) | s]
         writer.put(c_, l_)
         writer.put(v if v >= 0 else v + (1 << s) - 1, s)
@@ -1223,6 +1225,7 @@ def encode_jpeg_pixels(
     qt: np.ndarray | None = None,
     restart_interval: int = 0,
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """REAL JPEG encoder (Huffman): (H, W) grayscale or (H, W, 3) RGB
     uint8 → a standards-conforming JFIF byte stream. RGB converts to
@@ -1240,7 +1243,12 @@ def encode_jpeg_pixels(
     component with cross-block EOB-run coding — the quantized
     coefficients are identical to the baseline stream's, so both modes
     decode to the same pixels."""
-    px = np.asarray(pixels, dtype=np.uint8)
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    mid = float(1 << (precision - 1))
+    px = np.asarray(
+        pixels, dtype=np.uint8 if precision == 8 else np.uint16
+    )
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if qt is None:
@@ -1252,8 +1260,8 @@ def encode_jpeg_pixels(
         rgb = px.astype(np.float64)
         r_, g_, b_ = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
         y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
-        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
-        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + mid
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + mid
         planes = [y, cb, cr]
     bh, bw = (h + 7) // 8, (w + 7) // 8
     ph, pw = bh * 8, bw * 8
@@ -1268,7 +1276,7 @@ def encode_jpeg_pixels(
         arr = np.empty((bh, bw, 64), np.int64)
         for by in range(bh):
             for bx in range(bw):
-                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - mid
                 coef = _DCT_A @ block @ _DCT_A.T
                 arr[by, bx] = np.round(coef.reshape(-1)[zz] / qzz).astype(
                     np.int64
@@ -1276,7 +1284,7 @@ def encode_jpeg_pixels(
         qcoef.append(arr)
     ncomp = len(planes)
 
-    tabs = _jpeg_fixed_tables(progressive)
+    tabs = _jpeg_fixed_tables(progressive, precision)
     dc_enc = _jpeg_huff_codes(tabs["dc_bits"], tabs["dc_vals"])
     ac_enc = _jpeg_huff_codes(tabs["ac_bits"], tabs["ac_vals"])
 
@@ -1289,9 +1297,10 @@ def encode_jpeg_pixels(
             body += bytes([cid, 0x00])
         return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
+    s_max = 10 if precision == 8 else 14
     if progressive:
         entropy = _jpeg_progressive_scans(
-            qcoef, restart_interval, dc_enc, ac_enc, sos
+            qcoef, restart_interval, dc_enc, ac_enc, sos, s_max
         )
     else:
         writer = _JpegBitWriter()
@@ -1312,7 +1321,7 @@ def encode_jpeg_pixels(
                     _jpeg_code_dc_diff(writer, dc_enc, diff)
                     nz = np.nonzero(q[1:])[0]
                     last = int(nz[-1] + 1) if len(nz) else 0
-                    _jpeg_code_ac_runs(writer, ac_enc, q, last)
+                    _jpeg_code_ac_runs(writer, ac_enc, q, last, s_max)
                     if last < 63:
                         c_, l_ = ac_enc[0x00]  # EOB
                         writer.put(c_, l_)
@@ -1326,9 +1335,12 @@ def encode_jpeg_pixels(
     sof_comps = b"".join(
         bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
     )
+    # SOF0 baseline only exists at 8-bit; 12-bit sequential is SOF1
+    # (extended sequential), per T.81 Table B.1
+    sof_marker = 0xC2 if progressive else (0xC0 if precision == 8 else 0xC1)
     sof_ = seg(
-        0xC2 if progressive else 0xC0,
-        struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps,
+        sof_marker,
+        struct.pack(">BHHB", precision, h, w, ncomp) + sof_comps,
     )
     dht = seg(
         0xC4,
@@ -1342,7 +1354,9 @@ def encode_jpeg_pixels(
     )
 
 
-def _jpeg_progressive_scans(qcoef, restart_interval, dc_enc, ac_enc, sos):
+def _jpeg_progressive_scans(
+    qcoef, restart_interval, dc_enc, ac_enc, sos, s_max: int = 10
+):
     """Entropy-coded progressive scan sequence (T.81 Annex G) over the
     precomputed quantized coefficients: interleaved DC first (Al=1) →
     DC refinement (the final bit, raw) → per-component full-band AC
@@ -1425,7 +1439,7 @@ def _jpeg_progressive_scans(qcoef, restart_interval, dc_enc, ac_enc, sos):
                     pending += 1
                 else:
                     flush_eob()
-                    _jpeg_code_ac_runs(writer, ac_enc, q, last)
+                    _jpeg_code_ac_runs(writer, ac_enc, q, last, s_max)
                     if last < 63:
                         pending = 1
                 unit += 1
@@ -1441,11 +1455,12 @@ def decode_jpeg_pixels(content: bytes | None):
     decode with byte un-stuffing and RSTn handling → DC-diff + AC
     run-length Huffman per block → dequantize, de-zigzag, float64 IDCT,
     level shift → nearest-neighbor chroma upsample (sampling factors 1
-    or 2) → YCbCr→RGB. Returns (H, W, 1) uint8 for grayscale, (H, W, 3)
-    for color, or None for anything outside the profile — arithmetic
-    coding, 12-bit, hierarchical, lossless — or any structural
-    corruption (bad marker walk, missing tables, truncated entropy
-    data). Progressive (SOF2) streams take the Annex G path: each scan
+    or 2) → YCbCr→RGB. Returns (H, W, 1) for grayscale, (H, W, 3) for
+    color — uint8 at 8-bit precision, uint16 at 12-bit (SOF1/SOF2
+    only; SOF0 is 8-bit by definition) — or None for anything outside
+    the profile — arithmetic coding, hierarchical, lossless — or any
+    structural corruption (bad marker walk, missing tables, truncated
+    entropy data). Progressive (SOF2) streams take the Annex G path: each scan
     merges into a per-component zigzag coefficient store
     (``_jpeg_prog_scan``) and pixels materialize at EOI. IDCT in float64 is IEEE-deterministic, so output bytes are
     stable across runs and hosts."""
@@ -1511,9 +1526,11 @@ def decode_jpeg_pixels(content: bytes | None):
                 j += 17 + n
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", payload[:2])[0]
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline (8-bit only, per spec) / SOF1 extended
+            # sequential / SOF2 progressive (both 8- or 12-bit)
             prec = payload[0]
-            if prec != 8:
+            if prec != 8 and (marker == 0xC0 or prec != 12):
                 return None
             fh, fw = struct.unpack(">HH", payload[1:5])
             nc = payload[5]
@@ -1523,21 +1540,9 @@ def decode_jpeg_pixels(content: bytes | None):
                 hv = payload[7 + 3 * c_]
                 tq = payload[8 + 3 * c_]
                 comps.append([cid, hv >> 4, hv & 0x0F, tq])
-            sof = (fh, fw, comps)
-        elif marker == 0xC2:  # progressive, Huffman (round 5: supported)
-            prec = payload[0]
-            if prec != 8:
-                return None
-            fh, fw = struct.unpack(">HH", payload[1:5])
-            nc = payload[5]
-            comps = []
-            for c_ in range(nc):
-                cid = payload[6 + 3 * c_]
-                hv = payload[7 + 3 * c_]
-                tq = payload[8 + 3 * c_]
-                comps.append([cid, hv >> 4, hv & 0x0F, tq])
-            sof = (fh, fw, comps)
-            progressive = True
+            sof = (fh, fw, comps, prec)
+            if marker == 0xC2:
+                progressive = True
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -1579,7 +1584,7 @@ def _jpeg_prog_store(sof):
     """Per-component ZIGZAG-order coefficient arrays sized to the padded
     MCU grid (interleaved DC scans code the padding blocks too;
     reconstruction crops them away)."""
-    fh, fw, comps = sof
+    fh, fw, comps, prec = sof
     if fh == 0 or fw == 0:
         return None
     hmax = max(c[1] for c in comps)
@@ -1605,7 +1610,7 @@ def _jpeg_prog_scan(
     block ORed in at Al), AC first (per-band run-length with EOB-run
     coding across blocks), AC refinement (correction bits for
     already-nonzero coefficients + ±1<<Al insertions)."""
-    fh, fw, comps = sof
+    fh, fw, comps, prec = sof
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (fw + 8 * hmax - 1) // (8 * hmax)
@@ -1637,7 +1642,7 @@ def _jpeg_prog_scan(
             if td not in dc_tabs:
                 return False
             t = _huff_read(reader, dc_tabs[td])
-            if t is None or t > 11:
+            if t is None or t > (11 if prec == 8 else 15):
                 return False
             if t:
                 r_ = reader.receive(t)
@@ -1797,7 +1802,7 @@ def _jpeg_prog_scan(
 def _jpeg_prog_reconstruct(sof, qts, store):
     """Dequantize + IDCT the accumulated progressive coefficients into
     pixels (same color path as the sequential decoder)."""
-    fh, fw, comps = sof
+    fh, fw, comps, prec = sof
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     zz = _JPEG_ZZ
@@ -1816,7 +1821,7 @@ def _jpeg_prog_reconstruct(sof, qts, store):
         )
         plane = (
             f.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-            + 128.0
+            + float(1 << (prec - 1))
         )
         cw = (fw * ch + hmax - 1) // hmax
         chh = (fh * cv + vmax - 1) // vmax
@@ -1825,22 +1830,12 @@ def _jpeg_prog_reconstruct(sof, qts, store):
             np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
         )
         out_planes.append(plane[:fh, :fw])
-    if len(out_planes) == 1:
-        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return g[:, :, None]
-    if len(out_planes) != 3:
-        return None
-    y, cb, cr = out_planes
-    r_ = y + 1.402 * (cr - 128.0)
-    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b_ = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r_, g_, b_], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _jpeg_to_pixels(out_planes, prec)
 
 
 def _jpeg_scan(b, pos, sof, smap, qts, dc_tabs, ac_tabs, restart):
     """Decode the (single, non-progressive) scan into pixels."""
-    fh, fw, comps = sof
+    fh, fw, comps, prec = sof
     if fh == 0 or fw == 0:
         return None
     hmax = max(c[1] for c in comps)
@@ -1860,6 +1855,8 @@ def _jpeg_scan(b, pos, sof, smap, qts, dc_tabs, ac_tabs, restart):
     reader = _JpegBitReader(b, pos)
     pred = [0] * len(comps)
     zz = _JPEG_ZZ
+    mid = float(1 << (prec - 1))
+    t_max = 11 if prec == 8 else 15  # 12-bit: DC categories reach 15
     mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -1875,7 +1872,7 @@ def _jpeg_scan(b, pos, sof, smap, qts, dc_tabs, ac_tabs, restart):
                 for v_ in range(cv):
                     for h_ in range(ch):
                         t = _huff_read(reader, dct)
-                        if t is None or t > 11:
+                        if t is None or t > t_max:
                             return None
                         if t:
                             r_ = reader.receive(t)
@@ -1908,24 +1905,34 @@ def _jpeg_scan(b, pos, sof, smap, qts, dc_tabs, ac_tabs, restart):
                         f = _DCT_A.T @ blk.reshape(8, 8) @ _DCT_A
                         y0 = (my * cv + v_) * 8
                         x0 = (mx * ch + h_) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = f + 128.0
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = f + mid
             mcu += 1
     out_planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         p = planes[ci]
         p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         out_planes.append(p[:fh, :fw])
+    return _jpeg_to_pixels(out_planes, prec)
+
+
+def _jpeg_to_pixels(out_planes, prec: int):
+    """Level-shifted component planes → clamped pixel array: (H, W, 1)
+    for grayscale, (H, W, 3) RGB for YCbCr; uint8 at 8-bit precision,
+    uint16 at 12-bit (range 0..4095)."""
+    mid = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dt = np.uint8 if prec == 8 else np.uint16
     if len(out_planes) == 1:
-        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        g = np.clip(np.round(out_planes[0]), 0, maxv).astype(dt)
         return g[:, :, None]
     if len(out_planes) != 3:
         return None
     y, cb, cr = out_planes
-    r_ = y + 1.402 * (cr - 128.0)
-    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b_ = y + 1.772 * (cb - 128.0)
+    r_ = y + 1.402 * (cr - mid)
+    g_ = y - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+    b_ = y + 1.772 * (cb - mid)
     rgb = np.stack([r_, g_, b_], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(dt)
 
 
 def decode_image_pixels(content: bytes | None):

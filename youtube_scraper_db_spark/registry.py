@@ -6636,14 +6636,21 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h
       FROM documents WHERE doc_id < 120
     ),
-    vals AS (
-      SELECT doc_id, w, h,
-             SUM((((i // w) // 8) * 31 + ((i % w) // 8) * 7 + doc_id)
-                 % 251) AS s,
-             SUM((i + 1) * ((((i // w) // 8) * 31 + ((i % w) // 8) * 7
-                 + doc_id) % 251)) AS ws
+    cell AS (
+      SELECT doc_id, w, h, i,
+             ((((i // w) // 8) * 31 + ((i % w) // 8) * 7 + doc_id) % 251)
+               AS base
       FROM px, LATERAL unnest(range(0, w * h)) t(i)
-      GROUP BY doc_id, w, h
+    ),
+    dec AS (
+      SELECT doc_id, w, h, i,
+             CASE WHEN doc_id % 5 = 0 THEN base * 16 + doc_id % 16
+                  ELSE base END AS v
+      FROM cell
+    ),
+    vals AS (
+      SELECT doc_id, w, h, SUM(v) AS s, SUM((i + 1) * v) AS ws
+      FROM dec GROUP BY doc_id, w, h
     )
     SELECT doc_id AS asset_id,
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
@@ -6662,12 +6669,15 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-3 high, restart interval cycling 0/1/2 by doc_id so the DRI +
     RSTn path — byte alignment, predictor reset — is exercised across
     the corpus; odd doc_ids are PROGRESSIVE SOF2 streams — DC-first
-    Al=1, DC refinement, EOB-run-coded AC scans — so both entropy
-    layouts are oracle-gated), and the Arrow kernel must walk the
-    markers, build the DHT Huffman tables, un-stuff the entropy bytes,
-    decode DC-diff + AC run-lengths (or accumulate Annex G scans),
-    dequantize and IDCT every block to reproduce the oracle's
-    arithmetic. The fixtures are BLOCK-CONSTANT
+    Al=1, DC refinement, EOB-run-coded AC scans — and doc_ids ≡ 0
+    (mod 5) are 12-BIT precision (SOF1 extended sequential or 12-bit
+    SOF2; wider DC/AC category ranges, 2048 level shift, uint16
+    samples ×16 spread over the 0..4095 range) so every entropy layout
+    × precision combination is oracle-gated), and the Arrow kernel
+    must walk the markers, build the DHT Huffman tables, un-stuff the
+    entropy bytes, decode DC-diff + AC run-lengths (or accumulate
+    Annex G scans), dequantize and IDCT every block to reproduce the
+    oracle's arithmetic. The fixtures are BLOCK-CONSTANT
     images under a q[0,0]=8 table, which makes the lossy codec's
     output bit-exact (flat block ⇒ only the DC coefficient is nonzero
     and its quantize/dequantize/IDCT chain is integer-exact), so the
@@ -6695,7 +6705,13 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in ids:
         w, h = 8 * (1 + i % 4), 8 * (1 + i % 3)
         bi, bj = np.meshgrid(np.arange(h // 8), np.arange(w // 8), indexing="ij")
-        bv = ((bi * 31 + bj * 7 + i) % 251).astype(np.uint8)
+        base = (bi * 31 + bj * 7 + i) % 251
+        prec = 12 if i % 5 == 0 else 8
+        bv = (
+            (base * 16 + i % 16).astype(np.uint16)
+            if prec == 12
+            else base.astype(np.uint8)
+        )
         px = np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1)
         blobs.append(
             (
@@ -6705,6 +6721,7 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         px,
                         restart_interval=i % 3,
                         progressive=bool(i % 2),
+                        precision=prec,
                     )
                 ),
             )
