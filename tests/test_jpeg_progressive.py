@@ -329,6 +329,55 @@ def test_twelve_bit_precision_both_entropy_layouts():
     assert M.decode_jpeg_pixels(bytes(blob)) is None
 
 
+def test_lossless_exact_all_predictors_and_precisions():
+    """SOF3 lossless (Annex H): every predictor selector 1-7 at
+    8/12/16-bit precision must decode ARBITRARY images bit-exactly,
+    with and without restart intervals; 16-bit extremes exercise the
+    modulo-2^16 difference wrap and the no-magnitude-bits category
+    16."""
+    rng = np.random.default_rng(31)
+    for prec, hi in ((8, 256), (12, 4096), (16, 65536)):
+        for sel in range(1, 8):
+            px = rng.integers(0, hi, (9, 13)).astype(np.int64)
+            for ri in (0, 5):
+                got = M.decode_jpeg_pixels(
+                    M.encode_jpeg_lossless(
+                        px, predictor=sel, restart_interval=ri,
+                        precision=prec,
+                    )
+                )
+                assert got is not None, (prec, sel, ri)
+                assert np.array_equal(
+                    got[:, :, 0].astype(np.int64), px
+                ), (prec, sel, ri)
+
+    extreme = np.array([[0, 65535], [65535, 0]], np.int64)
+    got = M.decode_jpeg_pixels(
+        M.encode_jpeg_lossless(extreme, predictor=4, precision=16)
+    )
+    assert np.array_equal(got[:, :, 0].astype(np.int64), extreme)
+
+    # hand-derived two-sample check, predictor 1 at 8-bit: the first
+    # sample predicts the midpoint 128, the second predicts Ra — so
+    # [130, 131] codes diffs (+2, +1), and a spec decoder must land
+    # exactly there (pins the default/first-line rules independently
+    # of the encoder)
+    got = M.decode_jpeg_pixels(
+        M.encode_jpeg_lossless(np.array([[130, 131]]), predictor=1)
+    )
+    assert got[:, :, 0].tolist() == [[130, 131]]
+
+    blob = M.encode_jpeg_lossless(
+        rng.integers(0, 256, (6, 6)), predictor=7
+    )
+    for cut in range(0, len(blob), 7):  # truncation totality
+        M.decode_jpeg_pixels(blob[:cut])
+    # bad predictor selector rejects
+    bad = blob.replace(bytes([0xFF, 0xDA, 0, 8, 1, 1, 0, 7, 0, 0]),
+                       bytes([0xFF, 0xDA, 0, 8, 1, 1, 0, 8, 0, 0]))
+    assert M.decode_jpeg_pixels(bad) is None
+
+
 def test_progressive_rejects_malformed():
     head = _head(8, 8, [(1, 0x11)])
     assert M.decode_jpeg_pixels(head + b"\xff\xd9") is None  # no scans

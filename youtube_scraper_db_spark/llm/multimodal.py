@@ -19,8 +19,8 @@ numpy):
 - AVI/MJPEG video — RIFF container walk, frame inventory, stride
   sampling, per-frame JPEG header geometry (``sample_avi_frames``).
 
-Remaining boundaries: arithmetic-coded/hierarchical/lossless JPEG
-(decode returns None; strict kernels raise ``NotImplementedError``).
+Remaining boundaries: arithmetic-coded/hierarchical JPEG (decode
+returns None; strict kernels raise ``NotImplementedError``).
 
 Scale notes: binary payloads dominate row size → keep
 ``spark.sql.files.maxPartitionBytes`` at 128 MB so a partition holds a
@@ -986,8 +986,10 @@ def decode_bmp_pixels(content: bytes | None):
 # spectral-selection + successive-approximation scans accumulate into a
 # per-component coefficient store reconstructed at EOI, and 12-BIT
 # precision (SOF1/12-bit SOF2: wider DC/AC category ranges, 2048 level
-# shift, uint16 output). Remaining boundaries: arithmetic coding,
-# hierarchical, lossless — decode returns None there.
+# shift, uint16 output), plus LOSSLESS (SOF3, Annex H): predictor
+# coding with no DCT at 2-16-bit precision, decoding bit-exactly.
+# Remaining boundaries: arithmetic coding, hierarchical — decode
+# returns None there.
 # ---------------------------------------------------------------------------
 
 #: Zigzag scan order: raster index of each of the 64 coefficients in
@@ -1449,6 +1451,182 @@ def _jpeg_progressive_scans(
     return out
 
 
+def _jpeg_lossless_predict(
+    ra: int, rb: int, rc: int, sel: int, x: int, y: int, default: int
+) -> int:
+    """T.81 Annex H.1.2.1 prediction: the first sample of the scan uses
+    the midpoint default, the rest of the first line predicts from the
+    left neighbour, the first column from the sample above, and
+    everything else from the selected predictor 1-7."""
+    if x == 0 and y == 0:
+        return default
+    if y == 0:
+        return ra
+    if x == 0:
+        return rb
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # sel == 7
+
+
+def encode_jpeg_lossless(
+    pixels,
+    predictor: int = 1,
+    restart_interval: int = 0,
+    precision: int = 8,
+) -> bytes:
+    """REAL lossless JPEG encoder (T.81 Annex H, SOF3 Huffman): (H, W)
+    grayscale at 8/12/16-bit precision → a standards-conforming stream
+    that decodes BIT-EXACTLY (no DCT, no quantization — differences
+    against the selected predictor 1-7, coded modulo 2^16 with the
+    DC-style category + magnitude-bits scheme; category 16 carries no
+    extra bits, per spec). ``restart_interval`` counts samples; RSTn
+    resets prediction to the scan-start state."""
+    if precision not in (8, 12, 16):
+        raise ValueError("precision must be 8, 12 or 16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor selector must be 1..7")
+    px = np.asarray(pixels, np.int64)
+    if px.ndim != 2:
+        raise ValueError("lossless JPEG support is single-component")
+    h, w = px.shape
+    default = 1 << (precision - 1)
+
+    # DC-style table extended to category 16 (17 codes at 5 bits —
+    # canonical assignment leaves the all-ones word free)
+    dc_vals = list(range(17))
+    dc_bits = [0] * 16
+    dc_bits[4] = 17
+    enc = _jpeg_huff_codes(dc_bits, dc_vals)
+
+    writer = _JpegBitWriter()
+    rst = 0
+    n = 0
+    start = True
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n and n % restart_interval == 0:
+                writer.flush()
+                writer.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                start = True
+            # restart semantics (H.2.3): only the FIRST sample of each
+            # interval takes the midpoint default; the rest predict
+            # normally from their real neighbours
+            ra = int(px[y, x - 1]) if x > 0 else 0
+            rb = int(px[y - 1, x]) if y > 0 else 0
+            rc = int(px[y - 1, x - 1]) if x > 0 and y > 0 else 0
+            if start:
+                pred = default
+                start = False
+            else:
+                pred = _jpeg_lossless_predict(
+                    ra, rb, rc, predictor, x, y, default
+                )
+            diff = (int(px[y, x]) - pred) & 0xFFFF
+            if diff >= 0x8000:
+                diff -= 0x10000  # modulo-2^16 signed representative
+            if diff == -32768:
+                c_, l_ = enc[16]  # category 16: no magnitude bits
+                writer.put(c_, l_)
+            else:
+                t = _jpeg_category(diff)
+                c_, l_ = enc[t]
+                writer.put(c_, l_)
+                if t:
+                    writer.put(
+                        diff if diff >= 0 else diff + (1 << t) - 1, t
+                    )
+            n += 1
+    writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    sof3 = seg(
+        0xC3, struct.pack(">BHHB", precision, h, w, 1) + b"\x01\x11\x00"
+    )
+    dht = seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    sos = seg(0xDA, bytes([1, 0x01, 0x00, predictor, 0, 0]))
+    app0 = seg(
+        0xE0, b"JFIF\x00\x01\x02\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    )
+    return b"\xff\xd8" + app0 + dht + dri + sof3 + sos + bytes(writer.buf) + b"\xff\xd9"
+
+
+def _jpeg_lossless_scan(b, pos, sof, smap, dc_tabs, restart, sel):
+    """Decode the single lossless scan (T.81 Annex H): per-sample
+    Huffman category + magnitude bits → difference (modulo 2^16,
+    category 16 meaning 32768) added to the prediction. Single
+    component only (the overwhelmingly common case; multi-component
+    lossless interleave is out of profile)."""
+    fh, fw, comps, prec = sof
+    if len(comps) != 1 or fh == 0 or fw == 0:
+        return None
+    cid = comps[0][0]
+    if cid not in smap:
+        return None
+    td = smap[cid][0]
+    if td not in dc_tabs:
+        return None
+    tab = dc_tabs[td]
+    default = 1 << (prec - 1)
+    maxv = (1 << prec) - 1
+    reader = _JpegBitReader(b, pos)
+    out = np.zeros((fh, fw), np.int64)
+    n = 0
+    start = True
+    for y in range(fh):
+        for x in range(fw):
+            if restart and n and n % restart == 0:
+                m = reader.align_to_marker()
+                if m is None or not 0xD0 <= m <= 0xD7:
+                    return None
+                start = True
+            t = _huff_read(reader, tab)
+            if t is None or t > 16:
+                return None
+            if t == 16:
+                diff = 32768
+            elif t:
+                r_ = reader.receive(t)
+                if r_ is None:
+                    return None
+                diff = _jpeg_extend(r_, t)
+            else:
+                diff = 0
+            ra = int(out[y, x - 1]) if x > 0 else 0
+            rb = int(out[y - 1, x]) if y > 0 else 0
+            rc = int(out[y - 1, x - 1]) if x > 0 and y > 0 else 0
+            if start:
+                pred = default
+                start = False
+            else:
+                pred = _jpeg_lossless_predict(ra, rb, rc, sel, x, y, default)
+            v = (pred + diff) & 0xFFFF
+            if v > maxv:
+                return None  # out-of-range sample: corrupt stream
+            out[y, x] = v
+            n += 1
+    dt = np.uint8 if prec <= 8 else np.uint16
+    return out.astype(dt)[:, :, None]
+
+
 def decode_jpeg_pixels(content: bytes | None):
     """REAL baseline JPEG pixel decode (ITU-T T.81, SOF0/SOF1 Huffman
     sequential): marker walk → DQT/DHT/DRI/SOF/SOS → MSB-first entropy
@@ -1458,9 +1636,10 @@ def decode_jpeg_pixels(content: bytes | None):
     or 2) → YCbCr→RGB. Returns (H, W, 1) for grayscale, (H, W, 3) for
     color — uint8 at 8-bit precision, uint16 at 12-bit (SOF1/SOF2
     only; SOF0 is 8-bit by definition) — or None for anything outside
-    the profile — arithmetic coding, hierarchical, lossless — or any
-    structural corruption (bad marker walk, missing tables, truncated
-    entropy data). Progressive (SOF2) streams take the Annex G path: each scan
+    the profile — arithmetic coding, hierarchical — or any structural
+    corruption (bad marker walk, missing tables, truncated entropy
+    data). Lossless (SOF3) streams decode bit-exactly through the
+    Annex H predictor path (``_jpeg_lossless_scan``). Progressive (SOF2) streams take the Annex G path: each scan
     merges into a per-component zigzag coefficient store
     (``_jpeg_prog_scan``) and pixels materialize at EOI. IDCT in float64 is IEEE-deterministic, so output bytes are
     stable across runs and hosts."""
@@ -1476,6 +1655,7 @@ def decode_jpeg_pixels(content: bytes | None):
     sof = None
     restart = 0
     progressive = False
+    lossless = False
     store = None  # progressive: per-component zigzag coefficient arrays
     while i + 2 <= len(b):
         if b[i] != 0xFF:
@@ -1543,8 +1723,21 @@ def decode_jpeg_pixels(content: bytes | None):
             sof = (fh, fw, comps, prec)
             if marker == 0xC2:
                 progressive = True
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # lossless / arithmetic / hierarchical
+        elif marker == 0xC3:  # lossless sequential, Huffman (Annex H)
+            prec = payload[0]
+            if not 2 <= prec <= 16:
+                return None
+            fh, fw = struct.unpack(">HH", payload[1:5])
+            nc = payload[5]
+            comps = [
+                [payload[6 + 3 * c_], payload[7 + 3 * c_] >> 4,
+                 payload[7 + 3 * c_] & 0x0F, payload[8 + 3 * c_]]
+                for c_ in range(nc)
+            ]
+            sof = (fh, fw, comps, prec)
+            lossless = True
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # arithmetic / hierarchical
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 return None
@@ -1558,6 +1751,13 @@ def decode_jpeg_pixels(content: bytes | None):
                     payload[2 + 2 * s_] & 0x0F,
                 )
                 order.append(cs)
+            if lossless:
+                sel = payload[1 + 2 * ns]  # Ss carries the predictor
+                if not 1 <= sel <= 7 or payload[3 + 2 * ns] & 0x0F:
+                    return None  # bad selector / point transform ≠ 0
+                return _jpeg_lossless_scan(
+                    b, seg_end, sof, smap, dc_tabs, restart, sel
+                )
             if not progressive:
                 return _jpeg_scan(
                     b, seg_end, sof, smap, qts, dc_tabs, ac_tabs, restart

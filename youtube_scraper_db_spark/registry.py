@@ -6644,7 +6644,9 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dec AS (
       SELECT doc_id, w, h, i,
-             CASE WHEN doc_id % 5 = 0 THEN base * 16 + doc_id % 16
+             CASE WHEN doc_id % 7 = 3
+                    THEN ((i // w) * 13 + (i % w) * 29 + doc_id) % 256
+                  WHEN doc_id % 5 = 0 THEN base * 16 + doc_id % 16
                   ELSE base END AS v
       FROM cell
     ),
@@ -6669,11 +6671,14 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-3 high, restart interval cycling 0/1/2 by doc_id so the DRI +
     RSTn path — byte alignment, predictor reset — is exercised across
     the corpus; odd doc_ids are PROGRESSIVE SOF2 streams — DC-first
-    Al=1, DC refinement, EOB-run-coded AC scans — and doc_ids ≡ 0
-    (mod 5) are 12-BIT precision (SOF1 extended sequential or 12-bit
-    SOF2; wider DC/AC category ranges, 2048 level shift, uint16
-    samples ×16 spread over the 0..4095 range) so every entropy layout
-    × precision combination is oracle-gated), and the Arrow kernel
+    Al=1, DC refinement, EOB-run-coded AC scans; doc_ids ≡ 0 (mod 5)
+    are 12-BIT precision (SOF1 extended sequential or 12-bit SOF2;
+    wider DC/AC category ranges, 2048 level shift, uint16 samples ×16
+    spread over the 0..4095 range); and doc_ids ≡ 3 (mod 7) are
+    LOSSLESS (SOF3, Annex H predictor coding — selector cycling all
+    seven predictors, ARBITRARY per-pixel fixtures since nothing is
+    quantized) — so every Huffman mode × precision combination is
+    oracle-gated), and the Arrow kernel
     must walk the markers, build the DHT Huffman tables, un-stuff the
     entropy bytes, decode DC-diff + AC run-lengths (or accumulate
     Annex G scans), dequantize and IDCT every block to reproduce the
@@ -6704,6 +6709,19 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = []
     for i in ids:
         w, h = 8 * (1 + i % 4), 8 * (1 + i % 3)
+        if i % 7 == 3:
+            # lossless rows need NO block-constant trick — ARBITRARY
+            # per-pixel values decode bit-exactly, so the fixture uses
+            # a full-resolution pattern; predictor selector cycles all 7
+            r, c = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            px = ((r * 13 + c * 29 + i) % 256).astype(np.uint8)
+            blob = llm_multimodal.encode_jpeg_lossless(
+                px,
+                predictor=1 + (i // 7) % 7,
+                restart_interval=i % 3,
+            )
+            blobs.append((int(i), bytearray(blob)))
+            continue
         bi, bj = np.meshgrid(np.arange(h // 8), np.arange(w // 8), indexing="ij")
         base = (bi * 31 + bj * 7 + i) % 251
         prec = 12 if i % 5 == 0 else 8
