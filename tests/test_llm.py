@@ -414,3 +414,50 @@ def test_token_runs_udtf_emits_runs_only(spark):
         ).collect()
     )
     assert rows == [(0, "a", 1, 3), (0, "c", 5, 2)]
+
+
+def test_portable_hash_matches_python_md5(spark):
+    """_portable_hash must equal int(md5(f"{seed}:{x}")[:15 hex], 16) —
+    the literal arithmetic the DuckDB oracle replays."""
+    import hashlib
+
+    df = spark.createDataFrame([("alpha",), ("beta gamma",)], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", D._portable_hash(F.col("s"), 7).alias("h")).collect()
+    }
+    for s in ("alpha", "beta gamma"):
+        assert got[s] == int(hashlib.md5(f"7:{s}".encode()).hexdigest()[:15], 16)
+
+
+def test_portable_hyperplanes_deterministic_and_bounded():
+    """Portable planes: md5-derived, in [-0.5, 0.5), stable across calls
+    (no RNG), distinct across (plane, dim)."""
+    a = S.portable_hyperplanes(8, 4)
+    b = S.portable_hyperplanes(8, 4)
+    assert a == b
+    flat = [x for row in a for x in row]
+    assert all(-0.5 <= x < 0.5 for x in flat)
+    assert len(set(flat)) == len(flat)
+
+
+def test_portable_minhash_full_recall_on_clones(spark):
+    """The portable (md5) MinHash family keeps the clone-recall property
+    of the xxhash64 default: identical texts → identical signatures →
+    every clone pair surfaces at est_jaccard 1.0."""
+    base = spark.createDataFrame(
+        [(i, f"doc number {i} has words {i * 3} and {i * 7} inside") for i in range(20)],
+        "doc_id long, text string",
+    )
+    corpus = base.unionByName(
+        base.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    pairs = D.minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=32, bands=16, portable=True
+    )
+    clones = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.filter(F.col("est_jaccard") >= 0.999).collect()
+    }
+    for i in range(20):
+        assert (i, i + 1000) in clones

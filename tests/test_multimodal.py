@@ -897,3 +897,63 @@ def test_jpeg_subsampled_mcu_decode():
         arr = M.decode_jpeg_pixels(build(h, w, hv, nb))
         assert arr is not None and arr.shape == (h, w, 3), (hv,)
         assert (arr == 130).all(), (hv,)
+
+
+def test_jpeg_decode_linear_time_on_random_pixels():
+    """Regression: the entropy bit reader must trim consumed bits out of
+    its accumulator (multimodal.py _JpegBitReader._fill) or decode is
+    O(n^2) — a 256x256 random-pixel JPEG took 6.3s before the fix and
+    ~0.6s after. Gate at a loose 3s so slow CI can't flake."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    enc = M.encode_jpeg_pixels(img)
+    t0 = time.time()
+    out = M.decode_jpeg_pixels(enc)
+    took = time.time() - t0
+    assert out is not None and out.shape == (256, 256, 3)
+    assert took < 3.0, f"random-pixel decode took {took:.1f}s — O(n^2) regressed?"
+
+
+def test_msadpcm_ragged_multichannel_returns_none():
+    """A 3-channel codec-2 block whose nibble count is not a multiple of
+    the channel count must return None (documented contract), not raise
+    IndexError inside a non-strict Spark kernel."""
+    import struct
+
+    ch = 3
+    hdr = (
+        bytes([0] * ch)
+        + struct.pack("<3h", 16, 16, 16)
+        + struct.pack("<3h", 0, 0, 0)
+        + struct.pack("<3h", 0, 0, 0)
+    )
+    block = hdr + bytes([0x11, 0x22])  # 4 nibbles % 3 channels != 0
+    assert M.decode_msadpcm_block(block, ch) is None
+    # whole frames still decode
+    block_ok = hdr + bytes([0x11, 0x22, 0x33])  # 6 nibbles = 2 frames
+    out = M.decode_msadpcm_block(block_ok, ch)
+    assert out is not None and out.shape == (4, 3)
+
+
+def test_jpeg_hostile_dimensions_rejected():
+    """A spec-legal SOF claiming 65535x65535 (~4.3G samples) must be
+    refused up front (JPEG_MAX_PIXELS) — per-sample Python loops over a
+    hostile header would pin an executor for hours."""
+    import struct
+
+    for sof_marker in (b"\xff\xc0", b"\xff\xc3"):
+        payload = bytes([8]) + struct.pack(">HH", 65535, 65535) + bytes(
+            [1, 1, 0x11, 0]
+        )
+        b = (
+            b"\xff\xd8"
+            + sof_marker
+            + struct.pack(">H", 2 + len(payload))
+            + payload
+            + b"\xff\xd9"
+        )
+        assert M.decode_jpeg_pixels(b) is None

@@ -136,6 +136,21 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "g711_energy_windows",
         "msadpcm_energy_windows",
     },
+    # Round 6 (VERDICT r05 items 1-3): the four former rows-only LSH
+    # listings debut their first hash-checked driver rows (portable md5
+    # hash families + full SQL oracle replays, registered at indices
+    # 45-48 — naturally inside the offset-(200 % len) window), plus the
+    # two r4-rewritten gates whose driver rows predate their rewrites.
+    # Round-6 session additions (unigram LM tokenizer, HTML text
+    # extraction) must also debut with a driver row.
+    6: {
+        "minhash_lsh_dups",
+        "simhash_dups",
+        "lsh_near_dups",
+        "lsh_ann_topk",
+        "diff_sync_parts",
+        "customers_without_orders",
+    },
 }
 
 

@@ -246,12 +246,26 @@ def jaccard_pairs(
 
 # --- MinHash + LSH ----------------------------------------------------
 
+def _portable_hash(col: Column, seed: int) -> Column:
+    """60-bit md5-derived seeded hash: the identical literal arithmetic
+    exists in ANSI/DuckDB SQL — ``('0x' || substr(md5(seed || ':' || x),
+    1, 15))::BIGINT`` — which is what lets the portable MinHash family be
+    value-hash oracle-checked instead of rows-only. 15 hex chars = 60
+    bits, so the value always fits a signed BIGINT in both engines.
+    xxhash64 stays the production default (one JVM hash vs an md5 per
+    seed); same trade as substring_dup_flags (llm/dedup.py:128)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 32,
     k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-document MinHash signature ``(doc, sig: array<bigint>)``.
 
@@ -269,17 +283,24 @@ def minhash_signatures(
     2.7-4.5 s for (a·h1 + b·h2 + c) mod 2^61-1 mixing: xxhash64 over
     short shingle strings is already cheap and the stage is dominated by
     the shingle explode + partial-agg shuffle, so the extra mixing
-    expressions only add codegen width. Kept the simpler family."""
+    expressions only add codegen width. Kept the simpler family.
+
+    ``portable=True`` swaps the family to the md5-60-bit hash
+    (``_portable_hash``) so the whole signature pipeline is replayable in
+    DuckDB SQL — the oracle-gated registry path; xxhash64 remains the
+    default for production throughput."""
     ex = shingle_rows(
         _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))),
         "doc",
         text_col,
         k,
     )
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    hash_of = (
+        (lambda i: _portable_hash(F.col("shingle"), i))
+        if portable
+        else (lambda i: F.xxhash64("shingle", F.lit(i)))
+    )
+    aggs = [F.min(hash_of(i)).alias(f"h{i}") for i in range(num_hashes)]
     return (
         ex.groupBy("doc")
         .agg(*aggs)
@@ -295,6 +316,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     scope: CacheScope | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard: band the signature
     (rows = num_hashes // bands), bucket-join docs agreeing on any band,
@@ -304,13 +326,27 @@ def minhash_lsh_pairs(
     as payload; full signatures are joined back onto the deduped pair list
     afterwards, so wide arrays never ride through the candidate shuffle.
     Shuffle volume is O(docs × bands); grows linearly, never
-    quadratically. Not ANSI-SQL-expressible (xxhash64) → rows-only
-    correctness check."""
+    quadratically.
+
+    ``portable=True`` is the oracle-replayable variant: md5-60-bit
+    signature family AND the band bucket carried as the literal band
+    slice rendered to a string (exact slice equality) instead of a
+    murmur3 ``F.hash`` of it — DuckDB replays both with the same
+    arithmetic, so the registry gate gets a full value-hash check. The
+    default (xxhash64 + hashed bucket) stays the production path: the
+    32-bit bucket key shuffles ~4× narrower than a rows-per-band string."""
     rows = num_hashes // bands
     # Materialized once: consumed by the band index and both sides of the
     # signature join-back. Cache lifetime is scope-managed (CacheScope).
     scope = _scope_or_default(scope)
-    sig = scope.persist(minhash_signatures(df, id_col, text_col, num_hashes, k))
+    sig = scope.persist(
+        minhash_signatures(df, id_col, text_col, num_hashes, k, portable=portable)
+    )
+
+    def bucket_of(sl: Column) -> Column:
+        if portable:
+            return F.array_join(F.transform(sl, lambda v: v.cast("string")), ",")
+        return F.hash(sl)
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
@@ -320,7 +356,7 @@ def minhash_lsh_pairs(
                 band_idx,
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.hash(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
+                    bucket_of(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
                 ),
             )
         ).alias("bb"),

@@ -1027,6 +1027,12 @@ _DCT_A = np.array(
 _JPEG_FIXTURE_QT = np.full((8, 8), 16, dtype=np.int64)
 _JPEG_FIXTURE_QT[0, 0] = 8
 
+#: Pixel budget for untrusted JPEG streams: SOF legally declares up to
+#: 65535×65535 (~4.3 G samples), and the Huffman scans are per-sample
+#: Python loops — a hostile header must not pin an executor for hours.
+#: 64 MP covers every real camera/scraped asset by a wide margin.
+JPEG_MAX_PIXELS = 64_000_000
+
 
 def _jpeg_fixed_tables(progressive: bool = False, precision: int = 8) -> dict:
     """Fixed, spec-valid canonical Huffman tables for the encoder: DC —
@@ -1125,6 +1131,10 @@ class _JpegBitReader:
         self.n = 0
 
     def _fill(self) -> bool:
+        # Trim consumed bits out of the accumulator before widening it:
+        # without this the bignum grows to the whole entropy stream and
+        # every shift is O(stream) — decode degrades to O(n^2).
+        self.acc &= (1 << self.n) - 1
         if self.i >= len(self.b):
             return False
         byte = self.b[self.i]
@@ -1720,6 +1730,8 @@ def decode_jpeg_pixels(content: bytes | None):
                 hv = payload[7 + 3 * c_]
                 tq = payload[8 + 3 * c_]
                 comps.append([cid, hv >> 4, hv & 0x0F, tq])
+            if fh * fw > JPEG_MAX_PIXELS:
+                return None  # denial-of-service guard for untrusted bytes
             sof = (fh, fw, comps, prec)
             if marker == 0xC2:
                 progressive = True
@@ -1734,6 +1746,8 @@ def decode_jpeg_pixels(content: bytes | None):
                  payload[7 + 3 * c_] & 0x0F, payload[8 + 3 * c_]]
                 for c_ in range(nc)
             ]
+            if fh * fw > JPEG_MAX_PIXELS:
+                return None  # denial-of-service guard for untrusted bytes
             sof = (fh, fw, comps, prec)
             lossless = True
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -2809,6 +2823,8 @@ def decode_msadpcm_block(block: bytes, channels: int) -> "np.ndarray | None":
     ]
     data = block[hdr:]
     n_nibbles = len(data) * 2
+    if n_nibbles % channels:
+        return None  # ragged tail: nibbles don't form whole frames
     spb = 2 + n_nibbles // channels
     out = np.empty((spb, channels), np.int16)
     out[0] = s2

@@ -166,6 +166,7 @@ def lsh_near_dup_pairs(
     probe_bits: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_family: str = "gaussian",
 ) -> DataFrame:
     """Subquadratic near-dup pairs: hyperplane-signature buckets prune the
     pair space to within-bucket candidates, then the exact cosine filter
@@ -178,12 +179,22 @@ def lsh_near_dup_pairs(
 
     Precision is exactly 1: every emitted pair passed the same exact
     cosine filter as the brute-force twin, so the output is always a
-    subset of it."""
-    planes = hyperplanes(dim, n_planes, seed)
+    subset of it.
+
+    ``plane_family="portable"`` uses the md5-derived SQL-replayable
+    planes with 6dp-rounded sign tests (``portable_hyperplanes``) — the
+    oracle-checked registry variant."""
+    portable = plane_family == "portable"
+    planes = (
+        portable_hyperplanes(dim, n_planes)
+        if portable
+        else hyperplanes(dim, n_planes, seed)
+    )
+    rdp = 6 if portable else None
     sig = emb.select(
         F.col(id_col),
         unit(as_double(vec_col)).alias("uv"),
-        lsh_signature(as_double(vec_col), planes).alias("bucket"),
+        lsh_signature(as_double(vec_col), planes, round_dp=rdp).alias("bucket"),
     )
     # One side expands to its probe set; each pair (a < b) is discovered
     # at most once because a's probe masks are distinct and b keeps its
@@ -214,6 +225,30 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def portable_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """md5-derived uniform[-0.5, 0.5) hyperplanes: ``coef(p, d) =
+    int(md5(f"{p}:{d}")[:15 hex], 16) / 2^60 - 0.5``.
+
+    Exactly replayable in DuckDB SQL — ``('0x' || substr(md5(p || ':' ||
+    d), 1, 15))::BIGINT / 2^60 - 0.5`` — because both engines round the
+    same 60-bit integer to the same IEEE double and the power-of-two
+    division is an exact scaling; this is what upgrades the LSH registry
+    gates from rows-only to full value-hash checks. Uniform cube
+    directions are slightly anisotropic vs the gaussian family (corner
+    directions over-weighted) but perfectly serviceable for sign
+    hashing; ``hyperplanes`` (gaussian) stays the production default."""
+    import hashlib as _hashlib
+
+    return [
+        [
+            int(_hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) / 2**60
+            - 0.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def probe_buckets(bucket: Column, n_planes: int, probe_bits: int = 0) -> Column:
     """Multi-probe bucket set: the bucket itself plus every bucket within
     Hamming distance ``probe_bits`` of it (bit-flip neighbors). A vector
@@ -234,11 +269,22 @@ def probe_buckets(bucket: Column, n_planes: int, probe_bits: int = 0) -> Column:
     return F.array(*[bucket.bitwiseXOR(F.lit(m)).cast("long") for m in masks])
 
 
-def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_signature(
+    vec: Column, planes: list[list[float]], round_dp: int | None = None
+) -> Column:
     """Sign pattern of the vector against each hyperplane, packed into a
-    long — a map-only expression (no UDF, no shuffle)."""
+    long — a map-only expression (no UDF, no shuffle). ``round_dp``
+    rounds each plane dot product before the sign test: the oracle
+    replays the sum with a different accumulation order, and rounding to
+    6dp puts the ~1e-13 order jitter 7 orders of magnitude below the
+    decision boundary so both engines always agree on the bit."""
+
+    def sgn(p: list[float]) -> Column:
+        d = _dot(vec, F.array(*[F.lit(x) for x in p]))
+        return d if round_dp is None else F.round(d, round_dp)
+
     bits = [
-        F.when(_dot(vec, F.array(*[F.lit(x) for x in p])) > 0, F.lit(1 << i)).otherwise(0)
+        F.when(sgn(p) > 0, F.lit(1 << i)).otherwise(0)
         for i, p in enumerate(planes)
     ]
     out = bits[0]
@@ -419,23 +465,34 @@ def lsh_ann_topk(
     probe_bits: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_family: str = "gaussian",
 ) -> DataFrame:
     """ANN: bucket by hyperplane signature, probe the query's bucket (plus
     its ``probe_bits``-flip neighbor buckets — multi-probe), exact re-rank
     inside. At scale the bucket equality join prunes the corpus scan to
     ~corpus × (1 + probed buckets)/2^planes vectors; recall is tuned by
-    n_planes and probe_bits."""
-    planes = hyperplanes(dim, n_planes)
+    n_planes and probe_bits. ``plane_family="portable"`` → md5-derived
+    SQL-replayable planes with 6dp-rounded sign tests (oracle-checked
+    registry variant)."""
+    portable = plane_family == "portable"
+    planes = (
+        portable_hyperplanes(dim, n_planes)
+        if portable
+        else hyperplanes(dim, n_planes)
+    )
+    rdp = 6 if portable else None
     corpus = emb.select(
         F.col(id_col),
         as_double(vec_col).alias("cv"),
-        lsh_signature(as_double(vec_col), planes).alias("bucket"),
+        lsh_signature(as_double(vec_col), planes, round_dp=rdp).alias("bucket"),
     )
     q = query_df.select(
         F.col("qv"),
         F.explode(
             probe_buckets(
-                lsh_signature(F.col("qv"), planes), n_planes, probe_bits
+                lsh_signature(F.col("qv"), planes, round_dp=rdp),
+                n_planes,
+                probe_bits,
             )
         ).alias("qbucket"),
     )

@@ -1352,7 +1352,9 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("asset_id", "media_type", "byte_len", "sha256")
 
 
-# --- rows-only specs (xxhash64 / pandas-UDF stages: not ANSI-expressible)
+# --- portable-hash LSH gates (round 6: fully oracle-replayed md5 hash
+# families — the former rows-only class is gone; xxhash64/gaussian stay
+# the production defaults and keep their coverage via the recall gates)
 
 def _cloned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact clones with shifted ids — a corpus with known
@@ -1362,20 +1364,148 @@ def _cloned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(clones)
 
 
-@spec("minhash_lsh_dups", "LLM-dedup-minhash")
+#: Shared oracle CTE: the portable (md5-derived) hyperplane buckets over
+#: embeddings — the literal SQL twin of llm.similarity.portable_hyperplanes
+#: + lsh_signature(round_dp=6) with n_planes=4, dim=64. 2^60 =
+#: 1152921504606846976; both engines round the same 60-bit integer to the
+#: same IEEE double and the power-of-two division is exact, so the plane
+#: coefficients are bit-identical; the 6dp rounding before the sign test
+#: absorbs summation-order jitter (~1e-13) between the engines.
+_PORTABLE_PLANES_CTE = r"""
+    pl AS (
+      SELECT p.p AS p, d.d AS d,
+             ('0x' || substr(md5(p.p || ':' || d.d), 1, 15))::BIGINT
+               / 1152921504606846976.0 - 0.5 AS c
+      FROM (SELECT unnest(generate_series(0, 3)) AS p) p
+           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    dots AS (
+      SELECT vec_id, pl.p AS p, ROUND(SUM(ev[pl.d + 1] * pl.c), 6) AS dp
+      FROM v, pl
+      GROUP BY vec_id, pl.p
+    ),
+    buck AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    )
+"""
+
+
+@spec(
+    "minhash_lsh_dups",
+    "LLM-dedup-minhash",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id AS doc, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc, text FROM documents
+    ),
+    norm AS (
+      SELECT doc, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt FROM corpus
+    ),
+    tok AS (
+      SELECT doc, regexp_split_to_array(nt, ' ') AS ts
+      FROM norm WHERE nt <> '' AND len(regexp_split_to_array(nt, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM (SELECT doc, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tok)
+    ),
+    mh AS (
+      SELECT doc, s.i AS i,
+             min(('0x' || substr(md5(s.i || ':' || shingle), 1, 15))::BIGINT) AS h
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) s
+      GROUP BY doc, s.i
+    ),
+    sig AS (SELECT doc, list(h ORDER BY i) AS sg FROM mh GROUP BY doc),
+    bands AS (
+      SELECT doc, b.b AS band, sg[2*b.b + 1] AS h1, sg[2*b.b + 2] AS h2
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2 AND x.doc < y.doc
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             FLOOR(list_sum(list_transform(generate_series(1, 32),
+                     i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 32.0
+                   * 10000 + 0.5) / 10000 AS est_jaccard
+      FROM cand c JOIN sig a ON a.doc = c.doc_a JOIN sig b ON b.doc = c.doc_b
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """,
+)
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs on a corpus with 1 known clone per doc:
-    every clone pair must surface with est_jaccard 1.0 (recall check in
-    tests). xxhash64 signatures → rows-only driver check."""
+    """MinHash+LSH candidate pairs on a corpus with 1 known clone per doc
+    (every clone pair must surface with est_jaccard 1.0). Portable md5
+    hash family + literal band-slice buckets (llm/dedup.py
+    ``_portable_hash``), so the ENTIRE pipeline — shingle → 32 seeded
+    minhashes → 16-band buckets → candidate join → estimate — is replayed
+    value-for-value by the DuckDB oracle. FLOOR(x*10^4 + 0.5)/10^4 in the
+    oracle mirrors F.round's HALF_UP on the exactly-representable k/32
+    estimates (banker's rounding would flip every odd k)."""
     corpus = _cloned_docs(spark, sf_dir)
-    pairs = llm_dedup.minhash_lsh_pairs(corpus, "doc_id", "text", num_hashes=32, bands=16)
+    pairs = llm_dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=32, bands=16, portable=True
+    )
     return pairs.filter(F.col("est_jaccard") >= 0.5)
 
 
-@spec("simhash_dups", "LLM-dedup-simhash")
+@spec(
+    "simhash_dups",
+    "LLM-dedup-simhash",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id AS doc, COALESCE(text, '') AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc, COALESCE(text, '') AS text FROM documents
+    ),
+    toks AS (
+      SELECT doc, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT doc, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM corpus
+      )
+      WHERE tok <> ''
+      GROUP BY doc, tok
+    ),
+    h AS (
+      SELECT doc, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv, cnt FROM toks
+    ),
+    votes AS (
+      SELECT doc, b.i AS i,
+             sum(CASE WHEN (hv >> b.i) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) b
+      GROUP BY doc, b.i
+    ),
+    sigp AS (
+      SELECT doc,
+             CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << i)
+                           ELSE 0::UBIGINT END) AS UBIGINT) AS su
+      FROM votes GROUP BY doc
+    ),
+    sigs AS (
+      SELECT d.doc, COALESCE(s.su, 0::UBIGINT) AS su
+      FROM (SELECT DISTINCT doc FROM corpus) d LEFT JOIN sigp s ON d.doc = s.doc
+    ),
+    bk AS (SELECT doc, su, su >> 48 AS bucket FROM sigs)
+    SELECT x.doc AS doc_a, y.doc AS doc_b,
+           CAST(bit_count(xor(x.su, y.su)) AS INTEGER) AS hamming
+    FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.doc < y.doc
+    WHERE bit_count(xor(x.su, y.su)) <= 3
+    """,
+)
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (hamming ≤ 3 within 16-bit prefix
-    buckets) on the cloned corpus — pandas-UDF signature stage → rows-only."""
+    buckets) on the cloned corpus. The signature stage is an Arrow kernel
+    (llm/dedup.py ``_simhash64``), but its arithmetic is all md5-derived —
+    the oracle replays token md5s → 64 weighted bit-votes → signature →
+    prefix bucket join → popcount hamming entirely in SQL, turning the
+    former rows-only row into a full value-hash check."""
     corpus = _cloned_docs(spark, sf_dir)
     sig = llm_dedup.simhash_signatures(corpus, "doc_id", "text")
     return llm_dedup.simhash_bucket_pairs(sig, prefix_bits=16).filter(
@@ -1383,26 +1513,74 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spec("lsh_near_dups", "LLM-dedup-embed-lsh")
+@spec(
+    "lsh_near_dups",
+    "LLM-dedup-embed-lsh",
+    oracle="WITH "
+    + _PORTABLE_PLANES_CTE
+    + r""",
+    u AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS uv
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, ROUND(list_dot_product(ua.uv, ub.uv), 4) AS cos_sim
+    FROM cand c JOIN u ua ON ua.vec_id = c.vec_a JOIN u ub ON ub.vec_id = c.vec_b
+    WHERE list_dot_product(ua.uv, ub.uv) >= 0.4
+    """,
+)
 def lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subquadratic embedding near-dup pairs: hyperplane-bucket candidate
     pruning + exact cosine verify within buckets — the 100 TB path whose
-    exact twin is embedding_near_dups. Recall vs the exact pair set is
-    asserted in tests; seeded numpy planes → rows-only driver check."""
+    exact twin is embedding_near_dups. Portable md5-derived planes
+    (llm/similarity.py ``portable_hyperplanes``) make the bucket
+    assignment SQL-replayable, so the driver hash-checks the full pair
+    list; the gaussian-plane production path keeps its oracle-gated
+    recall check (lsh_near_dup_recall)."""
     e = _t(spark, sf_dir, "embeddings")
-    return llm_similarity.lsh_near_dup_pairs(e, dim=64, threshold=0.4, n_planes=4)
+    return llm_similarity.lsh_near_dup_pairs(
+        e, dim=64, threshold=0.4, n_planes=4, plane_family="portable"
+    )
 
 
-@spec("lsh_ann_topk", "LLM-sim-ann")
+@spec(
+    "lsh_ann_topk",
+    "LLM-sim-ann",
+    oracle="WITH "
+    + _PORTABLE_PLANES_CTE
+    + r""",
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
+    scored AS (
+      SELECT v.vec_id,
+             ROUND(list_dot_product(v.ev, q.qv) /
+                   (sqrt(list_dot_product(v.ev, v.ev))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+      FROM v, q, qb, buck b
+      WHERE b.vec_id = v.vec_id AND b.bucket = qb.bucket
+    )
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k for one query: hyperplane-signature bucket
-    probe + exact re-rank. Recall vs the exact top-k is asserted in tests;
-    driver check is rows-only (numpy-seeded planes)."""
+    probe + exact re-rank. Portable md5-derived planes → the probe set
+    and the re-ranked top-k are both SQL-replayed (full value-hash
+    check); recall of the gaussian production family stays asserted by
+    lsh_ann_recall."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(
         llm_similarity.as_double("embedding").alias("qv")
     )
-    return llm_similarity.lsh_ann_topk(e, q, dim=64, k=10, n_planes=4)
+    return llm_similarity.lsh_ann_topk(
+        e, q, dim=64, k=10, n_planes=4, plane_family="portable"
+    )
 
 
 # --- recall gates for the approximate paths ---------------------------
