@@ -35,6 +35,7 @@ ARROW_STAGES = {
     "g711_energy_windows",       # same kernel, G.711 companding fixtures
     "msadpcm_energy_windows",    # same kernel, MS-ADPCM decode fixtures
     "bpe_apply_tokens",          # vocabulary-memoized BPE encode kernel
+    "unigram_apply_tokens",      # vocabulary-memoized Viterbi encode kernel
     "mock_fetch_enrichment",     # injected fetcher runs as a pandas stage
     "simhash_dups",              # numpy bit-matrix signature kernel
     "simhash_recall",

@@ -8585,6 +8585,224 @@ def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Unigram-LM tokenizer (EXT-unigram; round 6 — the SentencePiece-style
+# sibling of the BPE train/apply gates)
+# ----------------------------------------------------------------------
+
+#: Fixed inference score table for the unigram-apply gate (integer
+#: micro-log-prob stand-ins). Multi-char pieces chosen to cover the
+#: corpus vocabulary with REAL decision points: "table" ties 2-piece
+#: splits (tab|le = 70 beats ta|ble = 45), "window" prefers wind|ow,
+#: "order" exercises or|der vs o|rder, and chars at 0 make the
+#: fewest-pieces tie-break observable.
+_UNIGRAM_FIXED_SCORES: dict[str, int] = {
+    "tab": 40, "le": 30, "ta": 20, "ble": 25,
+    "sc": 15, "an": 35, "val": 28, "ue": 12,
+    "ro": 18, "row": 22, "wind": 30, "ow": 14,
+    "or": 21, "der": 19, "que": 26, "ry": 13,
+    "st": 17, "re": 16, "am": 24, "er": 23,
+    **{c: 0 for c in "abcdefghijklmnopqrstuvwxyz"},
+}
+
+
+def _duck_map_literal(scores: dict[str, int]) -> str:
+    """DuckDB map literal for a piece → score table."""
+    keys = ", ".join(f"'{k}'" for k in scores)
+    vals = ", ".join(str(v) for v in scores.values())
+    return f"map([{keys}], [{vals}])"
+
+
+def _unigram_dp_sql(
+    words_cte: str, smap_cte: str, dp: str, seg: str, max_len: int = 4
+) -> str:
+    """The Viterbi DP as a recursive CTE pair — the literal SQL twin of
+    llm/unigram.py viterbi_segment. Each word row carries its
+    per-position best states as a growing list of structs ordered
+    (ns = -score, np = pieces, seg = space-joined pieces): struct
+    comparison IS the tie-break chain, so ``list_sort(...)[1]`` is the
+    argmin. Multi-char substrings outside the score map are not
+    candidates; single chars fall back to the UNK score. The seg-string
+    tie-break is stable under DP state merging because two competing
+    segmentations of the same word prefix strip to the same characters,
+    so neither is ever a strict string prefix of the other (module
+    docstring, llm/unigram.py)."""
+    return f"""
+    {dp} AS (
+      SELECT word, wcount, 0 AS j,
+             [{{'ns': 0::BIGINT, 'np': 0, 'seg': ''}}] AS bests, m
+      FROM {words_cte}, {smap_cte}
+      UNION ALL
+      SELECT word, wcount, j + 1,
+             list_append(bests,
+               list_sort(
+                 list_filter(
+                   list_transform(
+                     generate_series(greatest(0, j + 1 - {max_len}), j),
+                     i -> CASE
+                       WHEN map_extract(m, substr(word, i + 1, j + 1 - i)) = []
+                            AND j + 1 - i > 1
+                       THEN NULL
+                       ELSE {{
+                         'ns': bests[i + 1].ns
+                               - COALESCE(map_extract(m, substr(word, i + 1, j + 1 - i))[1],
+                                          -40000000),
+                         'np': bests[i + 1].np + 1,
+                         'seg': CASE WHEN bests[i + 1].seg = ''
+                                     THEN substr(word, i + 1, j + 1 - i)
+                                     ELSE bests[i + 1].seg || ' '
+                                          || substr(word, i + 1, j + 1 - i) END
+                       }}
+                     END),
+                   x -> x IS NOT NULL)
+               )[1]
+             ) AS bests,
+             m
+      FROM {dp} WHERE j < len(word)
+    ),
+    {seg} AS (
+      SELECT word, wcount, bests[len(word) + 1].seg AS seg
+      FROM {dp} WHERE j = len(word)
+    )"""
+
+
+@spec(
+    "unigram_apply_tokens",
+    "EXT-unigram EXT-encode LLM-text",
+    oracle=f"""
+    WITH RECURSIVE {_TOK_CTE},
+    words AS (
+      SELECT DISTINCT unnest(t) AS word, 1 AS wcount FROM tok
+    ),
+    smap AS (SELECT {_duck_map_literal(_UNIGRAM_FIXED_SCORES)} AS m),
+    {_unigram_dp_sql('words', 'smap', 'dp', 'seg')},
+    segmap AS (SELECT map(list(word), list(seg)) AS wm FROM seg),
+    enc AS (
+      SELECT doc_id,
+             flatten(list_transform(t,
+               w -> string_split(map_extract(wm, w)[1], ' '))) AS toks
+      FROM tok, segmap
+    )
+    SELECT doc_id,
+           array_to_string(toks, ' ') AS token_text,
+           CAST(len(toks) AS INT) AS n_tokens
+    FROM enc
+    """,
+)
+def unigram_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer APPLICATION — Viterbi segmentation of the
+    corpus under a fixed integer score table (llm/unigram.py
+    unigram_apply: vocabulary-memoized Arrow kernel, map-only plan, the
+    bpe_apply economics). Semantics: maximize total piece score, then
+    fewest pieces, then the lexicographically smallest segmentation —
+    all integer/string comparisons, so the DuckDB oracle replays the DP
+    exactly as a recursive CTE (``_unigram_dp_sql``) over the distinct
+    corpus words and hash-matches every token. Any lattice bug
+    (candidate window off-by-one, tie-break order, unknown-char
+    handling) mismatches on real text. Ref: parity N/A (§2.12
+    training-data surface)."""
+    ensure_utc(spark)
+    from .llm import unigram as llm_unigram
+
+    d = _t(spark, sf_dir, "documents")
+    out = llm_unigram.unigram_apply(
+        d, "doc_id", "text", _UNIGRAM_FIXED_SCORES
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.col("tokens")).alias("token_text"),
+        F.col("n_tokens"),
+    )
+
+
+def _unigram_train_sql(iters: int, max_len: int = 4, min_count: int = 2) -> str:
+    """DuckDB mirror of the hard-EM unigram trainer: corpus → word
+    vocabulary → substring seed counts (inventory fixed, single chars
+    exempt from min_count), then per iteration (a) additively-smoothed
+    quantized log scores — FLOOR(1e6·ln((c+1)/(total+|inv|)) + 0.5),
+    literally the quantlog_scores formula, (b) the recursive-CTE
+    Viterbi DP, (c) weighted piece re-counts over the best
+    segmentations. Generated programmatically because the iteration
+    count is structural (same device as _bpe_train_sql)."""
+    parts = [
+        f"""
+    vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents WHERE trim(text) <> ''
+      ) GROUP BY word
+    ),
+    sub AS (
+      SELECT substr(word, i, ln) AS piece, wcount
+      FROM (SELECT word, wcount, unnest(generate_series(1, len(word))) AS i
+            FROM vocab),
+           (SELECT unnest(generate_series(1, {max_len})) AS ln) l
+      WHERE i + ln - 1 <= len(word)
+    ),
+    c0 AS (
+      SELECT piece, CAST(SUM(wcount) AS BIGINT) AS cnt FROM sub GROUP BY piece
+      HAVING SUM(wcount) >= {min_count} OR len(piece) = 1
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts.append(f"""
+    tot{t} AS (SELECT SUM(cnt) + COUNT(*) AS tot FROM {prev}),
+    st{t} AS (
+      SELECT piece,
+             CAST(FLOOR(1e6 * ln((cnt + 1) / tot) + 0.5) AS BIGINT) AS s
+      FROM {prev}, tot{t}
+    ),
+    sm{t} AS (SELECT map(list(piece), list(s)) AS m FROM st{t}),
+    {_unigram_dp_sql('vocab', f'sm{t}', f'dp{t}', f'sg{t}', max_len)},
+    uc{t} AS (
+      SELECT piece, CAST(SUM(wcount) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(seg, ' ')) AS piece, wcount FROM sg{t})
+      GROUP BY piece
+    ),
+    c{t} AS (
+      SELECT p.piece, COALESCE(u.cnt, 0) AS cnt
+      FROM {prev} p LEFT JOIN uc{t} u ON p.piece = u.piece
+    )""")
+    return (
+        "WITH RECURSIVE "
+        + ",".join(parts)
+        + f"""
+    SELECT piece, CAST(cnt AS BIGINT) AS piece_count
+    FROM c{iters} WHERE cnt > 0
+    """
+    )
+
+
+@spec(
+    "unigram_trained_vocab",
+    "EXT-unigram LLM-text",
+    oracle=_unigram_train_sql(2),
+)
+def unigram_trained_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING end-to-end — the hard-EM loop over
+    the corpus word vocabulary (llm/unigram.py unigram_train_viterbi):
+    ONE corpus-sized shuffle collapses text to (word, wcount), substring
+    seeding fixes the candidate inventory, then each of 2 EM rounds
+    re-scores (additively-smoothed INTEGER micro-log-probs —
+    quantlog_scores), Viterbi re-segments every vocab word, and
+    re-counts pieces along the best segmentations. Output: the
+    surviving vocabulary (piece, piece_count). Measured-size adaptive
+    like bpe_train: in-process below 500k words (vocabulary is
+    language-bounded), the distributed Arrow-kernel E-step above —
+    both pinned equal in tests/test_unigram.py. The DuckDB oracle
+    replays seed, scores, the recursive-CTE Viterbi DP and both count
+    rounds value-for-value; the soft-EM (forward-backward) refinement
+    is pytest-pinned against lattice enumeration (the float class SQL
+    cannot replay exactly). Ref: parity N/A (§2.12 training-data
+    surface)."""
+    ensure_utc(spark)
+    from .llm import unigram as llm_unigram
+
+    d = _t(spark, sf_dir, "documents")
+    return llm_unigram.unigram_train_viterbi(d, "text", iters=2)
+
+
+# ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
 
