@@ -150,6 +150,11 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "lsh_ann_topk",
         "diff_sync_parts",
         "customers_without_orders",
+        # round-6 session additions (new gates must debut with a driver
+        # row; swapped over the three r05-green unmodified entries)
+        "unigram_trained_vocab",
+        "unigram_apply_tokens",
+        "html_text_extract",
     },
 }
 

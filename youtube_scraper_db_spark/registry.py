@@ -35,6 +35,7 @@ from .io import read_table, read_table_stream, register_views
 from .llm import cluster as llm_cluster
 from .llm.corpus import Corpus
 from .llm import dedup as llm_dedup
+from .llm import html as llm_html
 from .llm import packing as llm_packing
 from .llm import sampling as llm_sampling
 from .llm import multimodal as llm_multimodal
@@ -8803,6 +8804,150 @@ def unigram_trained_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# HTML → clean-text extraction (EXT-html; round 6)
+# ----------------------------------------------------------------------
+
+#: Three deterministic page shapes built from each document's text —
+#: nav boilerplate + paragraphs + script/comment noise; uppercase
+#: tags + link list + entities + noscript; minimalist unclosed-<p>
+#: markup with a low-link-density div. IDENTICAL literals on the Spark
+#: and DuckDB sides (the fixture is part of the replay).
+_HTML_V0 = (
+    '<html><head><title>T</title><style>p {color: red}</style>'
+    '<script type="text/javascript">var x = 1 < 2;</script></head>'
+    '<body><nav><a href="/">home</a> <a href="/x">about</a></nav><p>',
+    '</p><!-- hidden <p>junk</p> --><div>',
+    "</div></body></html>",
+)
+_HTML_V1 = (
+    '<HTML><BODY><DIV CLASS="main">',
+    '</DIV><UL><LI><A HREF="#">l1</A></LI><LI><A HREF="#">l2</A></LI>'
+    "</UL><P>",
+    " &amp; more &lt;tags&gt;</P><NOSCRIPT>enable js</NOSCRIPT>"
+    "</BODY></HTML>",
+)
+_HTML_V2 = (
+    "<body><p>",
+    "<p>",
+    '<div><a href="y">ref</a> tiny</div><span>tail text</span></body>',
+)
+
+
+def _duck_html_block_text(var: str) -> str:
+    """DuckDB twin of llm/html.py _block_text: tag strip → entity chain
+    (same order) → whitespace collapse → trim."""
+    s = f"regexp_replace({var}, '<[^>]+>', ' ', 'g')"
+    for ent, rep in llm_html.ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{rep_sql}')"
+    return rf"trim(regexp_replace({s}, '\s+', ' ', 'g'))"
+
+
+def _duck_html_oracle() -> str:
+    v0a, v0b, v0c = (p.replace("'", "''") for p in _HTML_V0)
+    v1a, v1b, v1c = (p.replace("'", "''") for p in _HTML_V1)
+    v2a, v2b, v2c = (p.replace("'", "''") for p in _HTML_V2)
+    bt = _duck_html_block_text("b")
+    # COALESCE: DuckDB array_to_string([]) is NULL where Spark
+    # array_join([]) is ''
+    lt = _duck_html_block_text(
+        "COALESCE(array_to_string("
+        "regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')"
+    )
+    pre = "h"
+    pre = f"regexp_replace({pre}, '(?s)<!--.*?-->', ' ', 'g')"
+    for tag in llm_html.DROP_CONTENT_TAGS:
+        pre = (
+            f"regexp_replace({pre}, "
+            rf"'(?is)<{tag}[^>]*>.*?</{tag}\s*>', ' ', 'g')"
+        )
+    block_re = llm_html.BLOCK_TAG_RE.replace("'", "''")
+    return f"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+                    '{v0a}' || substr(text, 1, 60) || '{v0b}'
+                    || substr(text, 61, 60) || '{v0c}'
+                  WHEN doc_id % 3 = 1 THEN
+                    '{v1a}' || substr(text, 1, 60) || '{v1b}'
+                    || substr(text, 61, 60) || '{v1c}'
+                  ELSE
+                    '{v2a}' || substr(text, 1, 60) || '{v2b}'
+                    || substr(text, 61, 60) || '{v2c}'
+             END AS h
+      FROM documents
+    ),
+    pre AS (SELECT doc_id, {pre} AS h2 FROM src),
+    per AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 regexp_split_to_array(h2, '{block_re}'),
+                 b -> {{'t': {bt}, 'l': length({lt})}}),
+               r -> r.t <> '') AS recs
+      FROM pre
+    ),
+    fin AS (
+      SELECT doc_id,
+             list_filter(recs, r -> r.l * 2 <= length(r.t)) AS kept,
+             recs
+      FROM per
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list_transform(kept, r -> r.t), chr(10)), '')
+             AS clean_text,
+           CAST(len(recs) AS INT) AS n_blocks,
+           CAST(len(kept) AS INT) AS kept_blocks
+    FROM fin
+    """
+
+
+@spec(
+    "html_text_extract",
+    "EXT-html LLM-text S4",
+    oracle=None,  # assigned right below (needs llm_html import at build)
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → clean training text (llm/html.py): comment/script/style
+    drop, block-level tag splitting, per-block tag strip + entity decode
+    + whitespace collapse, and link-density boilerplate removal
+    (2·link_chars > text_chars ⇒ navigation/footer, dropped) — the
+    corpus-scale generalization of the reference's S4 regex scrape (ref
+    scrape_my_channel.py:312-444). Pure Column regexp cascade inside the
+    Java∩RE2 subset (no backreferences), whole-stage codegen, map-only —
+    and therefore replayed literally by the DuckDB oracle, fixture
+    construction included. The structural html.parser Arrow kernel for
+    hostile markup (unclosed scripts, '>' inside attributes, nested
+    links) is pytest-covered (tests/test_html.py)."""
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    a = F.substring("text", 1, 60)
+    b = F.substring("text", 61, 60)
+    m = F.col("doc_id") % 3
+    page = (
+        F.when(m == 0, F.concat(F.lit(_HTML_V0[0]), a, F.lit(_HTML_V0[1]), b, F.lit(_HTML_V0[2])))
+        .when(m == 1, F.concat(F.lit(_HTML_V1[0]), a, F.lit(_HTML_V1[1]), b, F.lit(_HTML_V1[2])))
+        .otherwise(F.concat(F.lit(_HTML_V2[0]), a, F.lit(_HTML_V2[1]), b, F.lit(_HTML_V2[2])))
+    )
+    src = d.select("doc_id", page.alias("page"))
+    out = llm_html.html_text_extract(src, "doc_id", "page")
+    return out.select(
+        F.col("id").alias("doc_id"), "clean_text", "n_blocks", "kept_blocks"
+    )
+
+
+# assign the generated oracle to the just-registered spec (kept out of
+# the decorator so the generator can live next to the fixture literals)
+REGISTRY[-1] = QuerySpec(
+    REGISTRY[-1].name,
+    REGISTRY[-1].operators,
+    REGISTRY[-1].fn,
+    _duck_html_oracle(),
+    REGISTRY[-1].tags,
+)
+
+
+# ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
 
@@ -8914,6 +9059,19 @@ _swap_specs("doc_token_ids", "orc_export_roundtrip")
 _swap_specs("diff_sync_parts", "orc_export_roundtrip")
 _swap_specs("customers_without_orders", "orc_export_roundtrip")
 _swap_specs("extracted_page_refs", "doc_token_ids")
+
+# Round 6: at 200 registered specs the rotation offset is 200 % 200 = 0,
+# so the driver re-checks REGISTRY[0:50] — which naturally contains all
+# six round-6 MUST entries (the four LSH listings at 45-48 debuting
+# their first hash-checked rows, plus the two r4-rewritten gates at
+# 4/6). The three round-6 session additions (unigram train/apply, HTML
+# extraction) swap in over the three entries that got fresh green rows
+# LAST round and are unmodified since (doc_token_ids,
+# orc_export_roundtrip, label_centroids — the lowest-risk class in the
+# window); they re-enter the natural rotation at round 7.
+_swap_specs("unigram_trained_vocab", "doc_token_ids")
+_swap_specs("unigram_apply_tokens", "orc_export_roundtrip")
+_swap_specs("html_text_extract", "label_centroids")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
