@@ -1923,7 +1923,17 @@ def _jpeg_prog_scan(
                     return False
                 r, s = sym >> 4, sym & 0x0F
                 if s == 0 and r < 15:
-                    eob = (1 << r) - 1
+                    # In the REFINEMENT scan the EOB run INCLUDES the
+                    # current block: its remaining nonzero coefficients
+                    # still receive correction bits below, and the run
+                    # counter decrements once for it (T.81 G.1.2.3 /
+                    # libjpeg decode_mcu_AC_refine). The first-scan
+                    # convention ((1<<r)-1, current block returns
+                    # immediately) desyncs here — caught by interop with
+                    # a libjpeg-encoded progressive stream, invisible to
+                    # roundtrips because the encoder never emits Ah>0 AC
+                    # scans.
+                    eob = 1 << r
                     if r:
                         bits = reader.receive(r)
                         if bits is None:
