@@ -66,6 +66,16 @@ HEADLINE = [
     "classic_q16_supplier_variety",
     "classic_q21_waiting_supplier",
     "classic_q8_market_share",
+    # round 6: the new operator gates, plus minhash_lsh_recall so the
+    # xxhash64 PRODUCTION MinHash path keeps a tracked number now that
+    # minhash_lsh_dups benches the oracle-replayable portable family
+    # (deliberately ~1.4× the xxhash64 family: one md5 + conv per
+    # shingle and an exact-integer fold bucket, the price of a full
+    # value-hash driver check — see llm/dedup.py minhash_signatures).
+    "unigram_trained_vocab",
+    "unigram_apply_tokens",
+    "html_text_extract",
+    "minhash_lsh_recall",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

@@ -62,6 +62,9 @@ DOC_QUERIES = [
     "bpe_pair_counts",
     "bpe_trained_merges",
     "bpe_apply_tokens",
+    "unigram_trained_vocab",
+    "unigram_apply_tokens",
+    "html_text_extract",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

