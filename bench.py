@@ -74,6 +74,7 @@ HEADLINE = [
     # value-hash driver check — see llm/dedup.py minhash_signatures).
     "unigram_trained_vocab",
     "unigram_apply_tokens",
+    "doc_unigram_quality",
     "html_text_extract",
     "minhash_lsh_recall",
     # stream_sessionized_users stays OUT: like the file-source

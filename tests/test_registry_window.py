@@ -155,6 +155,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "unigram_trained_vocab",
         "unigram_apply_tokens",
         "html_text_extract",
+        "doc_unigram_quality",
     },
 }
 
@@ -179,9 +180,10 @@ def test_offset_walks_fifty_per_round():
     assert registry._offset_for_round(2) == 50  # round 3 windows [50:100]
     assert registry._offset_for_round(3) == 100  # round 4: the newest batch
     assert registry._offset_for_round(4) == 150 % n_reg  # wraps
-    # with the current registry size, four rounds cover every query
+    # ceil(len/50) consecutive rounds cover every query
+    rounds_needed = -(-n_reg // registry.ORACLE_WINDOW)
     covered = set()
-    for n in (1, 2, 3, 4):
+    for n in range(1, rounds_needed + 1):
         off = registry._offset_for_round(n)
         covered |= {(off + i) % n_reg for i in range(registry.ORACLE_WINDOW)}
     assert covered == set(range(n_reg))

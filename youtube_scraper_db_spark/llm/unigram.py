@@ -329,6 +329,61 @@ def unigram_apply(
     ).mapInPandas(kernel, schema=out_schema)
 
 
+def unigram_doc_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    scores: dict[str, int],
+    max_len: int = 4,
+    unk_score: int = UNK_SCORE,
+) -> DataFrame:
+    """LM-based quality scoring (the CCNet/KenLM filtering stage, with
+    the on-engine-trained unigram LM): ``(id, total_micrologp,
+    n_pieces)`` where total_micrologp is the document's Viterbi
+    log-likelihood in integer micro-log-prob units (higher = more
+    typical of the training corpus) and n_pieces its token count —
+    downstream filters threshold on total/n_pieces (per-token NLL ≡
+    log-perplexity). All-integer, so the whole train→score path is
+    oracle-replayable. Arrow kernel, word-memoized, map-only."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("total_micrologp", T.LongType()),
+            T.StructField("n_pieces", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, tuple[int, int]] = {}
+
+        def score(word: str) -> tuple[int, int]:
+            got = memo.get(word)
+            if got is None:
+                seg = viterbi_segment(word, scores, max_len, unk_score)
+                tot = sum(scores.get(p, unk_score) for p in seg)
+                memo[word] = got = (tot, len(seg))
+            return got
+
+        for pdf in batches:
+            ids, tots, ns = [], [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                t, n = 0, 0
+                for w in (text or "").split():
+                    wt, wn = score(w)
+                    t += wt
+                    n += wn
+                ids.append(i)
+                tots.append(t)
+                ns.append(n)
+            yield pd.DataFrame(
+                {"id": ids, "total_micrologp": tots, "n_pieces": ns}
+            )
+
+    return docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(kernel, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Soft EM (forward-backward) — the true SentencePiece E-step.
 # ---------------------------------------------------------------------------

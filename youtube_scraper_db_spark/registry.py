@@ -8671,7 +8671,8 @@ def _unigram_dp_sql(
       FROM {dp} WHERE j < len(word)
     ),
     {seg} AS (
-      SELECT word, wcount, bests[len(word) + 1].seg AS seg
+      SELECT word, wcount, bests[len(word) + 1].seg AS seg,
+             bests[len(word) + 1].ns AS ns, bests[len(word) + 1].np AS np
       FROM {dp} WHERE j = len(word)
     )"""
 
@@ -8781,6 +8782,72 @@ def _unigram_train_sql(iters: int, max_len: int = 4, min_count: int = 2) -> str:
     SELECT piece, CAST(cnt AS BIGINT) AS piece_count
     FROM c{iters} WHERE cnt > 0
     """
+    )
+
+
+def _unigram_quality_sql(iters: int = 2, max_len: int = 4) -> str:
+    """Extend the trainer replay with the scoring pass: final-vocabulary
+    quantized log scores → one more Viterbi DP over the corpus words →
+    per-document totals (the DP already carries each word's total
+    micro-log-prob as ``-ns`` and its piece count as ``np``)."""
+    train = _unigram_train_sql(iters, max_len)
+    # strip the trainer's final SELECT; keep its WITH RECURSIVE chain
+    body = train[: train.index("SELECT piece, CAST(cnt AS BIGINT)")]
+    t = iters + 1
+    return (
+        body
+        + f""",
+    cf AS (SELECT piece, cnt FROM c{iters} WHERE cnt > 0),
+    tot{t} AS (SELECT SUM(cnt) + COUNT(*) AS tot FROM cf),
+    st{t} AS (
+      SELECT piece,
+             CAST(FLOOR(1e6 * ln((cnt + 1) / tot) + 0.5) AS BIGINT) AS s
+      FROM cf, tot{t}
+    ),
+    sm{t} AS (SELECT map(list(piece), list(s)) AS m FROM st{t}),
+    {_unigram_dp_sql('vocab', f'sm{t}', f'dp{t}', f'sg{t}', max_len)},
+    {_TOK_CTE},
+    dw AS (SELECT doc_id, unnest(t) AS w FROM tok),
+    agg AS (
+      SELECT doc_id, SUM(-g.ns) AS ts, SUM(g.np) AS np
+      FROM dw JOIN sg{t} g ON dw.w = g.word GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(COALESCE(a.ts, 0) AS BIGINT) AS total_micrologp,
+           CAST(COALESCE(a.np, 0) AS INT) AS n_pieces
+    FROM tok tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
+    """
+    )
+
+
+@spec(
+    "doc_unigram_quality",
+    "EXT-unigram EXT-quality LLM-text",
+    oracle=_unigram_quality_sql(2),
+)
+def doc_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality scoring with the ON-ENGINE-trained unigram
+    LM — the CCNet-style "score documents by a language model trained on
+    the corpus" curation stage, end-to-end in one pipeline: hard-EM
+    unigram training (llm/unigram.py unigram_train_viterbi) → final
+    vocabulary re-scored to integer micro-log-probs → every document
+    Viterbi-scored (word-memoized Arrow kernel, map-only). Output
+    (doc_id, total_micrologp, n_pieces); per-token NLL =
+    -total/n_pieces is the filter threshold downstream. All-integer, so
+    the DuckDB oracle replays the ENTIRE train→score path: the trainer
+    CTEs, one more scoring DP over the word vocabulary, and per-doc
+    aggregation. Ref: parity N/A (§2.12 training-data surface)."""
+    ensure_utc(spark)
+    from .llm import unigram as llm_unigram
+
+    d = _t(spark, sf_dir, "documents")
+    cnts = {
+        r["piece"]: int(r["piece_count"])
+        for r in llm_unigram.unigram_train_viterbi(d, "text", iters=2).collect()
+    }
+    scores = llm_unigram.quantlog_scores(cnts)
+    return llm_unigram.unigram_doc_scores(d, "doc_id", "text", scores).select(
+        F.col("id").alias("doc_id"), "total_micrologp", "n_pieces"
     )
 
 
@@ -9082,6 +9149,10 @@ _swap_specs("extracted_page_refs", "doc_token_ids")
 _swap_specs("unigram_trained_vocab", "doc_token_ids")
 _swap_specs("unigram_apply_tokens", "orc_export_roundtrip")
 _swap_specs("html_text_extract", "label_centroids")
+# The LM-quality capstone (registered after the three above) makes the
+# registry 201 long — offset 200 % 201 = 200, so the window is
+# [200] + [0:49]. Swap it over another r05-green unmodified aggregate.
+_swap_specs("doc_unigram_quality", "customer_order_counts")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
