@@ -332,7 +332,7 @@ def encode_png_pixels(
             raise ValueError("palette PNG takes a ≤8-bit (H, W) index array")
         color_type = 3
     else:
-        color_type = {1: 0, 3: 2, 4: 6}[ch]
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     bpp = max(1, ch * (bit_depth // 8))
     raw = bytearray()
     if interlace:
@@ -376,10 +376,12 @@ def decode_png_pixels(content: bytes | None):
     filtering operates on BYTES with the left-neighbor offset at
     max(1, bytes-per-pixel); ADAM7 interlace scatters seven
     independently-filtered reduced images back onto the (x0,y0,dx,dy)
-    grid, each pass packing its own scanlines. Returns (H, W, C)
-    uint8, or uint16 for 16-bit files, or None for any structural
-    corruption (bad CRC, truncated IDAT, wrong stream length,
-    out-of-palette index, sub-8 color types the spec forbids).
+    grid, each pass packing its own scanlines. All five legal color
+    types decode (gray, RGB, palette, gray+alpha, RGBA — channel counts
+    1/3/3/2/4). Returns (H, W, C) uint8, or uint16 for 16-bit files, or
+    None for any structural corruption (bad CRC, truncated IDAT, wrong
+    stream length, out-of-palette index, sub-8 color types the spec
+    forbids).
 
     Sub/Average/Paeth reconstruction is inherently sequential in x (each
     byte depends on the reconstructed byte one pixel left), so those
@@ -408,7 +410,7 @@ def decode_png_pixels(content: bytes | None):
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
             if (
                 depth not in (1, 2, 4, 8, 16)
-                or ctype not in (0, 2, 3, 6)
+                or ctype not in (0, 2, 3, 4, 6)
                 or (depth < 8 and ctype not in (0, 3))
                 or (ctype == 3 and depth == 16)
                 or comp
@@ -416,7 +418,10 @@ def decode_png_pixels(content: bytes | None):
                 or interlace > 1
             ):
                 return None
-            meta = (w, h, {0: 1, 2: 3, 3: 1, 6: 4}[ctype], ctype, depth, interlace)
+            meta = (
+                w, h, {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype], ctype, depth,
+                interlace,
+            )
         elif tag == b"PLTE":
             if ln % 3:
                 return None
