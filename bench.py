@@ -77,6 +77,9 @@ HEADLINE = [
     "doc_unigram_quality",
     "html_text_extract",
     "minhash_lsh_recall",
+    "hll_distinct_users",
+    "cms_user_counts",
+    "bloom_customer_filter",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

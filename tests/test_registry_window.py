@@ -156,6 +156,9 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "unigram_apply_tokens",
         "html_text_extract",
         "doc_unigram_quality",
+        "hll_distinct_users",
+        "cms_user_counts",
+        "bloom_customer_filter",
     },
 }
 

@@ -1,0 +1,77 @@
+"""Probabilistic sketches: accuracy envelopes, defining guarantees,
+and portability of the hash family."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from youtube_scraper_db_spark.operators import sketches as S
+
+
+def _keys_df(spark, n, dup_every=0):
+    rows = [(i % (n // 2) if dup_every and i % dup_every == 0 else i,) for i in range(n)]
+    return spark.createDataFrame(rows, "k long")
+
+
+def test_hll_estimate_within_expected_error(spark):
+    # p=9 → 512 registers → standard error ≈ 1.04/sqrt(512) ≈ 4.6%
+    df = _keys_df(spark, 5000)
+    row = S.hll_estimate(df, "k", p=9).first()
+    assert row["exact_distinct"] == 5000
+    assert abs(row["estimate"] - 5000) / 5000 < 0.15  # 3σ+ slack
+    assert 0 < row["nonzero_registers"] <= 512
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = _keys_df(spark, 40)
+    row = S.hll_estimate(df, "k", p=9).first()
+    # linear counting is near-exact at tiny cardinalities
+    assert abs(row["estimate"] - 40) <= 3
+
+
+def test_hll_deterministic_across_runs(spark):
+    df = _keys_df(spark, 1000).repartition(13)
+    a = S.hll_estimate(df, "k", p=9).first()["estimate"]
+    b = S.hll_estimate(df.repartition(3), "k", p=9).first()["estimate"]
+    assert a == b  # 4dp rounding absorbs accumulation-order jitter
+
+
+def test_cms_overestimates_and_is_tight_when_sparse(spark):
+    df = spark.createDataFrame(
+        [(i % 50,) for i in range(5000)], "k long"
+    )
+    rows = S.cms_point_estimates(df, "k", depth=4, width=4096).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["overestimate_ok"], r
+        assert r["exact"] == 100
+        # 50 keys in 4096 slots: collisions essentially impossible
+        assert r["est"] == 100
+
+
+def test_bloom_no_false_negatives_and_counts(spark):
+    build = spark.createDataFrame([(i,) for i in range(0, 1000, 2)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    row = S.bloom_probe_report(build, "k", probe, "k", k=5, m_bits=1 << 14).first()
+    assert row["probed"] == 1000
+    assert row["true_present"] == 500
+    # a Bloom filter NEVER misses a present key
+    assert row["maybe_present"] >= row["true_present"]
+    assert row["false_positives"] == row["maybe_present"] - row["true_present"]
+    # 2500 set bits in 16384 → fp rate ≈ (2500/16384)^5 ≈ 8e-5
+    assert row["false_positives"] <= 5
+
+
+def test_hash_family_matches_python_md5(spark):
+    df = spark.createDataFrame([(12345,)], "k long")
+    h1c, h2c = S._h1h2(F.col("k"))
+    got = df.select(
+        h1c.alias("h1"), h2c.alias("h2"), S._mix(h1c, h2c, 3).alias("m3")
+    ).first()
+    hx = hashlib.md5(b"12345").hexdigest()
+    h1 = int(hx[:15], 16)
+    h2 = int(hx[16:31], 16)
+    assert got["h1"] == h1 and got["h2"] == h2
+    assert got["m3"] == (h1 + 3 * h2) % (1 << 60)

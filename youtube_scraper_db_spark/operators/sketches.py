@@ -1,0 +1,405 @@
+"""Probabilistic sketches — the sublinear-state summaries a 100 TB
+pipeline leans on where exact answers would shuffle the world:
+HyperLogLog distinct counting, Count-Min frequency estimation, Bloom
+membership pruning. (The exact counterparts ship elsewhere in the repo:
+salted exact distinct, Misra-Gries heavy hitters with exact recount,
+semi-join membership — these sketches are the bounded-memory scale
+path, and the gates measure them AGAINST those exact answers.)
+
+Determinism/oracle contract (same device as the portable MinHash,
+llm/dedup.py): every hash is derived from md5 — ``h1/h2`` are the two
+60-bit halves of one digest, seeded variants are Kirsch-Mitzenmacher
+mixes ``(h1 + i·h2) mod 2^60`` with the multiply split at 30 bits so
+every intermediate stays under 2^61 in BOTH engines (Java longs would
+wrap, DuckDB BIGINTs would raise; the split makes them compute the
+same exact integers). DuckDB therefore replays every sketch
+value-for-value, including the sketch's approximation error — the
+driver gate hash-checks the ESTIMATES, not just invariants.
+
+Scale shape: every sketch is one hash-keyed aggregate over key-sized
+rows (map-side partial combine does the heavy lifting); register /
+counter / bit-position tables are O(sketch size), never O(data).
+Production would swap md5 → xxhash64 for throughput — a one-line
+change per sketch that keeps every plan identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P60 = 1 << 60
+_P30 = 1 << 30
+
+
+def _h1h2(col: Column) -> tuple[Column, Column]:
+    md = F.md5(col.cast("string"))
+    h1 = F.conv(F.substring(md, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 17, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def _mix(h1: Column, h2: Column, i: int) -> Column:
+    """(h1 + i·h2) mod 2^60 in overflow-free exact integer arithmetic."""
+    if i == 0:
+        return h1
+    hi = (F.lit(i) * F.shiftright(h2, 30)) % F.lit(_P30) * F.lit(_P30)
+    lo = F.lit(i) * h2.bitwiseAND(F.lit(_P30 - 1))
+    return (h1 + hi + lo) % F.lit(_P60)
+
+
+# --- HyperLogLog ------------------------------------------------------
+
+def hll_registers(
+    df: DataFrame, key: str, p: int = 9
+) -> DataFrame:
+    """(bucket, rho): the 2^p HyperLogLog registers of ``key``. bucket =
+    top ``p`` bits of the 60-bit hash; rho = position of the leftmost
+    1-bit in the remaining 60-p bits (all-zero tail → 60-p+1, the
+    standard convention). One hash-keyed aggregate; register table is
+    O(2^p) regardless of input size."""
+    h1, _ = _h1h2(F.col(key))
+    bucket = F.shiftright(h1, 60 - p)
+    tail = h1.bitwiseAND(F.lit((1 << (60 - p)) - 1))
+    # rho = (leftmost-1 position in the w-bit tail) = w + 1 - bit_length:
+    # bit_length computed EXACTLY as the count of powers of two ≤ tail
+    # (w integer comparisons, all codegen — no float log2 anywhere, so
+    # the oracle replays it with the identical CASE sum).
+    w = 60 - p
+    bits = None
+    for k in range(w):
+        term = (tail >= F.lit(1 << k)).cast("int")
+        bits = term if bits is None else bits + term
+    rho = F.lit(w + 1) - bits
+    return (
+        df.where(F.col(key).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame, key: str, p: int = 9
+) -> DataFrame:
+    """One-row (estimate, nonzero_registers, exact_distinct): the
+    HyperLogLog cardinality estimate next to the exact answer it
+    approximates (the gate hash-checks BOTH, so the sketch arithmetic
+    and its error are pinned). Small-range (linear counting) correction
+    applied per the original paper; estimate rounded to 4dp so the
+    harmonic-sum accumulation order cannot flip the value hash."""
+    m = 1 << p
+    regs = hll_registers(df, key, p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count("*").alias("v"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("v")))
+    # empty registers contribute 2^0 = 1 each to the harmonic sum
+    zeros = F.lit(m) - F.col("v")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    exact = df.where(F.col(key).isNotNull()).agg(
+        F.countDistinct(key).alias("exact_distinct")
+    )
+    return (
+        agg.select(
+            F.round(est, 4).alias("estimate"),
+            F.col("v").cast("long").alias("nonzero_registers"),
+        )
+        .crossJoin(exact)
+    )
+
+
+def hll_oracle_sql(table: str, key: str, p: int = 9) -> str:
+    """DuckDB replay of hll_estimate — literally the same hash, rho,
+    harmonic sum and corrections."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    w = 60 - p
+    bitlen = " + ".join(
+        f"CASE WHEN tail >= {1 << k} THEN 1 ELSE 0 END" for k in range(w)
+    )
+    return f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT AS h1
+      FROM {table} WHERE {key} IS NOT NULL
+    ),
+    br AS (
+      SELECT h1 >> {w} AS bucket, h1 & {(1 << w) - 1} AS tail FROM h
+    ),
+    regs AS (
+      SELECT bucket, MAX({w + 1} - ({bitlen})) AS rho
+      FROM br GROUP BY bucket
+    ),
+    agg AS (
+      SELECT SUM(power(2.0, -rho)) AS s, COUNT(*) AS v FROM regs
+    ),
+    est AS (
+      SELECT CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m})
+                        / (s + ({m} - v)) <= CAST({2.5 * m!r} AS DOUBLE)
+                   AND ({m} - v) > 0
+                  THEN CAST({float(m)!r} AS DOUBLE)
+                       * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - v))
+                  ELSE (CAST({alpha!r} AS DOUBLE) * {m} * {m})
+                       / (s + ({m} - v))
+             END AS e, v
+      FROM agg
+    )
+    SELECT ROUND(e, 4) AS estimate,
+           CAST(v AS BIGINT) AS nonzero_registers,
+           (SELECT CAST(count(DISTINCT {key}) AS BIGINT)
+            FROM {table} WHERE {key} IS NOT NULL) AS exact_distinct
+    FROM est
+    """
+
+
+# --- Count-Min --------------------------------------------------------
+
+def cms_counters(
+    df: DataFrame, key: str, depth: int = 4, width: int = 4096
+) -> DataFrame:
+    """(row, slot, cnt): the depth × width Count-Min counter table of
+    ``key`` occurrences — one hash-keyed aggregate (rows explode
+    ``depth``× on the map side, combine partially, shuffle O(depth ×
+    distinct-slots))."""
+    h1, h2 = _h1h2(F.col(key))
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (_mix(h1, h2, i) % F.lit(width)).alias("slot"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("rs")
+    return (
+        df.where(F.col(key).isNotNull())
+        .select(rows)
+        .select("rs.row", "rs.slot")
+        .groupBy("row", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    df: DataFrame, key: str, depth: int = 4, width: int = 4096
+) -> DataFrame:
+    """(key, est, exact, overestimate_ok): Count-Min point estimate (min
+    over the depth counter rows) for EVERY distinct key, next to its
+    exact count — the defining CMS guarantee est ≥ exact rides along as
+    a checked column. Probe side joins its per-row slots against the
+    counter table; both sides are slot-keyed aggregates."""
+    counters = cms_counters(df, key, depth, width)
+    probes = (
+        df.where(F.col(key).isNotNull())
+        .groupBy(F.col(key).alias("k"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .select(
+            "k",
+            "exact",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"),
+                            (
+                                _mix(*_h1h2(F.col("k")), i) % F.lit(width)
+                            ).alias("slot"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("rs"),
+        )
+        .select("k", "exact", "rs.row", "rs.slot")
+    )
+    return (
+        probes.join(counters, ["row", "slot"])
+        .groupBy("k", "exact")
+        .agg(F.min("cnt").cast("long").alias("est"))
+        .select(
+            "k",
+            F.col("est"),
+            F.col("exact").cast("long").alias("exact"),
+            (F.col("est") >= F.col("exact")).alias("overestimate_ok"),
+        )
+    )
+
+
+def cms_oracle_sql(
+    table: str, key: str, depth: int = 4, width: int = 4096
+) -> str:
+    mixes = []
+    for i in range(depth):
+        if i == 0:
+            mixes.append("h1")
+        else:
+            mixes.append(
+                f"(h1 + (({i} * (h2 >> 30)) % {_P30}) * {_P30}"
+                f" + {i} * (h2 & {_P30 - 1})) % {_P60}"
+            )
+    slot_rows = " UNION ALL ".join(
+        f"SELECT k, exact, {i} AS row, ({m}) % {width} AS slot FROM kh"
+        for i, m in enumerate(mixes)
+    )
+    return f"""
+    WITH kh AS (
+      SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS exact,
+             ('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST({key} AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM {table} WHERE {key} IS NOT NULL GROUP BY {key}
+    ),
+    slots AS ({slot_rows}),
+    counters AS (
+      SELECT row, slot, SUM(exact) AS cnt FROM slots GROUP BY row, slot
+    )
+    SELECT s.k, CAST(MIN(c.cnt) AS BIGINT) AS est, s.exact,
+           MIN(c.cnt) >= s.exact AS overestimate_ok
+    FROM slots s JOIN counters c ON s.row = c.row AND s.slot = c.slot
+    GROUP BY s.k, s.exact
+    """
+
+
+# --- Bloom ------------------------------------------------------------
+
+def bloom_bits(
+    df: DataFrame, key: str, k: int = 5, m_bits: int = 1 << 14
+) -> DataFrame:
+    """(pos,): the DISTINCT set bit positions of the filter built over
+    ``key`` — O(min(m_bits, k·distinct)) rows."""
+    h1, h2 = _h1h2(F.col(key))
+    return (
+        df.where(F.col(key).isNotNull())
+        .select(
+            F.explode(
+                F.array(*[(_mix(h1, h2, i) % F.lit(m_bits)) for i in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe_report(
+    build: DataFrame,
+    build_key: str,
+    probe: DataFrame,
+    probe_key: str,
+    k: int = 5,
+    m_bits: int = 1 << 14,
+) -> DataFrame:
+    """One-row (probed, maybe_present, true_present, false_positives):
+    probe every distinct ``probe_key`` against the filter built over
+    ``build_key``. A key is "maybe present" iff ALL k bit positions are
+    set; true membership comes from the exact semi-join, so the false
+    positives — the sketch's entire error — are hash-checked by the
+    oracle. Shape: bit table is O(m_bits); probe side is a positions
+    join + all-k count, never a row-by-row filter."""
+    bits = bloom_bits(build, build_key, k, m_bits)
+    pk = probe.where(F.col(probe_key).isNotNull()).select(
+        F.col(probe_key).alias("k")
+    ).distinct()
+    h1, h2 = _h1h2(F.col("k"))
+    ppos = pk.select(
+        "k",
+        F.explode(
+            F.array(*[(_mix(h1, h2, i) % F.lit(m_bits)) for i in range(k)])
+        ).alias("pos"),
+    ).distinct()
+    hits = (
+        ppos.join(bits, "pos")
+        .groupBy("k")
+        .agg(F.countDistinct("pos").alias("nset"))
+    )
+    npos = ppos.groupBy("k").agg(F.countDistinct("pos").alias("ntotal"))
+    maybe = (
+        npos.join(hits, "k", "left")
+        .select(
+            "k",
+            (F.coalesce(F.col("nset"), F.lit(0)) == F.col("ntotal")).alias(
+                "maybe"
+            ),
+        )
+    )
+    truth = pk.join(
+        build.select(F.col(build_key).alias("k")).distinct(), "k", "left_semi"
+    ).select("k", F.lit(True).alias("present"))
+    joined = maybe.join(truth, "k", "left").select(
+        "k", "maybe", F.coalesce("present", F.lit(False)).alias("present")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("probed"),
+        F.sum(F.col("maybe").cast("long")).cast("long").alias("maybe_present"),
+        F.sum(F.col("present").cast("long")).cast("long").alias("true_present"),
+        F.sum((F.col("maybe") & ~F.col("present")).cast("long"))
+        .cast("long")
+        .alias("false_positives"),
+    )
+
+
+def bloom_oracle_sql(
+    build_table: str,
+    build_key: str,
+    probe_table: str,
+    probe_key: str,
+    k: int = 5,
+    m_bits: int = 1 << 14,
+) -> str:
+    def mixes() -> list[str]:
+        out = []
+        for i in range(k):
+            if i == 0:
+                out.append("h1")
+            else:
+                out.append(
+                    f"(h1 + (({i} * (h2 >> 30)) % {_P30}) * {_P30}"
+                    f" + {i} * (h2 & {_P30 - 1})) % {_P60}"
+                )
+        return out
+
+    build_pos = " UNION ALL ".join(
+        f"SELECT ({m}) % {m_bits} AS pos FROM bh" for m in mixes()
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT k, ({m}) % {m_bits} AS pos FROM ph" for m in mixes()
+    )
+    return f"""
+    WITH bh AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST({build_key} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST({build_key} AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM {build_table} WHERE {build_key} IS NOT NULL
+    ),
+    bits AS (SELECT DISTINCT pos FROM ({build_pos})),
+    ph AS (
+      SELECT DISTINCT {probe_key} AS k,
+             ('0x' || substr(md5(CAST({probe_key} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST({probe_key} AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM {probe_table} WHERE {probe_key} IS NOT NULL
+    ),
+    ppos AS (SELECT DISTINCT k, pos FROM ({probe_pos})),
+    m AS (
+      SELECT p.k,
+             COUNT(*) AS ntotal,
+             COUNT(b.pos) AS nset
+      FROM ppos p LEFT JOIN bits b ON p.pos = b.pos
+      GROUP BY p.k
+    ),
+    t AS (
+      SELECT m.k, m.nset = m.ntotal AS maybe,
+             EXISTS (SELECT 1 FROM {build_table} x
+                     WHERE x.{build_key} = m.k) AS present
+      FROM m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS probed,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS maybe_present,
+           CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS true_present,
+           CAST(SUM(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END) AS BIGINT)
+             AS false_positives
+    FROM t
+    """

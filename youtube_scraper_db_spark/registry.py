@@ -43,6 +43,7 @@ from .llm import rarity as llm_rarity
 from .llm import similarity as llm_similarity
 from .llm import text as llm_text
 from .operators import bucketing
+from .operators import sketches as op_sketches
 from .operators.dedup import dedup_first_seen
 from .operators.diffsync import diff_keys_single_shuffle
 from .operators.layout import zorder_key
@@ -9025,6 +9026,70 @@ REGISTRY[-1] = QuerySpec(
 
 
 # ----------------------------------------------------------------------
+# Probabilistic sketches (EXT-sketch-*; round 6)
+# ----------------------------------------------------------------------
+
+@spec(
+    "hll_distinct_users",
+    "EXT-sketch-hll A3",
+    oracle=op_sketches.hll_oracle_sql("events", "user_id", 9),
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate (p=9, 512 registers) next to
+    the exact distinct count it approximates — the bounded-memory scale
+    path beside the exact salted distinct (operators/skew.py). Portable
+    md5 hashing and an exact-integer bit-length fold make the WHOLE
+    sketch — registers, harmonic sum, small-range correction, even the
+    approximation error — replayable by the DuckDB oracle
+    (operators/sketches.py hll_oracle_sql). One hash-keyed aggregate;
+    register table is O(2^p) at any corpus size."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return op_sketches.hll_estimate(ev, "user_id", p=9)
+
+
+@spec(
+    "cms_user_counts",
+    "EXT-sketch-cms A2",
+    oracle=op_sketches.cms_oracle_sql("events", "user_id"),
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates (depth 4 × width 4096) for every
+    user's event count, next to the exact counts — the defining
+    overestimate guarantee (est ≥ exact) rides along as a checked
+    column, and the oracle hash-checks the ESTIMATES, collisions
+    included (same md5/Kirsch-Mitzenmacher family as the portable
+    MinHash). Counter table is O(depth × width) regardless of volume;
+    the exact twin for heavy keys is operators/heavy_hitters.py."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return op_sketches.cms_point_estimates(ev, "user_id")
+
+
+@spec(
+    "bloom_customer_filter",
+    "EXT-sketch-bloom J10",
+    oracle=op_sketches.bloom_oracle_sql(
+        "orders", "o_custkey", "customer", "c_custkey"
+    ),
+)
+def bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pruning (k=5, 2^14 bits): probe every
+    customer against the filter built over order custkeys — the
+    broadcastable pre-join pruning structure at 100 TB (semi-join
+    without shuffling the fact side). Output counts probed /
+    maybe-present / truly-present / FALSE POSITIVES — the sketch's
+    entire error surface, hash-checked by the oracle which replays bit
+    positions and the exact membership join."""
+    ensure_utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return op_sketches.bloom_probe_report(
+        orders, "o_custkey", customer, "c_custkey"
+    )
+
+
+# ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
 
@@ -9153,6 +9218,15 @@ _swap_specs("html_text_extract", "label_centroids")
 # registry 201 long — offset 200 % 201 = 200, so the window is
 # [200] + [0:49]. Swap it over another r05-green unmodified aggregate.
 _swap_specs("doc_unigram_quality", "customer_order_counts")
+# The three sketch gates grow the registry to 204: offset 200 % 204 =
+# 200, window [200:204] + [0:46] — the tail debuts sit in-window on
+# their own, but indices 46-48 (simhash_dups / lsh_near_dups /
+# lsh_ann_topk, three of this round's MUST debuts) fall off the edge.
+# Swap them into [0:45] over three more r05-green unmodified entries
+# (all J5-verified at the r05 HEAD, back in rotation at round 7).
+_swap_specs("simhash_dups", "extracted_page_refs")
+_swap_specs("lsh_near_dups", "top_suppliers")
+_swap_specs("lsh_ann_topk", "cross_linked_parts")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
