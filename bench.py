@@ -80,6 +80,7 @@ HEADLINE = [
     "hll_distinct_users",
     "cms_user_counts",
     "bloom_customer_filter",
+    "image_resize_stats",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

@@ -957,3 +957,51 @@ def test_jpeg_hostile_dimensions_rejected():
             + b"\xff\xd9"
         )
         assert M.decode_jpeg_pixels(b) is None
+
+
+def test_resize_image_exact_semantics():
+    """Integer-exact resize: identity is a copy; nearest matches the
+    float half-pixel mapping; bilinear is the correctly-rounded float
+    4-tap (|int - float| <= 0.5) with edge-replicate clamping."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (5, 8, 3), dtype=np.uint8)
+    for m in ("nearest", "bilinear"):
+        assert (M.resize_image(a, 5, 8, m) == a).all()
+
+    def float_bilinear(a, oh, ow):
+        h, w, _ = a.shape
+        out = np.zeros((oh, ow, a.shape[2]))
+        for i in range(oh):
+            for j in range(ow):
+                py = (i + 0.5) * h / oh - 0.5
+                px = (j + 0.5) * w / ow - 0.5
+                y0, x0 = int(np.floor(py)), int(np.floor(px))
+                fy, fx = py - y0, px - x0
+                if y0 < 0:
+                    y0, fy = 0, 0.0
+                if y0 >= h - 1:
+                    y0, fy = h - 1, 0.0
+                if x0 < 0:
+                    x0, fx = 0, 0.0
+                if x0 >= w - 1:
+                    x0, fx = w - 1, 0.0
+                y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                out[i, j] = (1 - fy) * (
+                    (1 - fx) * a[y0, x0] + fx * a[y0, x1]
+                ) + fy * ((1 - fx) * a[y1, x0] + fx * a[y1, x1])
+        return out
+
+    for oh, ow in ((9, 3), (2, 15), (1, 1), (11, 11)):
+        got = M.resize_image(a, oh, ow, "bilinear").astype(float)
+        ref = float_bilinear(a, oh, ow)
+        assert np.abs(got - ref).max() <= 0.5 + 1e-9, (oh, ow)
+        sy = np.clip(np.floor((np.arange(oh) + 0.5) * 5 / oh).astype(int), 0, 4)
+        sx = np.clip(np.floor((np.arange(ow) + 0.5) * 8 / ow).astype(int), 0, 7)
+        assert (M.resize_image(a, oh, ow, "nearest") == a[sy][:, sx]).all()
+
+    # 16-bit path preserves dtype and exactness
+    b = rng.integers(0, 65536, (4, 4, 1), dtype=np.uint16)
+    r16 = M.resize_image(b, 7, 3, "bilinear")
+    assert r16.dtype == np.uint16

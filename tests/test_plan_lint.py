@@ -37,6 +37,7 @@ ARROW_STAGES = {
     "bpe_apply_tokens",          # vocabulary-memoized BPE encode kernel
     "unigram_apply_tokens",      # vocabulary-memoized Viterbi encode kernel
     "doc_unigram_quality",       # word-memoized Viterbi LM scoring kernel
+    "image_resize_stats",        # decode + integer-exact resize kernel
     "mock_fetch_enrichment",     # injected fetcher runs as a pandas stage
     "simhash_dups",              # numpy bit-matrix signature kernel
     "simhash_recall",

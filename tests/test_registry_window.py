@@ -159,6 +159,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "hll_distinct_users",
         "cms_user_counts",
         "bloom_customer_filter",
+        "image_resize_stats",
     },
 }
 
