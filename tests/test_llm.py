@@ -416,18 +416,28 @@ def test_token_runs_udtf_emits_runs_only(spark):
     assert rows == [(0, "a", 1, 3), (0, "c", 5, 2)]
 
 
-def test_portable_hash_matches_python_md5(spark):
-    """_portable_hash must equal int(md5(f"{seed}:{x}")[:15 hex], 16) —
-    the literal arithmetic the DuckDB oracle replays."""
+def test_portable_hash_family_matches_python_md5(spark):
+    """The portable MinHash family — the two 60-bit md5 halves and the
+    Kirsch-Mitzenmacher seeded mix — must equal the literal Python/SQL
+    arithmetic the DuckDB oracle replays."""
     import hashlib
 
     df = spark.createDataFrame([("alpha",), ("beta gamma",)], "s string")
-    got = {
-        r["s"]: r["h"]
-        for r in df.select("s", D._portable_hash(F.col("s"), 7).alias("h")).collect()
+    h1c, h2c = D._portable_h1h2(F.col("s"))
+    rows = {
+        r["s"]: r
+        for r in df.select(
+            "s",
+            h1c.alias("h1"),
+            h2c.alias("h2"),
+            D._portable_mix(h1c, h2c, 5).alias("m5"),
+        ).collect()
     }
     for s in ("alpha", "beta gamma"):
-        assert got[s] == int(hashlib.md5(f"7:{s}".encode()).hexdigest()[:15], 16)
+        hx = hashlib.md5(s.encode()).hexdigest()
+        h1, h2 = int(hx[:15], 16), int(hx[16:31], 16)
+        assert rows[s]["h1"] == h1 and rows[s]["h2"] == h2
+        assert rows[s]["m5"] == (h1 + 5 * h2) % (1 << 60)
 
 
 def test_portable_hyperplanes_deterministic_and_bounded():

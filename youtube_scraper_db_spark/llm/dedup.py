@@ -246,19 +246,6 @@ def jaccard_pairs(
 
 # --- MinHash + LSH ----------------------------------------------------
 
-def _portable_hash(col: Column, seed: int) -> Column:
-    """60-bit md5-derived seeded hash: the identical literal arithmetic
-    exists in ANSI/DuckDB SQL — ``('0x' || substr(md5(seed || ':' || x),
-    1, 15))::BIGINT`` — which is what lets the portable MinHash family be
-    value-hash oracle-checked instead of rows-only. 15 hex chars = 60
-    bits, so the value always fits a signed BIGINT in both engines.
-    xxhash64 stays the production default (one JVM hash vs an md5 per
-    seed); same trade as substring_dup_flags (llm/dedup.py:128)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
-    ).cast("long")
-
-
 #: 2^60 / 2^30 constants of the portable mixing arithmetic.
 _P60 = 1 << 60
 _P30 = 1 << 30
