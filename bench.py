@@ -150,7 +150,11 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # flush=True: the Py4J/JVM shutdown hooks that run at interpreter
+    # exit have been observed to lose an unflushed stdout tail once the
+    # JSON line outgrew ~1.6 KB — the driver parses this line, so it
+    # must hit the pipe before any teardown runs.
+    print(json.dumps(out), flush=True)
     if errors:
         sys.exit(1)
 

@@ -1635,7 +1635,14 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text", num_hashes=32, bands=16
     ).filter(F.col("est_jaccard") >= 0.5)
     d = _t(spark, sf_dir, "documents")
-    expected = d.filter(F.size(llm_text.shingles(F.col("text"), 3)) > 0).select(
+    # ≥1 3-shingle ⟺ ≥3 tokens; the token-count predicate avoids the
+    # expression-context shingles() form, whose inlined element_at
+    # trees re-evaluate the tokenizer per shingle position (the 5-9×
+    # slow path llm/text.py:168 documents) — measured 22 s → ~2 s for
+    # this gate at sf0.1 when it joined the bench headline list.
+    expected = d.filter(
+        F.size(llm_text.tokens(llm_text.normalize(F.col("text")))) >= 3
+    ).select(
         F.col("doc_id").alias("doc_a"),
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_b"),
     )
