@@ -181,3 +181,49 @@ def test_gray_alpha_roundtrip():
         dec = M.decode_png_pixels(enc)
         assert dec is not None and dec.shape == (9, 7, 2)
         assert (dec == img).all()
+
+
+def test_third_party_bmp_exact(imageio_decode):
+    """CPython's 32-bit BI_BITFIELDS BMP (V5 header) — byte-exact
+    against ImageIO including alpha."""
+    path = (
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/"
+        "data/python.bmp"
+    )
+    data = _need(path)
+    mine = M.decode_bmp_pixels(data)
+    assert mine is not None and mine.shape[2] == 4
+    ref = imageio_decode(path)
+    assert mine.shape == ref.shape
+    assert np.abs(mine.astype(int) - ref.astype(int)).max() == 0
+
+
+def test_bmp_8bit_palette_and_32bit_handbuilt():
+    """Hand-constructed 8-bit palette and 32-bit BI_RGB BMPs decode to
+    the expected RGB(A) — palette lookup, BGRA order, padding, and
+    bottom-up flip all covered without an encoder."""
+    import struct as st
+
+    # 8-bit palette: 3x2, palette [red, green, blue] as BGRX
+    w, h = 3, 2
+    pal = bytes([0, 0, 255, 0]) + bytes([0, 255, 0, 0]) + bytes([255, 0, 0, 0])
+    rows = bytes([0, 1, 2, 0]) + bytes([2, 1, 0, 0])  # padded to 4
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + st.pack("<IHHI", off + len(rows), 0, 0, off)
+    dib = st.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows), 0, 0, 3, 0)
+    bmp = hdr + dib + pal + rows
+    px = M.decode_bmp_pixels(bmp)
+    # bottom-up: file row 0 is image bottom
+    assert px.shape == (2, 3, 3)
+    assert px[1].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    assert px[0].tolist() == [[0, 0, 255], [0, 255, 0], [255, 0, 0]]
+
+    # 32-bit BI_RGB: 2x1, BGRA stored
+    data = bytes([10, 20, 30, 40]) + bytes([50, 60, 70, 80])
+    off = 14 + 40
+    hdr = b"BM" + st.pack("<IHHI", off + len(data), 0, 0, off)
+    dib = st.pack("<IiiHHIIiiII", 40, 2, 1, 1, 32, 0, len(data), 0, 0, 0, 0)
+    px = M.decode_bmp_pixels(hdr + dib + data)
+    assert px.shape == (1, 2, 4)
+    assert px[0, 0].tolist() == [30, 20, 10, 40]  # BGRA -> RGBA
+    assert px[0, 1].tolist() == [70, 60, 50, 80]

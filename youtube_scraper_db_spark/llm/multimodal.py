@@ -951,12 +951,17 @@ def encode_bmp_pixels(pixels) -> bytes:
 
 
 def decode_bmp_pixels(content: bytes | None):
-    """REAL BMP pixel decode (24-bit uncompressed BITMAPINFOHEADER, the
-    overwhelmingly common profile): header-validated offset math, then
-    undo the format's three storage quirks — bottom-up row order
-    (negative height = already top-down), BGR channel order, 4-byte row
-    padding. Returns (H, W, 3) uint8 RGB or None (other bit depths /
-    compressions stay behind the boundary)."""
+    """REAL BMP pixel decode (uncompressed BITMAPINFOHEADER profiles):
+    24-bit BGR, 32-bit BGRA (round 6 — what modern writers emit; the
+    CPython test-suite logo is one), and 8-bit palette with the BGRX
+    color table. Header-validated offset math, then undo the format's
+    storage quirks — bottom-up row order (negative height = already
+    top-down), BGR(A) channel order, 4-byte row padding. 32-bit also
+    accepts BI_BITFIELDS with byte-aligned 8-bit masks (the V4/V5
+    layout real writers emit; masks sit at DIB offset 40, which is also
+    where they follow a plain 40-byte header). Returns (H, W, 3) uint8
+    RGB — or (H, W, 4) RGBA for 32-bit — or None (1/4-bit, RLE,
+    non-byte-aligned bitfields stay behind the boundary)."""
     if not content:
         return None
     b = bytes(content)
@@ -969,14 +974,61 @@ def decode_bmp_pixels(content: bytes | None):
     w, h_signed = struct.unpack("<ii", b[18:26])
     bpp = struct.unpack("<H", b[28:30])[0]
     (compression,) = struct.unpack("<I", b[30:34])
-    if bpp != 24 or compression != 0 or w <= 0 or h_signed == 0:
+    # BI_RGB always; BI_BITFIELDS only for 32-bit with byte-aligned
+    # 8-bit masks (what V4/V5 writers actually emit) — handled below.
+    if (
+        bpp not in (8, 24, 32)
+        or compression not in (0, 3)
+        or (compression == 3 and bpp != 32)
+        or w <= 0
+        or h_signed == 0
+    ):
         return None
+    chan_idx = [2, 1, 0, 3]  # default BGRA byte order → RGBA
+    if compression == 3:
+        # masks live in the V4+ DIB header (or, for a plain 40-byte
+        # header, immediately after it)
+        moff = 54 if dib == 40 else 54
+        if len(b) < moff + 16:
+            return None
+        masks = struct.unpack("<4I", b[moff : moff + 16])
+        idx = []
+        for m in masks[:3]:
+            # accept only byte-aligned 0xFF masks (8-bit channels)
+            if m not in (0xFF, 0xFF00, 0xFF0000, 0xFF000000):
+                return None
+            idx.append({0xFF: 0, 0xFF00: 1, 0xFF0000: 2, 0xFF000000: 3}[m])
+        am = masks[3]
+        if am == 0:
+            # no alpha mask: take the byte none of RGB uses
+            am_idx = ({0, 1, 2, 3} - set(idx)).pop()
+        elif am in (0xFF, 0xFF00, 0xFF0000, 0xFF000000):
+            am_idx = {0xFF: 0, 0xFF00: 1, 0xFF0000: 2, 0xFF000000: 3}[am]
+        else:
+            return None
+        chan_idx = idx + [am_idx]
     h = abs(h_signed)
-    row_len = ((w * 3 + 3) // 4) * 4
+    row_len = ((w * (bpp // 8) + 3) // 4) * 4
     if off + row_len * h > len(b):
         return None
     rows = np.frombuffer(b, np.uint8, row_len * h, off).reshape(h, row_len)
-    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if bpp == 8:
+        (used,) = struct.unpack("<I", b[46:50])
+        n_colors = used or 256
+        tbl_off = 14 + dib
+        if tbl_off + 4 * n_colors > off:
+            return None
+        tbl = np.frombuffer(b, np.uint8, 4 * n_colors, tbl_off).reshape(-1, 4)
+        palette = tbl[:, 2::-1]  # BGRX → RGB
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n_colors:
+            return None
+        px = palette[idx]
+    elif bpp == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    else:  # 32-bit: mask-selected byte order (default BGRA) → RGBA
+        q = rows[:, : w * 4].reshape(h, w, 4)
+        px = q[:, :, chan_idx]
     if h_signed > 0:
         px = px[::-1]  # bottom-up → top-down
     return np.ascontiguousarray(px)
