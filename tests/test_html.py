@@ -89,3 +89,48 @@ def test_link_density_threshold(spark):
     assert e[2]["kept_blocks"] == 0  # 2*9 > len('reference x')
     s = _struct_rows(spark, rows)
     assert s[1]["kept_blocks"] == 1 and s[2]["kept_blocks"] == 0
+
+
+def test_a_prefixed_tags_are_not_links(spark):
+    """<abbr>/<aside> must not open a fake link span (LINK_RE \\b):
+    before the fix this block was boilerplate-dropped."""
+    rows = [(1, '<div><abbr>API</abbr> long informative sentence here '
+                '<a href="#">x</a></div>')]
+    e = _expr_rows(spark, rows)
+    s = _struct_rows(spark, rows)
+    assert e[1]["kept_blocks"] == 1
+    assert "long informative sentence" in e[1]["clean_text"]
+    assert e[1]["clean_text"] == s[1]["clean_text"]
+
+
+def test_multi_link_block_paths_agree(spark):
+    """Per-span link counting: inter-span separators are never counted,
+    so the expression and structural paths reach the same keep
+    decision (they diverged on this shape before the fix)."""
+    rows = [(1, "<div><a>ab</a> <a>cd</a> wxy</div>"),
+            (2, "<div><a>ab <b>cd</b></a> wx</div>")]
+    e = _expr_rows(spark, rows)
+    s = _struct_rows(spark, rows)
+    for i in (1, 2):
+        assert e[i]["kept_blocks"] == s[i]["kept_blocks"], i
+        assert e[i]["clean_text"] == s[i]["clean_text"], i
+
+
+def test_link_density_threshold_is_proportional(spark):
+    """Non-1/k densities must act proportionally (int(1/x) silently
+    turned 0.7 into 1.0 and 0.4 into 0.5 before the fix)."""
+    # text 'linktext and four more words' (28 chars), link 8 chars
+    html = "<div><a href='#'>linktext</a> and four more words</div>"
+    df_rows = [(1, html)]
+    from youtube_scraper_db_spark.llm import html as H2
+
+    def kept(mld):
+        df = spark.createDataFrame(df_rows, "id long, html string")
+        return H2.html_text_extract(df, "id", "html", max_link_density=mld).first()[
+            "kept_blocks"
+        ]
+
+    assert kept(0.5) == 1   # 800 <= 50*28=1400
+    assert kept(0.2) == 0   # 800 > 20*28=560
+    assert kept(0.29) == 1  # 800 <= 29*28=812 — not representable as 1/k
+    assert kept(0.28) == 0  # 800 > 28*28=784

@@ -164,3 +164,23 @@ def test_train_em_driver_vs_distributed(spark):
         ).collect()
     }
     assert a == b and a
+
+
+def test_em_long_rare_word_no_underflow():
+    """Log-space forward-backward: a 60-char word of rare pieces must
+    still contribute its full unit mass (probability-space alpha/beta
+    underflowed to zero and silently dropped it before the fix)."""
+    logp = {c: -13.0 for c in "abcdef"}
+    w = "abcdef" * 10
+    got = U.em_expected_counts(w, logp, max_len=4)
+    assert got, "expected counts vanished (underflow)"
+    # expected piece count per word sums to the number of pieces used;
+    # at minimum the mass is strictly positive and finite
+    total = sum(got.values())
+    assert 15.0 <= total <= 60.0  # between all-4-char and all-1-char
+
+
+def test_em_unknown_chars_underflow_guard():
+    """18+ consecutive unknown chars (-40 each) also stay finite."""
+    got = U.em_expected_counts("z" * 30, {"a": -1.0}, max_len=4)
+    assert got == {"z": 30.0} or abs(sum(got.values()) - 30.0) < 1e-6

@@ -276,7 +276,7 @@ def bpe_apply(
         for pdf in batches:
             ids, toks, ns = [], [], []
             for i, text in zip(pdf["id"], pdf["text"]):
-                words = (text or "").split()
+                words = llm_text.py_tokens(text)
                 doc: list[str] = []
                 for w in words:
                     doc.extend(encode(w))

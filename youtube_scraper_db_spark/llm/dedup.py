@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import content_fingerprint, shingle_rows
+from .text import content_fingerprint, py_tokens, shingle_rows
 
 
 class CacheScope:
@@ -246,35 +246,14 @@ def jaccard_pairs(
 
 # --- MinHash + LSH ----------------------------------------------------
 
-#: 2^60 / 2^30 constants of the portable mixing arithmetic.
-_P60 = 1 << 60
-_P30 = 1 << 30
-
-
-def _portable_h1h2(col: Column) -> tuple[Column, Column]:
-    """ONE md5 per value → two independent 60-bit halves (hex chars
-    1-15 and 17-31) — the base pair for the Kirsch-Mitzenmacher seeded
-    family below."""
-    md = F.md5(col)
-    h1 = F.conv(F.substring(md, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(md, 17, 15), 16, 10).cast("long")
-    return h1, h2
-
-
-def _portable_mix(h1: Column, h2: Column, i: int) -> Column:
-    """Seed-``i`` hash from the md5 halves: ``(h1 + i·h2) mod 2^60``
-    (Kirsch & Mitzenmacher double hashing — md5-uniform base values make
-    the linear family adequate for MinHash). The multiply is split at 30
-    bits so every intermediate stays below 2^61: Java longs would wrap
-    silently on i·h2 while DuckDB BIGINTs would raise — the split makes
-    both engines compute the SAME exact integers with zero overflow,
-    which is what keeps the family oracle-replayable:
-    ``(h1 + ((i*(h2>>30)) % 2^30)*2^30 + i*(h2 & (2^30-1))) % 2^60``."""
-    if i == 0:
-        return h1
-    hi = (F.lit(i) * F.shiftright(h2, 30)) % F.lit(_P30) * F.lit(_P30)
-    lo = F.lit(i) * h2.bitwiseAND(F.lit(_P30 - 1))
-    return (h1 + hi + lo) % F.lit(_P60)
+#: The portable md5 hash family lives in ONE place
+#: (functions/portable_hash.py) shared with operators/sketches.py —
+#: duplicated arithmetic here would let a future edit silently break
+#: the cross-engine determinism contract in whichever copy went stale.
+from ..functions.portable_hash import P30 as _P30  # noqa: E402
+from ..functions.portable_hash import P60 as _P60  # noqa: E402
+from ..functions.portable_hash import km_mix as _portable_mix  # noqa: E402
+from ..functions.portable_hash import md5_halves as _portable_h1h2  # noqa: E402
 
 
 def minhash_signatures(
@@ -481,7 +460,9 @@ def _simhash64(text: str) -> int:
     signatures to the per-token/per-bit Python loop this replaces (the
     distinct-token weighting sums the same votes), without the
     O(tokens × 64) interpreter cost."""
-    toks, counts = np.unique(np.array(text.lower().split(), dtype=object), return_counts=True)
+    toks, counts = np.unique(
+        np.array(py_tokens(text.lower()), dtype=object), return_counts=True
+    )
     if toks.size == 0:
         return 0
     hs = np.array(

@@ -62,7 +62,10 @@ ENTITIES = (
     ("&amp;", "&"),
 )
 
-LINK_RE = r"(?is)<a[^>]*>(.*?)</a>"
+#: \b after the tag name: without it <abbr>/<address>/<audio>/<aside>
+#: would open a fake link span running to the next literal </a> and
+#: boilerplate-drop real content blocks.
+LINK_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
 
 
 def _decode_entities(c: Column) -> Column:
@@ -78,12 +81,15 @@ def _block_text(b: Column) -> Column:
 
 
 def _link_chars(b: Column) -> Column:
-    """Character count of the (tag-stripped, collapsed) text inside the
-    block's ``<a>…</a>`` spans."""
-    joined = F.array_join(
-        F.regexp_extract_all(b, F.lit(LINK_RE), F.lit(1)), " "
+    """Character count of link text in the block: the SUM over ``<a>…
+    </a>`` spans of each span's (tag-stripped, collapsed) length —
+    per-span, so inter-span separators are never counted and the
+    structural parser (which measures each link span independently)
+    computes the same number."""
+    spans = F.regexp_extract_all(b, F.lit(LINK_RE), F.lit(1))
+    return F.aggregate(
+        spans, F.lit(0), lambda acc, s: acc + F.length(_block_text(s))
     )
-    return F.length(_block_text(joined))
 
 
 def strip_boilerplate(html: Column) -> Column:
@@ -110,10 +116,12 @@ def html_clean_blocks(
         ),
     )
     nonempty = F.filter(recs, lambda r: r["t"] != "")
+    # threshold as an integer percent: 100·link ≤ pct·text is exact for
+    # any density (int(1/x) silently distorted 0.7 → 1.0 and 0.4 → 0.5)
+    pct = int(round(max_link_density * 100))
     kept = F.filter(
         nonempty,
-        lambda r: r["l"] * F.lit(int(1 / max_link_density))
-        <= F.length(r["t"]),
+        lambda r: r["l"] * F.lit(100) <= F.lit(pct) * F.length(r["t"]),
     )
     return F.struct(
         F.array_join(F.transform(kept, lambda r: r["t"]), "\n").alias(
@@ -165,10 +173,20 @@ def _parse_blocks(markup: str) -> list[tuple[str, int]]:
             self.blocks: list[tuple[str, int]] = []
             self._buf: list[str] = []
             self._link = 0
+            self._span: list[str] = []  # text of the OPEN <a> span
             self._a_depth = 0
             self._skip = 0
 
+        def _close_span(self) -> None:
+            # per-span collapsed length, matching the expression path's
+            # per-span measurement (inter-chunk and inter-span
+            # separators are never counted)
+            self._link += len(" ".join("".join(self._span).split()))
+            self._span = []
+
         def _flush(self) -> None:
+            if self._span:
+                self._close_span()  # block break inside a link
             text = " ".join("".join(self._buf).split())
             if text:
                 self.blocks.append((text, self._link))
@@ -187,6 +205,8 @@ def _parse_blocks(markup: str) -> list[tuple[str, int]]:
                 self._skip = max(0, self._skip - 1)
             elif tag == "a":
                 self._a_depth = max(0, self._a_depth - 1)
+                if self._a_depth == 0:
+                    self._close_span()
             elif tag in _BLOCK_TAGS:
                 self._flush()
 
@@ -195,7 +215,7 @@ def _parse_blocks(markup: str) -> list[tuple[str, int]]:
                 return
             self._buf.append(data)
             if self._a_depth:
-                self._link += len(" ".join(data.split()))
+                self._span.append(data)
 
     p = _P()
     p.feed(markup or "")
@@ -221,14 +241,14 @@ def html_extract_struct(
             T.StructField("kept_blocks", T.IntegerType()),
         ]
     )
-    inv = int(1 / max_link_density)
+    pct = int(round(max_link_density * 100))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, texts, nb, kb = [], [], [], []
             for i, markup in zip(pdf["id"], pdf["html"]):
                 blocks = _parse_blocks(markup)
-                kept = [t for t, l in blocks if l * inv <= len(t)]
+                kept = [t for t, l in blocks if l * 100 <= pct * len(t)]
                 ids.append(i)
                 texts.append("\n".join(kept))
                 nb.append(len(blocks))

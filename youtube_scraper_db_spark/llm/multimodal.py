@@ -986,24 +986,28 @@ def decode_bmp_pixels(content: bytes | None):
         return None
     chan_idx = [2, 1, 0, 3]  # default BGRA byte order → RGBA
     if compression == 3:
-        # masks live in the V4+ DIB header (or, for a plain 40-byte
-        # header, immediately after it)
-        moff = 54 if dib == 40 else 54
-        if len(b) < moff + 16:
+        # Mask location and count depend on the header generation: a
+        # plain 40-byte BITMAPINFOHEADER is followed by exactly THREE
+        # masks (no alpha — reading a 4th would consume palette/pixel
+        # bytes); BITMAPV2+ (dib ≥ 56) embeds four masks at DIB offset
+        # 40 (absolute 54).
+        n_masks = 3 if dib == 40 else 4
+        if len(b) < 54 + 4 * n_masks:
             return None
-        masks = struct.unpack("<4I", b[moff : moff + 16])
+        masks = struct.unpack(f"<{n_masks}I", b[54 : 54 + 4 * n_masks])
+        byte_of = {0xFF: 0, 0xFF00: 1, 0xFF0000: 2, 0xFF000000: 3}
         idx = []
         for m in masks[:3]:
             # accept only byte-aligned 0xFF masks (8-bit channels)
-            if m not in (0xFF, 0xFF00, 0xFF0000, 0xFF000000):
+            if m not in byte_of:
                 return None
-            idx.append({0xFF: 0, 0xFF00: 1, 0xFF0000: 2, 0xFF000000: 3}[m])
-        am = masks[3]
+            idx.append(byte_of[m])
+        am = masks[3] if n_masks == 4 else 0
         if am == 0:
             # no alpha mask: take the byte none of RGB uses
             am_idx = ({0, 1, 2, 3} - set(idx)).pop()
-        elif am in (0xFF, 0xFF00, 0xFF0000, 0xFF000000):
-            am_idx = {0xFF: 0, 0xFF00: 1, 0xFF0000: 2, 0xFF000000: 3}[am]
+        elif am in byte_of:
+            am_idx = byte_of[am]
         else:
             return None
         chan_idx = idx + [am_idx]

@@ -24,6 +24,19 @@ def tokens(col: Column | str) -> Column:
     )
 
 
+_ASCII_WS = __import__("re").compile(r"\s+", __import__("re").ASCII)
+
+
+def py_tokens(text: str | None) -> list[str]:
+    """Python-side twin of ``tokens()`` for Arrow kernels: Java's
+    ``\\s`` is ASCII-only ([ \\t\\n\\x0b\\f\\r]) while ``str.split()``
+    splits on ANY Unicode whitespace — a document containing NBSP or
+    U+2028 would tokenize differently in a kernel than in the JVM
+    expressions that trained/aggregated over it. ``re.ASCII`` pins the
+    same class."""
+    return [t for t in _ASCII_WS.split(text or "") if t]
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (the pre-BPE budget estimate)."""
     return F.size(tokens(col)).cast("long")

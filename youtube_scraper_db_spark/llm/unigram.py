@@ -66,6 +66,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .bpe import word_vocab
+from .text import py_tokens
 
 #: Score assigned to a single character absent from the inventory —
 #: ln(prob) ≈ -40 in micro-units, far below any real piece so unknown
@@ -164,7 +165,16 @@ def seed_piece_counts(
     UNLESS single characters (which must stay so every word remains
     segmentable). One corpus-sized shuffle (the word vocab) + one
     piece-keyed aggregate over vocab-sized data."""
-    vocab = word_vocab(docs, text_col)
+    return _seed_from_vocab(word_vocab(docs, text_col), max_len, min_count)
+
+
+def _seed_from_vocab(
+    vocab: DataFrame, max_len: int, min_count: int
+) -> DataFrame:
+    """Seed counts from an ALREADY-MATERIALIZED vocab — the trainers
+    pass their checkpointed vocab here so the corpus-sized word-vocab
+    shuffle genuinely runs once (recomputing it from the raw corpus per
+    consumer would triple the dominant cost at scale)."""
     pieces = vocab.select(
         F.explode(_substrings_expr("word", max_len)).alias("piece"),
         F.col("wcount"),
@@ -206,9 +216,14 @@ def unigram_train_viterbi(
     the oracle can replay every round. Measured-size adaptive: the
     in-process loop below ``driver_max_vocab`` words, the distributed
     Arrow-kernel E-step above it (identical semantics, pinned in
-    tests/test_unigram.py)."""
-    vocab = word_vocab(docs, text_col)
-    if vocab.limit(driver_max_vocab + 1).count() <= driver_max_vocab:
+    tests/test_unigram.py).
+
+    The word-vocab collapse — the ONLY corpus-sized shuffle — runs
+    exactly once: the vocab is checkpointed eagerly, and the size
+    probe, the collect/E-steps, and the substring seeding all read the
+    materialized copy."""
+    vocab = word_vocab(docs, text_col).localCheckpoint()
+    if vocab.count() <= driver_max_vocab:
         wc = {r["word"]: int(r["wcount"]) for r in vocab.collect()}
         seed: dict[str, int] = {}
         for w, c in wc.items():
@@ -230,7 +245,7 @@ def unigram_train_viterbi(
         )
     return _train_distributed(
         vocab,
-        seed_piece_counts(docs, text_col, max_len, min_count),
+        _seed_from_vocab(vocab, max_len, min_count),
         iters,
         max_len,
     )
@@ -247,8 +262,8 @@ def _train_distributed(
     language-bounded — the same closure-borne table as bpe_apply's merge
     ranks) and runs the E-step as an Arrow kernel over (word, wcount),
     then one piece-keyed aggregate. Only vocab-sized data ever
-    shuffles; the corpus was left behind at the word-vocab collapse."""
-    vocab = vocab.localCheckpoint()
+    shuffles; the corpus was left behind at the word-vocab collapse
+    (``vocab`` arrives already checkpointed by the caller)."""
     counts = {r["piece"]: int(r["freq"]) for r in seed.collect()}
     inventory = set(counts)
     out_schema = T.StructType(
@@ -317,7 +332,7 @@ def unigram_apply(
             ids, toks, ns = [], [], []
             for i, text in zip(pdf["id"], pdf["text"]):
                 doc: list[str] = []
-                for w in (text or "").split():
+                for w in py_tokens(text):
                     doc.extend(encode(w))
                 ids.append(i)
                 toks.append(doc)
@@ -368,7 +383,7 @@ def unigram_doc_scores(
             ids, tots, ns = [], [], []
             for i, text in zip(pdf["id"], pdf["text"]):
                 t, n = 0, 0
-                for w in (text or "").split():
+                for w in py_tokens(text):
                     wt, wn = score(w)
                     t += wt
                     n += wn
@@ -399,43 +414,56 @@ def em_expected_counts(
     standard lattice forward-backward. ``alpha[i]`` sums path
     probabilities over segmentations of ``word[:i]``, ``beta[j]`` over
     ``word[j:]``; a piece spanning (i, j) contributes
-    ``alpha[i]·p(piece)·beta[j] / alpha[n]``. Computed in probability
-    space scaled per-position (words are short; underflow is not a
-    concern at ≤ tens of chars with per-position rescaling)."""
+    ``alpha[i]·p(piece)·beta[j] / alpha[n]``. Computed entirely in
+    LOG space (per-position logsumexp): probability-space sums
+    underflow to zero around 55 rare-piece chars (e.g. URLs, hex
+    blobs — ~-13 ln-prob per char passes ln(DBL_MIN) ≈ -708) and
+    would silently drop the word's whole mass from the E-step."""
     n = len(word)
+    NEG = float("-inf")
 
-    def p_of(piece: str) -> float:
+    def lp_of(piece: str) -> float | None:
         lp = logp.get(piece)
         if lp is None:
-            if len(piece) > 1:
-                return 0.0
-            lp = unk_logp
-        return math.exp(lp)
+            return unk_logp if len(piece) == 1 else None
+        return lp
 
-    alpha = [0.0] * (n + 1)
-    alpha[0] = 1.0
+    def lse(vals: list[float]) -> float:
+        m = max(vals, default=NEG)
+        if m == NEG:
+            return NEG
+        return m + math.log(sum(math.exp(v - m) for v in vals))
+
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
     for j in range(1, n + 1):
-        alpha[j] = sum(
-            alpha[i] * p_of(word[i:j]) for i in range(max(0, j - max_len), j)
-        )
-    beta = [0.0] * (n + 1)
-    beta[n] = 1.0
+        cands = []
+        for i in range(max(0, j - max_len), j):
+            lp = lp_of(word[i:j])
+            if lp is not None and alpha[i] != NEG:
+                cands.append(alpha[i] + lp)
+        alpha[j] = lse(cands)
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
     for i in range(n - 1, -1, -1):
-        beta[i] = sum(
-            p_of(word[i:j]) * beta[j] for j in range(i + 1, min(n, i + max_len) + 1)
-        )
+        cands = []
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            lp = lp_of(word[i:j])
+            if lp is not None and beta[j] != NEG:
+                cands.append(lp + beta[j])
+        beta[i] = lse(cands)
     z = alpha[n]
     out: dict[str, float] = {}
-    if z <= 0.0:
+    if z == NEG:
         return out
     for i in range(n):
         for j in range(i + 1, min(n, i + max_len) + 1):
-            piece = word[i:j]
-            p = p_of(piece)
-            if p == 0.0:
+            lp = lp_of(word[i:j])
+            if lp is None or alpha[i] == NEG or beta[j] == NEG:
                 continue
-            contrib = alpha[i] * p * beta[j] / z
+            contrib = math.exp(alpha[i] + lp + beta[j] - z)
             if contrib > 0.0:
+                piece = word[i:j]
                 out[piece] = out.get(piece, 0.0) + contrib
     return out
 
@@ -462,13 +490,14 @@ def unigram_train_em(
     (integer — see EM_QUANTUM). Measured-size adaptive exactly like the
     Viterbi trainer; the distributed E-step quantizes per (word, piece)
     before aggregating so both paths produce identical integers (pinned
-    in tests/test_unigram.py)."""
-    vocab = word_vocab(docs, text_col)
-    small = vocab.limit(driver_max_vocab + 1).count() <= driver_max_vocab
-    vocab = vocab.localCheckpoint() if not small else vocab
+    in tests/test_unigram.py). Like the Viterbi trainer, the word-vocab
+    collapse runs once: size probe, E-steps, and seeding all read the
+    eagerly-checkpointed vocab."""
+    vocab = word_vocab(docs, text_col).localCheckpoint()
+    small = vocab.count() <= driver_max_vocab
     if small:
         wc_rows = [(r["word"], int(r["wcount"])) for r in vocab.collect()]
-    seed = seed_piece_counts(docs, text_col, max_len, min_count)
+    seed = _seed_from_vocab(vocab, max_len, min_count)
     counts = {r["piece"]: float(r["freq"]) for r in seed.collect()}
     inventory = sorted(counts)
     micro: dict[str, int] = {}

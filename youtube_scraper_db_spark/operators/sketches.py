@@ -28,24 +28,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_P60 = 1 << 60
-_P30 = 1 << 30
+from ..functions.portable_hash import P30 as _P30
+from ..functions.portable_hash import P60 as _P60
+from ..functions.portable_hash import km_mix, md5_halves
 
 
 def _h1h2(col: Column) -> tuple[Column, Column]:
-    md = F.md5(col.cast("string"))
-    h1 = F.conv(F.substring(md, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(md, 17, 15), 16, 10).cast("long")
-    return h1, h2
+    # keys are cast to string first: sketches hash arbitrary key types
+    return md5_halves(col.cast("string"))
 
 
 def _mix(h1: Column, h2: Column, i: int) -> Column:
-    """(h1 + i·h2) mod 2^60 in overflow-free exact integer arithmetic."""
-    if i == 0:
-        return h1
-    hi = (F.lit(i) * F.shiftright(h2, 30)) % F.lit(_P30) * F.lit(_P30)
-    lo = F.lit(i) * h2.bitwiseAND(F.lit(_P30 - 1))
-    return (h1 + hi + lo) % F.lit(_P60)
+    return km_mix(h1, h2, i)
 
 
 # --- HyperLogLog ------------------------------------------------------

@@ -8933,11 +8933,15 @@ def _duck_html_oracle() -> str:
     v1a, v1b, v1c = (p.replace("'", "''") for p in _HTML_V1)
     v2a, v2b, v2c = (p.replace("'", "''") for p in _HTML_V2)
     bt = _duck_html_block_text("b")
-    # COALESCE: DuckDB array_to_string([]) is NULL where Spark
-    # array_join([]) is ''
-    lt = _duck_html_block_text(
-        "COALESCE(array_to_string("
-        "regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')"
+    # per-SPAN link measurement (sum of each <a> span's collapsed
+    # length — the same number the structural parser computes);
+    # COALESCE: DuckDB list_sum([]) is NULL where Spark's fold is 0
+    span_len = f"length({_duck_html_block_text('s')})"
+    link_re_sql = llm_html.LINK_RE.replace("'", "''")
+    lt = (
+        "COALESCE(list_sum(list_transform("
+        f"regexp_extract_all(b, '{link_re_sql}', 1), "
+        f"s -> {span_len})), 0)"
     )
     pre = "h"
     pre = f"regexp_replace({pre}, '(?s)<!--.*?-->', ' ', 'g')"
@@ -8968,13 +8972,13 @@ def _duck_html_oracle() -> str:
              list_filter(
                list_transform(
                  regexp_split_to_array(h2, '{block_re}'),
-                 b -> {{'t': {bt}, 'l': length({lt})}}),
+                 b -> {{'t': {bt}, 'l': {lt}}}),
                r -> r.t <> '') AS recs
       FROM pre
     ),
     fin AS (
       SELECT doc_id,
-             list_filter(recs, r -> r.l * 2 <= length(r.t)) AS kept,
+             list_filter(recs, r -> r.l * 100 <= 50 * length(r.t)) AS kept,
              recs
       FROM per
     )
