@@ -78,6 +78,7 @@ HEADLINE = [
     "html_text_extract",
     "minhash_lsh_recall",
     "hll_distinct_users",
+    "hll_union_merge",
     "cms_user_counts",
     "bloom_customer_filter",
     "image_resize_stats",

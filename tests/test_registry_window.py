@@ -160,6 +160,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "cms_user_counts",
         "bloom_customer_filter",
         "image_resize_stats",
+        "hll_union_merge",
     },
 }
 

@@ -75,3 +75,35 @@ def test_hash_family_matches_python_md5(spark):
     h2 = int(hx[16:31], 16)
     assert got["h1"] == h1 and got["h2"] == h2
     assert got["m3"] == (h1 + 3 * h2) % (1 << 60)
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Mergeability: sketching disjoint halves and merging (full-join
+    max) must produce EXACTLY the registers — and therefore the
+    estimate — of sketching the union directly."""
+    df = _keys_df(spark, 3000)
+    a = S.hll_registers(df.filter(F.col("k") % 2 == 0), "k", p=9)
+    b = S.hll_registers(df.filter(F.col("k") % 2 != 0), "k", p=9)
+    merged = {
+        (r["bucket"], r["rho"])
+        for r in S.hll_merge(a, b).collect()
+    }
+    direct = {
+        (r["bucket"], r["rho"])
+        for r in S.hll_registers(df, "k", p=9).collect()
+    }
+    assert merged == direct
+    em = S.hll_estimate_from_registers(S.hll_merge(a, b), 9).first()["estimate"]
+    ed = S.hll_estimate_from_registers(S.hll_registers(df, "k", 9), 9).first()["estimate"]
+    assert em == ed
+
+
+def test_hll_merge_overlapping_inputs(spark):
+    """Merging OVERLAPPING sketches is still the union (max absorbs
+    duplicates) — the roll-up-across-days case."""
+    df = _keys_df(spark, 2000)
+    a = S.hll_registers(df.filter(F.col("k") < 1500), "k", p=9)
+    b = S.hll_registers(df.filter(F.col("k") >= 500), "k", p=9)
+    em = S.hll_estimate_from_registers(S.hll_merge(a, b), 9).first()["estimate"]
+    ed = S.hll_estimate_from_registers(S.hll_registers(df, "k", 9), 9).first()["estimate"]
+    assert em == ed

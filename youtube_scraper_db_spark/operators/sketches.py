@@ -73,17 +73,13 @@ def hll_registers(
     )
 
 
-def hll_estimate(
-    df: DataFrame, key: str, p: int = 9
-) -> DataFrame:
-    """One-row (estimate, nonzero_registers, exact_distinct): the
-    HyperLogLog cardinality estimate next to the exact answer it
-    approximates (the gate hash-checks BOTH, so the sketch arithmetic
-    and its error are pinned). Small-range (linear counting) correction
-    applied per the original paper; estimate rounded to 4dp so the
-    harmonic-sum accumulation order cannot flip the value hash."""
+def hll_estimate_from_registers(regs: DataFrame, p: int = 9) -> DataFrame:
+    """One-row (estimate, nonzero_registers) from a register table —
+    shared by the direct path and merged sketches. Small-range (linear
+    counting) correction per the original paper; estimate rounded to
+    4dp so the harmonic-sum accumulation order cannot flip the value
+    hash."""
     m = 1 << p
-    regs = hll_registers(df, key, p)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = regs.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
@@ -96,43 +92,74 @@ def hll_estimate(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
-    exact = df.where(F.col(key).isNotNull()).agg(
-        F.countDistinct(key).alias("exact_distinct")
+    return agg.select(
+        F.round(est, 4).alias("estimate"),
+        F.col("v").cast("long").alias("nonzero_registers"),
     )
-    return (
-        agg.select(
-            F.round(est, 4).alias("estimate"),
-            F.col("v").cast("long").alias("nonzero_registers"),
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two HLL sketches: element-wise max over the register
+    tables (full outer join on bucket). Max is associative and
+    commutative, so merged registers are IDENTICAL to the registers of
+    the combined input — the mergeability property that lets sketches
+    roll up across partitions, days, and datasets without re-scanning
+    (the gate asserts this equality exactly)."""
+    aa = a.select("bucket", F.col("rho").alias("ra"))
+    bb = b.select("bucket", F.col("rho").alias("rb"))
+    return aa.join(bb, "bucket", "full_outer").select(
+        "bucket",
+        F.greatest(
+            F.coalesce("ra", F.lit(0)), F.coalesce("rb", F.lit(0))
+        ).alias("rho"),
+    )
+
+
+def hll_estimate(
+    df: DataFrame, key: str, p: int = 9
+) -> DataFrame:
+    """One-row (estimate, nonzero_registers, exact_distinct): the
+    HyperLogLog cardinality estimate next to the exact answer it
+    approximates (the gate hash-checks BOTH, so the sketch arithmetic
+    and its error are pinned)."""
+    return hll_estimate_from_registers(hll_registers(df, key, p), p).crossJoin(
+        df.where(F.col(key).isNotNull()).agg(
+            F.countDistinct(key).alias("exact_distinct")
         )
-        .crossJoin(exact)
     )
 
 
-def hll_oracle_sql(table: str, key: str, p: int = 9) -> str:
-    """DuckDB replay of hll_estimate — literally the same hash, rho,
-    harmonic sum and corrections."""
-    m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+def _hll_regs_sql(src: str, regs: str, table: str, key: str, where: str, p: int) -> str:
+    """CTE pair computing the register table of ``key`` rows matching
+    ``where`` — the SQL twin of hll_registers."""
     w = 60 - p
     bitlen = " + ".join(
         f"CASE WHEN tail >= {1 << k} THEN 1 ELSE 0 END" for k in range(w)
     )
     return f"""
-    WITH h AS (
+    {src} AS (
       SELECT ('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT AS h1
-      FROM {table} WHERE {key} IS NOT NULL
+      FROM {table} WHERE {key} IS NOT NULL{where}
     ),
-    br AS (
-      SELECT h1 >> {w} AS bucket, h1 & {(1 << w) - 1} AS tail FROM h
+    {src}_br AS (
+      SELECT h1 >> {w} AS bucket, h1 & {(1 << w) - 1} AS tail FROM {src}
     ),
-    regs AS (
+    {regs} AS (
       SELECT bucket, MAX({w + 1} - ({bitlen})) AS rho
-      FROM br GROUP BY bucket
+      FROM {src}_br GROUP BY bucket
+    )"""
+
+
+def _hll_est_sql(regs: str, est: str, p: int) -> str:
+    """CTE computing (e, v) from a register CTE — the SQL twin of
+    hll_estimate_from_registers."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+    {est}_agg AS (
+      SELECT SUM(power(2.0, -rho)) AS s, COUNT(*) AS v FROM {regs}
     ),
-    agg AS (
-      SELECT SUM(power(2.0, -rho)) AS s, COUNT(*) AS v FROM regs
-    ),
-    est AS (
+    {est} AS (
       SELECT CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m})
                         / (s + ({m} - v)) <= CAST({2.5 * m!r} AS DOUBLE)
                    AND ({m} - v) > 0
@@ -141,13 +168,48 @@ def hll_oracle_sql(table: str, key: str, p: int = 9) -> str:
                   ELSE (CAST({alpha!r} AS DOUBLE) * {m} * {m})
                        / (s + ({m} - v))
              END AS e, v
-      FROM agg
-    )
+      FROM {est}_agg
+    )"""
+
+
+def hll_oracle_sql(table: str, key: str, p: int = 9) -> str:
+    """DuckDB replay of hll_estimate — literally the same hash, rho,
+    harmonic sum and corrections."""
+    return f"""
+    WITH {_hll_regs_sql('h', 'regs', table, key, '', p)},
+    {_hll_est_sql('regs', 'est', p)}
     SELECT ROUND(e, 4) AS estimate,
            CAST(v AS BIGINT) AS nonzero_registers,
            (SELECT CAST(count(DISTINCT {key}) AS BIGINT)
             FROM {table} WHERE {key} IS NOT NULL) AS exact_distinct
     FROM est
+    """
+
+
+def hll_union_oracle_sql(
+    table: str, key: str, split: str, p: int = 9
+) -> str:
+    """DuckDB replay of the merge gate: sketch two disjoint halves
+    (``split`` / NOT ``split``), merge via full-join greatest, estimate
+    the merged registers AND the directly-sketched full input — the
+    exact mergeability identity the engine asserts."""
+    return f"""
+    WITH {_hll_regs_sql('ha', 'ra', table, key, f' AND ({split})', p)},
+    {_hll_regs_sql('hb', 'rb', table, key, f' AND NOT ({split})', p)},
+    merged AS (
+      SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+             GREATEST(COALESCE(a.rho, 0), COALESCE(b.rho, 0)) AS rho
+      FROM ra a FULL OUTER JOIN rb b ON a.bucket = b.bucket
+    ),
+    {_hll_est_sql('merged', 'em', p)},
+    {_hll_regs_sql('hf', 'rf', table, key, '', p)},
+    {_hll_est_sql('rf', 'ef', p)}
+    SELECT ROUND(em.e, 4) AS union_estimate,
+           ROUND(ef.e, 4) AS direct_estimate,
+           ROUND(em.e, 4) = ROUND(ef.e, 4) AS merge_consistent,
+           (SELECT CAST(count(DISTINCT {key}) AS BIGINT)
+            FROM {table} WHERE {key} IS NOT NULL) AS exact_union
+    FROM em, ef
     """
 
 

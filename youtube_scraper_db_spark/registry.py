@@ -9177,6 +9177,53 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "hll_union_merge",
+    "EXT-sketch-hll EXT-sketch-merge",
+    oracle=op_sketches.hll_union_oracle_sql(
+        "events", "user_id", "event_id % 2 = 0", 9
+    ),
+)
+def hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes sketches matter at
+    scale (roll up across partitions, days, datasets without
+    re-scanning): the event stream splits into disjoint halves, each
+    half is sketched independently, and the merged sketch (full-outer
+    join + element-wise max — operators/sketches.py hll_merge) must
+    estimate the union. Because max is associative/commutative, merged
+    registers are IDENTICAL to sketching the combined input — emitted
+    as the exact ``merge_consistent`` witness next to both estimates
+    and the exact union count, all replayed by the oracle."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    a = op_sketches.hll_registers(
+        ev.filter(F.col("event_id") % 2 == 0), "user_id", 9
+    )
+    b = op_sketches.hll_registers(
+        ev.filter(F.col("event_id") % 2 != 0), "user_id", 9
+    )
+    merged = op_sketches.hll_estimate_from_registers(
+        op_sketches.hll_merge(a, b), 9
+    ).select(F.col("estimate").alias("union_estimate"))
+    direct = op_sketches.hll_estimate_from_registers(
+        op_sketches.hll_registers(ev, "user_id", 9), 9
+    ).select(F.col("estimate").alias("direct_estimate"))
+    exact = ev.where(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").alias("exact_union")
+    )
+    return (
+        merged.crossJoin(direct)
+        .select(
+            "union_estimate",
+            "direct_estimate",
+            (F.col("union_estimate") == F.col("direct_estimate")).alias(
+                "merge_consistent"
+            ),
+        )
+        .crossJoin(exact)
+    )
+
+
+@spec(
     "cms_user_counts",
     "EXT-sketch-cms A2",
     oracle=op_sketches.cms_oracle_sql("events", "user_id"),
