@@ -107,3 +107,35 @@ def test_hll_merge_overlapping_inputs(spark):
     em = S.hll_estimate_from_registers(S.hll_merge(a, b), 9).first()["estimate"]
     ed = S.hll_estimate_from_registers(S.hll_registers(df, "k", 9), 9).first()["estimate"]
     assert em == ed
+
+
+def test_cms_merge_equals_direct_counters(spark):
+    """CMS mergeability: summed counter tables of disjoint halves equal
+    the counters of the combined input exactly."""
+    df = spark.createDataFrame([(i % 40,) for i in range(2000)], "k long")
+    a = S.cms_counters(df.filter(F.col("k") % 2 == 0), "k", depth=4, width=512)
+    b = S.cms_counters(df.filter(F.col("k") % 2 != 0), "k", depth=4, width=512)
+    merged = {
+        (r["row"], r["slot"]): r["cnt"] for r in S.cms_merge(a, b).collect()
+    }
+    direct = {
+        (r["row"], r["slot"]): r["cnt"]
+        for r in S.cms_counters(df, "k", depth=4, width=512).collect()
+    }
+    assert merged == direct
+
+
+def test_bloom_bits_union_is_merge(spark):
+    """Bloom mergeability: the filter of a union is the UNION of the
+    bit sets (distinct of the concatenation) — no re-hash needed."""
+    a = spark.createDataFrame([(i,) for i in range(0, 400, 2)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(1, 400, 2)], "k long")
+    u = a.unionByName(b)
+    merged = {
+        r["pos"]
+        for r in S.bloom_bits(a, "k").unionByName(S.bloom_bits(b, "k"))
+        .distinct()
+        .collect()
+    }
+    direct = {r["pos"] for r in S.bloom_bits(u, "k").collect()}
+    assert merged == direct

@@ -322,6 +322,21 @@ def cms_oracle_sql(
     """
 
 
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two Count-Min counter tables: element-wise SUM (outer join
+    on (row, slot)). Sum is associative/commutative, so merged counters
+    equal the counters of the combined input exactly — pinned in
+    tests/test_sketches.py (the HLL gate carries the driver-checked
+    mergeability witness for the family)."""
+    aa = a.select("row", "slot", F.col("cnt").alias("ca"))
+    bb = b.select("row", "slot", F.col("cnt").alias("cb"))
+    return aa.join(bb, ["row", "slot"], "full_outer").select(
+        "row",
+        "slot",
+        (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias("cnt"),
+    )
+
+
 # --- Bloom ------------------------------------------------------------
 
 def bloom_bits(
