@@ -64,9 +64,13 @@ MERGE_SCHEMA = T.StructType(
 
 def word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
     """(word, wcount) over the whitespace tokens — the single
-    corpus-sized shuffle of BPE training."""
+    corpus-sized shuffle of BPE training. Empty tokens are dropped:
+    Spark's trim strips SPACES only, so tab/newline-led text yields a
+    leading '' from the split — the apply kernels (py_tokens) never see
+    it, and a phantom '' word would desync training from application."""
     return (
         docs.select(F.explode(llm_text.tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcount"))
     )

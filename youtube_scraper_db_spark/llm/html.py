@@ -160,64 +160,68 @@ _BLOCK_TAGS = {
 }
 
 
+from html.parser import HTMLParser as _HTMLParser
+
+
+class _BlockParser(_HTMLParser):
+    """See _parse_blocks. Module-scope so the Arrow kernel pays the
+    class construction once, not per document."""
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int]] = []
+        self._buf: list[str] = []
+        self._link = 0
+        self._span: list[str] = []  # text of the OPEN <a> span
+        self._a_depth = 0
+        self._skip = 0
+
+    def _close_span(self) -> None:
+        # per-span collapsed length, matching the expression path's
+        # per-span measurement (inter-chunk and inter-span
+        # separators are never counted)
+        self._link += len(" ".join("".join(self._span).split()))
+        self._span = []
+
+    def _flush(self) -> None:
+        if self._span:
+            self._close_span()  # block break inside a link
+        text = " ".join("".join(self._buf).split())
+        if text:
+            self.blocks.append((text, self._link))
+        self._buf, self._link = [], 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in ("script", "style", "noscript"):
+            self._skip += 1
+        elif tag == "a":
+            self._a_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("script", "style", "noscript"):
+            self._skip = max(0, self._skip - 1)
+        elif tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+            if self._a_depth == 0:
+                self._close_span()
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip:
+            return
+        self._buf.append(data)
+        if self._a_depth:
+            self._span.append(data)
+
+
 def _parse_blocks(markup: str) -> list[tuple[str, int]]:
     """(block_text, link_chars) per non-empty block via a real HTML
     tokenizer: script/style/noscript subtrees dropped even when markup
-    inside them would confuse a regex; link chars counted at any
-    nesting depth under ``<a>``."""
-    from html.parser import HTMLParser
-
-    class _P(HTMLParser):
-        def __init__(self) -> None:
-            super().__init__(convert_charrefs=True)
-            self.blocks: list[tuple[str, int]] = []
-            self._buf: list[str] = []
-            self._link = 0
-            self._span: list[str] = []  # text of the OPEN <a> span
-            self._a_depth = 0
-            self._skip = 0
-
-        def _close_span(self) -> None:
-            # per-span collapsed length, matching the expression path's
-            # per-span measurement (inter-chunk and inter-span
-            # separators are never counted)
-            self._link += len(" ".join("".join(self._span).split()))
-            self._span = []
-
-        def _flush(self) -> None:
-            if self._span:
-                self._close_span()  # block break inside a link
-            text = " ".join("".join(self._buf).split())
-            if text:
-                self.blocks.append((text, self._link))
-            self._buf, self._link = [], 0
-
-        def handle_starttag(self, tag: str, attrs) -> None:
-            if tag in ("script", "style", "noscript"):
-                self._skip += 1
-            elif tag == "a":
-                self._a_depth += 1
-            elif tag in _BLOCK_TAGS:
-                self._flush()
-
-        def handle_endtag(self, tag: str) -> None:
-            if tag in ("script", "style", "noscript"):
-                self._skip = max(0, self._skip - 1)
-            elif tag == "a":
-                self._a_depth = max(0, self._a_depth - 1)
-                if self._a_depth == 0:
-                    self._close_span()
-            elif tag in _BLOCK_TAGS:
-                self._flush()
-
-        def handle_data(self, data: str) -> None:
-            if self._skip:
-                return
-            self._buf.append(data)
-            if self._a_depth:
-                self._span.append(data)
-
-    p = _P()
+    inside them would confuse a regex; link chars counted per <a> span
+    at any nesting depth."""
+    p = _BlockParser()
     p.feed(markup or "")
     p.close()
     p._flush()

@@ -988,10 +988,11 @@ def decode_bmp_pixels(content: bytes | None):
     if compression == 3:
         # Mask location and count depend on the header generation: a
         # plain 40-byte BITMAPINFOHEADER is followed by exactly THREE
-        # masks (no alpha — reading a 4th would consume palette/pixel
-        # bytes); BITMAPV2+ (dib ≥ 56) embeds four masks at DIB offset
-        # 40 (absolute 54).
-        n_masks = 3 if dib == 40 else 4
+        # masks, and the 52-byte BITMAPV2 embeds three at DIB offset 40
+        # — the alpha mask only exists from BITMAPV3 (dib ≥ 56) on.
+        # Reading a 4th mask where none exists would consume
+        # palette/pixel bytes.
+        n_masks = 4 if dib >= 56 else 3
         if len(b) < 54 + 4 * n_masks:
             return None
         masks = struct.unpack(f"<{n_masks}I", b[54 : 54 + 4 * n_masks])
@@ -2397,7 +2398,7 @@ def image_pixel_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                             f"unsupported or malformed image payload (header "
                             f"{head!r}); pixel decode covers 1-16-bit "
                             f"gray/RGB/indexed/RGBA PNG (incl. Adam7), "
-                            f"LZW GIF, 24-bit BMP, and baseline or "
+                            f"LZW GIF, 8/24/32-bit uncompressed BMP, and baseline or "
                             f"progressive JPEG"
                         )
                     ws.append(None), hs.append(None), chs.append(None)

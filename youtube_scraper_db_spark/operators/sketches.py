@@ -28,9 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.portable_hash import P30 as _P30
-from ..functions.portable_hash import P60 as _P60
-from ..functions.portable_hash import km_mix, md5_halves
+from ..functions.portable_hash import km_mix, km_mix_sql, md5_halves
 
 
 def _h1h2(col: Column) -> tuple[Column, Column]:
@@ -252,10 +250,16 @@ def cms_point_estimates(
     a checked column. Probe side joins its per-row slots against the
     counter table; both sides are slot-keyed aggregates."""
     counters = cms_counters(df, key, depth, width)
+    h1, h2 = _h1h2(F.col("k"))
     probes = (
         df.where(F.col(key).isNotNull())
         .groupBy(F.col(key).alias("k"))
         .agg(F.count(F.lit(1)).alias("exact"))
+        # bind the digest halves ONCE per key — inlining _h1h2 into
+        # every seed expression would carry depth×2 md5 subtrees and
+        # lean on codegen CSE this codebase deliberately doesn't trust
+        # (same device as the portable MinHash projection)
+        .select("k", "exact", h1.alias("__h1"), h2.alias("__h2"))
         .select(
             "k",
             "exact",
@@ -265,7 +269,8 @@ def cms_point_estimates(
                         F.struct(
                             F.lit(i).alias("row"),
                             (
-                                _mix(*_h1h2(F.col("k")), i) % F.lit(width)
+                                _mix(F.col("__h1"), F.col("__h2"), i)
+                                % F.lit(width)
                             ).alias("slot"),
                         )
                         for i in range(depth)
@@ -291,15 +296,7 @@ def cms_point_estimates(
 def cms_oracle_sql(
     table: str, key: str, depth: int = 4, width: int = 4096
 ) -> str:
-    mixes = []
-    for i in range(depth):
-        if i == 0:
-            mixes.append("h1")
-        else:
-            mixes.append(
-                f"(h1 + (({i} * (h2 >> 30)) % {_P30}) * {_P30}"
-                f" + {i} * (h2 & {_P30 - 1})) % {_P60}"
-            )
+    mixes = [km_mix_sql(i) for i in range(depth)]
     slot_rows = " UNION ALL ".join(
         f"SELECT k, exact, {i} AS row, ({m}) % {width} AS slot FROM kh"
         for i, m in enumerate(mixes)
@@ -422,16 +419,7 @@ def bloom_oracle_sql(
     m_bits: int = 1 << 14,
 ) -> str:
     def mixes() -> list[str]:
-        out = []
-        for i in range(k):
-            if i == 0:
-                out.append("h1")
-            else:
-                out.append(
-                    f"(h1 + (({i} * (h2 >> 30)) % {_P30}) * {_P30}"
-                    f" + {i} * (h2 & {_P30 - 1})) % {_P60}"
-                )
-        return out
+        return [km_mix_sql(i) for i in range(k)]
 
     build_pos = " UNION ALL ".join(
         f"SELECT ({m}) % {m_bits} AS pos FROM bh" for m in mixes()

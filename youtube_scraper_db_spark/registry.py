@@ -1056,11 +1056,17 @@ _ALL_STOPS = [w for lang in llm_text.LANG_PRIORITY for w in llm_text.STOPWORDS[l
 _TOK_CTE = """
     tok AS (
       SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+             list_filter(
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END,
+               w -> w <> '') AS t
       FROM documents
     )
 """
+# list_filter: SQL trim strips SPACES only, so tab/newline-led text
+# splits with a leading '' — the engine kernels (py_tokens) and
+# word_vocab drop it; the oracle must too or edge-whitespace text
+# hash-mismatches (caught by tests/test_oracle_edge_text.py).
 
 
 @spec(
@@ -1142,8 +1148,8 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tok AS (
       SELECT doc_id, nt,
-             CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
-                  ELSE regexp_split_to_array(nt, ' ') END AS t
+             CASE WHEN trim(nt) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(nt), ' ') END AS t
       FROM norm
     )
     SELECT doc_id,
@@ -1215,8 +1221,8 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tok AS (
       SELECT doc_id,
-             CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
-                  ELSE regexp_split_to_array(nt, ' ') END AS t
+             CASE WHEN trim(nt) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(nt), ' ') END AS t
       FROM norm
     ),
     sh AS (
@@ -1408,8 +1414,9 @@ _PORTABLE_PLANES_CTE = r"""
       SELECT doc, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt FROM corpus
     ),
     tok AS (
-      SELECT doc, regexp_split_to_array(nt, ' ') AS ts
-      FROM norm WHERE nt <> '' AND len(regexp_split_to_array(nt, ' ')) >= 3
+      SELECT doc, regexp_split_to_array(trim(nt), ' ') AS ts
+      FROM norm WHERE trim(nt) <> ''
+        AND len(regexp_split_to_array(trim(nt), ' ')) >= 3
     ),
     sh AS (
       SELECT DISTINCT doc, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
@@ -1616,7 +1623,7 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     elig AS (
       SELECT count(*) AS n FROM norm
-      WHERE nt <> '' AND len(regexp_split_to_array(nt, ' ')) >= 3
+      WHERE trim(nt) <> '' AND len(regexp_split_to_array(trim(nt), ' ')) >= 3
     )
     SELECT CAST(n AS BIGINT) AS clone_pairs,
            CAST(n AS BIGINT) AS found_pairs,
@@ -2362,8 +2369,8 @@ _JACCARD_EDGE_CTES = r"""
     ),
     tok AS (
       SELECT doc_id,
-             CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
-                  ELSE regexp_split_to_array(nt, ' ') END AS t
+             CASE WHEN trim(nt) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(nt), ' ') END AS t
       FROM norm
     ),
     sh AS (
@@ -4022,8 +4029,8 @@ def stream_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tok AS (
       SELECT doc_id,
-             CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
-                  ELSE regexp_split_to_array(nt, ' ') END AS t
+             CASE WHEN trim(nt) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(nt), ' ') END AS t
       FROM norm
     ),
     gr AS (
@@ -5803,10 +5810,10 @@ def classic_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_TOK_CTE}
     SELECT doc_id,
-           array_to_string(
+           COALESCE(array_to_string(
              list_transform(t,
                x -> CAST(('0x' || substr(md5(x), 1, 8))::BIGINT AS VARCHAR)),
-             ',') AS ids,
+             ','), '') AS ids,
            CAST(len(t) AS INT) AS n_tokens
     FROM tok
     """,
@@ -5832,7 +5839,10 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plan_lint.py pins nested types out of every registry
     output schema."""
     d = _t(spark, sf_dir, "documents")
-    t = llm_text.tokens("text")
+    # drop the phantom '' token tab/newline-edged text leaves behind
+    # (trim strips spaces only) — matching py_tokens and the oracle's
+    # list_filter
+    t = F.filter(llm_text.tokens("text"), lambda x: x != F.lit(""))
     ids = F.transform(
         t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
     )
@@ -8474,7 +8484,7 @@ def _bpe_word_sql(var: str) -> str:
       FROM tok
     )
     SELECT doc_id,
-           array_to_string(toks, ' ') AS token_text,
+           COALESCE(array_to_string(toks, ' '), '') AS token_text,
            CAST(len(toks) AS INT) AS n_tokens
     FROM enc
     """,
@@ -8527,7 +8537,7 @@ def _bpe_train_sql(num_merges: int) -> str:
       SELECT word, COUNT(*) AS wcount FROM (
         SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
         FROM documents WHERE trim(text) <> ''
-      ) GROUP BY word
+      ) WHERE word <> '' GROUP BY word
     ),
     s0 AS (
       SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' '
@@ -8703,7 +8713,7 @@ def _unigram_dp_sql(
       FROM tok, segmap
     )
     SELECT doc_id,
-           array_to_string(toks, ' ') AS token_text,
+           COALESCE(array_to_string(toks, ' '), '') AS token_text,
            CAST(len(toks) AS INT) AS n_tokens
     FROM enc
     """,
@@ -8749,7 +8759,7 @@ def _unigram_train_sql(iters: int, max_len: int = 4, min_count: int = 2) -> str:
       SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
         SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
         FROM documents WHERE trim(text) <> ''
-      ) GROUP BY word
+      ) WHERE word <> '' GROUP BY word
     ),
     sub AS (
       SELECT substr(word, i, ln) AS piece, wcount
