@@ -39,26 +39,44 @@ EDGE_TEXTS = [
 #: text-family gates whose oracles must survive edge whitespace (the
 #: fixed class); media/fixture gates read doc_id only and are exempt.
 GATES = [
-    "doc_fingerprints",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_dups",
-    "minhash_lsh_recall",
-    "simhash_dups",
-    "decontamination_flags",
-    "bpe_trained_merges",
-    "bpe_apply_tokens",
-    "unigram_trained_vocab",
-    "unigram_apply_tokens",
-    "doc_unigram_quality",
-    "html_text_extract",
+    # dedup / fingerprint family
+    "doc_fingerprints", "exact_dedup_docs", "ngram_jaccard_pairs",
+    "minhash_lsh_dups", "minhash_lsh_recall", "simhash_dups",
+    "simhash_recall", "decontamination_flags", "near_dup_clusters",
+    "near_dedup_keep", "incremental_dedup_new", "substring_dup_flags",
+    "segment_dedup_docs",
+    # tokenizers
+    "bpe_pair_counts", "bpe_trained_merges", "bpe_apply_tokens",
+    "unigram_trained_vocab", "unigram_apply_tokens", "doc_unigram_quality",
     "doc_token_ids",
+    # text stats / curation
+    "doc_token_stats", "doc_lang_id", "doc_repetition_stats",
+    "doc_unigram_rarity", "doc_tfidf_terms", "corpus_vocab_topk",
+    "vocab_coverage_curve", "heavy_hitter_words", "lang_mixing_weights",
+    "corpus_curation_report", "doc_chunks", "doc_pii_scrub",
+    # sampling / packing / sharding
+    "doc_split_assign", "doc_stratified_sample", "corpus_mix_epochs",
+    "weighted_doc_sample", "seq_packing_gate", "training_shard_manifest",
+    # scalar-function and extraction surfaces
+    "extracted_video_ids", "extracted_page_refs", "doc_search_snippets",
+    "timestamped_docs", "segment_join_render", "html_text_extract",
+    "multimodal_meta",
+    # token_runs_udtf is excluded: its engine side also reads the
+    # region table (lateral-join demo), which this documents-only
+    # harness does not synthesize
 ]
 
 
 @pytest.fixture(scope="module")
 def edge_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("edge_sf")
-    df = spark.createDataFrame(EDGE_TEXTS, "doc_id long, text string")
+    rows = [
+        (i, t, ["en", "de", "fr"][i % 3], ["web", "book"][i % 2], len(t))
+        for i, t in EDGE_TEXTS
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
     df.coalesce(1).write.parquet(str(d / "documents.parquet"))
     return str(d)
 

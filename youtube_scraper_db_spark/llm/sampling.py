@@ -119,10 +119,16 @@ def mix_epochs(
 def ares_priority(id_col: Column | str, weight_col: Column | str) -> Column:
     """Efraimidis–Spirakis A-Res priority: u^(1/w) with u ∈ (0,1] drawn
     from md5(id). Rounded to 6 dp so cross-engine libm last-ulp
-    differences cannot reorder rows (ties broken by id downstream)."""
+    differences cannot reorder rows (ties broken by id downstream).
+    Non-positive weights score 0 — the A-Res convention (never sampled
+    ahead of any positive-weight row); without the guard, ANSI-mode
+    Spark throws DIVIDE_BY_ZERO on a zero-weight row (e.g. an empty
+    document weighted by length)."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     u = (F.conv(hex8(id_col), 16, 10).cast("double") + 1) / F.lit(4294967296.0)
-    return F.round(F.pow(u, 1.0 / w), 6)
+    return F.when(w <= 0, F.lit(0.0)).otherwise(
+        F.round(F.pow(u, 1.0 / w), 6)
+    )
 
 
 def weighted_sample(

@@ -17,11 +17,15 @@ def _c(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization; empty/blank text → empty array."""
+    """Whitespace tokenization; empty/blank text → empty array; NO
+    empty tokens ever. The filter is the contract, not a nicety:
+    trim strips SPACES only, so tab/newline-edged text would otherwise
+    leave a phantom '' at the edges of the split — and every consumer
+    (counts, rarity, vocab, kernels via ``py_tokens``) must agree with
+    every DuckDB oracle on whether that phantom exists. It does not
+    (pinned across 40+ gates by tests/test_oracle_edge_text.py)."""
     t = F.trim(_c(col))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    return F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
 
 
 _ASCII_WS = __import__("re").compile(r"\s+", __import__("re").ASCII)
