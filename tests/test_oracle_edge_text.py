@@ -34,6 +34,7 @@ EDGE_TEXTS = [
     (7, "\n\nnewline led text with enough words for shingles\n"),
     (8, "x"),
     (9, "the quick brown fox jumps over the lazy dog"),  # near-dup of 0
+    (10, None),  # NULL text — documents.text is nullable
 ]
 
 #: text-family gates whose oracles must survive edge whitespace (the
@@ -71,7 +72,8 @@ GATES = [
 def edge_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("edge_sf")
     rows = [
-        (i, t, ["en", "de", "fr"][i % 3], ["web", "book"][i % 2], len(t))
+        (i, t, ["en", "de", "fr"][i % 3], ["web", "book"][i % 2],
+         len(t) if t is not None else 0)
         for i, t in EDGE_TEXTS
     ]
     df = spark.createDataFrame(

@@ -552,7 +552,7 @@ def segment_dedup(
     Columns: (id, n_segments, kept_segments, dedup_text)."""
     from .text import tokens
 
-    t = tokens(text_col)
+    t = tokens(F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")))
     n_seg = F.ceil(F.size(t) / F.lit(float(seg_tokens))).cast("int")
     seg_idx = F.sequence(F.lit(0), F.greatest(n_seg - 1, F.lit(0)))
     segs = F.when(F.size(t) == 0, F.array().cast("array<string>")).otherwise(

@@ -1057,8 +1057,10 @@ _TOK_CTE = """
     tok AS (
       SELECT doc_id,
              list_filter(
-               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                    ELSE regexp_split_to_array(trim(text), '\\s+') END,
+               CASE WHEN trim(COALESCE(text, '')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(COALESCE(text, '')),
+                                               '\\s+') END,
                w -> w <> '') AS t
       FROM documents
     )
@@ -1094,15 +1096,18 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring (length credit, type-token ratio, stopword prior) — pure
     Column exprs, zero Python in the scan stage."""
     d = _t(spark, sf_dir, "documents")
-    tok = llm_text.tokens("text")
+    # NULL text scores like '' (token stats are total); bpe_pieces stays
+    # NULL-propagating on both sides (regexp_extract_all of NULL)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    tok = llm_text.tokens(txt)
     n = F.size(tok)
     nd = F.size(F.array_distinct(tok))
     return d.select(
         "doc_id",
-        llm_text.token_count("text").alias("token_count"),
+        llm_text.token_count(txt).alias("token_count"),
         llm_text.bpe_piece_count("text").alias("bpe_pieces"),
         llm_text.trunc4(nd / F.greatest(n, F.lit(1))).alias("ttr"),
-        llm_text.quality_score("text").alias("quality"),
+        llm_text.quality_score(txt).alias("quality"),
     )
 
 
@@ -2090,7 +2095,7 @@ def segment_join_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip→drop-empty→join) over tokenized document text: transform + filter
     + array_join, all higher-order Column exprs, zero Python."""
     d = _t(spark, sf_dir, "documents")
-    toks = llm_text.tokens("text")
+    toks = llm_text.tokens(F.coalesce(F.col("text"), F.lit("")))
     return d.select(
         "doc_id",
         F.array_join(
@@ -2567,7 +2572,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            regexp_replace(
              regexp_replace(
-               text || ' contact user' || CAST(doc_id AS VARCHAR)
+               COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
                     || '@mail.example.com or +1 (555) 01'
                     || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
@@ -2612,7 +2617,10 @@ def seq_packing_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins' capacity. A packing regression (dup/dropped docs, overflow,
     degenerate one-doc bins) flips a boolean and fails the hash check."""
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", llm_text.token_count("text").alias("n_tok")
+        "doc_id",
+        llm_text.token_count(F.coalesce(F.col("text"), F.lit(""))).alias(
+            "n_tok"
+        ),
     )
     packed = llm_packing.pack_sequences(d, "doc_id", "n_tok", capacity=512)
     bins = packed.groupBy("bin_id").agg(F.sum("packed_len").alias("load"))
@@ -4359,7 +4367,10 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same statistics the orthodox way (unnest + two GROUP BYs), so
     the fold and the relational form verify each other."""
     d = _t(spark, sf_dir, "documents")
-    tokd = d.select("doc_id", llm_text.tokens("text").alias("t"))
+    tokd = d.select(
+        "doc_id",
+        llm_text.tokens(F.coalesce(F.col("text"), F.lit(""))).alias("t"),
+    )
     n = F.size(F.col("t"))
     safe_n = F.greatest(n, F.lit(1))
     top_w = llm_text.max_run_length(F.array_sort(F.col("t")))
@@ -5853,7 +5864,10 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop the phantom '' token tab/newline-edged text leaves behind
     # (trim strips spaces only) — matching py_tokens and the oracle's
     # list_filter
-    t = F.filter(llm_text.tokens("text"), lambda x: x != F.lit(""))
+    t = F.filter(
+        llm_text.tokens(F.coalesce(F.col("text"), F.lit(""))),
+        lambda x: x != F.lit(""),
+    )
     ids = F.transform(
         t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
     )
@@ -6351,8 +6365,10 @@ def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
       SELECT doc_id,
              list_filter(
-               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                    ELSE regexp_split_to_array(trim(text), '\\s+') END,
+               CASE WHEN trim(COALESCE(text, '')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(COALESCE(text, '')),
+                                               '\\s+') END,
                w -> w <> '') AS t
       FROM documents
     ),
@@ -8978,14 +8994,14 @@ def _duck_html_oracle() -> str:
     WITH src AS (
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN
-                    '{v0a}' || substr(text, 1, 60) || '{v0b}'
-                    || substr(text, 61, 60) || '{v0c}'
+                    '{v0a}' || substr(COALESCE(text, ''), 1, 60) || '{v0b}'
+                    || substr(COALESCE(text, ''), 61, 60) || '{v0c}'
                   WHEN doc_id % 3 = 1 THEN
-                    '{v1a}' || substr(text, 1, 60) || '{v1b}'
-                    || substr(text, 61, 60) || '{v1c}'
+                    '{v1a}' || substr(COALESCE(text, ''), 1, 60) || '{v1b}'
+                    || substr(COALESCE(text, ''), 61, 60) || '{v1c}'
                   ELSE
-                    '{v2a}' || substr(text, 1, 60) || '{v2b}'
-                    || substr(text, 61, 60) || '{v2c}'
+                    '{v2a}' || substr(COALESCE(text, ''), 1, 60) || '{v2b}'
+                    || substr(COALESCE(text, ''), 61, 60) || '{v2c}'
              END AS h
       FROM documents
     ),
@@ -9033,8 +9049,9 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     links) is pytest-covered (tests/test_html.py)."""
     ensure_utc(spark)
     d = _t(spark, sf_dir, "documents")
-    a = F.substring("text", 1, 60)
-    b = F.substring("text", 61, 60)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    a = F.substring(txt, 1, 60)
+    b = F.substring(txt, 61, 60)
     m = F.col("doc_id") % 3
     page = (
         F.when(m == 0, F.concat(F.lit(_HTML_V0[0]), a, F.lit(_HTML_V0[1]), b, F.lit(_HTML_V0[2])))
