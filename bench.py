@@ -88,6 +88,72 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark, reps: int) -> dict:
+    """Registry-independent machine-speed anchor (round-7 drift audit).
+
+    Round 6's "~1.3× regression on three queries" turned out to be a
+    UNIFORM shift: the median r6/r5 ratio across all 43 shared queries
+    was 1.23× with a tight 1.1–1.4 band — identical code (git diff) and
+    identical data (seed=42, sf0.01 row counts byte-stable across
+    rounds), reproduced in a fresh isolated session on an idle machine.
+    The only remaining variable is the per-round VM/host. These probes
+    measure THAT, so cross-round comparisons can divide it out:
+
+    - ``jvm_codegen``: whole-stage-codegen arithmetic over spark.range —
+      no I/O, no shuffle, no Python; pure JVM + core throughput.
+    - ``jvm_shuffle``: one fixed hash-aggregate exchange — the shuffle
+      write/read/merge path.
+    - ``py_blas``: numpy matmul — the Arrow/pandas-kernel side.
+
+    Compare per-query ratios AGAINST the same round's calib ratios
+    before concluding any code-level regression.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    calib: dict[str, float] = {}
+    for _ in range(max(1, reps)):
+        t0 = time.time()
+        (
+            spark.range(0, 200_000_000, 1, 32)
+            .select(F.sum(F.xxhash64("id") % 1_000_003).alias("h"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        calib["jvm_codegen"] = min(
+            calib.get("jvm_codegen", 1e9), round(time.time() - t0, 3)
+        )
+        t0 = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .groupBy((F.col("id") % 4096).alias("k"))
+            .agg(F.count("*").alias("c"), F.sum("id").alias("s"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        calib["jvm_shuffle"] = min(
+            calib.get("jvm_shuffle", 1e9), round(time.time() - t0, 3)
+        )
+        t0 = time.time()
+        a = np.ones((1536, 1536), dtype=np.float64)
+        for _i in range(4):
+            a = (a @ a) % 97.0
+        calib["py_blas"] = min(
+            calib.get("py_blas", 1e9), round(time.time() - t0, 3)
+        )
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("model name"):
+                    calib["cpu_model"] = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return calib
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -103,6 +169,9 @@ def main() -> None:
     # same CC query 10.1s → 6.5s → 3.5s over three back-to-back runs).
     for w in ("top_suppliers", "minhash_lsh_dups", "near_dup_clusters"):
         specs[w].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    calib = _calibrate(spark, reps)
 
     def _drop_cached_state() -> None:
         # Isolate per-query timings: queries persist intermediates (shingle
@@ -121,7 +190,6 @@ def main() -> None:
     # out the round's entire perf record. Each query runs under its own
     # try/except; failures land in an "errors" map, the partial timings
     # are still printed, and the process exits nonzero.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for _ in range(max(1, reps)):
@@ -148,6 +216,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib": calib,
     }
     if errors:
         out["errors"] = errors
