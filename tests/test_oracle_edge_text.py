@@ -35,6 +35,12 @@ EDGE_TEXTS = [
     (8, "x"),
     (9, "the quick brown fox jumps over the lazy dog"),  # near-dup of 0
     (10, None),  # NULL text — documents.text is nullable
+    # U+000B vertical tab: Java/Python-ASCII \s includes it, RE2 \s does
+    # NOT — the one char that forced the explicit [ \t\n\x0B\f\r] class
+    # everywhere (ADVICE r06). Mid-word, edge, and run positions.
+    (11, "vertical\x0btab must split words the same in both engines"),
+    (12, "\x0bleading vtab and trailing too with words enough\x0b"),
+    (13, "mixed \x0b \t\x0b\n runs collapse to one separator here"),
 ]
 
 #: text-family gates whose oracles must survive edge whitespace (the

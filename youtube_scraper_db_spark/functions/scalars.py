@@ -60,7 +60,16 @@ def extract_video_id(url: Column | str) -> Column:
 # --- F4 ---------------------------------------------------------------
 #: the four timestamp shapes recognized at ref add_transcripts.py:49-63,
 #: collapsed into one alternation.
-_TS_PATTERNS = r"(\[\d{1,2}:\d{2}(:\d{2})?\]|\d{1,2}:\d{2}(:\d{2})?\s*-\s|(^|\n)\s*\d{1,2}:\d{2}(:\d{2})?\s|<\d{1,2}:\d{2}(:\d{2})?>)"
+#: \s spelled out as [ \t\n\x0B\f\r]: the oracle twin embeds this SAME
+#: string into DuckDB SQL, and RE2's \s lacks \x0B (vertical tab) while
+#: Java's includes it — the explicit class keeps both engines identical.
+_WS = r"[ \t\n\x0B\f\r]"
+_TS_PATTERNS = (
+    r"(\[\d{1,2}:\d{2}(:\d{2})?\]"
+    rf"|\d{{1,2}}:\d{{2}}(:\d{{2}})?{_WS}*-{_WS}"
+    rf"|(^|\n){_WS}*\d{{1,2}}:\d{{2}}(:\d{{2}})?{_WS}"
+    r"|<\d{1,2}:\d{2}(:\d{2})?>)"
+)
 
 
 def has_timestamps(text: Column | str) -> Column:

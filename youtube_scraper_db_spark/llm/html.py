@@ -41,6 +41,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .text import WS_CLASS, WS_PLUS
+
 #: Block-level elements: opening OR closing tag breaks a text block.
 BLOCK_TAG_RE = (
     r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|tr|td|th|table|br|nav|section"
@@ -77,7 +79,9 @@ def _decode_entities(c: Column) -> Column:
 def _block_text(b: Column) -> Column:
     """Tag-strip → entity-decode → whitespace-collapse → trim."""
     stripped = F.regexp_replace(b, r"<[^>]+>", " ")
-    return F.trim(F.regexp_replace(_decode_entities(stripped), r"\s+", " "))
+    # WS_CLASS (not \s): the oracle twin runs under RE2, whose \s lacks
+    # \x0B — the explicit class keeps both engines byte-identical.
+    return F.trim(F.regexp_replace(_decode_entities(stripped), WS_PLUS, " "))
 
 
 def _link_chars(b: Column) -> Column:
@@ -96,7 +100,7 @@ def strip_boilerplate(html: Column) -> Column:
     """Comments and script/style/noscript blocks removed."""
     out = F.regexp_replace(html, r"(?s)<!--.*?-->", " ")
     for tag in DROP_CONTENT_TAGS:
-        out = F.regexp_replace(out, rf"(?is)<{tag}[^>]*>.*?</{tag}\s*>", " ")
+        out = F.regexp_replace(out, rf"(?is)<{tag}[^>]*>.*?</{tag}{WS_CLASS}*>", " ")
     return out
 
 

@@ -16,6 +16,18 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+#: THE whitespace class, spelled out. Java ``\s`` is exactly
+#: [ \t\n\x0B\f\r]; Python ``re.ASCII \s`` is the same set; but DuckDB
+#: RE2 ``\s`` EXCLUDES \x0B (vertical tab) — so any ``\s`` written in an
+#: oracle CTE silently diverges from the engine on \v-bearing text.
+#: Every tokenizer/normalizer regex (Spark, Python kernel, AND oracle
+#: SQL — registry.py imports this) uses this explicit class instead;
+#: RE2 supports it verbatim. Engine behavior is unchanged (the class IS
+#: Java's \s); the oracle side is what moves to match.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+WS_PLUS = WS_CLASS + "+"
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization; empty/blank text → empty array; NO
     empty tokens ever. The filter is the contract, not a nicety:
@@ -25,10 +37,10 @@ def tokens(col: Column | str) -> Column:
     every DuckDB oracle on whether that phantom exists. It does not
     (pinned across 40+ gates by tests/test_oracle_edge_text.py)."""
     t = F.trim(_c(col))
-    return F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    return F.filter(F.split(t, WS_PLUS), lambda x: x != F.lit(""))
 
 
-_ASCII_WS = __import__("re").compile(r"\s+", __import__("re").ASCII)
+_ASCII_WS = __import__("re").compile(WS_PLUS)
 
 
 def py_tokens(text: str | None) -> list[str]:
@@ -36,8 +48,8 @@ def py_tokens(text: str | None) -> list[str]:
     ``\\s`` is ASCII-only ([ \\t\\n\\x0b\\f\\r]) while ``str.split()``
     splits on ANY Unicode whitespace — a document containing NBSP or
     U+2028 would tokenize differently in a kernel than in the JVM
-    expressions that trained/aggregated over it. ``re.ASCII`` pins the
-    same class."""
+    expressions that trained/aggregated over it. ``WS_CLASS`` pins the
+    same explicit set."""
     return [t for t in _ASCII_WS.split(text or "") if t]
 
 
@@ -48,7 +60,7 @@ def token_count(col: Column | str) -> Column:
 
 #: BPE-ish sub-word piece estimate: word chunks of ≤4 chars plus digits and
 #: punctuation runs — a deterministic proxy for tokenizer-piece counts.
-_BPE_PIECE = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"
+_BPE_PIECE = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def bpe_piece_count(col: Column | str) -> Column:
@@ -173,7 +185,7 @@ def char_pairs(col: Column | str) -> Column:
 
 def normalize(col: Column | str) -> Column:
     """Dedup normalization: lowercase + whitespace collapse."""
-    return F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(_c(col))), WS_PLUS, " ")
 
 
 def content_fingerprint(col: Column | str) -> Column:

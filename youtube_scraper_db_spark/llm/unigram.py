@@ -102,7 +102,14 @@ def viterbi_segment(
     smallest space-joined segmentation. Multi-char substrings outside
     the inventory are not candidates; single chars always are (inventory
     score or ``unk_score``). This function IS the semantics every path
-    (driver loop, Arrow kernels, SQL oracle DP) must share."""
+    (driver loop, Arrow kernels, SQL oracle DP) must share.
+
+    Empty word → () — NOT ("",). ``py_tokens`` never yields empty words,
+    but the no-empty-token contract (SURVEY §13.9b) is enforced HERE at
+    the semantics spine so an unfiltered caller cannot silently count or
+    emit '' pieces (ADVICE r06)."""
+    if not word:
+        return ()
     n = len(word)
     best: list[tuple[int, int, str]] = [(0, 0, "")] + [None] * n  # type: ignore[list-item]
     for j in range(1, n + 1):
@@ -223,7 +230,9 @@ def unigram_train_viterbi(
     probe, the collect/E-steps, and the substring seeding all read the
     materialized copy."""
     vocab = word_vocab(docs, text_col).localCheckpoint()
-    if vocab.count() <= driver_max_vocab:
+    # limit(N+1).count(): the probe only needs "≤ N or not", so scan at
+    # most N+1 rows instead of a full-vocab aggregate (bpe.py's device)
+    if vocab.limit(driver_max_vocab + 1).count() <= driver_max_vocab:
         wc = {r["word"]: int(r["wcount"]) for r in vocab.collect()}
         seed: dict[str, int] = {}
         for w, c in wc.items():
@@ -494,7 +503,8 @@ def unigram_train_em(
     collapse runs once: size probe, E-steps, and seeding all read the
     eagerly-checkpointed vocab."""
     vocab = word_vocab(docs, text_col).localCheckpoint()
-    small = vocab.count() <= driver_max_vocab
+    # limit(N+1).count() — see unigram_train_viterbi / bpe.py
+    small = vocab.limit(driver_max_vocab + 1).count() <= driver_max_vocab
     if small:
         wc_rows = [(r["word"], int(r["wcount"])) for r in vocab.collect()]
     seed = _seed_from_vocab(vocab, max_len, min_count)

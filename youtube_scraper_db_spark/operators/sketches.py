@@ -226,7 +226,9 @@ def cms_counters(
             *[
                 F.struct(
                     F.lit(i).alias("row"),
-                    (_mix(h1, h2, i) % F.lit(width)).alias("slot"),
+                    (
+                        _mix(F.col("__h1"), F.col("__h2"), i) % F.lit(width)
+                    ).alias("slot"),
                 )
                 for i in range(depth)
             ]
@@ -234,6 +236,11 @@ def cms_counters(
     ).alias("rs")
     return (
         df.where(F.col(key).isNotNull())
+        # bind the digest halves ONCE per row before the per-seed
+        # explosion — inlining _h1h2 into every mix carries depth×2 md5
+        # subtrees and leans on codegen CSE this codebase deliberately
+        # doesn't trust (same device as cms_point_estimates below)
+        .select(h1.alias("__h1"), h2.alias("__h2"))
         .select(rows)
         .select("rs.row", "rs.slot")
         .groupBy("row", "slot")
@@ -344,9 +351,17 @@ def bloom_bits(
     h1, h2 = _h1h2(F.col(key))
     return (
         df.where(F.col(key).isNotNull())
+        # digest halves bound once per row, not once per seed (see
+        # cms_counters)
+        .select(h1.alias("__h1"), h2.alias("__h2"))
         .select(
             F.explode(
-                F.array(*[(_mix(h1, h2, i) % F.lit(m_bits)) for i in range(k)])
+                F.array(
+                    *[
+                        _mix(F.col("__h1"), F.col("__h2"), i) % F.lit(m_bits)
+                        for i in range(k)
+                    ]
+                )
             ).alias("pos")
         )
         .distinct()
@@ -373,12 +388,21 @@ def bloom_probe_report(
         F.col(probe_key).alias("k")
     ).distinct()
     h1, h2 = _h1h2(F.col("k"))
-    ppos = pk.select(
-        "k",
-        F.explode(
-            F.array(*[(_mix(h1, h2, i) % F.lit(m_bits)) for i in range(k)])
-        ).alias("pos"),
-    ).distinct()
+    ppos = (
+        pk.select("k", h1.alias("__h1"), h2.alias("__h2"))
+        .select(
+            "k",
+            F.explode(
+                F.array(
+                    *[
+                        _mix(F.col("__h1"), F.col("__h2"), i) % F.lit(m_bits)
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
     hits = (
         ppos.join(bits, "pos")
         .groupBy("k")

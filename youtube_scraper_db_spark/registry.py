@@ -1060,7 +1060,7 @@ _TOK_CTE = """
                CASE WHEN trim(COALESCE(text, '')) = ''
                     THEN CAST([] AS VARCHAR[])
                     ELSE regexp_split_to_array(trim(COALESCE(text, '')),
-                                               '\\s+') END,
+                                               '[ \\t\\n\\x0B\\f\\r]+') END,
                w -> w <> '') AS t
       FROM documents
     )
@@ -1079,7 +1079,7 @@ _TOK_CTE = """
     SELECT tok.doc_id,
            CAST(len(t) AS BIGINT) AS token_count,
            CAST(len(regexp_extract_all(d.text,
-                '[A-Za-z]{{1,4}}|[0-9]{{1,3}}|[^A-Za-z0-9\\s]')) AS BIGINT)
+                '[A-Za-z]{{1,4}}|[0-9]{{1,3}}|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT)
              AS bpe_pieces,
            FLOOR((CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1)) * 10000) / 10000.0
              AS ttr,
@@ -1148,7 +1148,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LLM-fingerprint",
     oracle=r"""
     WITH norm AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt
       FROM documents
     ),
     tok AS (
@@ -1198,7 +1198,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH fp AS (
       SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_fp
+             md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS content_fp
       FROM documents
     )
     SELECT doc_id, content_fp,
@@ -1221,7 +1221,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LLM-dedup-jaccard",
     oracle=r"""
     WITH norm AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt
       FROM documents
     ),
     tok AS (
@@ -1416,7 +1416,7 @@ _PORTABLE_PLANES_CTE = r"""
       SELECT doc_id + 1000000 AS doc, text FROM documents
     ),
     norm AS (
-      SELECT doc, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt FROM corpus
+      SELECT doc, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt FROM corpus
     ),
     tok AS (
       SELECT doc, regexp_split_to_array(trim(nt), ' ') AS ts
@@ -1491,7 +1491,7 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks AS (
       SELECT doc, tok, CAST(count(*) AS BIGINT) AS cnt
       FROM (
-        SELECT doc, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        SELECT doc, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS tok
         FROM corpus
       )
       WHERE tok <> ''
@@ -1623,7 +1623,7 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LLM-dedup-minhash",
     oracle=r"""
     WITH norm AS (
-      SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      SELECT regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt
       FROM documents
     ),
     elig AS (
@@ -2060,7 +2060,7 @@ def valid_available_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "F4 P12",
     oracle=r"""
     SELECT doc_id,
-           regexp_matches(text, '(\[\d{1,2}:\d{2}(:\d{2})?\]|\d{1,2}:\d{2}(:\d{2})?\s*-\s|(^|\n)\s*\d{1,2}:\d{2}(:\d{2})?\s|<\d{1,2}:\d{2}(:\d{2})?>)')
+           regexp_matches(text, '(\[\d{1,2}:\d{2}(:\d{2})?\]|\d{1,2}:\d{2}(:\d{2})?[ \t\n\x0B\f\r]*-[ \t\n\x0B\f\r]|(^|\n)[ \t\n\x0B\f\r]*\d{1,2}:\d{2}(:\d{2})?[ \t\n\x0B\f\r]|<\d{1,2}:\d{2}(:\d{2})?>)')
              AS has_ts
     FROM documents
     """,
@@ -2083,7 +2083,7 @@ def timestamped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(
                list_transform(
                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                      ELSE regexp_split_to_array(trim(text), '\s+') END,
+                      ELSE regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') END,
                  s -> upper(trim(s))),
                s -> s != ''),
              'string_agg', ' '), '') AS rendered
@@ -2369,7 +2369,7 @@ def uniq_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster-level dedup oracles below.
 _JACCARD_EDGE_CTES = r"""
     norm AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt
       FROM documents
     ),
     tok AS (
@@ -2863,7 +2863,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH fp AS (
       SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_fp,
+             md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS content_fp,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' AS in_corpus
       FROM documents
     ),
@@ -4041,7 +4041,7 @@ def stream_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "EXT-decontam",
     oracle=r"""
     WITH norm AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt
       FROM documents
     ),
     tok AS (
@@ -4120,7 +4120,7 @@ _TRANSCRIPT_RT_ORACLE = r"""
            'https://www.youtube.com/watch?v=doc' || CAST(doc_id AS VARCHAR)
              AS url,
            text AS transcript,
-           regexp_matches(text, '(\[\d{1,2}:\d{2}(:\d{2})?\]|\d{1,2}:\d{2}(:\d{2})?\s*-\s|(^|\n)\s*\d{1,2}:\d{2}(:\d{2})?\s|<\d{1,2}:\d{2}(:\d{2})?>)')
+           regexp_matches(text, '(\[\d{1,2}:\d{2}(:\d{2})?\]|\d{1,2}:\d{2}(:\d{2})?[ \t\n\x0B\f\r]*-[ \t\n\x0B\f\r]|(^|\n)[ \t\n\x0B\f\r]*\d{1,2}:\d{2}(:\d{2})?[ \t\n\x0B\f\r]|<\d{1,2}:\d{2}(:\d{2})?>)')
              AS has_timestamps,
            'doc' || CAST(doc_id AS VARCHAR) || '.' ||
              CASE doc_id % 3 WHEN 0 THEN 'txt' WHEN 1 THEN 'srt'
@@ -4543,7 +4543,7 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                % 8 AS shard,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(list_filter(
-                         regexp_split_to_array(trim(text), '\\s+'),
+                         regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                          w -> w <> '')) END
                AS n_tok,
              ('0x' || substr(md5(text), 1, 8))::BIGINT AS content_h
@@ -4673,7 +4673,7 @@ def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_TOK_CTE},
     base AS (
       SELECT tok.doc_id, d.source, d.lang, t, len(t) AS n,
-             md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+             md5(regexp_replace(lower(trim(d.text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
       FROM tok JOIN documents d ON tok.doc_id = d.doc_id
     ),
     feat AS (
@@ -6368,7 +6368,7 @@ def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN trim(COALESCE(text, '')) = ''
                     THEN CAST([] AS VARCHAR[])
                     ELSE regexp_split_to_array(trim(COALESCE(text, '')),
-                                               '\\s+') END,
+                                               '[ \\t\\n\\x0B\\f\\r]+') END,
                w -> w <> '') AS t
       FROM documents
     ),
@@ -8564,7 +8564,7 @@ def _bpe_train_sql(num_merges: int) -> str:
         """
     v0 AS (
       SELECT word, COUNT(*) AS wcount FROM (
-        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
         FROM documents WHERE trim(text) <> ''
       ) WHERE word <> '' GROUP BY word
     ),
@@ -8786,7 +8786,7 @@ def _unigram_train_sql(iters: int, max_len: int = 4, min_count: int = 2) -> str:
         f"""
     vocab AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
-        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
         FROM documents WHERE trim(text) <> ''
       ) WHERE word <> '' GROUP BY word
     ),
@@ -8964,7 +8964,7 @@ def _duck_html_block_text(var: str) -> str:
     for ent, rep in llm_html.ENTITIES:
         rep_sql = rep.replace("'", "''")
         s = f"replace({s}, '{ent}', '{rep_sql}')"
-    return rf"trim(regexp_replace({s}, '\s+', ' ', 'g'))"
+    return rf"trim(regexp_replace({s}, '[ \t\n\x0B\f\r]+', ' ', 'g'))"
 
 
 def _duck_html_oracle() -> str:
@@ -8987,7 +8987,7 @@ def _duck_html_oracle() -> str:
     for tag in llm_html.DROP_CONTENT_TAGS:
         pre = (
             f"regexp_replace({pre}, "
-            rf"'(?is)<{tag}[^>]*>.*?</{tag}\s*>', ' ', 'g')"
+            rf"'(?is)<{tag}[^>]*>.*?</{tag}[ \t\n\x0B\f\r]*>', ' ', 'g')"
         )
     block_re = llm_html.BLOCK_TAG_RE.replace("'", "''")
     return f"""
