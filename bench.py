@@ -82,6 +82,9 @@ HEADLINE = [
     "cms_user_counts",
     "bloom_customer_filter",
     "image_resize_stats",
+    # round 7: the sketch-mergeability gates (cms/bloom join hll_union_merge)
+    "cms_union_merge",
+    "bloom_union_merge",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

@@ -74,6 +74,8 @@ BNLJ_OK = {
     "classic_q11_important_stock",  # 1-row grand-total broadcast (Q11's fraction threshold)
     "hll_distinct_users",   # 1-row sketch estimate × 1-row exact-distinct scalar
     "hll_union_merge",      # three 1-row scalar joins (merged/direct/exact)
+    "cms_union_merge",      # 1-row cell-diff/estimate/exact scalar joins
+    "bloom_union_merge",    # 1-row report × bit-count × equality scalars
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

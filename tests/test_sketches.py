@@ -139,3 +139,42 @@ def test_bloom_bits_union_is_merge(spark):
     }
     direct = {r["pos"] for r in S.bloom_bits(u, "k").collect()}
     assert merged == direct
+
+
+def test_bloom_merge_operator_and_probe_from_bits(spark):
+    """The named bloom_merge operator (bit-union) and the explicit-bits
+    probe entry point: probing through the merged filter must produce
+    the same report as the direct filter, and false positives can only
+    come from set bits (no false negatives either way)."""
+    build = spark.createDataFrame([(i,) for i in range(300)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(150, 600)], "k long")
+    a = S.bloom_bits(build.filter(F.col("k") % 2 == 0), "k")
+    b = S.bloom_bits(build.filter(F.col("k") % 2 != 0), "k")
+    merged = S.bloom_merge(a, b)
+    rm = S.bloom_probe_report_from_bits(merged, build, "k", probe, "k").first()
+    rd = S.bloom_probe_report(build, "k", probe, "k").first()
+    assert rm.asDict() == rd.asDict()
+    assert rm["true_present"] == 150  # 150..299 truly present
+    assert rm["maybe_present"] >= rm["true_present"]  # no false negatives
+    assert rm["false_positives"] == rm["maybe_present"] - rm["true_present"]
+
+
+def test_cms_estimates_from_merged_counters_equal_direct(spark):
+    """cms_point_estimates_from_counters through a merged table gives
+    the same per-key estimates as the direct sketch (sum associativity
+    end-to-end, not just at the cell level)."""
+    df = spark.createDataFrame([(i % 37,) for i in range(1500)], "k long")
+    a = S.cms_counters(df.filter(F.col("k") % 3 == 0), "k", depth=4, width=256)
+    b = S.cms_counters(df.filter(F.col("k") % 3 != 0), "k", depth=4, width=256)
+    merged = S.cms_merge(a, b)
+    em = {
+        r["k"]: r["est"]
+        for r in S.cms_point_estimates_from_counters(
+            df, "k", merged, depth=4, width=256
+        ).collect()
+    }
+    ed = {
+        r["k"]: r["est"]
+        for r in S.cms_point_estimates(df, "k", depth=4, width=256).collect()
+    }
+    assert em == ed

@@ -257,6 +257,19 @@ def cms_point_estimates(
     a checked column. Probe side joins its per-row slots against the
     counter table; both sides are slot-keyed aggregates."""
     counters = cms_counters(df, key, depth, width)
+    return cms_point_estimates_from_counters(df, key, counters, depth, width)
+
+
+def cms_point_estimates_from_counters(
+    df: DataFrame,
+    key: str,
+    counters: DataFrame,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """``cms_point_estimates`` probing an EXPLICIT counter table — the
+    entry point for estimating through merged sketches (``cms_merge``),
+    where the counters were built from parts the prober never saw."""
     h1, h2 = _h1h2(F.col("k"))
     probes = (
         df.where(F.col(key).isNotNull())
@@ -341,7 +354,101 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def cms_union_oracle_sql(
+    table: str, key: str, split: str, depth: int = 4, width: int = 4096
+) -> str:
+    """DuckDB replay of the CMS merge gate: per-key counts of two
+    disjoint row-halves (``split`` / NOT ``split``) → two counter
+    tables → element-wise-sum merge → point estimates through the
+    MERGED counters, compared cell-for-cell and estimate-for-estimate
+    against the directly-built sketch. Because integer sum is
+    associative, both comparisons must come back exact — and the oracle
+    hash-checks the actual sums/estimates, not just the booleans."""
+    mixes = [km_mix_sql(i) for i in range(depth)]
+    slot_rows = " UNION ALL ".join(
+        f"SELECT k, {i} AS row, ({m}) % {width} AS slot FROM kh"
+        for i, m in enumerate(mixes)
+    )
+    return f"""
+    WITH kf AS (
+      SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} WHERE {key} IS NOT NULL GROUP BY {key}
+    ),
+    ka AS (
+      SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} WHERE {key} IS NOT NULL AND ({split}) GROUP BY {key}
+    ),
+    kb AS (
+      SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} WHERE {key} IS NOT NULL AND NOT ({split}) GROUP BY {key}
+    ),
+    kh AS (
+      SELECT k,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM kf
+    ),
+    slots AS ({slot_rows}),
+    ca AS (
+      SELECT s.row, s.slot, SUM(ka.c) AS cnt
+      FROM slots s JOIN ka ON s.k = ka.k GROUP BY s.row, s.slot
+    ),
+    cb AS (
+      SELECT s.row, s.slot, SUM(kb.c) AS cnt
+      FROM slots s JOIN kb ON s.k = kb.k GROUP BY s.row, s.slot
+    ),
+    cd AS (
+      SELECT s.row, s.slot, SUM(kf.c) AS cnt
+      FROM slots s JOIN kf ON s.k = kf.k GROUP BY s.row, s.slot
+    ),
+    cm AS (
+      SELECT COALESCE(a.row, b.row) AS row, COALESCE(a.slot, b.slot) AS slot,
+             COALESCE(a.cnt, 0) + COALESCE(b.cnt, 0) AS cnt
+      FROM ca a FULL OUTER JOIN cb b ON a.row = b.row AND a.slot = b.slot
+    ),
+    cells AS (
+      SELECT COUNT(*) AS n_cells,
+             SUM(CASE WHEN m.cnt = d.cnt THEN 0 ELSE 1 END) AS n_diff
+      FROM cm m FULL OUTER JOIN cd d ON m.row = d.row AND m.slot = d.slot
+    ),
+    em AS (
+      SELECT s.k, MIN(m.cnt) AS est
+      FROM slots s JOIN cm m ON s.row = m.row AND s.slot = m.slot
+      GROUP BY s.k
+    ),
+    ed AS (
+      SELECT s.k, MIN(d.cnt) AS est
+      FROM slots s JOIN cd d ON s.row = d.row AND s.slot = d.slot
+      GROUP BY s.k
+    ),
+    ests AS (
+      SELECT COUNT(*) AS keys,
+             CAST(SUM(em.est) AS BIGINT) AS sum_est_merged,
+             CAST(SUM(ed.est) AS BIGINT) AS sum_est_direct,
+             SUM(CASE WHEN em.est = ed.est THEN 0 ELSE 1 END) AS n_est_diff,
+             SUM(CASE WHEN em.est >= kf.c THEN 0 ELSE 1 END) AS n_underest
+      FROM em JOIN ed ON em.k = ed.k JOIN kf ON em.k = kf.k
+    )
+    SELECT CAST(e.keys AS BIGINT) AS keys,
+           e.sum_est_merged, e.sum_est_direct,
+           (c.n_diff = 0 AND e.n_est_diff = 0) AS merge_consistent,
+           e.n_underest = 0 AS overestimate_ok,
+           (SELECT CAST(SUM(c) AS BIGINT) FROM kf) AS exact_total
+    FROM ests e, cells c
+    """
+
+
 # --- Bloom ------------------------------------------------------------
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two Bloom filters: bit-union of the set-position tables
+    (distinct union). Set-union is associative/commutative, so merged
+    bits are IDENTICAL to the bits of the filter built over the
+    combined input — the mergeability property that lets per-partition
+    / per-day filters roll up without re-scanning (the
+    ``bloom_union_merge`` gate asserts the equality exactly)."""
+    return a.select("pos").union(b.select("pos")).distinct()
+
 
 def bloom_bits(
     df: DataFrame, key: str, k: int = 5, m_bits: int = 1 << 14
@@ -384,6 +491,23 @@ def bloom_probe_report(
     oracle. Shape: bit table is O(m_bits); probe side is a positions
     join + all-k count, never a row-by-row filter."""
     bits = bloom_bits(build, build_key, k, m_bits)
+    return bloom_probe_report_from_bits(
+        bits, build, build_key, probe, probe_key, k, m_bits
+    )
+
+
+def bloom_probe_report_from_bits(
+    bits: DataFrame,
+    build: DataFrame,
+    build_key: str,
+    probe: DataFrame,
+    probe_key: str,
+    k: int = 5,
+    m_bits: int = 1 << 14,
+) -> DataFrame:
+    """``bloom_probe_report`` probing an EXPLICIT bit table — the entry
+    point for probing through merged filters (``bloom_merge``). ``build``
+    is still needed for the exact-membership truth side."""
     pk = probe.where(F.col(probe_key).isNotNull()).select(
         F.col(probe_key).alias("k")
     ).distinct()
@@ -484,5 +608,89 @@ def bloom_oracle_sql(
            CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS true_present,
            CAST(SUM(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END) AS BIGINT)
              AS false_positives
+    FROM t
+    """
+
+
+def bloom_union_oracle_sql(
+    build_table: str,
+    build_key: str,
+    probe_table: str,
+    probe_key: str,
+    split: str,
+    k: int = 5,
+    m_bits: int = 1 << 14,
+) -> str:
+    """DuckDB replay of the Bloom merge gate: build-key halves
+    (``split`` / NOT ``split``) → two bit tables → bit-union merge →
+    probe every ``probe_key`` through the MERGED filter, with the
+    merged-vs-direct bit-set equality as an exact witness. Set-union
+    associativity makes the bit sets identical, so the probe report
+    through the merged filter must equal the direct one — and the
+    oracle hash-checks the report itself, false positives included."""
+    mixes = [km_mix_sql(i) for i in range(k)]
+    ba = " UNION ALL ".join(
+        f"SELECT ({m}) % {m_bits} AS pos FROM bha" for m in mixes
+    )
+    bb = " UNION ALL ".join(
+        f"SELECT ({m}) % {m_bits} AS pos FROM bhb" for m in mixes
+    )
+    bf = " UNION ALL ".join(
+        f"SELECT ({m}) % {m_bits} AS pos FROM bhf" for m in mixes
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT k, ({m}) % {m_bits} AS pos FROM ph" for m in mixes
+    )
+
+    def half(name: str, where: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST({build_key} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST({build_key} AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM {build_table} WHERE {build_key} IS NOT NULL{where}
+    )"""
+
+    return f"""
+    WITH {half('bha', f' AND ({split})')},
+    {half('bhb', f' AND NOT ({split})')},
+    {half('bhf', '')},
+    bits_m AS (SELECT DISTINCT pos FROM ({ba} UNION ALL {bb})),
+    bits_d AS (SELECT DISTINCT pos FROM ({bf})),
+    bitcmp AS (
+      SELECT (SELECT COUNT(*) FROM bits_m) AS nbits_merged,
+             (SELECT COUNT(*) FROM bits_d) AS nbits_direct,
+             (SELECT COUNT(*) FROM (
+                SELECT pos FROM bits_m EXCEPT SELECT pos FROM bits_d
+                UNION ALL
+                SELECT pos FROM bits_d EXCEPT SELECT pos FROM bits_m
+             )) AS n_diff
+    ),
+    ph AS (
+      SELECT DISTINCT {probe_key} AS k,
+             ('0x' || substr(md5(CAST({probe_key} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST({probe_key} AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM {probe_table} WHERE {probe_key} IS NOT NULL
+    ),
+    ppos AS (SELECT DISTINCT k, pos FROM ({probe_pos})),
+    m AS (
+      SELECT p.k, COUNT(*) AS ntotal, COUNT(b.pos) AS nset
+      FROM ppos p LEFT JOIN bits_m b ON p.pos = b.pos
+      GROUP BY p.k
+    ),
+    t AS (
+      SELECT m.k, m.nset = m.ntotal AS maybe,
+             EXISTS (SELECT 1 FROM {build_table} x
+                     WHERE x.{build_key} = m.k) AS present
+      FROM m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS probed,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS maybe_present,
+           CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS true_present,
+           CAST(SUM(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END) AS BIGINT)
+             AS false_positives,
+           (SELECT CAST(nbits_merged AS BIGINT) FROM bitcmp) AS nbits_merged,
+           (SELECT CAST(nbits_direct AS BIGINT) FROM bitcmp) AS nbits_direct,
+           (SELECT n_diff = 0 FROM bitcmp) AS merge_consistent
     FROM t
     """

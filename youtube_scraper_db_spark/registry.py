@@ -9304,6 +9304,123 @@ def bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "cms_union_merge",
+    "EXT-sketch-cms EXT-sketch-merge",
+    oracle=op_sketches.cms_union_oracle_sql(
+        "events", "user_id", "event_id % 2 = 0"
+    ),
+)
+def cms_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min MERGEABILITY (r06 verdict item 3 — the driver-gated
+    twin of ``hll_union_merge`` for the CMS family): the event stream
+    splits into disjoint row-halves, each half gets its own counter
+    table, and the element-wise-SUM merge (operators/sketches.py
+    cms_merge) must be cell-for-cell identical to sketching the
+    combined input — rolling per-day/per-partition sketches up is the
+    sketch's entire reason to exist at 100 TB. The gate probes every
+    key through the MERGED counters and emits one row: key count, the
+    estimate sums through merged vs direct counters, the exact
+    merge-consistency witness (cells AND estimates), the CMS
+    overestimate guarantee, and the exact total. All hashing is the
+    shared portable md5 family, so the oracle replays the counters,
+    the merge, and the estimates value-for-value."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 != 0)
+    merged = op_sketches.cms_merge(
+        op_sketches.cms_counters(half_a, "user_id"),
+        op_sketches.cms_counters(half_b, "user_id"),
+    )
+    est_m = op_sketches.cms_point_estimates_from_counters(
+        ev, "user_id", merged
+    ).select(F.col("k"), F.col("est").alias("est_m"), "exact")
+    est_d = op_sketches.cms_point_estimates(ev, "user_id").select(
+        F.col("k"), F.col("est").alias("est_d")
+    )
+    direct = op_sketches.cms_counters(ev, "user_id")
+    cells = (
+        merged.withColumnRenamed("cnt", "cm")
+        .join(direct.withColumnRenamed("cnt", "cd"), ["row", "slot"], "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("cm").eqNullSafe(F.col("cd")), 0).otherwise(1)
+            ).alias("n_cell_diff")
+        )
+    )
+    ests = est_m.join(est_d, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("keys"),
+        F.sum("est_m").cast("long").alias("sum_est_merged"),
+        F.sum("est_d").cast("long").alias("sum_est_direct"),
+        F.sum(F.when(F.col("est_m") == F.col("est_d"), 0).otherwise(1)).alias(
+            "n_est_diff"
+        ),
+        F.sum(F.when(F.col("est_m") >= F.col("exact"), 0).otherwise(1)).alias(
+            "n_underest"
+        ),
+    )
+    exact_total = ev.where(F.col("user_id").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_total")
+    )
+    return (
+        ests.crossJoin(cells)
+        .select(
+            "keys",
+            "sum_est_merged",
+            "sum_est_direct",
+            ((F.col("n_cell_diff") == 0) & (F.col("n_est_diff") == 0)).alias(
+                "merge_consistent"
+            ),
+            (F.col("n_underest") == 0).alias("overestimate_ok"),
+        )
+        .crossJoin(exact_total)
+    )
+
+
+@spec(
+    "bloom_union_merge",
+    "EXT-sketch-bloom EXT-sketch-merge",
+    oracle=op_sketches.bloom_union_oracle_sql(
+        "orders", "o_custkey", "customer", "c_custkey", "o_orderkey % 2 = 0"
+    ),
+)
+def bloom_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom MERGEABILITY (r06 verdict item 3): order custkeys split
+    into disjoint row-halves, each half builds its own filter, and the
+    bit-union merge (operators/sketches.py bloom_merge) must equal the
+    directly-built filter bit-for-bit — per-partition filters OR-ing up
+    into a dataset filter is how Bloom pruning composes at scale. Every
+    customer then probes through the MERGED filter: the probe report
+    (probed / maybe / truly-present / FALSE POSITIVES — the sketch's
+    whole error surface) rides next to the merged/direct bit counts and
+    the exact bit-set-equality witness, all replayed by the oracle via
+    the shared portable hash family."""
+    ensure_utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    bits_a = op_sketches.bloom_bits(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "o_custkey"
+    )
+    bits_b = op_sketches.bloom_bits(
+        orders.filter(F.col("o_orderkey") % 2 != 0), "o_custkey"
+    )
+    merged = op_sketches.bloom_merge(bits_a, bits_b)
+    direct = op_sketches.bloom_bits(orders, "o_custkey")
+    report = op_sketches.bloom_probe_report_from_bits(
+        merged, orders, "o_custkey", customer, "c_custkey"
+    )
+    nbm = merged.agg(F.count(F.lit(1)).cast("long").alias("nbits_merged"))
+    nbd = direct.agg(F.count(F.lit(1)).cast("long").alias("nbits_direct"))
+    sym_diff = (
+        merged.exceptAll(direct)
+        .union(direct.exceptAll(merged))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+        .select((F.col("n_diff") == 0).alias("merge_consistent"))
+    )
+    return report.crossJoin(nbm).crossJoin(nbd).crossJoin(sym_diff)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
