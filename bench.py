@@ -85,6 +85,9 @@ HEADLINE = [
     # round 7: the sketch-mergeability gates (cms/bloom join hll_union_merge)
     "cms_union_merge",
     "bloom_union_merge",
+    # round 7: WordPiece completes the BPE/unigram/WordPiece trainer trio
+    "wordpiece_trained_merges",
+    "wordpiece_apply_tokens",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

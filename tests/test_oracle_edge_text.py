@@ -55,6 +55,7 @@ GATES = [
     # tokenizers
     "bpe_pair_counts", "bpe_trained_merges", "bpe_apply_tokens",
     "unigram_trained_vocab", "unigram_apply_tokens", "doc_unigram_quality",
+    "wordpiece_trained_merges", "wordpiece_apply_tokens",
     "doc_token_ids",
     # text stats / curation
     "doc_token_stats", "doc_lang_id", "doc_repetition_stats",

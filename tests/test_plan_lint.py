@@ -36,6 +36,7 @@ ARROW_STAGES = {
     "msadpcm_energy_windows",    # same kernel, MS-ADPCM decode fixtures
     "bpe_apply_tokens",          # vocabulary-memoized BPE encode kernel
     "unigram_apply_tokens",      # vocabulary-memoized Viterbi encode kernel
+    "wordpiece_apply_tokens",    # vocabulary-memoized greedy-match kernel
     "doc_unigram_quality",       # word-memoized Viterbi LM scoring kernel
     "image_resize_stats",        # decode + integer-exact resize kernel
     "mock_fetch_enrichment",     # injected fetcher runs as a pandas stage

@@ -41,6 +41,7 @@ from .llm import sampling as llm_sampling
 from .llm import multimodal as llm_multimodal
 from .llm import rarity as llm_rarity
 from .llm import similarity as llm_similarity
+from .llm import wordpiece as llm_wordpiece
 from .llm import text as llm_text
 from .operators import bucketing
 from .operators import sketches as op_sketches
@@ -8925,6 +8926,249 @@ def unigram_trained_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return llm_unigram.unigram_train_viterbi(d, "text", iters=2)
+
+
+# ----------------------------------------------------------------------
+# WordPiece tokenizer (EXT-wordpiece; round 7 — the BERT-style greedy
+# longest-match sibling completing the BPE / unigram / WordPiece trio)
+# ----------------------------------------------------------------------
+
+#: Fixed inference vocabulary for the wordpiece-apply gate: bare
+#: initials + ##-continuations for every lowercase letter (totality
+#: over clean words), plus multi-char pieces with REAL decision points
+#: on the corpus vocabulary: "table" must take tab+##le (longest-first
+#: beats the also-present ta+##ble), "window" wind+##ow, "order"
+#: or+##der, "stream" st+##re+##am. Words with any character outside
+#: the piece inventory (digits, punctuation, uppercase) become [UNK]
+#: whole — the BERT convention, replayed by the oracle.
+_WORDPIECE_FIXED_VOCAB: tuple[str, ...] = (
+    *"abcdefghijklmnopqrstuvwxyz",
+    *(f"##{c}" for c in "abcdefghijklmnopqrstuvwxyz"),
+    "tab", "ta", "sc", "wind", "or", "que", "st", "val", "ro", "row",
+    "##le", "##ble", "##an", "##ow", "##der", "##ry", "##re", "##am",
+    "##ue",
+)
+
+
+def _duck_vocab_map(vocab: tuple[str, ...]) -> str:
+    """DuckDB map literal for piece-set membership (value unused)."""
+    keys = ", ".join(f"'{p}'" for p in vocab)
+    vals = ", ".join("1" for _ in vocab)
+    return f"map([{keys}], [{vals}])"
+
+
+def _wordpiece_apply_sql(vocab: tuple[str, ...], max_chars: int) -> str:
+    """DuckDB replay of greedy longest-match WordPiece application as a
+    recursive CTE: each word row advances one piece per recursion step,
+    probing lengths ``min(max_chars, remaining)..1`` descending and
+    taking the FIRST vocabulary hit (``##``-prefixed beyond position
+    0); an unmatchable position marks the word failed → ``[UNK]``
+    whole. Greedy matching is deterministic, so unlike the unigram
+    Viterbi twin there is no tie-break lattice to carry — just the
+    cursor, the accumulated segmentation, and the failure flag."""
+    return f"""
+    WITH RECURSIVE {_TOK_CTE},
+    words AS (SELECT DISTINCT unnest(t) AS word FROM tok),
+    vmap AS (SELECT {_duck_vocab_map(vocab)} AS m),
+    wp AS (
+      SELECT word, 0 AS i, '' AS seg, FALSE AS failed, m FROM words, vmap
+      UNION ALL
+      SELECT word,
+             CASE WHEN best IS NULL THEN len(word) ELSE i + best END,
+             CASE WHEN best IS NULL THEN seg
+                  ELSE seg || ' ' ||
+                       CASE WHEN i = 0 THEN substr(word, 1, best)
+                            ELSE '##' || substr(word, i + 1, best) END END,
+             failed OR best IS NULL,
+             m
+      FROM (
+        SELECT word, i, seg, failed, m,
+               list_filter(
+                 list_transform(
+                   generate_series(least({max_chars}, len(word) - i), 1, -1),
+                   ln -> CASE WHEN map_extract(m,
+                                CASE WHEN i = 0 THEN substr(word, 1, ln)
+                                     ELSE '##' || substr(word, i + 1, ln) END
+                              ) <> [] THEN ln END),
+                 x -> x IS NOT NULL)[1] AS best
+        FROM wp WHERE i < len(word)
+      )
+    ),
+    wseg AS (
+      SELECT word, CASE WHEN failed THEN '[UNK]' ELSE trim(seg) END AS seg
+      FROM wp WHERE i = len(word)
+    ),
+    segmap AS (SELECT map(list(word), list(seg)) AS wm FROM wseg),
+    enc AS (
+      SELECT doc_id,
+             flatten(list_transform(t,
+               w -> string_split(map_extract(wm, w)[1], ' '))) AS toks
+      FROM tok, segmap
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(toks, ' '), '') AS token_text,
+           CAST(len(toks) AS INT) AS n_tokens
+    FROM enc
+    """
+
+
+@spec(
+    "wordpiece_apply_tokens",
+    "EXT-wordpiece EXT-encode LLM-text",
+    oracle=_wordpiece_apply_sql(
+        _WORDPIECE_FIXED_VOCAB, llm_wordpiece.MAX_PIECE_CHARS
+    ),
+)
+def wordpiece_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer APPLICATION — BERT-style greedy
+    longest-match segmentation of the corpus under a fixed vocabulary
+    (llm/wordpiece.py wordpiece_apply: vocabulary-memoized Arrow
+    kernel, map-only plan, the bpe_apply economics; a word with any
+    unmatchable position becomes [UNK] whole). Deterministic by
+    construction, so the DuckDB oracle replays the greedy scan exactly
+    as a recursive CTE over the distinct corpus words and hash-matches
+    every token — any bug in longest-first probing, the ##-prefix
+    boundary, or UNK handling mismatches on real text. Ref: parity N/A
+    (§2.12 training-data surface)."""
+    ensure_utc(spark)
+    from .llm import wordpiece as llm_wp
+
+    d = _t(spark, sf_dir, "documents")
+    out = llm_wp.wordpiece_apply(
+        d, "doc_id", "text", set(_WORDPIECE_FIXED_VOCAB)
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.col("tokens")).alias("token_text"),
+        F.col("n_tokens"),
+    )
+
+
+def _wordpiece_train_sql(num_merges: int) -> str:
+    """DuckDB mirror of the distinct-pair WordPiece training loop: the
+    word-vocab collapse and seg-string double-replace rewrite are the
+    ``_bpe_train_sql`` devices (initial segmentations carry ``##`` on
+    every non-initial char; a merge strips the prefix from its right
+    operand), but each rank's argmax maximizes the WordPiece
+    likelihood-ratio score pair_count/(left_count·right_count) — chosen
+    EXACTLY via HUGEINT cross-multiplication in a NOT EXISTS
+    anti-join (no float division anywhere), lexicographic (l, r) on
+    true rational ties, matching the engine's integer cross-multiply
+    (llm/wordpiece.py _score_argmax)."""
+    parts = [
+        """
+    v0 AS (
+      SELECT word, COUNT(*) AS wcount FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE word <> '' GROUP BY word
+    ),
+    s0 AS MATERIALIZED (
+      SELECT ' ' || substr(word, 1, 1) ||
+             CASE WHEN len(word) > 1
+                  THEN ' ##' || array_to_string(
+                         string_split(substr(word, 2), ''), ' ##')
+                  ELSE '' END || ' ' AS seg,
+             wcount
+      FROM v0
+    )"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(f"""
+    parts{i} AS MATERIALIZED (
+      SELECT string_split(trim(seg), ' ') AS parts, wcount FROM s{i - 1}
+    ),
+    sym{i} AS MATERIALIZED (
+      SELECT s, SUM(wcount) AS sc FROM (
+        SELECT unnest(parts) AS s, wcount FROM parts{i}
+      ) GROUP BY s
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT l, r, SUM(wcount) AS pc FROM (
+        SELECT wcount, parts[k] AS l, parts[k + 1] AS r
+        FROM parts{i}, LATERAL unnest(range(1, len(parts))) t(k)
+      ) WHERE l <> r GROUP BY l, r
+    ),
+    cand{i} AS MATERIALIZED (
+      SELECT p.l, p.r, p.pc, sl.sc AS lc, sr.sc AS rc
+      FROM p{i} p
+      JOIN sym{i} sl ON p.l = sl.s
+      JOIN sym{i} sr ON p.r = sr.s
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT l, r, pc, lc, rc FROM cand{i} c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cand{i} d
+        WHERE (CAST(d.pc AS HUGEINT) * c.lc * c.rc
+               > CAST(c.pc AS HUGEINT) * d.lc * d.rc)
+           OR (CAST(d.pc AS HUGEINT) * c.lc * c.rc
+               = CAST(c.pc AS HUGEINT) * d.lc * d.rc
+               AND (d.l < c.l OR (d.l = c.l AND d.r < c.r)))
+      )
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT replace(replace(seg,
+               ' ' || m.l || ' ' || m.r || ' ',
+               ' ' || m.l || substr(m.r, 3) || ' '),
+               ' ' || m.l || ' ' || m.r || ' ',
+               ' ' || m.l || substr(m.r, 3) || ' ') AS seg, wcount
+      FROM s{i - 1}, m{i} m
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, pc, lc, rc FROM m{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs,
+           CAST(pc AS BIGINT) AS pair_count,
+           CAST(lc AS BIGINT) AS left_count,
+           CAST(rc AS BIGINT) AS right_count
+    FROM ({union})
+    """
+    )
+
+
+@spec(
+    "wordpiece_trained_merges",
+    "EXT-wordpiece LLM-text",
+    oracle=_wordpiece_train_sql(8),
+)
+def wordpiece_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING end-to-end — 8 ranks learned from
+    the documents corpus with the likelihood-ratio selection rule
+    pair_count/(left_count·right_count) (what separates WordPiece from
+    BPE's raw-count argmax), output (rank, pair, and ALL THREE counts
+    so the oracle hash-checks the selection evidence, not just the
+    winner). Engine side is the adaptive trainer (llm/wordpiece.py
+    wordpiece_train): ONE corpus-sized shuffle collapses text to a word
+    vocabulary, every iteration costs O(|vocab|); scores compare as
+    exact integer cross-products in both the in-process loop and the
+    distributed fallback (float pre-rank + exact re-compare), and the
+    DuckDB oracle picks each rank with the same HUGEINT
+    cross-multiplied NOT EXISTS argmax (each rank's CTEs MATERIALIZED:
+    DuckDB inlines CTEs by default, and the cand CTE appearing twice in
+    the anti-join would otherwise expand ~7x per rank — exponential
+    document scans by rank 8). Trains the DISTINCT-PAIR
+    variant whose double-replace SQL transduction is provably exact
+    (the bpe_trained_merges trade); standard training is pinned in
+    tests/test_wordpiece.py against an independent Fraction-scored
+    reference. Ref: parity N/A (§2.12 training-data surface)."""
+    ensure_utc(spark)
+    from .llm import wordpiece as llm_wp
+
+    d = _t(spark, sf_dir, "documents")
+    merges = llm_wp.wordpiece_train(d, "text", 8, distinct_pairs=True)
+    rows = [
+        (i + 1, left, right, int(pc), int(lc), int(rc))
+        for i, (left, right, pc, lc, rc) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, lhs string, rhs string, pair_count long, "
+        "left_count long, right_count long",
+    )
 
 
 # ----------------------------------------------------------------------
