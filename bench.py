@@ -88,6 +88,8 @@ HEADLINE = [
     # round 7: WordPiece completes the BPE/unigram/WordPiece trainer trio
     "wordpiece_trained_merges",
     "wordpiece_apply_tokens",
+    # round 7: stupid-backoff bigram LM scoring (the CCNet filter shape)
+    "doc_bigram_quality",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

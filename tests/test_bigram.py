@@ -1,0 +1,80 @@
+"""Bigram stupid-backoff quality scoring: engine ≡ brute-force Python
+reference, backoff actually firing on held-out transitions, totality
+over empty/NULL text."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from youtube_scraper_db_spark.llm import bigram as BG
+
+
+ROWS = [
+    (0, "the cat sat on the mat"),
+    (2, "the cat ran and the dog sat"),
+    (4, "a dog and a cat"),
+    (1, "the cat sat on the rug"),      # held-out: "the rug" backs off
+    (3, "zebra cat jumped"),            # OOV head + unseen transitions
+    (5, ""),                            # empty → (0, 0, 0)
+    (7, None),                          # NULL → (0, 0, 0)
+    (9, "the cat sat"),                 # fully in-model transitions
+]
+TRAIN_IDS = {0, 2, 4}
+
+
+def _engine(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = BG.bigram_doc_scores(
+        df, "doc_id", "text", train_pred=F.col("id") % 2 == 0
+    ).collect()
+    return {
+        r["id"]: (r["total_micrologp"], r["n_tokens"], r["n_backoff"])
+        for r in got
+    }
+
+
+def test_engine_matches_bruteforce(spark):
+    want = BG.py_bigram_scores(ROWS, TRAIN_IDS)
+    assert _engine(spark) == want
+
+
+def test_backoff_fires_only_on_heldout_transitions(spark):
+    got = _engine(spark)
+    # training docs never back off (every observed transition counted)
+    assert got[0][2] == 0 and got[2][2] == 0 and got[4][2] == 0
+    # "the rug" unseen → exactly one backoff in doc 1
+    assert got[1][2] == 1
+    # doc 3: "zebra cat" and "cat jumped" both unseen
+    assert got[3][2] == 2
+    # doc 9's transitions ("the cat", "cat sat") are all in-model
+    assert got[9][2] == 0
+
+
+def test_empty_and_null_score_zero(spark):
+    got = _engine(spark)
+    assert got[5] == (0, 0, 0) and got[7] == (0, 0, 0)
+
+
+def test_backoff_constant_is_the_quantized_log():
+    assert BG.BACKOFF_MU == math.floor(1e6 * math.log(0.4) + 0.5) == -916291
+
+
+def test_in_model_transition_score_is_count_ratio():
+    # hand-check one transition: in TRAIN, context "the" appears as a
+    # left context 4 times ("the cat" ×2, "the mat", "the dog"),
+    # "the cat" twice → S(cat|the) = 2/4
+    want = math.floor(1e6 * math.log(2 / 4) + 0.5)
+    ref = BG.py_bigram_scores(ROWS, TRAIN_IDS)
+    # doc 9 = "the cat sat": U(the) + S(cat|the) + S(sat|cat)
+    uni = {}
+    for i, t in ROWS:
+        if i in TRAIN_IDS:
+            for w in (t or "").split():
+                uni[w] = uni.get(w, 0) + 1
+    total = sum(uni.values()) + len(uni)
+    u_the = math.floor(1e6 * math.log((uni["the"] + 1) / total) + 0.5)
+    # S(sat|cat): "cat sat" 1×, "cat ran" 1× → context "cat" = 2
+    s_sat = math.floor(1e6 * math.log(1 / 2) + 0.5)
+    assert ref[9] == (u_the + want + s_sat, 3, 0)

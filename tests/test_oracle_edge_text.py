@@ -56,7 +56,7 @@ GATES = [
     "bpe_pair_counts", "bpe_trained_merges", "bpe_apply_tokens",
     "unigram_trained_vocab", "unigram_apply_tokens", "doc_unigram_quality",
     "wordpiece_trained_merges", "wordpiece_apply_tokens",
-    "doc_token_ids",
+    "doc_bigram_quality", "doc_token_ids",
     # text stats / curation
     "doc_token_stats", "doc_lang_id", "doc_repetition_stats",
     "doc_unigram_rarity", "doc_tfidf_terms", "corpus_vocab_topk",

@@ -77,6 +77,7 @@ BNLJ_OK = {
     "hll_union_merge",      # three 1-row scalar joins (merged/direct/exact)
     "cms_union_merge",      # 1-row cell-diff/estimate/exact scalar joins
     "bloom_union_merge",    # 1-row report × bit-count × equality scalars
+    "doc_bigram_quality",   # 1-row smoothed-total scalar broadcast
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

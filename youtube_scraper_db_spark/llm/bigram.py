@@ -1,0 +1,204 @@
+"""Bigram language model with stupid backoff for quality scoring — the
+context-sensitive extension of ``doc_unigram_quality`` (the actual
+CCNet filter shape: train a cheap LM on a reference slice, score every
+document, threshold on per-token log-prob).
+
+Model (Brants et al. 2007, "Large Language Models in Machine
+Translation" — stupid backoff): the transition score is
+
+    S(b | a) = count(a b) / count(a ·)        if count(a b) > 0
+             = 0.4 · U(b)                     otherwise (back off)
+
+where U is the additively-smoothed unigram distribution and 0.4 the
+paper's fixed backoff factor. Scores are not normalized probabilities
+— that is exactly what makes the model cheap at corpus scale (no
+discount/normalization pass) and exactly replayable: everything is a
+ratio of exact integer counts.
+
+Integer micro-log device (llm/unigram.py quantlog_scores): every score
+is quantized to ``floor(1e6·ln(x) + 0.5)`` micro-log units, where x is
+a quotient of exact integers — both engines compute the same IEEE
+double and the same integer, so the DuckDB oracle replays the WHOLE
+train→score path value-for-value. The backoff factor contributes the
+constant ``floor(1e6·ln(0.4) + 0.5)`` = -916291 micro-units.
+
+Train/score split: the LM trains on a FILTERED slice (the gate uses
+``doc_id % 2 = 0``) and scores the whole corpus — held-out documents
+contain unseen transitions, so the backoff path genuinely fires (a
+model trained and scored on the same corpus never backs off: every
+observed transition has count ≥ 1). Unseen words score as the smoothed
+zero-count unigram ``floor(1e6·ln(1/T) + 0.5)``; unseen contexts back
+off by construction. Total over every input, including empty/NULL text
+(scores 0 over 0 tokens).
+
+Scale shape: two corpus-sized aggregates (unigram + bigram counts over
+the training slice), then the scoring pass is transition rows joined
+against count tables that are vocabulary-sized — broadcastable for any
+natural-language vocabulary — and one per-document sum. All native
+Column expressions; no Python anywhere.
+
+Reference parity: N/A — §2.12 training-data extension surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import text as llm_text
+
+#: floor(1e6·ln(0.4) + 0.5) — the stupid-backoff factor in micro-log
+#: units; embedded as an integer literal on BOTH engine and oracle
+#: sides so they cannot diverge.
+BACKOFF_MU = math.floor(1e6 * math.log(0.4) + 0.5)
+
+
+def _mu_log(x: Column) -> Column:
+    """floor(1e6·ln(x) + 0.5) as BIGINT — the shared quantizer."""
+    return F.floor(F.lit(1e6) * F.log(x) + F.lit(0.5)).cast("long")
+
+
+def _pairs(t: Column) -> Column:
+    """Adjacent (a, b) struct pairs of a token array (< 2 tokens → [])."""
+    m = F.greatest(F.size(t) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(t, 1, m),
+        F.slice(t, 2, m),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def bigram_doc_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_pred: Column | None = None,
+) -> DataFrame:
+    """(id, total_micrologp, n_tokens, n_backoff): stupid-backoff bigram
+    scores per document. The LM trains on rows matching ``train_pred``
+    (default: everything) and scores EVERY row; a document's total is
+    U(w₁) + Σᵢ S(wᵢ | wᵢ₋₁) in micro-log units, ``n_backoff`` counts
+    backed-off transitions (the observable that the context model is
+    actually being exercised)."""
+    tok = docs.select(
+        F.col(id_col).alias("id"), llm_text.tokens(text_col).alias("t")
+    )
+    train = tok.filter(train_pred) if train_pred is not None else tok
+
+    # --- model tables (training slice only; all vocabulary-sized) ---
+    uni = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(
+        (F.sum("c") + F.count(F.lit(1))).cast("double").alias("T")
+    )
+    um = uni.crossJoin(F.broadcast(tot)).select(
+        "w", _mu_log((F.col("c") + 1) / F.col("T")).alias("u")
+    )
+    big = (
+        train.select(F.explode(_pairs(F.col("t"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ctx = big.groupBy("a").agg(F.sum("c2").alias("c1"))
+
+    # --- scoring rows over the WHOLE corpus ---
+    oov = _mu_log(F.lit(1.0) / F.col("T"))  # smoothed zero-count unigram
+    heads = (
+        tok.filter(F.size("t") >= 1)
+        .select("id", F.element_at("t", 1).alias("w"))
+        .join(F.broadcast(um), "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            F.coalesce(F.col("u"), oov).alias("s"),
+            F.lit(0).alias("bo"),
+        )
+    )
+    trans = (
+        tok.select("id", F.explode(_pairs(F.col("t"))).alias("p"))
+        .select("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .join(F.broadcast(big), ["a", "b"], "left")
+        .join(F.broadcast(ctx), "a", "left")
+        .join(
+            F.broadcast(um.select(F.col("w").alias("b"), F.col("u").alias("ub"))),
+            "b",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            F.when(
+                F.col("c2").isNotNull(),
+                _mu_log(F.col("c2").cast("double") / F.col("c1")),
+            )
+            .otherwise(F.lit(BACKOFF_MU) + F.coalesce(F.col("ub"), oov))
+            .alias("s"),
+            F.when(F.col("c2").isNull(), 1).otherwise(0).alias("bo"),
+        )
+    )
+    agg = (
+        heads.unionByName(trans)
+        .groupBy("id")
+        .agg(
+            F.sum("s").cast("long").alias("total_micrologp"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum("bo").cast("int").alias("n_backoff"),
+        )
+    )
+    return tok.select("id").join(agg, "id", "left").select(
+        "id",
+        F.coalesce("total_micrologp", F.lit(0).cast("long")).alias(
+            "total_micrologp"
+        ),
+        F.coalesce("n_tokens", F.lit(0).cast("int")).alias("n_tokens"),
+        F.coalesce("n_backoff", F.lit(0).cast("int")).alias("n_backoff"),
+    )
+
+
+def py_bigram_scores(
+    rows: list[tuple[int, str | None]],
+    train_ids: set[int],
+) -> dict[int, tuple[int, int, int]]:
+    """Brute-force reference twin (pure Python, dict counting) for
+    pytest pinning: id → (total_micrologp, n_tokens, n_backoff)."""
+    toks = {i: llm_text.py_tokens(t) for i, t in rows}
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    ctx: dict[str, int] = {}
+    for i, t in toks.items():
+        if i not in train_ids:
+            continue
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    total = sum(uni.values()) + len(uni)
+
+    def mu(x: float) -> int:
+        return math.floor(1e6 * math.log(x) + 0.5)
+
+    def u(w: str) -> int:
+        return mu((uni.get(w, 0) + 1) / total)
+
+    out: dict[int, tuple[int, int, int]] = {}
+    for i, t in toks.items():
+        if not t:
+            out[i] = (0, 0, 0)
+            continue
+        s = u(t[0])
+        nb = 0
+        for a, b in zip(t, t[1:]):
+            c2 = big.get((a, b))
+            if c2 is not None:
+                s += mu(c2 / ctx[a])
+            else:
+                s += BACKOFF_MU + u(b)
+                nb += 1
+        out[i] = (s, len(t), nb)
+    return out

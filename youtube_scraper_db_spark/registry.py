@@ -40,6 +40,7 @@ from .llm import packing as llm_packing
 from .llm import sampling as llm_sampling
 from .llm import multimodal as llm_multimodal
 from .llm import rarity as llm_rarity
+from .llm import bigram as llm_bigram
 from .llm import similarity as llm_similarity
 from .llm import wordpiece as llm_wordpiece
 from .llm import text as llm_text
@@ -8896,6 +8897,105 @@ def doc_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = llm_unigram.quantlog_scores(cnts)
     return llm_unigram.unigram_doc_scores(d, "doc_id", "text", scores).select(
         F.col("id").alias("doc_id"), "total_micrologp", "n_pieces"
+    )
+
+
+def _bigram_quality_sql() -> str:
+    """DuckDB replay of the stupid-backoff bigram scorer
+    (llm/bigram.py): unigram + bigram counts over the even-doc_id
+    training slice, smoothed unigram micro-logs, then every document's
+    transitions scored — observed ones as FLOOR(1e6·ln(c2/c1)+0.5),
+    unseen ones as the -916291 backoff constant plus the (possibly
+    OOV-smoothed) unigram. Every score is ln of a quotient of exact
+    integers, so both engines quantize identically."""
+    return f"""
+    WITH {_TOK_CTE},
+    tr AS (SELECT doc_id, t FROM tok WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w
+    ),
+    tot AS (SELECT SUM(c) + COUNT(*) AS T FROM uni),
+    um AS (
+      SELECT w, CAST(FLOOR(1e6 * ln((c + 1) / T) + 0.5) AS BIGINT) AS u
+      FROM uni, tot
+    ),
+    big AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+        SELECT t[k] AS a, t[k + 1] AS b
+        FROM tr, LATERAL unnest(range(1, len(t))) q(k)
+      ) GROUP BY a, b
+    ),
+    ctx AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM big GROUP BY a),
+    oov AS (
+      SELECT CAST(FLOOR(1e6 * ln(1.0 / T) + 0.5) AS BIGINT) AS v FROM tot
+    ),
+    heads AS (SELECT doc_id, t[1] AS w FROM tok WHERE len(t) >= 1),
+    hs AS (
+      SELECT h.doc_id, COALESCE(um.u, oov.v) AS s, 0 AS bo
+      FROM heads h LEFT JOIN um ON h.w = um.w, oov
+    ),
+    trans AS (
+      SELECT doc_id, t[k] AS a, t[k + 1] AS b
+      FROM tok, LATERAL unnest(range(1, len(t))) q(k)
+    ),
+    ts AS (
+      SELECT x.doc_id,
+             CASE WHEN big.c2 IS NOT NULL
+                  THEN CAST(FLOOR(1e6 * ln(CAST(big.c2 AS DOUBLE) / ctx.c1)
+                                  + 0.5) AS BIGINT)
+                  ELSE {llm_bigram.BACKOFF_MU} + COALESCE(um.u, oov.v)
+             END AS s,
+             CASE WHEN big.c2 IS NULL THEN 1 ELSE 0 END AS bo
+      FROM trans x
+      LEFT JOIN big ON x.a = big.a AND x.b = big.b
+      LEFT JOIN ctx ON x.a = ctx.a
+      LEFT JOIN um ON x.b = um.w, oov
+    ),
+    agg AS (
+      SELECT doc_id, SUM(s) AS ts, COUNT(*) AS n, SUM(bo) AS nb
+      FROM (SELECT * FROM hs UNION ALL SELECT * FROM ts) GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(COALESCE(a.ts, 0) AS BIGINT) AS total_micrologp,
+           CAST(COALESCE(a.n, 0) AS INT) AS n_tokens,
+           CAST(COALESCE(a.nb, 0) AS INT) AS n_backoff
+    FROM tok tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
+    """
+
+
+@spec(
+    "doc_bigram_quality",
+    "EXT-bigram EXT-quality LLM-text",
+    oracle=_bigram_quality_sql(),
+)
+def doc_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-sensitive LM quality scoring with a stupid-backoff BIGRAM
+    model (llm/bigram.py) — the r06-verdict extension of
+    ``doc_unigram_quality`` to the actual CCNet filter shape: the LM
+    trains on a reference slice (even doc_ids), scores EVERY document,
+    and per-token NLL = -total/n_tokens is the downstream threshold.
+    Transitions observed in training score as the exact count ratio
+    c(a b)/c(a ·); unseen ones back off to 0.4·U(b) — and because the
+    scoring corpus is a superset of the training slice, backoff
+    GENUINELY fires (a same-corpus model never backs off; ``n_backoff``
+    rides along as the witness). All scores are
+    FLOOR(1e6·ln(int/int)+0.5) micro-log integers, so the DuckDB
+    oracle replays the entire train→score path. Engine is pure Column
+    expressions: two training-slice aggregates, vocabulary-sized
+    (broadcast) count tables joined to transition rows, one per-doc
+    sum — no Python anywhere. Kneser-Ney is deliberately out of scope:
+    its discounting is float-valued and not exactly replayable
+    (SURVEY §14 / r06 verdict item 5). Ref: parity N/A (§2.12
+    training-data surface)."""
+    ensure_utc(spark)
+    from .llm import bigram as llm_bg
+
+    d = _t(spark, sf_dir, "documents")
+    return llm_bg.bigram_doc_scores(
+        d, "doc_id", "text", train_pred=F.col("id") % 2 == 0
+    ).select(
+        F.col("id").alias("doc_id"), "total_micrologp", "n_tokens", "n_backoff"
     )
 
 
