@@ -162,6 +162,27 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "image_resize_stats",
         "hll_union_merge",
     },
+    # Round 7 (VERDICT r06 items 2-5): the five round-7 debuts (sketch
+    # mergeability twins, the WordPiece pair, the bigram-LM quality
+    # gate) swap over the five window entries holding fresh r06 rows;
+    # the eight round-6 evictees clear their process debt — four sit in
+    # the natural [39:89] window already, four swap over recall gates
+    # whose family twins were round 6's headline re-verification.
+    7: {
+        "cms_union_merge",
+        "bloom_union_merge",
+        "wordpiece_apply_tokens",
+        "wordpiece_trained_merges",
+        "doc_bigram_quality",
+        "per_customer_stats",
+        "extracted_page_refs",
+        "top_suppliers",
+        "cross_linked_parts",
+        "customer_order_counts",
+        "doc_token_ids",
+        "orc_export_roundtrip",
+        "label_centroids",
+    },
 }
 
 

@@ -9908,6 +9908,33 @@ _swap_specs("lsh_ann_topk", "cross_linked_parts")
 # per_customer_stats (r05-green, unmodified).
 _swap_specs("minhash_lsh_dups", "per_customer_stats")
 
+# ---- Round 7 window bookkeeping (len 211, offset 250 % 211 = 39 →
+# window [39:89]). The round-6 evictees per_customer_stats /
+# extracted_page_refs / top_suppliers / cross_linked_parts sit at
+# 45-48 — back in-window naturally, debt cleared without a swap. Nine
+# targeted swaps cover the rest:
+#
+# The five round-7 debuts (registered mid/tail, outside the window)
+# swap over the five window entries holding FRESH r06 driver rows
+# (exact_dedup_docs .. embedding_near_dups, indices 39-43 — the only
+# in-window entries checked last round; everything else in-window is
+# r03-rowed and overdue, so it stays put). Each displaced entry lands
+# at a tail index the round-10 window ([189:211]+[0:28]) re-checks.
+_swap_specs("cms_union_merge", "exact_dedup_docs")
+_swap_specs("bloom_union_merge", "ngram_jaccard_pairs")
+_swap_specs("wordpiece_apply_tokens", "embedding_cosine_topk")
+_swap_specs("wordpiece_trained_merges", "embedding_knn_join")
+_swap_specs("doc_bigram_quality", "embedding_near_dups")
+# The four remaining round-6 evictees (last rows r05) swap over the
+# four recall gates whose exact/listing FAMILY twins all hold fresh r06
+# hash-checked rows (minhash/simhash/LSH listings + embedding_near_dups
+# were round 6's headline re-verification), so family coverage stays
+# while the process debt clears.
+_swap_specs("customer_order_counts", "simhash_recall")
+_swap_specs("doc_token_ids", "lsh_near_dup_recall")
+_swap_specs("orc_export_roundtrip", "lsh_ann_recall")
+_swap_specs("label_centroids", "ivf_kmeans_recall")
+
 
 def _offset_for_round(last_checked_round: int) -> int:
     """Pure rotation arithmetic: r01/r02 both checked REGISTRY[0:50], so
