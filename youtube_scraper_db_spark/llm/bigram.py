@@ -33,9 +33,11 @@ off by construction. Total over every input, including empty/NULL text
 
 Scale shape: two corpus-sized aggregates (unigram + bigram counts over
 the training slice), then the scoring pass is transition rows joined
-against count tables that are vocabulary-sized — broadcastable for any
-natural-language vocabulary — and one per-document sum. All native
-Column expressions; no Python anywhere.
+against model tables that are type-counted (unigram ≪ corpus; bigram
+types sublinear in corpus tokens) and one per-document sum. Join
+strategy is left to AQE — it broadcasts the model tables when runtime
+stats allow and shuffle-joins when a 100 TB training slice makes them
+executor-unsafe. All native Column expressions; no Python anywhere.
 
 Reference parity: N/A — §2.12 training-data extension surface.
 """
@@ -107,11 +109,16 @@ def bigram_doc_scores(
     ctx = big.groupBy("a").agg(F.sum("c2").alias("c1"))
 
     # --- scoring rows over the WHOLE corpus ---
+    # No broadcast hints on the model tables: at training-corpus scale
+    # the bigram-TYPE table can reach billions of rows (unsafe to force
+    # onto executors) — AQE converts these equi-joins to broadcast when
+    # runtime stats allow, which is the right call at every scale. Only
+    # the 1-row total keeps an explicit broadcast.
     oov = _mu_log(F.lit(1.0) / F.col("T"))  # smoothed zero-count unigram
     heads = (
         tok.filter(F.size("t") >= 1)
         .select("id", F.element_at("t", 1).alias("w"))
-        .join(F.broadcast(um), "w", "left")
+        .join(um, "w", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "id",
@@ -122,10 +129,10 @@ def bigram_doc_scores(
     trans = (
         tok.select("id", F.explode(_pairs(F.col("t"))).alias("p"))
         .select("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .join(F.broadcast(big), ["a", "b"], "left")
-        .join(F.broadcast(ctx), "a", "left")
+        .join(big, ["a", "b"], "left")
+        .join(ctx, "a", "left")
         .join(
-            F.broadcast(um.select(F.col("w").alias("b"), F.col("u").alias("ub"))),
+            um.select(F.col("w").alias("b"), F.col("u").alias("ub")),
             "b",
             "left",
         )

@@ -266,7 +266,13 @@ def _train_distributed(
             .select("p", "pc", "lc", "rc")
         )
         scored = cand.withColumn(
-            "fscore", F.col("pc") / (F.col("lc") * F.col("rc"))
+            # cast BEFORE multiplying: lc·rc as longs would wrap past
+            # 2^63 at extreme corpus counts (~1e13 each); as doubles the
+            # pre-rank stays approximate-but-sane and the exact integer
+            # re-compare below decides the winner regardless
+            "fscore",
+            F.col("pc")
+            / (F.col("lc").cast("double") * F.col("rc").cast("double")),
         )
         mx = scored.agg(F.max("fscore").alias("m")).first()["m"]
         if mx is None:
