@@ -90,6 +90,8 @@ HEADLINE = [
     "wordpiece_apply_tokens",
     # round 7: stupid-backoff bigram LM scoring (the CCNet filter shape)
     "doc_bigram_quality",
+    # round 7: incremental sketch maintenance over a stream (O(512) state)
+    "stream_hll_distinct_users",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

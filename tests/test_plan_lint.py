@@ -74,6 +74,7 @@ BNLJ_OK = {
     "classic_q22_idle_balance",  # 1-row scalar avg-balance broadcast (Q22's uncorrelated subquery)
     "classic_q11_important_stock",  # 1-row grand-total broadcast (Q11's fraction threshold)
     "hll_distinct_users",   # 1-row sketch estimate × 1-row exact-distinct scalar
+    "stream_hll_distinct_users",  # same shape over the drained registers
     "hll_union_merge",      # three 1-row scalar joins (merged/direct/exact)
     "cms_union_merge",      # 1-row cell-diff/estimate/exact scalar joins
     "bloom_union_merge",    # 1-row report × bit-count × equality scalars

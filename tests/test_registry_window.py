@@ -182,6 +182,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "doc_token_ids",
         "orc_export_roundtrip",
         "label_centroids",
+        "stream_hll_distinct_users",
     },
 }
 

@@ -42,27 +42,35 @@ def _mix(h1: Column, h2: Column, i: int) -> Column:
 
 # --- HyperLogLog ------------------------------------------------------
 
-def hll_registers(
-    df: DataFrame, key: str, p: int = 9
-) -> DataFrame:
-    """(bucket, rho): the 2^p HyperLogLog registers of ``key``. bucket =
-    top ``p`` bits of the 60-bit hash; rho = position of the leftmost
-    1-bit in the remaining 60-p bits (all-zero tail → 60-p+1, the
-    standard convention). One hash-keyed aggregate; register table is
-    O(2^p) regardless of input size."""
-    h1, _ = _h1h2(F.col(key))
+def hll_bucket_rho(key: Column, p: int = 9) -> tuple[Column, Column]:
+    """(bucket, rho) expressions for one key column — the per-row half
+    of the HLL pipeline, shared by the batch aggregate below and the
+    STREAMING register maintenance gate (registry
+    ``stream_hll_distinct_users``). bucket = top ``p`` bits of the
+    60-bit hash; rho = position of the leftmost 1-bit in the remaining
+    60-p bits (all-zero tail → 60-p+1, the standard convention).
+    bit_length is computed EXACTLY as the count of powers of two ≤ tail
+    (w integer comparisons, all codegen — no float log2 anywhere, so
+    the oracle replays it with the identical CASE sum)."""
+    h1, _ = _h1h2(key)
     bucket = F.shiftright(h1, 60 - p)
     tail = h1.bitwiseAND(F.lit((1 << (60 - p)) - 1))
-    # rho = (leftmost-1 position in the w-bit tail) = w + 1 - bit_length:
-    # bit_length computed EXACTLY as the count of powers of two ≤ tail
-    # (w integer comparisons, all codegen — no float log2 anywhere, so
-    # the oracle replays it with the identical CASE sum).
     w = 60 - p
     bits = None
     for k in range(w):
         term = (tail >= F.lit(1 << k)).cast("int")
         bits = term if bits is None else bits + term
     rho = F.lit(w + 1) - bits
+    return bucket, rho
+
+
+def hll_registers(
+    df: DataFrame, key: str, p: int = 9
+) -> DataFrame:
+    """(bucket, rho): the 2^p HyperLogLog registers of ``key`` — one
+    hash-keyed aggregate over the ``hll_bucket_rho`` projection;
+    register table is O(2^p) regardless of input size."""
+    bucket, rho = hll_bucket_rho(F.col(key), p)
     return (
         df.where(F.col(key).isNotNull())
         .select(bucket.alias("bucket"), rho.alias("rho"))

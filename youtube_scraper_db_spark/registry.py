@@ -9765,6 +9765,50 @@ def bloom_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.crossJoin(nbm).crossJoin(nbd).crossJoin(sym_diff)
 
 
+@spec(
+    "stream_hll_distinct_users",
+    "EXT-sketch-hll EXT-stream-agg T5",
+    oracle=op_sketches.hll_oracle_sql("events", "user_id", 9),
+)
+def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog maintained INCREMENTALLY over a stream — sketch
+    mergeability in TIME, completing the space-mergeability story of
+    ``hll_union_merge``/``cms_union_merge``/``bloom_union_merge``: the
+    event stream replays as a file source, each micro-batch folds its
+    rows into the 2^9 register table via a streaming max-aggregate
+    (state is O(512) registers FOREVER — the entire reason sketches
+    exist in streaming: exact distinct-count state grows O(keys),
+    unbounded on an infinite stream), and the drained registers must
+    estimate EXACTLY what the batch sketch estimates — max is
+    associative/commutative/idempotent, so incremental maintenance is
+    byte-identical to one-shot construction, and the gate shares the
+    batch gate's oracle verbatim (hll_oracle_sql: same hash, same rho
+    CASE-sum, same harmonic estimate, beside the exact distinct). The
+    per-row (bucket, rho) projection is the SAME expression the batch
+    path uses (operators/sketches.py hll_bucket_rho)."""
+    ensure_utc(spark)
+    stream = read_table_stream(spark, sf_dir, "events").select("user_id")
+    bucket, rho = op_sketches.hll_bucket_rho(F.col("user_id"), 9)
+    regs = (
+        stream.where(F.col("user_id").isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    drained = _run_stream(
+        regs,
+        state_partitions=_stream_parallelism(spark),
+        output_mode="complete",
+    )
+    est = op_sketches.hll_estimate_from_registers(drained, 9)
+    ev = _t(spark, sf_dir, "events")
+    return est.crossJoin(
+        ev.where(F.col("user_id").isNotNull()).agg(
+            F.countDistinct("user_id").alias("exact_distinct")
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -9934,6 +9978,12 @@ _swap_specs("customer_order_counts", "simhash_recall")
 _swap_specs("doc_token_ids", "lsh_near_dup_recall")
 _swap_specs("orc_export_roundtrip", "lsh_ann_recall")
 _swap_specs("label_centroids", "ivf_kmeans_recall")
+# The streaming-HLL debut grows the registry to 212 (offset 250 % 212 =
+# 38 → window [38:88]): index 38 (doc_fingerprints, fresh r06 row)
+# yields its slot; the displaced entry lands at the tail for the
+# round-10 re-check, and old index 88 (user_retention_cohorts, r03 row)
+# slides out but is the FIRST entry of round 8's natural [88:138].
+_swap_specs("stream_hll_distinct_users", "doc_fingerprints")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
