@@ -44,6 +44,10 @@ EVENT_QUERIES = [
     "sessionized_events",
     "event_funnel",
     "daily_event_counts_dense",
+    # round 7: sketch state must stay O(sketch) while input grows —
+    # these ratios read as "scan cost", never "state cost"
+    "cms_union_merge",
+    "stream_hll_distinct_users",
 ]
 DOC_QUERIES = [
     "doc_token_stats",
@@ -65,6 +69,10 @@ DOC_QUERIES = [
     "unigram_trained_vocab",
     "unigram_apply_tokens",
     "html_text_extract",
+    # round 7
+    "wordpiece_trained_merges",
+    "wordpiece_apply_tokens",
+    "doc_bigram_quality",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.
