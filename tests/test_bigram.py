@@ -78,3 +78,21 @@ def test_in_model_transition_score_is_count_ratio():
     # S(sat|cat): "cat sat" 1×, "cat ran" 1× → context "cat" = 2
     s_sat = math.floor(1e6 * math.log(1 / 2) + 0.5)
     assert ref[9] == (u_the + want + s_sat, 3, 0)
+
+
+def test_empty_training_slice_degenerates_totally(spark):
+    """No training tokens → no model: every score coalesces to 0, every
+    transition counts as backed off — engine, oracle semantics, and the
+    Python spine all agree (round-7 property suite found the spine
+    dividing by zero here)."""
+    rows = [(0, ""), (1, "a b c"), (3, None), (5, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["total_micrologp"], r["n_tokens"], r["n_backoff"])
+        for r in BG.bigram_doc_scores(
+            df, "doc_id", "text", train_pred=F.col("id") % 2 == 0
+        ).collect()
+    }
+    want = BG.py_bigram_scores(rows, {0})
+    assert got == want
+    assert got[1] == (0, 3, 2) and got[5] == (0, 1, 0)

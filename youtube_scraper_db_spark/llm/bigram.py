@@ -186,6 +186,15 @@ def py_bigram_scores(
             big[(a, b)] = big.get((a, b), 0) + 1
             ctx[a] = ctx.get(a, 0) + 1
     total = sum(uni.values()) + len(uni)
+    if total == 0:
+        # Degenerate no-model case (training slice has zero tokens):
+        # the engine's smoothing total is NULL, every per-token score is
+        # NULL, and the per-doc SUM coalesces to 0 with every transition
+        # marked backed-off — the DuckDB oracle degenerates identically.
+        # Match that totality here instead of dividing by zero.
+        return {
+            i: (0, len(t), max(0, len(t) - 1)) for i, t in toks.items()
+        }
 
     def mu(x: float) -> int:
         return math.floor(1e6 * math.log(x) + 0.5)
