@@ -90,8 +90,11 @@ HEADLINE = [
     "wordpiece_apply_tokens",
     # round 7: stupid-backoff bigram LM scoring (the CCNet filter shape)
     "doc_bigram_quality",
-    # round 7: incremental sketch maintenance over a stream (O(512) state)
+    # round 7: incremental sketch maintenance over a stream — HLL (max,
+    # O(512) state), CMS (sum, O(16k) cells), Bloom (set-union, O(2^14) bits)
     "stream_hll_distinct_users",
+    "stream_cms_user_counts",
+    "stream_bloom_customer_filter",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

@@ -183,6 +183,8 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "orc_export_roundtrip",
         "label_centroids",
         "stream_hll_distinct_users",
+        "stream_cms_user_counts",
+        "stream_bloom_customer_filter",
     },
 }
 

@@ -48,6 +48,7 @@ EVENT_QUERIES = [
     # these ratios read as "scan cost", never "state cost"
     "cms_union_merge",
     "stream_hll_distinct_users",
+    "stream_cms_user_counts",
 ]
 DOC_QUERIES = [
     "doc_token_stats",

@@ -9809,6 +9809,119 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "stream_cms_user_counts",
+    "EXT-sketch-cms EXT-stream-agg T5",
+    oracle=op_sketches.cms_oracle_sql("events", "user_id"),
+)
+def stream_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min maintained INCREMENTALLY over a stream (the CMS member
+    of the streaming-sketch family beside ``stream_hll_distinct_users``):
+    each micro-batch explodes its rows into depth×width (row, slot)
+    cells and a streaming count-aggregate folds them into the counter
+    table — state is O(4×4096) cells FOREVER versus O(distinct keys)
+    for exact streaming frequency counting. Count is
+    associative/commutative, so the drained counters are IDENTICAL to
+    the batch sketch; every key then probes through them batch-side,
+    and the gate shares the batch gate's oracle verbatim
+    (cms_oracle_sql — same hashes, same counters, same estimates, same
+    est≥exact guarantee)."""
+    ensure_utc(spark)
+    h1, h2 = op_sketches._h1h2(F.col("user_id"))
+    width = 4096
+    stream = (
+        read_table_stream(spark, sf_dir, "events")
+        .select("user_id")
+        .where(F.col("user_id").isNotNull())
+        .select(h1.alias("__h1"), h2.alias("__h2"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"),
+                            (
+                                op_sketches._mix(
+                                    F.col("__h1"), F.col("__h2"), i
+                                )
+                                % F.lit(width)
+                            ).alias("slot"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("rs")
+        )
+        .select("rs.row", "rs.slot")
+        .groupBy("row", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    drained = _run_stream(
+        stream,
+        state_partitions=_stream_parallelism(spark),
+        output_mode="complete",
+    )
+    ev = _t(spark, sf_dir, "events")
+    return op_sketches.cms_point_estimates_from_counters(
+        ev, "user_id", drained, depth=4, width=width
+    )
+
+
+@spec(
+    "stream_bloom_customer_filter",
+    "EXT-sketch-bloom EXT-stream-agg T5",
+    oracle=op_sketches.bloom_oracle_sql(
+        "orders", "o_custkey", "customer", "c_custkey"
+    ),
+)
+def stream_bloom_customer_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom filter BUILT INCREMENTALLY over a stream — each
+    micro-batch's order custkeys hash to k bit positions and a
+    streaming distinct-aggregate accumulates the set-bit table (state
+    is O(m_bits)=2^14 FOREVER; set-union is associative / commutative /
+    idempotent, so the drained bits are IDENTICAL to the batch filter).
+    Every customer then probes through the streamed bits batch-side,
+    and the gate shares the batch gate's oracle verbatim
+    (bloom_oracle_sql — same bit positions, same probe report, false
+    positives included). This completes the streaming-sketch family:
+    HLL (max), CMS (sum), Bloom (set-union) all maintain incrementally
+    with O(sketch) state."""
+    ensure_utc(spark)
+    k, m_bits = 5, 1 << 14
+    h1, h2 = op_sketches._h1h2(F.col("o_custkey"))
+    stream = (
+        read_table_stream(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .where(F.col("o_custkey").isNotNull())
+        .select(h1.alias("__h1"), h2.alias("__h2"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        op_sketches._mix(F.col("__h1"), F.col("__h2"), i)
+                        % F.lit(m_bits)
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    drained = _run_stream(
+        stream,
+        state_partitions=_stream_parallelism(spark),
+        output_mode="complete",
+    ).select("pos")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return op_sketches.bloom_probe_report_from_bits(
+        drained, orders, "o_custkey", customer, "c_custkey", k, m_bits
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -9984,6 +10097,13 @@ _swap_specs("label_centroids", "ivf_kmeans_recall")
 # round-10 re-check, and old index 88 (user_retention_cohorts, r03 row)
 # slides out but is the FIRST entry of round 8's natural [88:138].
 _swap_specs("stream_hll_distinct_users", "doc_fingerprints")
+# The streaming CMS/Bloom debuts complete the family (len 214, offset
+# 250 % 214 = 36 → window [36:86]): indices 36/37 (doc_token_stats /
+# doc_lang_id, both fresh r06 rows) yield their slots; old indices
+# 86/87 (status_priority_sets / event_funnel, r03 rows) slide out but
+# are the FIRST entries of round 8's natural [86:136].
+_swap_specs("stream_cms_user_counts", "doc_token_stats")
+_swap_specs("stream_bloom_customer_filter", "doc_lang_id")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
