@@ -143,3 +143,30 @@ def test_no_scale_antipatterns(spark, s):
         assert not _single_partition_carries_data(plan), (
             f"{s.name} funnels row data through a single partition"
         )
+
+
+def test_no_oracle_uses_re2_backslash_s():
+    """RE2's \\s lacks U+000B while Java's and Python-ASCII's include it
+    (ADVICE r06): every oracle must spell the whitespace class out as
+    [ \\t\\n\\x0B\\f\\r] — any \\s in a rendered oracle string silently
+    diverges from the engine on \\v-bearing text."""
+    offenders = [
+        s.name
+        for s in REGISTRY
+        if s.oracle is not None and "\\s" in s.oracle
+    ]
+    assert not offenders, (
+        f"oracles using RE2 \\s instead of the explicit class: {offenders}"
+    )
+
+
+def test_ws_class_is_java_backslash_s():
+    """The shared constant must stay exactly Java's \\s set — the engine
+    side's behavior contract."""
+    import re
+
+    from youtube_scraper_db_spark.llm.text import WS_CLASS
+
+    java_s = {" ", "\t", "\n", "\x0b", "\f", "\r"}
+    matched = {c for c in map(chr, range(256)) if re.fullmatch(WS_CLASS, c)}
+    assert matched == java_s

@@ -223,7 +223,9 @@ def bpe_train(
     loop or the distributed one — both implement identical semantics
     (pinned against each other and an independent reference in
     tests/test_bpe.py)."""
-    vocab = word_vocab(docs, text_col)
+    # localCheckpoint BEFORE the probe — the size probe and the training
+    # loop must not each re-run the corpus-sized word-vocab shuffle
+    vocab = word_vocab(docs, text_col).localCheckpoint()
     if vocab.limit(driver_max_vocab + 1).count() <= driver_max_vocab:
         wc = {r["word"]: r["wcount"] for r in vocab.collect()}
         return _train_driver(wc, num_merges, distinct_pairs)

@@ -20,10 +20,12 @@ def _c(col: Column | str) -> Column:
 #: [ \t\n\x0B\f\r]; Python ``re.ASCII \s`` is the same set; but DuckDB
 #: RE2 ``\s`` EXCLUDES \x0B (vertical tab) — so any ``\s`` written in an
 #: oracle CTE silently diverges from the engine on \v-bearing text.
-#: Every tokenizer/normalizer regex (Spark, Python kernel, AND oracle
-#: SQL — registry.py imports this) uses this explicit class instead;
-#: RE2 supports it verbatim. Engine behavior is unchanged (the class IS
-#: Java's \s); the oracle side is what moves to match.
+#: Every Spark/Python tokenizer-normalizer regex uses this constant;
+#: the oracle SQL strings in registry.py spell the same class out as
+#: literals (they are committed SQL text, not templates), and
+#: tests/test_plan_lint.py::test_no_oracle_uses_re2_backslash_s rejects
+#: any ``\s`` that sneaks into a rendered oracle. Engine behavior is
+#: unchanged (the class IS Java's \s); the oracle side moved to match.
 WS_CLASS = r"[ \t\n\x0B\f\r]"
 WS_PLUS = WS_CLASS + "+"
 

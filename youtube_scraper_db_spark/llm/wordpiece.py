@@ -343,7 +343,11 @@ def wordpiece_train(
     ``bpe_train``. Adaptive: measured vocab ≤ ``driver_max_vocab`` runs
     the exact in-process loop, larger runs the distributed twin (pinned
     equal in tests/test_wordpiece.py)."""
-    vocab = word_vocab(docs, text_col)
+    # localCheckpoint BEFORE the probe: limit() on an aggregate still
+    # runs the full corpus-sized groupBy, so without the cut the most
+    # expensive shuffle in the job would execute twice (probe + train) —
+    # the unigram.py device
+    vocab = word_vocab(docs, text_col).localCheckpoint()
     if vocab.limit(driver_max_vocab + 1).count() <= driver_max_vocab:
         wc = {r["word"]: r["wcount"] for r in vocab.collect()}
         return _train_driver(wc, num_merges, distinct_pairs)

@@ -228,6 +228,20 @@ def cms_counters(
     ``key`` occurrences — one hash-keyed aggregate (rows explode
     ``depth``× on the map side, combine partially, shuffle O(depth ×
     distinct-slots))."""
+    return (
+        cms_cell_rows(df, key, depth, width)
+        .groupBy("row", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_cell_rows(
+    df: DataFrame, key: str, depth: int = 4, width: int = 4096
+) -> DataFrame:
+    """(row, slot) cell rows, one per input row per depth — the map-only
+    per-row half of the CMS pipeline, shared by the batch aggregate
+    above and the STREAMING counter maintenance gate (the
+    ``hll_bucket_rho`` device: one projection, two execution modes)."""
     h1, h2 = _h1h2(F.col(key))
     rows = F.explode(
         F.array(
@@ -251,8 +265,6 @@ def cms_counters(
         .select(h1.alias("__h1"), h2.alias("__h2"))
         .select(rows)
         .select("rs.row", "rs.slot")
-        .groupBy("row", "slot")
-        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -463,11 +475,20 @@ def bloom_bits(
 ) -> DataFrame:
     """(pos,): the DISTINCT set bit positions of the filter built over
     ``key`` — O(min(m_bits, k·distinct)) rows."""
+    return bloom_position_rows(df, key, k, m_bits).distinct()
+
+
+def bloom_position_rows(
+    df: DataFrame, key: str, k: int = 5, m_bits: int = 1 << 14
+) -> DataFrame:
+    """(pos) rows, one per input row per hash — the map-only per-row
+    half of the Bloom pipeline, shared by the batch distinct above and
+    the STREAMING bit-accumulation gate."""
     h1, h2 = _h1h2(F.col(key))
     return (
         df.where(F.col(key).isNotNull())
         # digest halves bound once per row, not once per seed (see
-        # cms_counters)
+        # cms_cell_rows)
         .select(h1.alias("__h1"), h2.alias("__h2"))
         .select(
             F.explode(
@@ -479,7 +500,6 @@ def bloom_bits(
                 )
             ).alias("pos")
         )
-        .distinct()
     )
 
 

@@ -8989,10 +8989,8 @@ def doc_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §14 / r06 verdict item 5). Ref: parity N/A (§2.12
     training-data surface)."""
     ensure_utc(spark)
-    from .llm import bigram as llm_bg
-
     d = _t(spark, sf_dir, "documents")
-    return llm_bg.bigram_doc_scores(
+    return llm_bigram.bigram_doc_scores(
         d, "doc_id", "text", train_pred=F.col("id") % 2 == 0
     ).select(
         F.col("id").alias("doc_id"), "total_micrologp", "n_tokens", "n_backoff"
@@ -9131,10 +9129,8 @@ def wordpiece_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary, or UNK handling mismatches on real text. Ref: parity N/A
     (§2.12 training-data surface)."""
     ensure_utc(spark)
-    from .llm import wordpiece as llm_wp
-
     d = _t(spark, sf_dir, "documents")
-    out = llm_wp.wordpiece_apply(
+    out = llm_wordpiece.wordpiece_apply(
         d, "doc_id", "text", set(_WORDPIECE_FIXED_VOCAB)
     )
     return out.select(
@@ -9256,10 +9252,8 @@ def wordpiece_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_wordpiece.py against an independent Fraction-scored
     reference. Ref: parity N/A (§2.12 training-data surface)."""
     ensure_utc(spark)
-    from .llm import wordpiece as llm_wp
-
     d = _t(spark, sf_dir, "documents")
-    merges = llm_wp.wordpiece_train(d, "text", 8, distinct_pairs=True)
+    merges = llm_wordpiece.wordpiece_train(d, "text", 8, distinct_pairs=True)
     rows = [
         (i + 1, left, right, int(pc), int(lc), int(rc))
         for i, (left, right, pc, lc, rc) in enumerate(merges)
@@ -9827,32 +9821,17 @@ def stream_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cms_oracle_sql — same hashes, same counters, same estimates, same
     est≥exact guarantee)."""
     ensure_utc(spark)
-    h1, h2 = op_sketches._h1h2(F.col("user_id"))
     width = 4096
+    # the SAME per-row cell projection the batch cms_counters uses
+    # (operators/sketches.py cms_cell_rows — the hll_bucket_rho device),
+    # applied to a streaming source + streaming count-aggregate
     stream = (
-        read_table_stream(spark, sf_dir, "events")
-        .select("user_id")
-        .where(F.col("user_id").isNotNull())
-        .select(h1.alias("__h1"), h2.alias("__h2"))
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("row"),
-                            (
-                                op_sketches._mix(
-                                    F.col("__h1"), F.col("__h2"), i
-                                )
-                                % F.lit(width)
-                            ).alias("slot"),
-                        )
-                        for i in range(4)
-                    ]
-                )
-            ).alias("rs")
+        op_sketches.cms_cell_rows(
+            read_table_stream(spark, sf_dir, "events").select("user_id"),
+            "user_id",
+            depth=4,
+            width=width,
         )
-        .select("rs.row", "rs.slot")
         .groupBy("row", "slot")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -9890,22 +9869,15 @@ def stream_bloom_customer_filter(
     with O(sketch) state."""
     ensure_utc(spark)
     k, m_bits = 5, 1 << 14
-    h1, h2 = op_sketches._h1h2(F.col("o_custkey"))
+    # the SAME per-row position projection the batch bloom_bits uses
+    # (operators/sketches.py bloom_position_rows), accumulated by a
+    # streaming distinct-aggregate
     stream = (
-        read_table_stream(spark, sf_dir, "orders")
-        .select("o_custkey")
-        .where(F.col("o_custkey").isNotNull())
-        .select(h1.alias("__h1"), h2.alias("__h2"))
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        op_sketches._mix(F.col("__h1"), F.col("__h2"), i)
-                        % F.lit(m_bits)
-                        for i in range(k)
-                    ]
-                )
-            ).alias("pos")
+        op_sketches.bloom_position_rows(
+            read_table_stream(spark, sf_dir, "orders").select("o_custkey"),
+            "o_custkey",
+            k,
+            m_bits,
         )
         .groupBy("pos")
         .agg(F.count(F.lit(1)).alias("__hits"))
