@@ -95,6 +95,8 @@ HEADLINE = [
     "stream_hll_distinct_users",
     "stream_cms_user_counts",
     "stream_bloom_customer_filter",
+    # round 7: quantiles join the sketch family (fully oracle-replayed)
+    "histogram_quantile_sketch",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

@@ -79,6 +79,7 @@ BNLJ_OK = {
     "cms_union_merge",      # 1-row cell-diff/estimate/exact scalar joins
     "bloom_union_merge",    # 1-row report × bit-count × equality scalars
     "doc_bigram_quality",   # 1-row smoothed-total scalar broadcast
+    "histogram_quantile_sketch",  # 1-row stats/pick/exact/merge scalars
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the
@@ -89,6 +90,7 @@ BNLJ_OK = {
 SINGLE_PARTITION_OK = {
     "top_suppliers_with_ties",  # global rank over |suppliers| aggregated counts
     "supplier_revenue_deciles",  # ntile/cume_dist over |suppliers| aggregated partials
+    "histogram_quantile_sketch",  # cumulative sum over 64 aggregated bins
 }
 
 

@@ -185,6 +185,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "stream_hll_distinct_users",
         "stream_cms_user_counts",
         "stream_bloom_customer_filter",
+        "histogram_quantile_sketch",
     },
 }
 

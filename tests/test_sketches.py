@@ -178,3 +178,24 @@ def test_cms_estimates_from_merged_counters_equal_direct(spark):
         for r in S.cms_point_estimates(df, "k", depth=4, width=256).collect()
     }
     assert em == ed
+
+
+def test_histogram_quantile_sketch_invariants(spark):
+    """Estimates within one bin width of exact, merge witness true, and
+    the report is deterministic across partitionings."""
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 1000)) for i in range(4000)], "id long, v double"
+    )
+    row = S.histogram_quantile_report(
+        df, "v", split=F.col("id") % 2 == 0, bins=64
+    ).first()
+    assert row["merge_consistent"]
+    assert row["n"] == 4000
+    for tag in ("p5", "p9", "p99"):
+        assert row[f"{tag}_within_bin"], row
+        w = (row["hi"] - row["lo"]) / 64
+        assert abs(row[f"{tag}_est"] - row[f"{tag}_exact"]) <= w + 0.02
+    again = S.histogram_quantile_report(
+        df.repartition(13), "v", split=F.col("id") % 2 == 0, bins=64
+    ).first()
+    assert again.asDict() == row.asDict()

@@ -49,6 +49,7 @@ EVENT_QUERIES = [
     "cms_union_merge",
     "stream_hll_distinct_users",
     "stream_cms_user_counts",
+    "histogram_quantile_sketch",
 ]
 DOC_QUERIES = [
     "doc_token_stats",

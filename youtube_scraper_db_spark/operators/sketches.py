@@ -640,6 +640,221 @@ def bloom_oracle_sql(
     """
 
 
+# --- Histogram quantile sketch ------------------------------------------
+
+def histogram_quantile_report(
+    df: DataFrame,
+    col: str,
+    split,
+    bins: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """One-row histogram-quantile sketch report: ``bins`` equi-width
+    bins over [min, max] of ``col``, quantile estimates interpolated
+    within the covering bin, the MERGEABILITY witness (bins built from
+    the disjoint ``split`` halves and summed must equal the direct
+    histogram cell-for-cell — integer sum, exact), and the sketch's
+    defining guarantee ``|estimate − exact quantile| ≤ bin width``
+    checked per quantile (the true quantile lies inside the bin the
+    estimate interpolates over).
+
+    Unlike t-digest (Spark's ``approx_percentile``, gated as a
+    threshold self-check in ``event_value_percentiles``), every number
+    here is deterministic floor/linear arithmetic over exact counts —
+    the DuckDB oracle replays estimates value-for-value. State is
+    O(bins) with map-side partial combine; merge = element-wise sum —
+    the CMS economics applied to quantiles. Rounding uses the portable
+    half-up device FLOOR(x·100 + 0.5)/100 on both sides (Spark ROUND is
+    HALF_UP; DuckDB's can bank)."""
+    src = df.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("v"), split.alias("__half")
+    )
+    stats = src.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (F.col("hi") - F.col("lo")) / float(bins)
+
+    def bin_expr() -> Column:
+        return F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / w).cast("long"),
+                F.lit(bins - 1),
+            )
+        )
+
+    binned = src.crossJoin(F.broadcast(stats)).select(
+        bin_expr().alias("bin"), "__half"
+    )
+    direct = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    ba = (
+        binned.where(F.col("__half"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    bb = (
+        binned.where(~F.col("__half"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    merged = ba.join(bb, "bin", "full_outer").select(
+        "bin",
+        (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias("cm"),
+    )
+    cells = (
+        merged.join(direct, "bin", "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("cm").eqNullSafe(F.col("cnt")), 0).otherwise(1)
+            ).alias("n_diff")
+        )
+        .select((F.col("n_diff") == 0).alias("merge_consistent"))
+    )
+
+    from pyspark.sql import Window
+
+    cum = direct.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+    )
+
+    def half_up2(c: Column) -> Column:
+        return F.floor(c * 100 + F.lit(0.5)) / 100.0
+
+    picks = []
+    for q in qs:
+        tag = str(q).replace("0.", "p")
+        r = F.col("n") * float(q)
+        pick = (
+            cum.crossJoin(F.broadcast(stats))
+            .where(F.col("cum") >= r)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                (
+                    F.col("lo")
+                    + w
+                    * (
+                        F.col("bin")
+                        + (r - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                    )
+                ).alias(f"{tag}_raw")
+            )
+        )
+        picks.append((tag, q, pick))
+
+    exact = df.where(F.col(col).isNotNull()).agg(
+        *[
+            F.percentile(col, F.lit(q)).alias(
+                f"{str(q).replace('0.', 'p')}_exact_raw"
+            )
+            for q in qs
+        ]
+    )
+    out = stats
+    for _, _, pick in picks:
+        out = out.crossJoin(pick)
+    out = out.crossJoin(exact).crossJoin(cells)
+    cols = [
+        F.col("n").cast("long").alias("n"),
+        half_up2(F.col("lo")).alias("lo"),
+        half_up2(F.col("hi")).alias("hi"),
+    ]
+    for tag, _q, _ in picks:
+        cols.append(half_up2(F.col(f"{tag}_raw")).alias(f"{tag}_est"))
+        cols.append(half_up2(F.col(f"{tag}_exact_raw")).alias(f"{tag}_exact"))
+        cols.append(
+            (
+                F.abs(F.col(f"{tag}_raw") - F.col(f"{tag}_exact_raw"))
+                <= (F.col("hi") - F.col("lo")) / float(bins) + F.lit(1e-9)
+            ).alias(f"{tag}_within_bin")
+        )
+    cols.append(F.col("merge_consistent"))
+    return out.select(*cols)
+
+
+def histogram_quantile_oracle_sql(
+    table: str,
+    col: str,
+    split: str,
+    bins: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB replay of ``histogram_quantile_report`` — identical bin
+    arithmetic (floor over the same IEEE quotient), identical
+    interpolation, identical half-up rounding, plus exact quantiles via
+    ``quantile_cont`` (the same interpolated definition as Spark's
+    ``percentile``)."""
+    qcols = []
+    for q in qs:
+        tag = str(q).replace("0.", "p")
+        qcols.append(f"""
+    pick_{tag} AS (
+      SELECT lo + ((hi - lo) / {float(bins)!r})
+               * (bin + (({q!r} * n) - (cum - cnt)) / cnt) AS {tag}_raw
+      FROM cum, stats
+      WHERE cum >= {q!r} * n
+      ORDER BY bin LIMIT 1
+    )""")
+    sel = []
+    for q in qs:
+        tag = str(q).replace("0.", "p")
+        sel.append(
+            f"FLOOR({tag}_raw * 100 + 0.5) / 100.0 AS {tag}_est,\n"
+            f"           FLOOR({tag}_exact_raw * 100 + 0.5) / 100.0 AS {tag}_exact,\n"
+            f"           ABS({tag}_raw - {tag}_exact_raw)\n"
+            f"             <= (s.hi - s.lo) / {float(bins)!r} + 1e-9 AS {tag}_within_bin"
+        )
+    pick_joins = ", ".join(
+        f"pick_{str(q).replace('0.', 'p')}" for q in qs
+    )
+    sel_block = ",\n           ".join(sel)
+    exact_block = ", ".join(
+        f"quantile_cont(v, {q!r}) AS {str(q).replace('0.', 'p')}_exact_raw"
+        for q in qs
+    )
+    return f"""
+    WITH src AS (
+      SELECT CAST({col} AS DOUBLE) AS v, {split} AS half
+      FROM {table} WHERE {col} IS NOT NULL
+    ),
+    stats AS (SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM src),
+    binned AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / {float(bins)!r}))
+                                  AS BIGINT), {bins - 1}) END AS bin,
+             half
+      FROM src, stats
+    ),
+    direct AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM binned GROUP BY bin),
+    ba AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS ca FROM binned WHERE half GROUP BY bin),
+    bb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cb FROM binned WHERE NOT half GROUP BY bin),
+    merged AS (
+      SELECT COALESCE(a.bin, b.bin) AS bin,
+             COALESCE(a.ca, 0) + COALESCE(b.cb, 0) AS cm
+      FROM ba a FULL OUTER JOIN bb b ON a.bin = b.bin
+    ),
+    cells AS (
+      SELECT SUM(CASE WHEN m.cm = d.cnt THEN 0 ELSE 1 END) = 0
+               AS merge_consistent
+      FROM merged m FULL OUTER JOIN direct d ON m.bin = d.bin
+    ),
+    cum AS (
+      SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM direct
+    ),
+    exact AS (
+      SELECT {exact_block}
+      FROM src
+    ),{",".join(qcols)}
+    SELECT CAST(s.n AS BIGINT) AS n,
+           FLOOR(s.lo * 100 + 0.5) / 100.0 AS lo,
+           FLOOR(s.hi * 100 + 0.5) / 100.0 AS hi,
+           {sel_block},
+           cells.merge_consistent
+    FROM stats s, exact, cells, {pick_joins}
+    """
+
+
 def bloom_union_oracle_sql(
     build_table: str,
     build_key: str,

@@ -9894,6 +9894,37 @@ def stream_bloom_customer_filter(
     )
 
 
+@spec(
+    "histogram_quantile_sketch",
+    "EXT-sketch-quantile EXT-sketch-merge EXT-percentile EXT-histogram",
+    oracle=op_sketches.histogram_quantile_oracle_sql(
+        "events", "value", "event_id % 2 = 0"
+    ),
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles join the sketch family with a FULLY-REPLAYABLE
+    estimator (operators/sketches.py histogram_quantile_report): 64
+    equi-width bins over event values, p50/p90/p99 interpolated within
+    the covering bin — every number is floor/linear arithmetic over
+    exact integer counts, so unlike t-digest (``approx_percentile``,
+    threshold-self-checked in ``event_value_percentiles`` because its
+    internals aren't SQL-expressible) the DuckDB oracle hash-checks the
+    ESTIMATES themselves. The one row carries all three sketch
+    contracts at once: the estimates beside their exact
+    ``percentile``/``quantile_cont`` twins, the defining error bound
+    |estimate − exact| ≤ bin width as checked columns (the true
+    quantile lies inside the interpolated bin), and MERGEABILITY —
+    disjoint event_id halves binned independently and summed must equal
+    the direct histogram cell-for-cell (integer sum; the CMS economics
+    applied to quantiles: O(bins) state, map-side partial combine,
+    element-wise-sum rollup across partitions/days)."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return op_sketches.histogram_quantile_report(
+        ev, "value", split=F.col("event_id") % 2 == 0
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -10076,6 +10107,11 @@ _swap_specs("stream_hll_distinct_users", "doc_fingerprints")
 # are the FIRST entries of round 8's natural [86:136].
 _swap_specs("stream_cms_user_counts", "doc_token_stats")
 _swap_specs("stream_bloom_customer_filter", "doc_lang_id")
+# The histogram-quantile sketch debut (len 215, offset 250 % 215 = 35 →
+# window [35:85]): index 35 (has_order_flag, fresh r06 row) yields its
+# slot; old index 85 (user_event_type_pivot, r03 row) slides out but is
+# re-covered by round 8's natural [85:135].
+_swap_specs("histogram_quantile_sketch", "has_order_flag")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
