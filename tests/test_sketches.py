@@ -181,8 +181,12 @@ def test_cms_estimates_from_merged_counters_equal_direct(spark):
 
 
 def test_histogram_quantile_sketch_invariants(spark):
-    """Estimates within one bin width of exact, merge witness true, and
-    the report is deterministic across partitionings."""
+    """The in-bin witness is a theorem (estimate inside the covering
+    bin), the merge witness true, and the report deterministic across
+    partitionings. On this dense fixture the empirical est-vs-exact gap
+    also stays within a bin width — a regression guard, not the sketch's
+    guarantee (rank conventions differ: est ranks at n·q, exact at
+    (n−1)·q, which on gappy data can straddle empty bins)."""
     df = spark.createDataFrame(
         [(i, float((i * 37) % 1000)) for i in range(4000)], "id long, v double"
     )
@@ -192,10 +196,53 @@ def test_histogram_quantile_sketch_invariants(spark):
     assert row["merge_consistent"]
     assert row["n"] == 4000
     for tag in ("p5", "p9", "p99"):
-        assert row[f"{tag}_within_bin"], row
+        assert row[f"{tag}_in_bin"], row
         w = (row["hi"] - row["lo"]) / 64
         assert abs(row[f"{tag}_est"] - row[f"{tag}_exact"]) <= w + 0.02
     again = S.histogram_quantile_report(
         df.repartition(13), "v", split=F.col("id") % 2 == 0, bins=64
     ).first()
     assert again.asDict() == row.asDict()
+
+
+def test_histogram_in_bin_holds_on_gappy_data(spark):
+    """The ADVICE counterexample: n=2, values {0, 100}, q=0.9 — the
+    exact quantile (90) and the estimate (~99.2) land far apart, so the
+    old |est−exact| ≤ bin-width claim would FAIL here; the structural
+    in-bin witness must still hold."""
+    df = spark.createDataFrame(
+        [(0, 0.0), (1, 100.0)], "id long, v double"
+    )
+    row = S.histogram_quantile_report(
+        df, "v", split=F.col("id") % 2 == 0, bins=64
+    ).first()
+    w = (row["hi"] - row["lo"]) / 64
+    assert abs(row["p9_est"] - row["p9_exact"]) > w  # the non-theorem
+    for tag in ("p5", "p9", "p99"):
+        assert row[f"{tag}_in_bin"], row
+    assert row["merge_consistent"]
+
+
+def test_cms_probe_unseen_keys_estimate_zero(spark):
+    """Probing keys the counters never saw (the merged-sketch entry
+    point's advertised case): absent cells coalesce to 0, so a fully
+    unseen key estimates 0 instead of vanishing or inflating."""
+    build = spark.createDataFrame(
+        [(i % 7,) for i in range(700)], "k long"
+    )
+    counters = S.cms_counters(build, "k", depth=4, width=256)
+    probe = spark.createDataFrame(
+        [(5, "seen"), (9001, "unseen")], "k long, tag string"
+    )
+    est = {
+        r["k"]: (r["est"], r["exact"])
+        for r in S.cms_point_estimates_from_counters(
+            probe, "k", counters, depth=4, width=256
+        ).collect()
+    }
+    assert set(est) == {5, 9001}, "unseen key must not vanish"
+    # the unseen key occurs once in the PROBE frame (exact=1) but its
+    # estimate comes from the build counters — 0 unless all 4 of its
+    # cells collide with built keys
+    assert est[9001][0] <= est[5][0]
+    assert est[5][0] >= 100  # 700 rows over 7 keys

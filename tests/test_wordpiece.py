@@ -59,6 +59,35 @@ def test_max_piece_chars_caps_probe():
     assert WP.wordpiece_word("abcdefg", v, max_piece_chars=7) == ("abcdefg",)
 
 
+def test_vocab_probe_bound_derivation():
+    assert WP.vocab_probe_bound(VOCAB) == WP.MAX_PIECE_CHARS  # short vocab
+    long_v = frozenset(["abcdefgh", "##defghij", "a"])
+    assert WP.vocab_probe_bound(long_v) == 8  # raw chars, ## excluded
+    assert WP.vocab_probe_bound(frozenset()) == WP.MAX_PIECE_CHARS
+
+
+def test_apply_matches_trained_long_pieces(spark):
+    """r07 ADVICE: train→apply composition must not lose pieces longer
+    than MAX_PIECE_CHARS — the derived probe bound makes the trained
+    9-char piece matchable."""
+    rows = [(1, "установка установка установка")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = WP.wordpiece_train(df, "text", 8)
+    vocab = set("у") | {"##" + c for c in "становка"}
+    for l, r, *_ in merges:
+        vocab.add(l + r[2:])
+    assert any(
+        (len(p) - 2 if p.startswith("##") else len(p)) > WP.MAX_PIECE_CHARS
+        for p in vocab
+    )
+    got = {
+        r["id"]: tuple(r["tokens"])
+        for r in WP.wordpiece_apply(df, "doc_id", "text", vocab).collect()
+    }
+    # the whole 9-char word is a single trained piece after 8 merges
+    assert got[1] == ("установка",) * 3
+
+
 def test_apply_kernel_matches_spine(spark):
     rows = [(1, "table scan"), (2, "a zebra\ttable"), (3, None), (4, "")]
     df = spark.createDataFrame(rows, "doc_id long, text string")

@@ -48,10 +48,27 @@ from .bpe import word_vocab
 
 UNK = "[UNK]"
 
-#: longest piece (in raw word chars, the ## prefix excluded) the greedy
-#: matcher will try — bounds the per-position probe count; every path
-#: (kernel, recursive-CTE oracle) shares it.
+#: default longest piece (in raw word chars, the ## prefix excluded) the
+#: greedy matcher will try — bounds the per-position probe count; every
+#: path (kernel, recursive-CTE oracle) shares it. ``wordpiece_apply``
+#: derives the bound from the SUPPLIED vocabulary instead
+#: (``vocab_probe_bound``) so a trained vocabulary with longer merged
+#: pieces is never silently unmatchable (r07 ADVICE: merge chains are
+#: uncapped, so train→apply composition must not lose long pieces).
 MAX_PIECE_CHARS = 6
+
+
+def vocab_probe_bound(vocab) -> int:
+    """The greedy matcher's probe bound for a given vocabulary: the
+    longest piece's raw char length (## prefix excluded), floored at
+    MAX_PIECE_CHARS so hand-fixed short vocabularies keep the documented
+    default. Probing past the longest piece can never match, so this is
+    lossless and still O(max piece) per position."""
+    longest = max(
+        (len(p) - 2 if p.startswith("##") else len(p) for p in vocab),
+        default=0,
+    )
+    return max(MAX_PIECE_CHARS, longest)
 
 
 def wordpiece_word(
@@ -88,14 +105,18 @@ def wordpiece_apply(
     text_col: str,
     vocab: set[str] | frozenset[str],
     unk: str = UNK,
-    max_piece_chars: int = MAX_PIECE_CHARS,
+    max_piece_chars: int | None = None,
 ) -> DataFrame:
     """Tokenize the corpus under a fixed WordPiece vocabulary: (id,
     tokens array<string>, n_tokens). Map-only Arrow kernel; the vocab
     rides the closure (O(|vocab|) per executor) and each batch memoizes
     per DISTINCT word, so cost tracks vocabulary, not corpus tokens —
-    the ``bpe_apply`` economics."""
+    the ``bpe_apply`` economics. The probe bound defaults to
+    ``vocab_probe_bound(vocab)`` so every supplied piece is matchable
+    regardless of how long training let merge chains grow."""
     v = frozenset(vocab)
+    if max_piece_chars is None:
+        max_piece_chars = vocab_probe_bound(v)
 
     out_schema = T.StructType(
         [

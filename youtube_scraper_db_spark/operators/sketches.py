@@ -321,7 +321,15 @@ def cms_point_estimates_from_counters(
         .select("k", "exact", "rs.row", "rs.slot")
     )
     return (
-        probes.join(counters, ["row", "slot"])
+        # LEFT join + coalesce-to-0: a probed key can hash to a cell the
+        # counter table never materialized (possible when probing keys
+        # the build input never saw — the merged-sketch entry point this
+        # function advertises); the correct CMS estimate for an absent
+        # cell is 0, and an inner join would instead inflate the min (or
+        # drop the key entirely if all k cells are absent). Mirrors
+        # bloom_probe_report_from_bits' handling of unset positions.
+        probes.join(counters, ["row", "slot"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
         .groupBy("k", "exact")
         .agg(F.min("cnt").cast("long").alias("est"))
         .select(
@@ -352,9 +360,9 @@ def cms_oracle_sql(
     counters AS (
       SELECT row, slot, SUM(exact) AS cnt FROM slots GROUP BY row, slot
     )
-    SELECT s.k, CAST(MIN(c.cnt) AS BIGINT) AS est, s.exact,
-           MIN(c.cnt) >= s.exact AS overestimate_ok
-    FROM slots s JOIN counters c ON s.row = c.row AND s.slot = c.slot
+    SELECT s.k, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est, s.exact,
+           MIN(COALESCE(c.cnt, 0)) >= s.exact AS overestimate_ok
+    FROM slots s LEFT JOIN counters c ON s.row = c.row AND s.slot = c.slot
     GROUP BY s.k, s.exact
     """
 
@@ -642,6 +650,19 @@ def bloom_oracle_sql(
 
 # --- Histogram quantile sketch ------------------------------------------
 
+def histogram_bin_expr(v: Column, lo: Column, hi: Column, bins: int) -> Column:
+    """The shared per-row binning projection — the ``hll_bucket_rho``
+    device applied to histograms: batch construction, the streaming
+    twin, and the oracle all bin through this exact arithmetic. ``lo``/
+    ``hi`` may be column refs from an in-plan stats row or
+    driver-collected literals; the IEEE quotient and floor are identical
+    either way."""
+    w = (hi - lo) / float(bins)
+    return F.when(hi == lo, F.lit(0)).otherwise(
+        F.least(F.floor((v - lo) / w).cast("long"), F.lit(bins - 1))
+    )
+
+
 def histogram_quantile_report(
     df: DataFrame,
     col: str,
@@ -654,9 +675,17 @@ def histogram_quantile_report(
     within the covering bin, the MERGEABILITY witness (bins built from
     the disjoint ``split`` halves and summed must equal the direct
     histogram cell-for-cell — integer sum, exact), and the sketch's
-    defining guarantee ``|estimate − exact quantile| ≤ bin width``
-    checked per quantile (the true quantile lies inside the bin the
-    estimate interpolates over).
+    structural guarantee checked per quantile: the estimate lies INSIDE
+    the bin covering rank n·q (``{tag}_in_bin`` — a theorem: the
+    interpolation fraction is in (0, 1] by the pick condition).
+
+    ``|estimate − exact| ≤ bin width`` is deliberately NOT the witness:
+    the estimate ranks at n·q while ``percentile``/``quantile_cont``
+    interpolate at (n−1)·q, and on gappy data the two ranks can land in
+    different, empty-separated bins (n=2, q=0.9, values {0, 100} gives
+    est≈99.7 vs exact=90) — the bound holds on dense data but is not a
+    theorem of the sketch. The est/exact pairs ride in the row so the
+    empirical gap stays observable.
 
     Unlike t-digest (Spark's ``approx_percentile``, gated as a
     threshold self-check in ``event_value_percentiles``), every number
@@ -674,18 +703,11 @@ def histogram_quantile_report(
         F.max("v").alias("hi"),
         F.count(F.lit(1)).alias("n"),
     )
-    w = (F.col("hi") - F.col("lo")) / float(bins)
-
-    def bin_expr() -> Column:
-        return F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-            F.least(
-                F.floor((F.col("v") - F.col("lo")) / w).cast("long"),
-                F.lit(bins - 1),
-            )
-        )
-
     binned = src.crossJoin(F.broadcast(stats)).select(
-        bin_expr().alias("bin"), "__half"
+        histogram_bin_expr(
+            F.col("v"), F.col("lo"), F.col("hi"), bins
+        ).alias("bin"),
+        "__half",
     )
     direct = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
     ba = (
@@ -702,6 +724,27 @@ def histogram_quantile_report(
         "bin",
         (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias("cm"),
     )
+    return histogram_report_from_counters(
+        direct, merged, stats, df, col, bins, qs
+    )
+
+
+def histogram_report_from_counters(
+    direct: DataFrame,
+    merged: DataFrame,
+    stats: DataFrame,
+    exact_src: DataFrame,
+    col: str,
+    bins: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Build the quantile report from an EXPLICIT ``(bin, cnt)`` counter
+    table — the entry point for counters maintained elsewhere (the
+    streaming twin drains its incrementally-summed bins into this), with
+    ``merged`` a second counter table (``(bin, cm)``) whose
+    cell-for-cell equality with ``direct`` is the mergeability witness.
+    ``stats`` is the one-row (lo, hi, n) frame the bins were built
+    against; ``exact_src[col]`` supplies the exact-percentile twins."""
     cells = (
         merged.join(direct, "bin", "full_outer")
         .agg(
@@ -721,6 +764,7 @@ def histogram_quantile_report(
     def half_up2(c: Column) -> Column:
         return F.floor(c * 100 + F.lit(0.5)) / 100.0
 
+    w = (F.col("hi") - F.col("lo")) / float(bins)
     picks = []
     for q in qs:
         tag = str(q).replace("0.", "p")
@@ -738,12 +782,13 @@ def histogram_quantile_report(
                         F.col("bin")
                         + (r - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
                     )
-                ).alias(f"{tag}_raw")
+                ).alias(f"{tag}_raw"),
+                F.col("bin").alias(f"{tag}_bin"),
             )
         )
         picks.append((tag, q, pick))
 
-    exact = df.where(F.col(col).isNotNull()).agg(
+    exact = exact_src.where(F.col(col).isNotNull()).agg(
         *[
             F.percentile(col, F.lit(q)).alias(
                 f"{str(q).replace('0.', 'p')}_exact_raw"
@@ -761,13 +806,14 @@ def histogram_quantile_report(
         half_up2(F.col("hi")).alias("hi"),
     ]
     for tag, _q, _ in picks:
+        bin_lo = F.col("lo") + w * F.col(f"{tag}_bin")
         cols.append(half_up2(F.col(f"{tag}_raw")).alias(f"{tag}_est"))
         cols.append(half_up2(F.col(f"{tag}_exact_raw")).alias(f"{tag}_exact"))
         cols.append(
             (
-                F.abs(F.col(f"{tag}_raw") - F.col(f"{tag}_exact_raw"))
-                <= (F.col("hi") - F.col("lo")) / float(bins) + F.lit(1e-9)
-            ).alias(f"{tag}_within_bin")
+                (F.col(f"{tag}_raw") >= bin_lo - F.lit(1e-9))
+                & (F.col(f"{tag}_raw") <= bin_lo + w + F.lit(1e-9))
+            ).alias(f"{tag}_in_bin")
         )
     cols.append(F.col("merge_consistent"))
     return out.select(*cols)
@@ -791,7 +837,8 @@ def histogram_quantile_oracle_sql(
         qcols.append(f"""
     pick_{tag} AS (
       SELECT lo + ((hi - lo) / {float(bins)!r})
-               * (bin + (({q!r} * n) - (cum - cnt)) / cnt) AS {tag}_raw
+               * (bin + (({q!r} * n) - (cum - cnt)) / cnt) AS {tag}_raw,
+             bin AS {tag}_bin
       FROM cum, stats
       WHERE cum >= {q!r} * n
       ORDER BY bin LIMIT 1
@@ -799,11 +846,13 @@ def histogram_quantile_oracle_sql(
     sel = []
     for q in qs:
         tag = str(q).replace("0.", "p")
+        binw = f"((s.hi - s.lo) / {float(bins)!r})"
         sel.append(
             f"FLOOR({tag}_raw * 100 + 0.5) / 100.0 AS {tag}_est,\n"
             f"           FLOOR({tag}_exact_raw * 100 + 0.5) / 100.0 AS {tag}_exact,\n"
-            f"           ABS({tag}_raw - {tag}_exact_raw)\n"
-            f"             <= (s.hi - s.lo) / {float(bins)!r} + 1e-9 AS {tag}_within_bin"
+            f"           ({tag}_raw >= s.lo + {binw} * {tag}_bin - 1e-9\n"
+            f"            AND {tag}_raw <= s.lo + {binw} * ({tag}_bin + 1) + 1e-9)\n"
+            f"             AS {tag}_in_bin"
         )
     pick_joins = ", ".join(
         f"pick_{str(q).replace('0.', 'p')}" for q in qs

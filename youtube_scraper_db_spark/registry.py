@@ -9114,7 +9114,11 @@ def _wordpiece_apply_sql(vocab: tuple[str, ...], max_chars: int) -> str:
     "wordpiece_apply_tokens",
     "EXT-wordpiece EXT-encode LLM-text",
     oracle=_wordpiece_apply_sql(
-        _WORDPIECE_FIXED_VOCAB, llm_wordpiece.MAX_PIECE_CHARS
+        # same bound the engine derives (vocab pieces ≤ 4 raw chars, so
+        # this is MAX_PIECE_CHARS) — the derived form keeps oracle and
+        # kernel in lockstep if the vocabulary ever grows longer pieces
+        _WORDPIECE_FIXED_VOCAB,
+        llm_wordpiece.vocab_probe_bound(_WORDPIECE_FIXED_VOCAB),
     ),
 )
 def wordpiece_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
