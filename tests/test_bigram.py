@@ -80,6 +80,69 @@ def test_in_model_transition_score_is_count_ratio():
     assert ref[9] == (u_the + want + s_sat, 3, 0)
 
 
+# --- trigram chain ------------------------------------------------------
+
+def _engine3(spark, rows, pred):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = BG.trigram_doc_scores(df, "doc_id", "text", train_pred=pred).collect()
+    return {
+        r["id"]: (
+            r["total_micrologp"],
+            r["n_tokens"],
+            r["n_backoff2"],
+            r["n_backoff1"],
+        )
+        for r in got
+    }
+
+
+def test_trigram_engine_matches_bruteforce(spark):
+    want = BG.py_trigram_scores(ROWS, TRAIN_IDS)
+    got = _engine3(spark, ROWS, F.col("id") % 2 == 0)
+    assert got == want
+
+
+def test_trigram_both_hops_witnessed(spark):
+    got = _engine3(spark, ROWS, F.col("id") % 2 == 0)
+    # training docs never back off at any level
+    for i in TRAIN_IDS:
+        assert got[i][2] == 0 and got[i][3] == 0
+    # doc 1 "the cat sat on the rug": trigram "on the rug" unseen →
+    # bigram "the rug" also unseen → BOTH hops fire on that position
+    assert got[1][2] >= 1 and got[1][3] >= 1
+    # doc 9 "the cat sat" is a training prefix → trigram hit, no hops
+    assert got[9] == (got[9][0], 3, 0, 0)
+
+
+def test_trigram_double_backoff_scores_two_constants():
+    """A position whose trigram AND bigram are unseen scores
+    2·BACKOFF_MU + U(c) — one constant per hop."""
+    rows = [(0, "p q r"), (1, "x y r")]
+    ref = BG.py_trigram_scores(rows, {0})
+    uni = {"p": 1, "q": 1, "r": 1}
+    total = sum(uni.values()) + len(uni)
+
+    def mu(x):
+        return math.floor(1e6 * math.log(x) + 0.5)
+
+    u_oov = mu(1.0 / total)  # x, y unseen
+    u_r = mu((uni["r"] + 1) / total)
+    # doc 1: U(x)=oov; S(y|x): bigram miss → BACKOFF+oov (bo1);
+    # S(r|x y): trigram miss → bigram (y,r) miss → 2·BACKOFF + U(r)
+    want_total = u_oov + (BG.BACKOFF_MU + u_oov) + (2 * BG.BACKOFF_MU + u_r)
+    assert ref[1] == (want_total, 3, 1, 2)
+
+
+def test_trigram_degenerate_and_short_docs(spark):
+    rows = [(0, ""), (1, "a b c d"), (3, None), (5, "x"), (7, "x y")]
+    got = _engine3(spark, rows, F.col("id") % 2 == 0)
+    want = BG.py_trigram_scores(rows, {0})
+    assert got == want
+    # no model at all: totals 0, every level backs off
+    assert got[1] == (0, 4, 2, 3) and got[5] == (0, 1, 0, 0)
+    assert got[7] == (0, 2, 0, 1)
+
+
 def test_empty_training_slice_degenerates_totally(spark):
     """No training tokens → no model: every score coalesces to 0, every
     transition counts as backed off — engine, oracle semantics, and the

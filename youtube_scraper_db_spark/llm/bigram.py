@@ -167,6 +167,268 @@ def bigram_doc_scores(
     )
 
 
+def _triples(t: Column) -> Column:
+    """Adjacent (a, b, c) struct triples of a token array (< 3 → [])."""
+    m = F.greatest(F.size(t) - 2, F.lit(0))
+    ab = F.zip_with(
+        F.slice(t, 1, m),
+        F.slice(t, 2, m),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return F.zip_with(
+        ab,
+        F.slice(t, 3, m),
+        lambda p, c: F.struct(
+            p["a"].alias("a"), p["b"].alias("b"), c.alias("c")
+        ),
+    )
+
+
+def trigram_doc_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_pred: Column | None = None,
+) -> DataFrame:
+    """(id, total_micrologp, n_tokens, n_backoff2, n_backoff1): order-3
+    stupid backoff (Brants 2007 §4 — the production chain order):
+
+        S(c | a b) = count(a b c) / count(a b ·)   if count(a b c) > 0
+                   = 0.4 · S(c | b)                otherwise
+
+    with ``S(c | b)`` the bigram rule above, bottoming out at the
+    smoothed unigram. A document totals U(w₁) + S(w₂ | w₁) +
+    Σᵢ₌₃ S(wᵢ | wᵢ₋₂ wᵢ₋₁). ``n_backoff2`` counts trigram→bigram hops
+    (positions ≥ 3 whose trigram was unseen); ``n_backoff1`` counts
+    transitions that fell all the way to the UNIGRAM level — the
+    position-2 bigram miss plus doubly-backed-off trigram positions —
+    so both hops of the chain are witnessed observables. Each hop adds
+    one BACKOFF_MU constant, so a doubly-backed-off position scores
+    2·BACKOFF_MU + U(c) — still a sum of quantized integers the oracle
+    replays exactly.
+
+    Same scale shape as ``bigram_doc_scores`` with one more
+    training-slice aggregate (trigram types) and one more type-counted
+    join; strategies left to AQE for the same reason."""
+    tok = docs.select(
+        F.col(id_col).alias("id"), llm_text.tokens(text_col).alias("t")
+    )
+    train = tok.filter(train_pred) if train_pred is not None else tok
+
+    uni = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(
+        (F.sum("c") + F.count(F.lit(1))).cast("double").alias("T")
+    )
+    um = uni.crossJoin(F.broadcast(tot)).select(
+        "w", _mu_log((F.col("c") + 1) / F.col("T")).alias("u")
+    )
+    big = (
+        train.select(F.explode(_pairs(F.col("t"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ctx = big.groupBy("a").agg(F.sum("c2").alias("c1"))
+    tri = (
+        train.select(F.explode(_triples(F.col("t"))).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+            F.col("p.c").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    ctx3 = tri.groupBy("a", "b").agg(F.sum("c3").alias("c23"))
+
+    oov = _mu_log(F.lit(1.0) / F.col("T"))
+    # position 1: smoothed unigram
+    heads = (
+        tok.filter(F.size("t") >= 1)
+        .select("id", F.element_at("t", 1).alias("w"))
+        .join(um, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            F.coalesce(F.col("u"), oov).alias("s"),
+            F.lit(0).alias("bo2"),
+            F.lit(0).alias("bo1"),
+        )
+    )
+    # position 2: the bigram rule (no trigram context exists yet)
+    bscore = F.when(
+        F.col("c2").isNotNull(),
+        _mu_log(F.col("c2").cast("double") / F.col("c1")),
+    ).otherwise(F.lit(BACKOFF_MU) + F.coalesce(F.col("ub"), oov))
+    second = (
+        tok.filter(F.size("t") >= 2)
+        .select(
+            "id",
+            F.element_at("t", 1).alias("a"),
+            F.element_at("t", 2).alias("b"),
+        )
+        .join(big, ["a", "b"], "left")
+        .join(ctx, "a", "left")
+        .join(
+            um.select(F.col("w").alias("b"), F.col("u").alias("ub")),
+            "b",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            bscore.alias("s"),
+            F.lit(0).alias("bo2"),
+            F.when(F.col("c2").isNull(), 1).otherwise(0).alias("bo1"),
+        )
+    )
+    # positions ≥ 3: the trigram rule, chaining down on misses
+    bscore_bc = F.when(
+        F.col("c2bc").isNotNull(),
+        _mu_log(F.col("c2bc").cast("double") / F.col("c1b")),
+    ).otherwise(F.lit(BACKOFF_MU) + F.coalesce(F.col("uc"), oov))
+    trans = (
+        tok.select("id", F.explode(_triples(F.col("t"))).alias("p"))
+        .select(
+            "id",
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+            F.col("p.c").alias("c"),
+        )
+        .join(tri, ["a", "b", "c"], "left")
+        .join(ctx3, ["a", "b"], "left")
+        .join(
+            big.select(
+                F.col("a").alias("b"),
+                F.col("b").alias("c"),
+                F.col("c2").alias("c2bc"),
+            ),
+            ["b", "c"],
+            "left",
+        )
+        .join(
+            ctx.select(F.col("a").alias("b"), F.col("c1").alias("c1b")),
+            "b",
+            "left",
+        )
+        .join(
+            um.select(F.col("w").alias("c"), F.col("u").alias("uc")),
+            "c",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            F.when(
+                F.col("c3").isNotNull(),
+                _mu_log(F.col("c3").cast("double") / F.col("c23")),
+            )
+            .otherwise(F.lit(BACKOFF_MU) + bscore_bc)
+            .alias("s"),
+            F.when(F.col("c3").isNull(), 1).otherwise(0).alias("bo2"),
+            F.when(
+                F.col("c3").isNull() & F.col("c2bc").isNull(), 1
+            )
+            .otherwise(0)
+            .alias("bo1"),
+        )
+    )
+    agg = (
+        heads.unionByName(second)
+        .unionByName(trans)
+        .groupBy("id")
+        .agg(
+            F.sum("s").cast("long").alias("total_micrologp"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum("bo2").cast("int").alias("n_backoff2"),
+            F.sum("bo1").cast("int").alias("n_backoff1"),
+        )
+    )
+    return tok.select("id").join(agg, "id", "left").select(
+        "id",
+        F.coalesce("total_micrologp", F.lit(0).cast("long")).alias(
+            "total_micrologp"
+        ),
+        F.coalesce("n_tokens", F.lit(0).cast("int")).alias("n_tokens"),
+        F.coalesce("n_backoff2", F.lit(0).cast("int")).alias("n_backoff2"),
+        F.coalesce("n_backoff1", F.lit(0).cast("int")).alias("n_backoff1"),
+    )
+
+
+def py_trigram_scores(
+    rows: list[tuple[int, str | None]],
+    train_ids: set[int],
+) -> dict[int, tuple[int, int, int, int]]:
+    """Brute-force reference twin for pytest pinning:
+    id → (total_micrologp, n_tokens, n_backoff2, n_backoff1)."""
+    toks = {i: llm_text.py_tokens(t) for i, t in rows}
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    ctx: dict[str, int] = {}
+    tri: dict[tuple[str, str, str], int] = {}
+    ctx3: dict[tuple[str, str], int] = {}
+    for i, t in toks.items():
+        if i not in train_ids:
+            continue
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+        for a, b, c in zip(t, t[1:], t[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+            ctx3[(a, b)] = ctx3.get((a, b), 0) + 1
+    total = sum(uni.values()) + len(uni)
+    if total == 0:
+        return {
+            i: (
+                0,
+                len(t),
+                max(0, len(t) - 2),
+                max(0, len(t) - 1),
+            )
+            for i, t in toks.items()
+        }
+
+    def mu(x: float) -> int:
+        return math.floor(1e6 * math.log(x) + 0.5)
+
+    def u(w: str) -> int:
+        return mu((uni.get(w, 0) + 1) / total)
+
+    def s2(a: str, b: str) -> tuple[int, bool]:
+        """Bigram rule: (score, hit-unigram-level)."""
+        c2 = big.get((a, b))
+        if c2 is not None:
+            return mu(c2 / ctx[a]), False
+        return BACKOFF_MU + u(b), True
+
+    out: dict[int, tuple[int, int, int, int]] = {}
+    for i, t in toks.items():
+        if not t:
+            out[i] = (0, 0, 0, 0)
+            continue
+        s = u(t[0])
+        nb2 = nb1 = 0
+        if len(t) >= 2:
+            v, fell = s2(t[0], t[1])
+            s += v
+            nb1 += int(fell)
+        for a, b, c in zip(t, t[1:], t[2:]):
+            c3 = tri.get((a, b, c))
+            if c3 is not None:
+                s += mu(c3 / ctx3[(a, b)])
+            else:
+                v, fell = s2(b, c)
+                s += BACKOFF_MU + v
+                nb2 += 1
+                nb1 += int(fell)
+        out[i] = (s, len(t), nb2, nb1)
+    return out
+
+
 def py_bigram_scores(
     rows: list[tuple[int, str | None]],
     train_ids: set[int],

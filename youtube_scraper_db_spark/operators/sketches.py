@@ -709,6 +709,21 @@ def histogram_quantile_report(
         ).alias("bin"),
         "__half",
     )
+    direct, merged = histogram_counters(binned)
+    return histogram_report_from_counters(
+        direct, merged, stats, df, col, bins, qs
+    )
+
+
+def histogram_counters(
+    binned: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(direct, merged) counter tables from a ``(bin, __half)`` frame:
+    the direct histogram and the element-wise sum of the two disjoint
+    half histograms — the pair whose cell-for-cell equality is the
+    mergeability witness (integer sum is associative, so they must be
+    exactly equal). Shared by the batch report and the streaming twin
+    (whose ``direct`` comes from the drained stream instead)."""
     direct = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
     ba = (
         binned.where(F.col("__half"))
@@ -724,9 +739,7 @@ def histogram_quantile_report(
         "bin",
         (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias("cm"),
     )
-    return histogram_report_from_counters(
-        direct, merged, stats, df, col, bins, qs
-    )
+    return direct, merged
 
 
 def histogram_report_from_counters(

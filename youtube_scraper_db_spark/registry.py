@@ -8997,6 +8997,137 @@ def doc_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trigram_quality_sql() -> str:
+    """DuckDB replay of the order-3 stupid-backoff scorer
+    (llm/bigram.py trigram_doc_scores): unigram + bigram + trigram
+    counts over the doc_id%3=0 training slice, then every document's
+    positions scored — trigram hits as FLOOR(1e6·ln(c3/c23)+0.5),
+    misses chaining through the bigram rule (one -916291 constant per
+    hop) down to the smoothed unigram. Identical integer quantization
+    on both sides."""
+    bmu = llm_bigram.BACKOFF_MU
+    return f"""
+    WITH {_TOK_CTE},
+    tr AS (SELECT doc_id, t FROM tok WHERE doc_id % 3 = 0),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w
+    ),
+    tot AS (SELECT SUM(c) + COUNT(*) AS T FROM uni),
+    um AS (
+      SELECT w, CAST(FLOOR(1e6 * ln((c + 1) / T) + 0.5) AS BIGINT) AS u
+      FROM uni, tot
+    ),
+    big AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+        SELECT t[k] AS a, t[k + 1] AS b
+        FROM tr, LATERAL unnest(range(1, len(t))) q(k)
+      ) GROUP BY a, b
+    ),
+    ctx AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM big GROUP BY a),
+    tri AS (
+      SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
+        SELECT t[k] AS a, t[k + 1] AS b, t[k + 2] AS c
+        FROM tr, LATERAL unnest(range(1, len(t) - 1)) q(k)
+      ) GROUP BY a, b, c
+    ),
+    ctx3 AS (
+      SELECT a, b, CAST(SUM(c3) AS BIGINT) AS c23 FROM tri GROUP BY a, b
+    ),
+    oov AS (
+      SELECT CAST(FLOOR(1e6 * ln(1.0 / T) + 0.5) AS BIGINT) AS v FROM tot
+    ),
+    heads AS (SELECT doc_id, t[1] AS w FROM tok WHERE len(t) >= 1),
+    hs AS (
+      SELECT h.doc_id, COALESCE(um.u, oov.v) AS s, 0 AS bo2, 0 AS bo1
+      FROM heads h LEFT JOIN um ON h.w = um.w, oov
+    ),
+    sec AS (SELECT doc_id, t[1] AS a, t[2] AS b FROM tok WHERE len(t) >= 2),
+    ss AS (
+      SELECT x.doc_id,
+             CASE WHEN big.c2 IS NOT NULL
+                  THEN CAST(FLOOR(1e6 * ln(CAST(big.c2 AS DOUBLE) / ctx.c1)
+                                  + 0.5) AS BIGINT)
+                  ELSE {bmu} + COALESCE(um.u, oov.v)
+             END AS s,
+             0 AS bo2,
+             CASE WHEN big.c2 IS NULL THEN 1 ELSE 0 END AS bo1
+      FROM sec x
+      LEFT JOIN big ON x.a = big.a AND x.b = big.b
+      LEFT JOIN ctx ON x.a = ctx.a
+      LEFT JOIN um ON x.b = um.w, oov
+    ),
+    trans AS (
+      SELECT doc_id, t[k] AS a, t[k + 1] AS b, t[k + 2] AS c
+      FROM tok, LATERAL unnest(range(1, len(t) - 1)) q(k)
+    ),
+    ts AS (
+      SELECT x.doc_id,
+             CASE WHEN tri.c3 IS NOT NULL
+                  THEN CAST(FLOOR(1e6 * ln(CAST(tri.c3 AS DOUBLE) / ctx3.c23)
+                                  + 0.5) AS BIGINT)
+                  ELSE {bmu} + CASE WHEN b2.c2 IS NOT NULL
+                       THEN CAST(FLOOR(1e6 * ln(CAST(b2.c2 AS DOUBLE) / cb.c1)
+                                       + 0.5) AS BIGINT)
+                       ELSE {bmu} + COALESCE(um.u, oov.v) END
+             END AS s,
+             CASE WHEN tri.c3 IS NULL THEN 1 ELSE 0 END AS bo2,
+             CASE WHEN tri.c3 IS NULL AND b2.c2 IS NULL THEN 1 ELSE 0 END AS bo1
+      FROM trans x
+      LEFT JOIN tri ON x.a = tri.a AND x.b = tri.b AND x.c = tri.c
+      LEFT JOIN ctx3 ON x.a = ctx3.a AND x.b = ctx3.b
+      LEFT JOIN big b2 ON x.b = b2.a AND x.c = b2.b
+      LEFT JOIN ctx cb ON x.b = cb.a
+      LEFT JOIN um ON x.c = um.w, oov
+    ),
+    agg AS (
+      SELECT doc_id, SUM(s) AS ts2, COUNT(*) AS n,
+             SUM(bo2) AS nb2, SUM(bo1) AS nb1
+      FROM (SELECT * FROM hs UNION ALL SELECT * FROM ss
+            UNION ALL SELECT * FROM ts) GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(COALESCE(a.ts2, 0) AS BIGINT) AS total_micrologp,
+           CAST(COALESCE(a.n, 0) AS INT) AS n_tokens,
+           CAST(COALESCE(a.nb2, 0) AS INT) AS n_backoff2,
+           CAST(COALESCE(a.nb1, 0) AS INT) AS n_backoff1
+    FROM tok tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
+    """
+
+
+@spec(
+    "doc_trigram_quality",
+    "EXT-trigram EXT-quality LLM-text",
+    oracle=_trigram_quality_sql(),
+)
+def doc_trigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM quality scoring with the PRODUCTION-order stupid-backoff
+    chain — trigram → bigram → unigram (Brants 2007 trains order-5;
+    order-3 exhibits the full chain mechanics) — extending
+    ``doc_bigram_quality`` one order per the r07 verdict. The LM trains
+    on the doc_id%3=0 slice (a thinner slice than the bigram gate's
+    half, so BOTH hops genuinely fire on held-out text) and scores
+    every document; ``n_backoff2`` witnesses trigram→bigram hops,
+    ``n_backoff1`` the transitions that fell all the way to the
+    unigram. Every score is FLOOR(1e6·ln(int/int)+0.5) micro-log
+    integers with one -916291 constant per hop, so the DuckDB oracle
+    replays the whole chain. Engine (llm/bigram.py trigram_doc_scores)
+    stays pure Column expressions: three training-slice aggregates,
+    type-counted model tables with AQE-chosen join strategies, one
+    per-doc sum. Ref: parity N/A (§2.12 training-data surface)."""
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    return llm_bigram.trigram_doc_scores(
+        d, "doc_id", "text", train_pred=F.col("id") % 3 == 0
+    ).select(
+        F.col("id").alias("doc_id"),
+        "total_micrologp",
+        "n_tokens",
+        "n_backoff2",
+        "n_backoff1",
+    )
+
+
 @spec(
     "unigram_trained_vocab",
     "EXT-unigram LLM-text",
@@ -9926,6 +10057,74 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return op_sketches.histogram_quantile_report(
         ev, "value", split=F.col("event_id") % 2 == 0
+    )
+
+
+@spec(
+    "stream_histogram_quantiles",
+    "EXT-sketch-quantile EXT-stream-agg T5",
+    oracle=op_sketches.histogram_quantile_oracle_sql(
+        "events", "value", "event_id % 2 = 0"
+    ),
+)
+def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-quantile sketch maintained INCREMENTALLY over a stream
+    — completing the streaming-sketch family symmetry (HLL max, CMS
+    sum, Bloom set-union, histogram SUM): the event stream replays as a
+    file source, each micro-batch bins its values through the SAME
+    per-row projection the batch path uses
+    (operators/sketches.py histogram_bin_expr, against driver-collected
+    [lo, hi] bounds — the fixed-range configuration every production
+    streaming histogram runs with) and a streaming count-aggregate
+    folds them into the 64-bin counter table: state is O(64) FOREVER
+    versus O(values) for exact streaming quantiles. Count-sum is
+    associative/commutative, so the drained bins are IDENTICAL to the
+    batch histogram — the report's mergeability witness here compares
+    the DRAINED stream counters against the batch-built half-sum
+    (stream ≡ batch, cell-for-cell), and the gate shares the batch
+    gate's oracle verbatim (histogram_quantile_oracle_sql: same bins,
+    same interpolation, same half-up rounding)."""
+    ensure_utc(spark)
+    bins = 64
+    ev = _t(spark, sf_dir, "events")
+    src = ev.where(F.col("value").isNotNull()).select(
+        F.col("value").cast("double").alias("v"),
+        (F.col("event_id") % 2 == 0).alias("__half"),
+    )
+    stats = src.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    srow = stats.first()  # two doubles + a count — the sketch config
+    stream = (
+        read_table_stream(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            op_sketches.histogram_bin_expr(
+                F.col("value").cast("double"),
+                F.lit(float(srow["lo"])),
+                F.lit(float(srow["hi"])),
+                bins,
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    drained = _run_stream(
+        stream,
+        state_partitions=_stream_parallelism(spark),
+        output_mode="complete",
+    )
+    binned = src.crossJoin(F.broadcast(stats)).select(
+        op_sketches.histogram_bin_expr(
+            F.col("v"), F.col("lo"), F.col("hi"), bins
+        ).alias("bin"),
+        "__half",
+    )
+    _, merged = op_sketches.histogram_counters(binned)
+    return op_sketches.histogram_report_from_counters(
+        drained, merged, stats, ev, "value", bins
     )
 
 
