@@ -230,3 +230,27 @@ def test_adhoc_sql_over_table_views(spark, archive):
     more = videos.withColumn("video_id", F.concat(F.col("video_id"), F.lit("2")))
     archive.upsert_videos(more)
     assert archive.sql("SELECT count(*) AS n FROM videos").first().n == 4
+
+
+def test_save_table_versioned_roundtrip(spark, archive):
+    """Tokenizer-artifact persistence (round 8): arbitrary model tables
+    commit through the same versioned protocol — reload exact, version
+    increments per commit, rollback restores the previous model."""
+    m1 = spark.createDataFrame(
+        [(1, "t", "##a", 10), (2, "ta", "##b", 7)],
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    )
+    assert archive.save_table("bpe_model", m1) == 1
+    got = archive.table("bpe_model").orderBy("merge_rank").collect()
+    assert [(r.merge_rank, r.lhs, r.rhs, r.pair_count) for r in got] == [
+        (1, "t", "##a", 10), (2, "ta", "##b", 7),
+    ]
+    m2 = m1.withColumn("pair_count", F.col("pair_count") + 1)
+    assert archive.save_table("bpe_model", m2) == 2
+    assert archive.table("bpe_model").agg(
+        F.sum("pair_count")
+    ).first()[0] == 19
+    archive.rollback("bpe_model")
+    assert archive.table("bpe_model").agg(
+        F.sum("pair_count")
+    ).first()[0] == 17

@@ -122,6 +122,19 @@ class Archive:
             if os.path.exists(legacy):
                 shutil.rmtree(legacy, ignore_errors=True)
 
+    def save_table(self, name: str, df: DataFrame) -> int:
+        """Commit an arbitrary table — e.g. a trained tokenizer
+        artifact (BPE/WordPiece merges, a unigram vocabulary) — through
+        the same versioned-directory protocol as the archive tables,
+        and return the committed version number. This is the
+        persistence half of the train→save→load→apply tokenizer story:
+        a model trained this month is reloaded by ``table(name)`` to
+        tokenize next month's corpus, with ``rollback`` giving the
+        usual one-step undo. Names must not collide with the schema
+        tables (they share the root directory)."""
+        self._commit(name, df)
+        return self._version_of(name)
+
     def rollback(self, name: str) -> None:
         """Repoint ``name`` at the version before the last commit (ref
         conn.rollback, add_transcripts.py:203). One step of history is

@@ -9401,6 +9401,313 @@ def wordpiece_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Tokenizer-artifact persistence (round 8 — the missing stage of the
+# on-engine tokenizer story: train → SAVE a versioned model table →
+# reload → apply-from-loaded ≡ apply-from-trained on a fresh slice)
+# ----------------------------------------------------------------------
+
+#: checksum modulus: per-row md5-h1 reduced below 1e9 before the SUM so
+#: the order-independent total stays far from long overflow at any
+#: realistic vocabulary size (1e9 rows × 1e9 < 2^63).
+_ART_CHECK_MOD = 1_000_000_007
+
+
+def _artifact_report(
+    spark: SparkSession,
+    loaded: DataFrame,
+    canon,
+    version: int,
+    held: DataFrame,
+    applied_trained: DataFrame,
+    applied_loaded: DataFrame,
+) -> DataFrame:
+    """Shared tail of the three tokenizer-persistence gates: artifact
+    row count + order-independent md5 checksum computed from the
+    RELOADED parquet table (byte-stability is the thing under test —
+    the oracle recomputes the checksum from its train replay), the
+    held-out apply count, and the apply-from-loaded ≡ apply-from-trained
+    mismatch count (full outer join, null-safe — a dropped or extra doc
+    counts as a mismatch)."""
+    from .functions.portable_hash import md5_halves
+
+    h1, _ = md5_halves(canon)
+    stats = loaded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_artifact_rows"),
+        F.sum(h1 % F.lit(_ART_CHECK_MOD))
+        .cast("long")
+        .alias("artifact_checksum"),
+    )
+    napp = held.agg(F.count(F.lit(1)).cast("long").alias("n_docs_applied"))
+    a = applied_trained.select("id", F.col("token_text").alias("__ta"))
+    b = applied_loaded.select("id", F.col("token_text").alias("__tb"))
+    mism = (
+        a.join(b, "id", "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("__ta").eqNullSafe(F.col("__tb")), 0).otherwise(1)
+            )
+            .cast("long")
+            .alias("n_apply_mismatch")
+        )
+    )
+    return (
+        stats.crossJoin(napp)
+        .crossJoin(mism)
+        .select(
+            "n_artifact_rows",
+            "artifact_checksum",
+            F.lit(version).cast("int").alias("artifact_version"),
+            "n_docs_applied",
+            "n_apply_mismatch",
+            (F.col("n_apply_mismatch") == 0).alias("roundtrip_ok"),
+        )
+    )
+
+
+def _tokens_text(applied: DataFrame) -> DataFrame:
+    return applied.select(
+        "id", F.concat_ws(" ", F.col("tokens")).alias("token_text")
+    )
+
+
+def _artifact_checksum_sql(canon: str) -> str:
+    return (
+        f"CAST(SUM((('0x' || substr(md5({canon}), 1, 15))::BIGINT)"
+        f" % {_ART_CHECK_MOD}) AS BIGINT)"
+    )
+
+
+def _artifact_report_sql(art_body: str, canon: str, src: str = "art") -> str:
+    """Oracle tail shared by the three persistence gates: the artifact
+    content comes from the nested train replay (``art_body``), the
+    checksum from the same canonical strings the engine hashes over the
+    reloaded parquet, and the equality witnesses are pinned to their
+    only correct values (version 1: one commit; 0 mismatches: parquet
+    round-trips strings and longs exactly)."""
+    return f"""
+    WITH art AS ({art_body})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_artifact_rows,
+           {_artifact_checksum_sql(canon)} AS artifact_checksum,
+           CAST(1 AS INT) AS artifact_version,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE doc_id % 2 = 1) AS n_docs_applied,
+           CAST(0 AS BIGINT) AS n_apply_mismatch,
+           TRUE AS roundtrip_ok
+    FROM {src}
+    """
+
+
+@spec(
+    "bpe_artifact_roundtrip",
+    "EXT-bpe EXT-artifact S14 S16",
+    oracle=_artifact_report_sql(
+        _bpe_train_sql(8),
+        "CAST(merge_rank AS VARCHAR) || ':' || lhs || ':' || rhs"
+        " || ':' || CAST(pair_count AS VARCHAR)",
+    ),
+)
+def bpe_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-ARTIFACT persistence for BPE — the stage between
+    ``bpe_trained_merges`` and ``bpe_apply_tokens`` that a real
+    pipeline runs monthly: train 8 distinct-pair ranks on the corpus,
+    COMMIT the merge table through the archive's versioned-directory
+    protocol (archive.py save_table — crash-safe pointer flip, one-step
+    rollback), reload it from parquet, and tokenize the held-out
+    doc_id%2=1 slice with BOTH the in-session model and the reloaded
+    one: every document must tokenize identically
+    (``n_apply_mismatch`` = 0, full-outer null-safe compare). The
+    artifact checksum is an order-independent md5 sum computed from the
+    RELOADED table and hash-checked against the oracle's train replay —
+    byte-stability of the persisted model, not just row counts. Ref:
+    parity N/A (§2.12); persistence protocol cites ref
+    add_transcripts.py:199-204 via archive.py."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+    from .llm import bpe as llm_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = llm_bpe.bpe_train(d, "text", 8, distinct_pairs=True)
+    art = spark.createDataFrame(
+        [(i + 1, l, r, int(c)) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    )
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_tokart_bpe_"))
+    version = ar.save_table("bpe_model", art)
+    loaded = ar.table("bpe_model")
+    loaded_merges = [
+        (r["lhs"], r["rhs"]) for r in loaded.orderBy("merge_rank").collect()
+    ]
+    held = d.filter(F.col("doc_id") % 2 == 1)
+    applied_t = _tokens_text(
+        llm_bpe.bpe_apply(held, "doc_id", "text", [m[:2] for m in merges])
+    )
+    applied_l = _tokens_text(
+        llm_bpe.bpe_apply(held, "doc_id", "text", loaded_merges)
+    )
+    canon = F.concat_ws(
+        ":",
+        F.col("merge_rank").cast("string"),
+        F.col("lhs"),
+        F.col("rhs"),
+        F.col("pair_count").cast("string"),
+    )
+    return _artifact_report(
+        spark, loaded, canon, version, held, applied_t, applied_l
+    )
+
+
+@spec(
+    "unigram_artifact_roundtrip",
+    "EXT-unigram EXT-artifact S14 S16",
+    oracle=_artifact_report_sql(
+        _unigram_train_sql(2),
+        "piece || ':' || CAST(piece_count AS VARCHAR)",
+    ),
+)
+def unigram_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-artifact persistence for the unigram LM: the trained
+    (piece, piece_count) vocabulary commits as a versioned table, and
+    the integer micro-log scores are RE-DERIVED from the reloaded
+    counts (quantlog_scores is a pure function of the counts — what
+    makes count-persistence sufficient), then both models Viterbi-
+    tokenize the held-out slice and must agree document-for-document.
+    Same checksum/versioning contract as ``bpe_artifact_roundtrip``."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+    from .llm import unigram as llm_unigram
+
+    d = _t(spark, sf_dir, "documents")
+    trained_rows = llm_unigram.unigram_train_viterbi(
+        d, "text", iters=2
+    ).collect()
+    art = spark.createDataFrame(
+        [(r["piece"], int(r["piece_count"])) for r in trained_rows],
+        "piece string, piece_count long",
+    )
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_tokart_uni_"))
+    version = ar.save_table("unigram_model", art)
+    loaded = ar.table("unigram_model")
+    cnts_t = {r["piece"]: int(r["piece_count"]) for r in trained_rows}
+    cnts_l = {r["piece"]: int(r["piece_count"]) for r in loaded.collect()}
+    held = d.filter(F.col("doc_id") % 2 == 1)
+    applied_t = _tokens_text(
+        llm_unigram.unigram_apply(
+            held, "doc_id", "text", llm_unigram.quantlog_scores(cnts_t)
+        )
+    )
+    applied_l = _tokens_text(
+        llm_unigram.unigram_apply(
+            held, "doc_id", "text", llm_unigram.quantlog_scores(cnts_l)
+        )
+    )
+    canon = F.concat_ws(
+        ":", F.col("piece"), F.col("piece_count").cast("string")
+    )
+    return _artifact_report(
+        spark, loaded, canon, version, held, applied_t, applied_l
+    )
+
+
+def _wordpiece_artifact_sql() -> str:
+    """Oracle for the WordPiece persistence gate: the vocabulary the
+    engine persists = alphabet CTE (same word split as the v0 training
+    CTE) ∪ the merge products of the nested train replay."""
+    return f"""
+    WITH art AS ({_wordpiece_train_sql(8)}),
+    wv AS (
+      SELECT DISTINCT word FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE word <> ''
+    ),
+    alpha AS (
+      SELECT DISTINCT substr(word, 1, 1) AS piece FROM wv
+      UNION
+      SELECT DISTINCT '##' || c AS piece
+      FROM (SELECT unnest(string_split(substr(word, 2), '')) AS c FROM wv)
+      WHERE c <> ''
+    ),
+    vocab AS (
+      SELECT DISTINCT piece FROM (
+        SELECT piece FROM alpha
+        UNION ALL
+        SELECT lhs || substr(rhs, 3) AS piece FROM art
+      )
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_artifact_rows,
+           {_artifact_checksum_sql('piece')} AS artifact_checksum,
+           CAST(1 AS INT) AS artifact_version,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE doc_id % 2 = 1) AS n_docs_applied,
+           CAST(0 AS BIGINT) AS n_apply_mismatch,
+           TRUE AS roundtrip_ok
+    FROM vocab
+    """
+
+
+@spec(
+    "wordpiece_artifact_roundtrip",
+    "EXT-wordpiece EXT-artifact S14 S16",
+    oracle=_wordpiece_artifact_sql(),
+)
+def wordpiece_artifact_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-artifact persistence for WordPiece — the artifact is
+    the VOCABULARY (what greedy apply consumes): the corpus alphabet
+    (bare first chars + ##-continuations, from the same word split as
+    training) plus the 8 trained merge products. The reloaded pieces
+    drive ``wordpiece_apply`` with its vocabulary-derived probe bound
+    (llm/wordpiece.py vocab_probe_bound — the r07-ADVICE fix that makes
+    this composition lossless when merges chain past MAX_PIECE_CHARS),
+    and held-out tokenization from the loaded vocabulary must equal the
+    in-session one. The oracle rebuilds the identical vocabulary from
+    its train replay plus an alphabet CTE over the same word split, and
+    hash-checks the piece checksum."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+    from .llm.bpe import word_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    merges = llm_wordpiece.wordpiece_train(d, "text", 8, distinct_pairs=True)
+    wv = word_vocab(d, "text").select("word")
+    first = wv.select(F.substring("word", 1, 1).alias("piece"))
+    conts = wv.select(
+        F.explode(
+            F.filter(
+                F.split(F.substring(F.col("word"), 2, 1 << 30), ""),
+                lambda c: c != F.lit(""),
+            )
+        ).alias("c")
+    ).select(F.concat(F.lit("##"), F.col("c")).alias("piece"))
+    alpha = {r["piece"] for r in first.union(conts).distinct().collect()}
+    vocab_trained = alpha | {l + r[2:] for l, r, *_ in merges}
+    art = spark.createDataFrame(
+        sorted((p,) for p in vocab_trained), "piece string"
+    )
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_tokart_wp_"))
+    version = ar.save_table("wordpiece_model", art)
+    loaded = ar.table("wordpiece_model")
+    vocab_loaded = {r["piece"] for r in loaded.collect()}
+    held = d.filter(F.col("doc_id") % 2 == 1)
+    applied_t = _tokens_text(
+        llm_wordpiece.wordpiece_apply(held, "doc_id", "text", vocab_trained)
+    )
+    applied_l = _tokens_text(
+        llm_wordpiece.wordpiece_apply(held, "doc_id", "text", vocab_loaded)
+    )
+    return _artifact_report(
+        spark, loaded, F.col("piece"), version, held, applied_t, applied_l
+    )
+
+
+# ----------------------------------------------------------------------
 # HTML → clean-text extraction (EXT-html; round 6)
 # ----------------------------------------------------------------------
 
