@@ -81,3 +81,64 @@ def test_incremental_distinct_sketch(spark):
         assert abs(r.approx_uniq_users - r.exact_uniq) <= max(
             2, 0.05 * r.exact_uniq
         ), (r.approx_uniq_users, r.exact_uniq)
+
+
+def test_incremental_ivf_fold_equals_rebuild(spark):
+    """Folding a new batch into frozen-centroid inverted lists ==
+    rebuilding from scratch — per-row assignment is order-independent
+    (round-8 incremental-ANN story, unit scale)."""
+    from youtube_scraper_db_spark.llm import similarity as S
+
+    e = read_table(spark, SF, "embeddings")
+    cdf = e.filter((F.col("vec_id") < 6) & (F.col("vec_id") % 3 != 2)).select(
+        F.col("vec_id").alias("cid"), S.as_double("embedding").alias("cv")
+    )
+    base = e.filter(F.col("vec_id") % 3 != 2)
+    batch = e.filter(F.col("vec_id") % 3 == 2)
+    inc = (
+        S.ivf_index(base, cdf)
+        .unionByName(S.ivf_index(batch, cdf))
+        .select("vec_id", "cluster")
+    )
+    full = S.ivf_index(e, cdf).select("vec_id", "cluster")
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+    assert inc.count() == e.count()
+
+
+def test_incremental_pq_encode_equals_reencode(spark):
+    """Encoding a new batch with frozen codebooks and unioning onto the
+    stored codes == re-encoding the whole corpus."""
+    from youtube_scraper_db_spark.llm import similarity as S
+
+    e = read_table(spark, SF, "embeddings").limit(200).localCheckpoint()
+    base = e.filter(F.col("vec_id") % 3 != 2)
+    batch = e.filter(F.col("vec_id") % 3 == 2)
+    books = S.pq_train_codebooks(base, k=8, sample_n=64)
+
+    def canon(df):
+        return sorted(
+            (r["vec_id"], tuple(r["codes"])) for r in df.collect()
+        )
+
+    inc = canon(S.pq_encode(base, books)) + canon(S.pq_encode(batch, books))
+    full = canon(S.pq_encode(e, books))
+    assert sorted(inc) == full
+
+
+def test_pq_topk_from_codes_matches_fused_kernel(spark):
+    """The stored-codes search path returns the same top-k as the fused
+    one-shot pq_ann_topk (same books, same pool)."""
+    from youtube_scraper_db_spark.llm import similarity as S
+
+    e = read_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        S.as_double("embedding").alias("qv")
+    )
+    books = S.pq_train_codebooks(e, k=8, sample_n=128)
+    codes = S.pq_encode(e, books)
+    split = S.pq_topk_from_codes(codes, e, q, books, k=5, pool=50).collect()
+    fused = S.pq_ann_topk(e, q, books, k=5, pool=50).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in split] == [
+        (r["vec_id"], r["cos_sim"]) for r in fused
+    ]

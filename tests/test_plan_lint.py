@@ -45,6 +45,10 @@ ARROW_STAGES = {
     "pq_ann_recall",             # PQ encode/ADC kernel is mapInPandas
     "heavy_hitter_words",        # Misra-Gries summary is mapInPandas
     "token_runs_udtf",           # Arrow-optimized lateral UDTF (the §2.10 surface demo)
+    "bpe_artifact_roundtrip",      # two memoized apply kernels (trained vs loaded model)
+    "unigram_artifact_roundtrip",  # two memoized Viterbi apply kernels
+    "wordpiece_artifact_roundtrip",  # two memoized greedy-match apply kernels
+    "incremental_pq_equiv",      # PQ encode/ADC kernels over base+batch+full
 }
 
 #: queries where a BroadcastNestedLoopJoin is the documented, bounded
@@ -79,7 +83,14 @@ BNLJ_OK = {
     "cms_union_merge",      # 1-row cell-diff/estimate/exact scalar joins
     "bloom_union_merge",    # 1-row report × bit-count × equality scalars
     "doc_bigram_quality",   # 1-row smoothed-total scalar broadcast
+    "doc_trigram_quality",  # same 1-row smoothed-total broadcast, one more order
     "histogram_quantile_sketch",  # 1-row stats/pick/exact/merge scalars
+    "stream_histogram_quantiles",  # same scalars over the drained bins
+    "incremental_ivf_equiv",  # nprobe centroid scalar + 1-row equiv/recall scalars
+    "incremental_pq_equiv",   # 1-row code/topk/recall scalar joins
+    "bpe_artifact_roundtrip",      # 1-row checksum/count/mismatch scalar joins
+    "unigram_artifact_roundtrip",  # 1-row checksum/count/mismatch scalar joins
+    "wordpiece_artifact_roundtrip",  # 1-row checksum/count/mismatch scalar joins
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the
@@ -91,6 +102,7 @@ SINGLE_PARTITION_OK = {
     "top_suppliers_with_ties",  # global rank over |suppliers| aggregated counts
     "supplier_revenue_deciles",  # ntile/cume_dist over |suppliers| aggregated partials
     "histogram_quantile_sketch",  # cumulative sum over 64 aggregated bins
+    "stream_histogram_quantiles",  # same 64-bin cumulative sum (drained counters)
 }
 
 

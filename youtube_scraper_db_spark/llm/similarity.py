@@ -397,6 +397,64 @@ def kmeans_centroids(
     return cdf
 
 
+def ivf_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build (or EXTEND) the IVF inverted-lists table: ``(id, v, vn,
+    cluster)`` — one map-only assignment pass against the broadcast
+    centroid row (``assign_clusters``), zero shuffle. Because
+    assignment is per-row against FROZEN centroids, folding a new
+    embedding batch into an existing index is ``ivf_index(new_batch,
+    same_centroids)`` unioned onto the stored lists — the daily-growth
+    operation at 100 TB costs one scan of the NEW rows only, no
+    retrain, and is exactly equal to a full rebuild
+    (``incremental_ivf_equiv`` gates this)."""
+    base = (
+        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    return assign_clusters(base, centroids)
+
+
+def ivf_search_index(
+    index: DataFrame,
+    centroids: DataFrame,
+    query_df: DataFrame,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a prebuilt IVF index: probe the ``nprobe`` lists nearest
+    the query (broadcast semi-join — prunes the exact re-rank to
+    ~nprobe/n_centroids of the corpus), exact cosine re-rank inside."""
+    probe = (
+        centroids.crossJoin(F.broadcast(query_df))
+        .select("cid", F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("qc"))
+        .orderBy(F.desc("qc"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    probed = index.join(
+        F.broadcast(probe), index["cluster"] == probe["cid"], "left_semi"
+    )
+    return (
+        probed.crossJoin(F.broadcast(query_df))
+        .select(
+            F.col(id_col),
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.col("vn") * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     query_df: DataFrame,
@@ -416,43 +474,17 @@ def ivf_ann_topk(
     Pass ``centroids=(cid, cv)`` (e.g. from ``kmeans_centroids``) to swap
     in a refined quantizer; nothing else changes.
 
-    Assignment is map-side via one broadcast centroid row
-    (``assign_clusters``); the probe is a broadcast semi-join pruning the
-    exact re-rank to roughly ``nprobe/n_centroids`` of the corpus."""
+    Composed of ``ivf_index`` (map-side broadcast assignment) +
+    ``ivf_search_index`` (broadcast probe semi-join + exact re-rank)."""
     if centroids is None:
         cdf = emb.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
         )
     else:
         cdf = centroids.select("cid", "cv")
-
-    base = (
-        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
-        .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    )
-    assigned = assign_clusters(base, cdf)
-    probe = (
-        cdf.crossJoin(F.broadcast(query_df))
-        .select("cid", F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("qc"))
-        .orderBy(F.desc("qc"), F.asc("cid"))
-        .limit(nprobe)
-        .select("cid")
-    )
-    probed = assigned.join(
-        F.broadcast(probe), assigned["cluster"] == probe["cid"], "left_semi"
-    )
-    return (
-        probed.crossJoin(F.broadcast(query_df))
-        .select(
-            F.col(id_col),
-            F.round(
-                _dot(F.col("v"), F.col("qv"))
-                / (F.col("vn") * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
-                4,
-            ).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
+    index = ivf_index(emb, cdf, id_col=id_col, vec_col=vec_col)
+    return ivf_search_index(
+        index, cdf, query_df, nprobe=nprobe, k=k, id_col=id_col
     )
 
 
@@ -614,6 +646,95 @@ def pq_ann_topk(
     ).mapInPandas(kernel, schema="vec_id long, adc double")
     cand = scored.orderBy(F.asc("adc"), F.asc("vec_id")).limit(pool).select("vec_id")
     pool_vecs = emb.join(F.broadcast(cand), emb[id_col] == cand["vec_id"], "left_semi")
+    return cosine_topk(pool_vecs, query_df, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def pq_encode(
+    emb: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes under FROZEN codebooks: ``(vec_id,
+    codes array<int>)`` — m argmin-centroid bytes per vector, map-only
+    Arrow kernel (codebooks ride the closure). Per-row deterministic
+    against frozen books, so encoding a NEW batch and unioning onto the
+    stored code table is exactly equal to re-encoding the whole corpus
+    (``incremental_pq_equiv`` gates this) — the daily-growth operation
+    for a 100 TB PQ store: one scan of the new rows, no codebook
+    retrain. ``pq_ann_topk`` keeps the fused encode+score kernel for
+    the one-shot path; this split form is the STORED-codes path (the
+    scan that matters at scale reads 8 code bytes per vector, not the
+    vector)."""
+    import numpy as np
+
+    m, kk, ds = books.shape
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.stack(pdf["v"].to_numpy())
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            cols = []
+            for j in range(m):
+                cols.append(
+                    ((X[:, j * ds : (j + 1) * ds][:, None, :]
+                      - books[j][None, :, :]) ** 2)
+                    .sum(-1)
+                    .argmin(1)
+                )
+            codes = np.stack(cols, axis=1).astype(int)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes.tolist())}
+            )
+
+    return emb.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v")
+    ).mapInPandas(kernel, schema="vec_id long, codes array<int>")
+
+
+def pq_topk_from_codes(
+    codes_df: DataFrame,
+    emb: DataFrame,
+    query_df: DataFrame,
+    books,
+    k: int = 10,
+    pool: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC search over a STORED code table: score each code row
+    against the query's precomputed m×k ADC table (one numpy gather —
+    the scan never touches the vectors), TakeOrdered the ``pool`` best,
+    exact cosine re-rank of the pool, top ``k``."""
+    import numpy as np
+
+    q = np.array(query_df.select(F.col("qv")).first()["qv"], dtype=np.float64)
+    q /= np.linalg.norm(q)
+    m, kk, ds = books.shape
+    tab = np.stack(
+        [((q[j * ds : (j + 1) * ds][None, :] - books[j]) ** 2).sum(-1)
+         for j in range(m)]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            C = np.stack(pdf["codes"].to_numpy()).astype(int)
+            adc = tab[np.arange(m)[None, :], C].sum(1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "adc": adc})
+
+    scored = codes_df.select("vec_id", "codes").mapInPandas(
+        kernel, schema="vec_id long, adc double"
+    )
+    cand = scored.orderBy(F.asc("adc"), F.asc("vec_id")).limit(pool).select(
+        "vec_id"
+    )
+    pool_vecs = emb.join(
+        F.broadcast(cand), emb[id_col] == cand["vec_id"], "left_semi"
+    )
     return cosine_topk(pool_vecs, query_df, k=k, id_col=id_col, vec_col=vec_col)
 
 

@@ -1867,6 +1867,189 @@ def ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "incremental_ivf_equiv",
+    "LLM-sim-ann-ivf EXT-ann-incr",
+    oracle="""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 20 AND vec_id % 5 != 4),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROUND(list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 6) AS acos
+      FROM e CROSS JOIN c
+    ),
+    asn AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY acos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cid FROM c CROSS JOIN q
+      ORDER BY ROUND(list_dot_product(qv, c.cv) /
+                     (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid
+      LIMIT 4
+    ),
+    topk AS (
+      SELECT a.vec_id,
+             ROUND(list_dot_product(a.v, qv) /
+                   (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+      FROM asn a JOIN probe USING (cid) CROSS JOIN q
+      ORDER BY cos_sim DESC, a.vec_id
+      LIMIT 10
+    ),
+    exact10 AS (
+      SELECT e.vec_id FROM e CROSS JOIN q
+      ORDER BY ROUND(list_dot_product(e.v, qv) /
+                     (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(qv, qv))), 4) DESC, e.vec_id
+      LIMIT 10
+    ),
+    hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS recall_hits
+             FROM topk JOIN exact10 USING (vec_id))
+    SELECT t.vec_id, t.cos_sim, TRUE AS equiv_consistent, h.recall_hits
+    FROM topk t, hits h
+    """,
+)
+def incremental_ivf_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF index maintenance (r07 verdict item 3) — the
+    ``incremental_rollup_equiv`` two-batch device applied to ANN: the
+    corpus splits into a base (vec_id%5≠4) and a new daily batch
+    (vec_id%5=4); centroids are frozen from the BASE (its 16 lowest
+    ids), the batch folds into the existing inverted lists with ONE
+    map-only assignment pass over the NEW rows only
+    (llm/similarity.py ivf_index — no retrain, no rebuild shuffle), and
+    searching the folded index must return EXACTLY the top-10 a full
+    rebuild on the union returns (``equiv_consistent``: per-row
+    assignment against frozen centroids is order-independent — the
+    property that makes daily growth O(batch) at 100 TB).
+    ``recall_hits`` rides along as an EXACT hash-checked value (both
+    the IVF search and the brute-force top-10 are SQL-expressible), a
+    stronger oracle than the threshold-boolean recall gates."""
+    ensure_utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    cdf = e.filter(
+        (F.col("vec_id") < 20) & (F.col("vec_id") % 5 != 4)
+    ).select(
+        F.col("vec_id").alias("cid"),
+        llm_similarity.as_double("embedding").alias("cv"),
+    )
+    base = e.filter(F.col("vec_id") % 5 != 4)
+    batch = e.filter(F.col("vec_id") % 5 == 4)
+    idx_inc = llm_similarity.ivf_index(base, cdf).unionByName(
+        llm_similarity.ivf_index(batch, cdf)
+    )
+    idx_full = llm_similarity.ivf_index(e, cdf)
+    topk_inc = llm_similarity.ivf_search_index(
+        idx_inc, cdf, q, nprobe=4, k=10
+    ).localCheckpoint()
+    topk_full = llm_similarity.ivf_search_index(
+        idx_full, cdf, q, nprobe=4, k=10
+    )
+    diff = (
+        topk_inc.exceptAll(topk_full)
+        .union(topk_full.exceptAll(topk_inc))
+        .agg((F.count(F.lit(1)) == 0).alias("equiv_consistent"))
+    )
+    exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
+    hits = (
+        topk_inc.select("vec_id")
+        .join(exact10, ["vec_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("recall_hits"))
+    )
+    return topk_inc.crossJoin(diff).crossJoin(hits)
+
+
+@spec(
+    "incremental_pq_equiv",
+    "EXT-pq-ann EXT-ann-incr LLM-sim-ann",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS returned, TRUE AS code_consistent,
+           TRUE AS topk_consistent, TRUE AS recall_ok
+    """,
+)
+def incremental_pq_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ code-store maintenance: codebooks train once on
+    the BASE slice (vec_id%5≠4 — frozen, the production recipe), the
+    new batch encodes with those frozen books in one map-only Arrow
+    pass (llm/similarity.py pq_encode) and unions onto the stored code
+    table; the folded codes must equal a full re-encode cell-for-cell
+    (``code_consistent`` — per-row argmin against frozen books), the
+    ADC search through the folded codes must return the identical
+    top-10 (``topk_consistent``), and the re-ranked result must hit
+    ≥ 8 of the exact top-10 (the pq_ann_recall contract). PQ's numpy
+    internals aren't SQL-expressible, so the oracle checks the reduced
+    scalars like pq_ann_recall."""
+    ensure_utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    base = e.filter(F.col("vec_id") % 5 != 4)
+    batch = e.filter(F.col("vec_id") % 5 == 4)
+    books = llm_similarity.pq_train_codebooks(base, k=32)
+
+    def _codes_str(df):
+        return df.select(
+            "vec_id",
+            F.concat_ws(",", F.col("codes").cast("array<string>")).alias(
+                "cs"
+            ),
+        )
+
+    codes_inc = (
+        llm_similarity.pq_encode(base, books)
+        .unionByName(llm_similarity.pq_encode(batch, books))
+        .localCheckpoint()
+    )
+    codes_full = llm_similarity.pq_encode(e, books).localCheckpoint()
+    code_diff = (
+        _codes_str(codes_inc)
+        .exceptAll(_codes_str(codes_full))
+        .union(_codes_str(codes_full).exceptAll(_codes_str(codes_inc)))
+        .agg((F.count(F.lit(1)) == 0).alias("code_consistent"))
+    )
+    topk_inc = llm_similarity.pq_topk_from_codes(
+        codes_inc, e, q, books, k=10, pool=400
+    ).localCheckpoint()
+    topk_full = llm_similarity.pq_topk_from_codes(
+        codes_full, e, q, books, k=10, pool=400
+    )
+    topk_diff = (
+        topk_inc.exceptAll(topk_full)
+        .union(topk_full.exceptAll(topk_inc))
+        .agg((F.count(F.lit(1)) == 0).alias("topk_consistent"))
+    )
+    exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
+    hits = (
+        topk_inc.select("vec_id")
+        .join(exact10, ["vec_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("hit_cnt"))
+    )
+    return (
+        topk_inc.agg(F.count(F.lit(1)).cast("long").alias("returned"))
+        .crossJoin(code_diff)
+        .crossJoin(topk_diff)
+        .crossJoin(hits)
+        .select(
+            "returned",
+            "code_consistent",
+            "topk_consistent",
+            (F.col("hit_cnt") >= 8).alias("recall_ok"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Batch 4 — mutation sinks (S10-S13), schema evolution (S16), checkpoint
 # skip (S18), validity/availability filters (P11/P13), remaining scalar
