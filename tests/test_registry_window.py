@@ -187,6 +187,30 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "stream_bloom_customer_filter",
         "histogram_quantile_sketch",
     },
+    # Round 8 (VERDICT r07 item 1 + this round's work): the four
+    # r03-rowed recall gates (the oldest driver-witnessed rows), the
+    # seven round-8 debuts (tokenizer persistence trio, incremental
+    # IVF/PQ, streaming histogram, trigram LM), and the four gates
+    # modified this round (histogram in-bin witness; CMS probe
+    # left-join) — over the nine fresh-r07-rowed window entries plus
+    # six r04-green unmodified aggregates.
+    8: {
+        "simhash_recall",
+        "lsh_near_dup_recall",
+        "lsh_ann_recall",
+        "ivf_kmeans_recall",
+        "stream_histogram_quantiles",
+        "doc_trigram_quality",
+        "bpe_artifact_roundtrip",
+        "unigram_artifact_roundtrip",
+        "wordpiece_artifact_roundtrip",
+        "incremental_ivf_equiv",
+        "incremental_pq_equiv",
+        "histogram_quantile_sketch",
+        "cms_user_counts",
+        "cms_union_merge",
+        "stream_cms_user_counts",
+    },
 }
 
 

@@ -1,0 +1,153 @@
+"""Calib-normalized cross-round bench comparison (r07 verdict item 6).
+
+Usage: python tools/bench_compare.py BENCH_r07.json BENCH_r08.json [-n 10]
+
+Raw per-query seconds are NOT comparable across rounds — each round runs
+on a fresh VM and BENCH_DRIFT.md measured a uniform 1.23× host shift on
+identical code+data. bench.py therefore emits a ``calib`` anchor
+(jvm_codegen / jvm_shuffle micro-benchmarks); this tool divides every
+query's seconds by its round's ``calib.jvm_codegen`` before comparing,
+so the printed ``calib_ratio`` is host-shift-free and drift triage is
+one command instead of a hand audit.
+
+Accepts either a raw bench stdout line or the driver's BENCH_r{N}.json
+wrapper — including the wrapper's known capture quirk where ``parsed``
+is null and ``tail`` truncates the HEAD of the JSON line (the queries
+map and calib block survive at the end; they are recovered by balanced-
+brace extraction).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+
+
+def _extract_object(text: str, key: str) -> dict | None:
+    """Balanced-brace JSON object extraction for ``"key": {...}`` from a
+    possibly head-truncated (and possibly escaped) JSON fragment."""
+    for needle in (f'"{key}": {{', f'\\"{key}\\": {{'):
+        i = text.find(needle)
+        if i < 0:
+            continue
+        start = text.index("{", i)
+        depth = 0
+        for j in range(start, len(text)):
+            if text[j] == "{":
+                depth += 1
+            elif text[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    frag = text[start : j + 1]
+                    if "\\" in needle:
+                        frag = frag.replace('\\"', '"')
+                    try:
+                        return json.loads(frag)
+                    except json.JSONDecodeError:
+                        return None
+    return None
+
+
+def load_bench(path: str) -> tuple[dict, dict]:
+    """→ (queries: name→sec, calib: dict). Handles the raw bench line,
+    the driver wrapper with ``parsed``, and the truncated-tail quirk."""
+    raw = open(path).read()
+    try:
+        doc = json.loads(raw)
+    except json.JSONDecodeError:
+        doc = None
+    candidates = []
+    if isinstance(doc, dict):
+        if "queries" in doc:
+            candidates.append(doc)
+        if isinstance(doc.get("parsed"), dict):
+            candidates.append(doc["parsed"])
+    for c in candidates:
+        if isinstance(c.get("queries"), dict):
+            return c["queries"], c.get("calib") or {}
+    # tail recovery (parsed: null wrapper)
+    text = doc.get("tail", raw) if isinstance(doc, dict) else raw
+    queries = _extract_object(text, "queries")
+    calib = _extract_object(text, "calib") or {}
+    if not queries:
+        sys.exit(f"could not recover a queries map from {path}")
+    return queries, calib
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument(
+        "-n", type=int, default=10, help="rows to print per direction"
+    )
+    ap.add_argument(
+        "--anchor", default="jvm_codegen", help="calib key to normalize by"
+    )
+    args = ap.parse_args()
+
+    qa, ca = load_bench(args.old)
+    qb, cb = load_bench(args.new)
+    anch_a = float(ca.get(args.anchor) or 0) or None
+    anch_b = float(cb.get(args.anchor) or 0) or None
+    if anch_a is None or anch_b is None:
+        print(
+            f"WARNING: calib.{args.anchor} missing "
+            f"({args.old}: {anch_a}, {args.new}: {anch_b}) — "
+            "calib_ratio falls back to raw",
+            file=sys.stderr,
+        )
+
+    shared = sorted(set(qa) & set(qb))
+    added = sorted(set(qb) - set(qa))
+    removed = sorted(set(qa) - set(qb))
+
+    rows = []
+    for name in shared:
+        a, b = float(qa[name]), float(qb[name])
+        raw_ratio = b / a if a else float("inf")
+        if anch_a and anch_b:
+            calib_ratio = (b / anch_b) / (a / anch_a) if a else float("inf")
+        else:
+            calib_ratio = raw_ratio
+        rows.append((name, a, b, raw_ratio, calib_ratio))
+
+    host = (anch_b / anch_a) if (anch_a and anch_b) else None
+    med_raw = statistics.median(r[3] for r in rows) if rows else None
+    med_cal = statistics.median(r[4] for r in rows) if rows else None
+    tot_a = sum(r[1] for r in rows)
+    tot_b = sum(r[2] for r in rows)
+
+    print(f"# bench compare: {args.old} -> {args.new}")
+    print(
+        f"shared {len(shared)} | added {len(added)} | removed {len(removed)}"
+    )
+    if host:
+        print(
+            f"host anchor {args.anchor}: {anch_a:.3f}s -> {anch_b:.3f}s "
+            f"(host shift x{host:.3f} — divided out of calib_ratio)"
+        )
+    print(
+        f"shared totals: {tot_a:.1f}s -> {tot_b:.1f}s | "
+        f"median raw x{med_raw:.3f} | median calib x{med_cal:.3f}"
+    )
+    hdr = f"{'query':<34}{'old_s':>8}{'new_s':>8}{'raw':>8}{'calib':>8}"
+    print("\nslowest-moving (calib_ratio desc):")
+    print(hdr)
+    for name, a, b, rr, cr in sorted(rows, key=lambda r: -r[4])[: args.n]:
+        print(f"{name:<34}{a:>8.2f}{b:>8.2f}{rr:>8.2f}{cr:>8.2f}")
+    print("\nfastest-moving (calib_ratio asc):")
+    print(hdr)
+    for name, a, b, rr, cr in sorted(rows, key=lambda r: r[4])[: args.n]:
+        print(f"{name:<34}{a:>8.2f}{b:>8.2f}{rr:>8.2f}{cr:>8.2f}")
+    if added:
+        cost = sum(float(qb[n]) for n in added)
+        print(f"\nadded ({cost:.1f}s): {', '.join(added)}")
+    if removed:
+        print(f"removed: {', '.join(removed)}")
+
+
+if __name__ == "__main__":
+    main()

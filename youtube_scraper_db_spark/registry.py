@@ -10806,6 +10806,38 @@ _swap_specs("stream_bloom_customer_filter", "doc_lang_id")
 # re-covered by round 8's natural [85:135].
 _swap_specs("histogram_quantile_sketch", "has_order_flag")
 
+# ---- Round 8 window bookkeeping (len 222, offset 300 % 222 = 78 →
+# window [78:128]). Fifteen targeted swaps; everything else in-window
+# stays put (indices 87-101 are r03-rowed and overdue — they get their
+# re-check untouched).
+#
+# (a) The four r03-rowed recall gates — the OLDEST driver-witnessed
+# rows in the registry (4 rounds stale) — and the five round-8 debuts
+# swap over the nine window entries holding FRESH r07 rows (indices
+# 78-86, the r07 window's tail — the only in-window entries checked
+# last round). Displaced entries land at tail indices the round-10
+# window ([178:222]+[0:6]) re-checks.
+_swap_specs("simhash_recall", "doc_pii_scrub")
+_swap_specs("lsh_near_dup_recall", "seq_packing_gate")
+_swap_specs("lsh_ann_recall", "bucketed_order_lines")
+_swap_specs("ivf_kmeans_recall", "regional_revenue")
+_swap_specs("stream_histogram_quantiles", "status_priority_rollup")
+_swap_specs("doc_trigram_quality", "event_user_moving_avg")
+_swap_specs("bpe_artifact_roundtrip", "top_orders_per_customer")
+_swap_specs("unigram_artifact_roundtrip", "incremental_dedup_new")
+_swap_specs("wordpiece_artifact_roundtrip", "event_value_delta")
+# (b) The remaining two debuts and the four gates MODIFIED this round
+# (histogram witness redefinition; CMS probe left-join fix) need fresh
+# rows and swap over six r04-green entries unmodified since their rows
+# — simple aggregates/layout gates, the lowest-risk class in the
+# window, re-entering at rounds 10-12 via their new tail/head indices.
+_swap_specs("incremental_ivf_equiv", "salted_supplier_revenue")
+_swap_specs("incremental_pq_equiv", "salted_distinct_users")
+_swap_specs("histogram_quantile_sketch", "adhoc_sql_nation_revenue")
+_swap_specs("cms_user_counts", "zorder_curve_keys")
+_swap_specs("cms_union_merge", "bpe_pair_counts")
+_swap_specs("stream_cms_user_counts", "status_priority_cube")
+
 
 def _offset_for_round(last_checked_round: int) -> int:
     """Pure rotation arithmetic: r01/r02 both checked REGISTRY[0:50], so
