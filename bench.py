@@ -97,6 +97,17 @@ HEADLINE = [
     "stream_bloom_customer_filter",
     # round 7: quantiles join the sketch family (fully oracle-replayed)
     "histogram_quantile_sketch",
+    # round 8: streaming histogram completes the streaming-sketch family
+    "stream_histogram_quantiles",
+    # round 8: order-3 stupid backoff (the production chain order)
+    "doc_trigram_quality",
+    # round 8: tokenizer-artifact persistence (train→save→reload→apply ×2)
+    "bpe_artifact_roundtrip",
+    "unigram_artifact_roundtrip",
+    "wordpiece_artifact_roundtrip",
+    # round 8: incremental ANN maintenance (fold a batch, no retrain)
+    "incremental_ivf_equiv",
+    "incremental_pq_equiv",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.
