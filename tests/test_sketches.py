@@ -225,8 +225,10 @@ def test_histogram_in_bin_holds_on_gappy_data(spark):
 
 def test_cms_probe_unseen_keys_estimate_zero(spark):
     """Probing keys the counters never saw (the merged-sketch entry
-    point's advertised case): absent cells coalesce to 0, so a fully
-    unseen key estimates 0 instead of vanishing or inflating."""
+    point's advertised case): absent cells coalesce to 0 so a fully
+    unseen key estimates 0 instead of vanishing or inflating, and with
+    the build frame as ``exact_from`` its exact count is 0 too — the
+    est ≥ exact witness stays a theorem on unseen keys."""
     build = spark.createDataFrame(
         [(i % 7,) for i in range(700)], "k long"
     )
@@ -234,15 +236,15 @@ def test_cms_probe_unseen_keys_estimate_zero(spark):
     probe = spark.createDataFrame(
         [(5, "seen"), (9001, "unseen")], "k long, tag string"
     )
-    est = {
-        r["k"]: (r["est"], r["exact"])
+    rows = {
+        r["k"]: r
         for r in S.cms_point_estimates_from_counters(
-            probe, "k", counters, depth=4, width=256
+            probe, "k", counters, depth=4, width=256, exact_from=build
         ).collect()
     }
-    assert set(est) == {5, 9001}, "unseen key must not vanish"
-    # the unseen key occurs once in the PROBE frame (exact=1) but its
-    # estimate comes from the build counters — 0 unless all 4 of its
-    # cells collide with built keys
-    assert est[9001][0] <= est[5][0]
-    assert est[5][0] >= 100  # 700 rows over 7 keys
+    assert set(rows) == {5, 9001}, "unseen key must not vanish"
+    assert rows[5]["exact"] == 100 and rows[5]["est"] >= 100
+    assert rows[9001]["exact"] == 0  # build-side count, not probe-frame
+    assert rows[9001]["est"] <= rows[5]["est"]
+    for r in rows.values():
+        assert r["overestimate_ok"], r  # est >= build-count: a theorem

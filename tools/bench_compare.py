@@ -115,10 +115,6 @@ def main() -> None:
         rows.append((name, a, b, raw_ratio, calib_ratio))
 
     host = (anch_b / anch_a) if (anch_a and anch_b) else None
-    med_raw = statistics.median(r[3] for r in rows) if rows else None
-    med_cal = statistics.median(r[4] for r in rows) if rows else None
-    tot_a = sum(r[1] for r in rows)
-    tot_b = sum(r[2] for r in rows)
 
     print(f"# bench compare: {args.old} -> {args.new}")
     print(
@@ -129,19 +125,27 @@ def main() -> None:
             f"host anchor {args.anchor}: {anch_a:.3f}s -> {anch_b:.3f}s "
             f"(host shift x{host:.3f} — divided out of calib_ratio)"
         )
-    print(
-        f"shared totals: {tot_a:.1f}s -> {tot_b:.1f}s | "
-        f"median raw x{med_raw:.3f} | median calib x{med_cal:.3f}"
-    )
-    hdr = f"{'query':<34}{'old_s':>8}{'new_s':>8}{'raw':>8}{'calib':>8}"
-    print("\nslowest-moving (calib_ratio desc):")
-    print(hdr)
-    for name, a, b, rr, cr in sorted(rows, key=lambda r: -r[4])[: args.n]:
-        print(f"{name:<34}{a:>8.2f}{b:>8.2f}{rr:>8.2f}{cr:>8.2f}")
-    print("\nfastest-moving (calib_ratio asc):")
-    print(hdr)
-    for name, a, b, rr, cr in sorted(rows, key=lambda r: r[4])[: args.n]:
-        print(f"{name:<34}{a:>8.2f}{b:>8.2f}{rr:>8.2f}{cr:>8.2f}")
+    if rows:
+        med_raw = statistics.median(r[3] for r in rows)
+        med_cal = statistics.median(r[4] for r in rows)
+        tot_a = sum(r[1] for r in rows)
+        tot_b = sum(r[2] for r in rows)
+        print(
+            f"shared totals: {tot_a:.1f}s -> {tot_b:.1f}s | "
+            f"median raw x{med_raw:.3f} | median calib x{med_cal:.3f}"
+        )
+    else:
+        print("no shared queries — skipping ratio table")
+    if rows:
+        hdr = f"{'query':<34}{'old_s':>8}{'new_s':>8}{'raw':>8}{'calib':>8}"
+        print("\nslowest-moving (calib_ratio desc):")
+        print(hdr)
+        for name, a, b, rr, cr in sorted(rows, key=lambda r: -r[4])[: args.n]:
+            print(f"{name:<34}{a:>8.2f}{b:>8.2f}{rr:>8.2f}{cr:>8.2f}")
+        print("\nfastest-moving (calib_ratio asc):")
+        print(hdr)
+        for name, a, b, rr, cr in sorted(rows, key=lambda r: r[4])[: args.n]:
+            print(f"{name:<34}{a:>8.2f}{b:>8.2f}{rr:>8.2f}{cr:>8.2f}")
     if added:
         cost = sum(float(qb[n]) for n in added)
         print(f"\nadded ({cost:.1f}s): {', '.join(added)}")

@@ -50,6 +50,8 @@ EVENT_QUERIES = [
     "stream_hll_distinct_users",
     "stream_cms_user_counts",
     "histogram_quantile_sketch",
+    # round 8: streaming histogram — O(64) state while input grows
+    "stream_histogram_quantiles",
 ]
 DOC_QUERIES = [
     "doc_token_stats",
@@ -75,6 +77,13 @@ DOC_QUERIES = [
     "wordpiece_trained_merges",
     "wordpiece_apply_tokens",
     "doc_bigram_quality",
+    # round 8: one more backoff order (trigram model tables stay
+    # type-counted) and the persistence round-trips (vocab-bounded
+    # train + commit + reload + two held-out apply passes — the ratio
+    # reads as scan cost, the artifact cost is corpus-independent)
+    "doc_trigram_quality",
+    "bpe_artifact_roundtrip",
+    "wordpiece_artifact_roundtrip",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

@@ -286,15 +286,44 @@ def cms_point_estimates_from_counters(
     counters: DataFrame,
     depth: int = 4,
     width: int = 4096,
+    exact_from: DataFrame | None = None,
 ) -> DataFrame:
     """``cms_point_estimates`` probing an EXPLICIT counter table — the
     entry point for estimating through merged sketches (``cms_merge``),
-    where the counters were built from parts the prober never saw."""
+    where the counters were built from parts the prober never saw.
+
+    ``exact`` (and hence the ``overestimate_ok`` witness est ≥ exact)
+    must count the key in the BUILD data the counters summarize — CMS
+    guarantees est ≥ build-count, not est ≥ any-frame-count. By default
+    ``df`` is assumed to BE the build input (every current gate probes
+    the build frame, so the one-pass groupBy is kept). When probing
+    keys from a DIFFERENT frame, pass the build frame as
+    ``exact_from``: probe keys are deduped and their exact counts come
+    from it (0 for keys the build never saw — making the witness a
+    theorem instead of a spurious violation)."""
     h1, h2 = _h1h2(F.col("k"))
+    if exact_from is not None:
+        keys = (
+            df.where(F.col(key).isNotNull())
+            .select(F.col(key).alias("k"))
+            .distinct()
+        )
+        bcounts = (
+            exact_from.where(F.col(key).isNotNull())
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("__bc"))
+        )
+        grouped = keys.join(bcounts, "k", "left").select(
+            "k", F.coalesce("__bc", F.lit(0)).alias("exact")
+        )
+    else:
+        grouped = (
+            df.where(F.col(key).isNotNull())
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("exact"))
+        )
     probes = (
-        df.where(F.col(key).isNotNull())
-        .groupBy(F.col(key).alias("k"))
-        .agg(F.count(F.lit(1)).alias("exact"))
+        grouped
         # bind the digest halves ONCE per key — inlining _h1h2 into
         # every seed expression would carry depth×2 md5 subtrees and
         # lean on codegen CSE this codebase deliberately doesn't trust

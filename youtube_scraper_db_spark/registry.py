@@ -9596,7 +9596,6 @@ _ART_CHECK_MOD = 1_000_000_007
 
 
 def _artifact_report(
-    spark: SparkSession,
     loaded: DataFrame,
     canon,
     version: int,
@@ -9737,7 +9736,7 @@ def bpe_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pair_count").cast("string"),
     )
     return _artifact_report(
-        spark, loaded, canon, version, held, applied_t, applied_l
+        loaded, canon, version, held, applied_t, applied_l
     )
 
 
@@ -9791,7 +9790,7 @@ def unigram_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ":", F.col("piece"), F.col("piece_count").cast("string")
     )
     return _artifact_report(
-        spark, loaded, canon, version, held, applied_t, applied_l
+        loaded, canon, version, held, applied_t, applied_l
     )
 
 
@@ -9886,7 +9885,7 @@ def wordpiece_artifact_roundtrip(
         llm_wordpiece.wordpiece_apply(held, "doc_id", "text", vocab_loaded)
     )
     return _artifact_report(
-        spark, loaded, F.col("piece"), version, held, applied_t, applied_l
+        loaded, F.col("piece"), version, held, applied_t, applied_l
     )
 
 
@@ -10536,9 +10535,12 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     internals aren't SQL-expressible) the DuckDB oracle hash-checks the
     ESTIMATES themselves. The one row carries all three sketch
     contracts at once: the estimates beside their exact
-    ``percentile``/``quantile_cont`` twins, the defining error bound
-    |estimate − exact| ≤ bin width as checked columns (the true
-    quantile lies inside the interpolated bin), and MERGEABILITY —
+    ``percentile``/``quantile_cont`` twins, the structural guarantee
+    "estimate lies INSIDE the bin covering rank n·q" as checked
+    ``{tag}_in_bin`` columns (a theorem; |est − exact| ≤ bin width is
+    deliberately NOT claimed — the sketch ranks at n·q while
+    percentile ranks at (n−1)·q, which straddles empty bins on gappy
+    data, see operators/sketches.py), and MERGEABILITY —
     disjoint event_id halves binned independently and summed must equal
     the direct histogram cell-for-cell (integer sum; the CMS economics
     applied to quantiles: O(bins) state, map-side partial combine,
@@ -10587,25 +10589,31 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     srow = stats.first()  # two doubles + a count — the sketch config
-    stream = (
-        read_table_stream(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
-        .select(
-            op_sketches.histogram_bin_expr(
-                F.col("value").cast("double"),
-                F.lit(float(srow["lo"])),
-                F.lit(float(srow["hi"])),
-                bins,
-            ).alias("bin")
+    if srow["lo"] is None:
+        # no non-null values: nothing to stream — an empty counter
+        # table flows through the same report path, degrading to the
+        # identical 0-row report the batch twin (and the oracle) emits
+        drained = spark.createDataFrame([], "bin long, cnt long")
+    else:
+        stream = (
+            read_table_stream(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull())
+            .select(
+                op_sketches.histogram_bin_expr(
+                    F.col("value").cast("double"),
+                    F.lit(float(srow["lo"])),
+                    F.lit(float(srow["hi"])),
+                    bins,
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    drained = _run_stream(
-        stream,
-        state_partitions=_stream_parallelism(spark),
-        output_mode="complete",
-    )
+        drained = _run_stream(
+            stream,
+            state_partitions=_stream_parallelism(spark),
+            output_mode="complete",
+        )
     binned = src.crossJoin(F.broadcast(stats)).select(
         op_sketches.histogram_bin_expr(
             F.col("v"), F.col("lo"), F.col("hi"), bins
