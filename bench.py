@@ -108,6 +108,11 @@ HEADLINE = [
     # round 8: incremental ANN maintenance (fold a batch, no retrain)
     "incremental_ivf_equiv",
     "incremental_pq_equiv",
+    # round 8 (late): LM-model persistence, streaming Misra-Gries with
+    # O(buckets·k) state, histogram-driven balanced range-sharding
+    "bigram_model_artifact_roundtrip",
+    "stream_heavy_hitter_words",
+    "histogram_range_shards",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

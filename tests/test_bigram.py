@@ -159,3 +159,30 @@ def test_empty_training_slice_degenerates_totally(spark):
     want = BG.py_bigram_scores(rows, {0})
     assert got == want
     assert got[1] == (0, 3, 2) and got[5] == (0, 1, 0)
+
+
+def test_scores_from_persisted_model_tables(spark, tmp_path):
+    """bigram_doc_scores == bigram_doc_scores_from_model over tables
+    that round-tripped through a versioned archive commit — the LM's
+    persistable state is exactly the two count tables."""
+    from youtube_scraper_db_spark.archive import Archive
+    from youtube_scraper_db_spark.llm.bigram import (
+        bigram_doc_scores_from_model,
+        bigram_model_tables,
+    )
+
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    pred = F.col("id") % 2 == 0
+    uni, big = bigram_model_tables(df, "doc_id", "text", pred)
+    ar = Archive(spark, str(tmp_path / "db"))
+    assert ar.save_table("bigram_uni", uni) == 1
+    assert ar.save_table("bigram_big", big) == 1
+    direct = {tuple(r) for r in BG.bigram_doc_scores(
+        df, "doc_id", "text", pred
+    ).collect()}
+    loaded = {tuple(r) for r in bigram_doc_scores_from_model(
+        df, "doc_id", "text", ar.table("bigram_uni"), ar.table("bigram_big")
+    ).collect()}
+    assert direct == loaded == {
+        (i, *v) for i, v in BG.py_bigram_scores(ROWS, TRAIN_IDS).items()
+    }

@@ -61,3 +61,74 @@ def test_boundary_is_strictly_greater(spark):
     rows = ["edge"] * 25 + [f"y{i}" for i in range(75)]  # 25 * 4 == 100
     got = _check(spark, rows, k=4)
     assert got == set()
+
+
+def test_recount_exact_with_any_superset(spark):
+    """Stage 2 (recount_candidates) gives the exact answer for ANY
+    candidate superset — extra never-heavy candidates are filtered by
+    the threshold, so the streaming form's update-mode union (a looser
+    superset than the final summary) is safe."""
+    from youtube_scraper_db_spark.operators.heavy_hitters import (
+        recount_candidates,
+    )
+
+    rows = ["hot"] * 400 + [f"r{i}" for i in range(600)]
+    df = spark.createDataFrame([(w,) for w in rows], "w string")
+    superset = spark.createDataFrame(
+        [("hot",), ("r0",), ("never-seen",)], "w string"
+    )
+    got = {
+        (r.w, r.cnt, r.n_total)
+        for r in recount_candidates(df, superset, "w", 8).collect()
+    }
+    assert got == {("hot", 400, 1000)}
+
+
+def test_streaming_mg_matches_batch(spark, tmp_path):
+    """Cross-micro-batch MG state fold == batch heavy hitters: two
+    source files split a heavy hitter's occurrences, so only the
+    carried state can see its full count."""
+    from youtube_scraper_db_spark.operators.heavy_hitters import (
+        recount_candidates,
+    )
+    from youtube_scraper_db_spark.streaming.heavy_hitters import (
+        mg_candidate_stream,
+    )
+
+    rows = ["hh"] * 900 + [f"r{i % 400}" for i in range(2100)]
+    random.Random(7).shuffle(rows)
+    half = len(rows) // 2
+    src = tmp_path / "src"
+    for tag, part in (("f1", rows[:half]), ("f2", rows[half:])):
+        spark.createDataFrame(
+            [(w,) for w in part], "w string"
+        ).coalesce(1).write.parquet(str(src / tag))
+
+    stream = (
+        spark.readStream.schema("w string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    collected: list = []
+
+    def sink(batch, epoch_id):
+        collected.extend(batch.collect())
+
+    (
+        mg_candidate_stream(stream, "w", k=8, buckets=4)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    cands = spark.createDataFrame(
+        [(r.w,) for r in collected], "w string"
+    ).distinct()
+    df = spark.createDataFrame([(w,) for w in rows], "w string")
+    got = {
+        (r.w, r.cnt) for r in recount_candidates(df, cands, "w", 8).collect()
+    }
+    want = _exact(df, 8)
+    assert got == want and ("hh", 900) in got

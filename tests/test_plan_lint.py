@@ -49,6 +49,7 @@ ARROW_STAGES = {
     "unigram_artifact_roundtrip",  # two memoized Viterbi apply kernels
     "wordpiece_artifact_roundtrip",  # two memoized greedy-match apply kernels
     "incremental_pq_equiv",      # PQ encode/ADC kernels over base+batch+full
+    "stream_heavy_hitter_words",  # recount joins the drained MG candidates
 }
 
 #: queries where a BroadcastNestedLoopJoin is the documented, bounded
@@ -91,6 +92,9 @@ BNLJ_OK = {
     "bpe_artifact_roundtrip",      # 1-row checksum/count/mismatch scalar joins
     "unigram_artifact_roundtrip",  # 1-row checksum/count/mismatch scalar joins
     "wordpiece_artifact_roundtrip",  # 1-row checksum/count/mismatch scalar joins
+    "bigram_model_artifact_roundtrip",  # 1-row checksum/mismatch scalars
+    "stream_heavy_hitter_words",  # 1-row total scalar vs candidate counts
+    "histogram_range_shards",     # 1-row stats/cap scalar broadcasts
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the
@@ -103,6 +107,7 @@ SINGLE_PARTITION_OK = {
     "supplier_revenue_deciles",  # ntile/cume_dist over |suppliers| aggregated partials
     "histogram_quantile_sketch",  # cumulative sum over 64 aggregated bins
     "stream_histogram_quantiles",  # same 64-bin cumulative sum (drained counters)
+    "histogram_range_shards",  # 64-bin cumsum + lag over <=8 shard rows
 }
 
 

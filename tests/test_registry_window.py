@@ -210,6 +210,11 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "cms_user_counts",
         "cms_union_merge",
         "stream_cms_user_counts",
+        # late-round-8 debuts (LM persistence, streaming Misra-Gries,
+        # histogram range-sharding)
+        "bigram_model_artifact_roundtrip",
+        "stream_heavy_hitter_words",
+        "histogram_range_shards",
     },
 }
 

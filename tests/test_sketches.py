@@ -248,3 +248,39 @@ def test_cms_probe_unseen_keys_estimate_zero(spark):
     assert rows[9001]["est"] <= rows[5]["est"]
     for r in rows.values():
         assert r["overestimate_ok"], r  # est >= build-count: a theorem
+
+
+def test_histogram_range_shards_invariants(spark):
+    """Shard counts sum to n, ranges are disjoint and ordered, every
+    shard respects the quota + one-bin structural bound, and the report
+    is deterministic across partitionings."""
+    df = spark.createDataFrame(
+        [(i, float((i * 131) % 997)) for i in range(6000)],
+        "id long, v double",
+    )
+    rows = sorted(
+        S.histogram_range_shard_report(df, "v", bins=64, shards=8).collect(),
+        key=lambda r: r["shard"],
+    )
+    assert sum(r["n_rows"] for r in rows) == 6000
+    assert all(r["balanced_ok"] for r in rows), rows
+    assert all(r["range_disjoint"] for r in rows), rows
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_val"] <= b["lo_val"]
+    # near-balance in practice on a smooth distribution: no shard more
+    # than ~2x the even split (structural bound is quota + max bin)
+    assert max(r["n_rows"] for r in rows) <= 2 * (6000 // 8)
+    again = sorted(
+        S.histogram_range_shard_report(
+            df.repartition(13), "v", bins=64, shards=8
+        ).collect(),
+        key=lambda r: r["shard"],
+    )
+    assert [r.asDict() for r in again] == [r.asDict() for r in rows]
+
+
+def test_histogram_range_shards_degenerate_single_value(spark):
+    df = spark.createDataFrame([(i, 5.0) for i in range(10)], "id long, v double")
+    rows = S.histogram_range_shard_report(df, "v", bins=64, shards=8).collect()
+    assert len(rows) == 1 and rows[0]["n_rows"] == 10
+    assert rows[0]["balanced_ok"] and rows[0]["range_disjoint"]

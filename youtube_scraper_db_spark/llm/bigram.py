@@ -72,6 +72,37 @@ def _pairs(t: Column) -> Column:
     )
 
 
+def bigram_model_tables(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_pred: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The bigram LM's ENTIRE persistable state: the unigram count
+    table ``(w, c)`` and the bigram count table ``(a, b, c2)`` over the
+    training slice. Everything else the scorer needs — the smoothing
+    total T, the micro-log unigram scores, the context totals c(a ·) —
+    is a pure derivation of these two tables, which is what makes
+    count-persistence sufficient (``bigram_model_artifact_roundtrip``
+    saves exactly these through the archive's versioned commit and
+    re-derives the rest on load)."""
+    tok = docs.select(
+        F.col(id_col).alias("id"), llm_text.tokens(text_col).alias("t")
+    )
+    train = tok.filter(train_pred) if train_pred is not None else tok
+    uni = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        train.select(F.explode(_pairs(F.col("t"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    return uni, big
+
+
 def bigram_doc_scores(
     docs: DataFrame,
     id_col: str,
@@ -84,27 +115,30 @@ def bigram_doc_scores(
     U(w₁) + Σᵢ S(wᵢ | wᵢ₋₁) in micro-log units, ``n_backoff`` counts
     backed-off transitions (the observable that the context model is
     actually being exercised)."""
+    uni, big = bigram_model_tables(docs, id_col, text_col, train_pred)
+    return bigram_doc_scores_from_model(docs, id_col, text_col, uni, big)
+
+
+def bigram_doc_scores_from_model(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    uni: DataFrame,
+    big: DataFrame,
+) -> DataFrame:
+    """Score every document under an EXPLICIT bigram model — the entry
+    point for models reloaded from a versioned artifact table. ``uni``
+    is ``(w, c)``, ``big`` is ``(a, b, c2)``; T, the micro-log unigram
+    scores and the context totals derive here, so persisted counts are
+    the whole model."""
     tok = docs.select(
         F.col(id_col).alias("id"), llm_text.tokens(text_col).alias("t")
-    )
-    train = tok.filter(train_pred) if train_pred is not None else tok
-
-    # --- model tables (training slice only; all vocabulary-sized) ---
-    uni = (
-        train.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
     )
     tot = uni.agg(
         (F.sum("c") + F.count(F.lit(1))).cast("double").alias("T")
     )
     um = uni.crossJoin(F.broadcast(tot)).select(
         "w", _mu_log((F.col("c") + 1) / F.col("T")).alias("u")
-    )
-    big = (
-        train.select(F.explode(_pairs(F.col("t"))).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c2"))
     )
     ctx = big.groupBy("a").agg(F.sum("c2").alias("c1"))
 

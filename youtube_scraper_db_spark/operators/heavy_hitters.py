@@ -52,6 +52,27 @@ def _mg_summary(items: Iterator[pd.DataFrame], col: str, k: int) -> Iterator[pd.
     yield pd.DataFrame({col: counters.index.astype(str)})
 
 
+def recount_candidates(
+    src: DataFrame, cands: DataFrame, col: str, k: int
+) -> DataFrame:
+    """Stage 2 shared by the batch and streaming forms: exact counts
+    for the (broadcast) candidate set only, integer threshold
+    cnt·k > n_total. As long as ``cands`` is a SUPERSET of the true
+    heavy hitters, the output is exact."""
+    counted = (
+        src.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = src.agg(F.count("*").alias("n_total"))
+    return (
+        counted.crossJoin(total)
+        .filter(F.col("cnt") * k > F.col("n_total"))
+        .select(col, F.col("cnt").cast("long").alias("cnt"),
+                F.col("n_total").cast("long").alias("n_total"))
+    )
+
+
 def exact_heavy_hitters(
     items: DataFrame, col: str, k: int = 16
 ) -> DataFrame:
@@ -68,15 +89,4 @@ def exact_heavy_hitters(
         )
         .distinct()
     )
-    counted = (
-        src.join(F.broadcast(cands), col, "left_semi")
-        .groupBy(col)
-        .agg(F.count("*").alias("cnt"))
-    )
-    total = src.agg(F.count("*").alias("n_total"))
-    return (
-        counted.crossJoin(total)
-        .filter(F.col("cnt") * k > F.col("n_total"))
-        .select(col, F.col("cnt").cast("long").alias("cnt"),
-                F.col("n_total").cast("long").alias("n_total"))
-    )
+    return recount_candidates(src, cands, col, k)

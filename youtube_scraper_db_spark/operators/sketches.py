@@ -946,6 +946,135 @@ def histogram_quantile_oracle_sql(
     """
 
 
+def histogram_range_shard_report(
+    df: DataFrame,
+    col: str,
+    bins: int = 64,
+    shards: int = 8,
+) -> DataFrame:
+    """Balanced RANGE-shard assignment driven by the histogram sketch —
+    the write-layout application of the quantile work: a sorted/ranged
+    parquet layout wants ``shards`` output ranges with near-equal row
+    counts, and the O(bins) histogram supplies the boundaries without a
+    sample-sort or a full sort of the data (what
+    ``repartitionByRange`` samples for, computed here from exact
+    counts so the oracle replays it).
+
+    Rule: a bin belongs to shard ``(cum_before_bin · shards) div n`` —
+    the shard whose quota its first row falls into (integer division,
+    engine-exact). Shards are CONSECUTIVE bin runs, so their value
+    ranges are disjoint by construction; each shard's row count is
+    bounded by ``n div shards + max_bin_count`` (it stops admitting new
+    bins once past its quota — the structural balance bound, checked as
+    ``balanced_ok``). Output: one row per non-empty shard (shard,
+    n_rows, lo_val, hi_val, balanced_ok, range_disjoint)."""
+    from pyspark.sql import Window
+
+    src = df.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("v")
+    )
+    stats = src.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = src.crossJoin(F.broadcast(stats)).select(
+        "v",
+        histogram_bin_expr(F.col("v"), F.col("lo"), F.col("hi"), bins).alias(
+            "bin"
+        ),
+    )
+    bincnt = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = bincnt.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+    )
+    shard_map = cum.crossJoin(F.broadcast(stats)).select(
+        "bin",
+        "cnt",
+        F.least(
+            F.lit(shards - 1),
+            F.expr(f"(cum - cnt) * {shards} div n"),
+        )
+        .cast("long")
+        .alias("shard"),
+    )
+    per_shard = (
+        binned.join(F.broadcast(shard_map.select("bin", "shard")), "bin")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.floor(F.min("v") * 100 + F.lit(0.5)) / 100.0).alias("lo_val"),
+            (F.floor(F.max("v") * 100 + F.lit(0.5)) / 100.0).alias("hi_val"),
+        )
+    )
+    bound = (
+        shard_map.crossJoin(F.broadcast(stats))
+        .agg(
+            (F.expr(f"max(n div {shards})") + F.max("cnt")).alias("__cap")
+        )
+    )
+    w = Window.orderBy("shard")
+    checked = (
+        per_shard.crossJoin(F.broadcast(bound))
+        .select(
+            "shard",
+            "n_rows",
+            "lo_val",
+            "hi_val",
+            (F.col("n_rows") <= F.col("__cap")).alias("balanced_ok"),
+            (
+                F.coalesce(
+                    F.lag("hi_val").over(w) <= F.col("lo_val"), F.lit(True)
+                )
+            ).alias("range_disjoint"),
+        )
+    )
+    return checked
+
+
+def histogram_range_shard_oracle_sql(
+    table: str, col: str, bins: int = 64, shards: int = 8
+) -> str:
+    """DuckDB replay of ``histogram_range_shard_report`` — identical
+    bin arithmetic, integer-division shard rule, half-up rounding."""
+    return f"""
+    WITH src AS (
+      SELECT CAST({col} AS DOUBLE) AS v
+      FROM {table} WHERE {col} IS NOT NULL
+    ),
+    stats AS (SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM src),
+    binned AS (
+      SELECT v, CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / {float(bins)!r}))
+                                  AS BIGINT), {bins - 1}) END AS bin
+      FROM src, stats
+    ),
+    bincnt AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM binned GROUP BY bin),
+    cum AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM bincnt),
+    smap AS (
+      SELECT bin, cnt,
+             LEAST({shards - 1}, (cum - cnt) * {shards} // n) AS shard
+      FROM cum, stats
+    ),
+    per_shard AS (
+      SELECT s.shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             FLOOR(MIN(b.v) * 100 + 0.5) / 100.0 AS lo_val,
+             FLOOR(MAX(b.v) * 100 + 0.5) / 100.0 AS hi_val
+      FROM binned b JOIN smap s ON b.bin = s.bin
+      GROUP BY s.shard
+    ),
+    bound AS (
+      SELECT MAX(n // {shards}) + MAX(cnt) AS cap FROM smap, stats
+    )
+    SELECT shard, n_rows, lo_val, hi_val,
+           n_rows <= (SELECT cap FROM bound) AS balanced_ok,
+           COALESCE(lag(hi_val) OVER (ORDER BY shard) <= lo_val, TRUE)
+             AS range_disjoint
+    FROM per_shard
+    """
+
+
 def bloom_union_oracle_sql(
     build_table: str,
     build_key: str,

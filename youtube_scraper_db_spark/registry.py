@@ -5625,10 +5625,10 @@ def stream_cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(*cols)
 
 
-@spec(
-    "heavy_hitter_words",
-    "EXT-heavy-hitters LLM-text",
-    oracle=f"""
+#: the orthodox full-vocabulary GROUP BY ... HAVING — shared verbatim by
+#: the batch and streaming heavy-hitter gates (both produce the exact
+#: answer; only the candidate-generation stage differs).
+_HH_ORACLE = f"""
     WITH {_TOK_CTE},
     occ AS (SELECT w FROM tok, unnest(t) AS u(w)),
     tot AS (SELECT count(*) AS n FROM occ)
@@ -5636,7 +5636,13 @@ def stream_cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT n FROM tot) AS BIGINT) AS n_total
     FROM occ GROUP BY w
     HAVING count(*) * 32 > (SELECT n FROM tot)
-    """,
+    """
+
+
+@spec(
+    "heavy_hitter_words",
+    "EXT-heavy-hitters LLM-text",
+    oracle=_HH_ORACLE,
 )
 def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters without the full-vocabulary shuffle
@@ -5653,6 +5659,42 @@ def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     occ = llm_rarity.word_occurrences(_t(spark, sf_dir, "documents"))
     return exact_heavy_hitters(occ, "w", k=32)
+
+
+@spec(
+    "stream_heavy_hitter_words",
+    "EXT-heavy-hitters EXT-stream-state T5",
+    oracle=_HH_ORACLE,
+)
+def stream_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over a STREAM with bounded state — the Misra-Gries
+    summary held as ``applyInPandasWithState`` group state per hash
+    bucket (streaming/heavy_hitters.py): state is O(buckets × k)
+    FOREVER while exact streaming frequency counting grows
+    O(vocabulary), the same economics as the HLL/CMS/Bloom/histogram
+    streaming sketches but with a DETERMINISTIC summary. Hashing on the
+    word routes all its occurrences to one bucket, so a global heavy
+    hitter survives its bucket's summary (pigeonhole); the cross-batch
+    state fold IS the batch fold over the concatenated stream, and the
+    drained update-mode union is a candidate SUPERSET. The exact
+    recount (shared with the batch operator) decides, so the gate
+    shares the batch gate's full-vocabulary oracle verbatim."""
+    from .operators.heavy_hitters import recount_candidates
+    from .streaming.heavy_hitters import mg_candidate_stream
+
+    ensure_utc(spark)
+    occ_s = llm_rarity.word_occurrences(
+        read_table_stream(spark, sf_dir, "documents")
+    ).select("w")
+    drained = _run_stream(
+        mg_candidate_stream(occ_s, "w", k=32, buckets=32),
+        state_partitions=_stream_parallelism(spark),
+        output_mode="update",
+    ).distinct()
+    occ = llm_rarity.word_occurrences(_t(spark, sf_dir, "documents")).select(
+        "w"
+    )
+    return recount_candidates(occ, drained, "w", 32)
 
 
 @spec(
@@ -9889,6 +9931,131 @@ def wordpiece_artifact_roundtrip(
     )
 
 
+def _bigram_model_artifact_sql() -> str:
+    """Oracle for the bigram-LM persistence gate: replay the two model
+    aggregates (the LM's entire persistable state) over the even-doc_id
+    training slice, checksum their canonical rows, and pin the
+    engine-side equality witnesses to their only correct values."""
+    uc = _artifact_checksum_sql("w || ':' || CAST(c AS VARCHAR)")
+    bc = _artifact_checksum_sql(
+        "a || ':' || b || ':' || CAST(c2 AS VARCHAR)"
+    )
+    return f"""
+    WITH {_TOK_CTE},
+    tr AS (SELECT doc_id, t FROM tok WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w
+    ),
+    big AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+        SELECT t[k] AS a, t[k + 1] AS b
+        FROM tr, LATERAL unnest(range(1, len(t))) q(k)
+      ) GROUP BY a, b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS uni_rows,
+           (SELECT {uc} FROM uni) AS uni_checksum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM big) AS big_rows,
+           (SELECT {bc} FROM big) AS big_checksum,
+           CAST(1 AS INT) AS artifact_version,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+             AS n_docs_scored,
+           CAST(0 AS BIGINT) AS n_score_mismatch,
+           TRUE AS roundtrip_ok
+    """
+
+
+@spec(
+    "bigram_model_artifact_roundtrip",
+    "EXT-bigram EXT-artifact S14 S16",
+    oracle=_bigram_model_artifact_sql(),
+)
+def bigram_model_artifact_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LM-MODEL persistence — the tokenizer-artifact story applied to
+    the statistical LM family: the bigram model's entire persistable
+    state is its two count tables (llm/bigram.py bigram_model_tables —
+    T, the micro-log scores and the context totals are pure derivations
+    of them), so both commit through the archive's versioned protocol,
+    reload from parquet, and EVERY document re-scores under the loaded
+    model (bigram_doc_scores_from_model) exactly as under the
+    in-session one: (total_micrologp, n_tokens, n_backoff) compare
+    null-safe over a full outer join, mismatches = 0. Both artifact
+    checksums hash-check against the oracle's replay of the two
+    training aggregates — the model that scores next month's corpus is
+    byte-stable, not just row-count-stable. Ref: parity N/A (§2.12);
+    persistence protocol via archive.py save_table."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+
+    d = _t(spark, sf_dir, "documents")
+    uni, big = llm_bigram.bigram_model_tables(
+        d, "doc_id", "text", train_pred=F.col("id") % 2 == 0
+    )
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_lmart_bigram_"))
+    v_uni = ar.save_table("bigram_uni", uni)
+    v_big = ar.save_table("bigram_big", big)
+    uni_l, big_l = ar.table("bigram_uni"), ar.table("bigram_big")
+    scored_t = llm_bigram.bigram_doc_scores_from_model(
+        d, "doc_id", "text", uni, big
+    )
+    scored_l = llm_bigram.bigram_doc_scores_from_model(
+        d, "doc_id", "text", uni_l, big_l
+    )
+    cols = ["total_micrologp", "n_tokens", "n_backoff"]
+    a = scored_t.select("id", *[F.col(c).alias(f"__a_{c}") for c in cols])
+    b = scored_l.select("id", *[F.col(c).alias(f"__b_{c}") for c in cols])
+    same = None
+    for c in cols:
+        eq = F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        same = eq if same is None else (same & eq)
+    mism = (
+        a.join(b, "id", "full_outer")
+        .agg(
+            F.sum(F.when(same, 0).otherwise(1))
+            .cast("long")
+            .alias("n_score_mismatch")
+        )
+    )
+    from .functions.portable_hash import md5_halves
+
+    uh, _ = md5_halves(
+        F.concat_ws(":", F.col("w"), F.col("c").cast("string"))
+    )
+    bh, _ = md5_halves(
+        F.concat_ws(
+            ":", F.col("a"), F.col("b"), F.col("c2").cast("string")
+        )
+    )
+    ustats = uni_l.agg(
+        F.count(F.lit(1)).cast("long").alias("uni_rows"),
+        F.sum(uh % F.lit(_ART_CHECK_MOD)).cast("long").alias("uni_checksum"),
+    )
+    bstats = big_l.agg(
+        F.count(F.lit(1)).cast("long").alias("big_rows"),
+        F.sum(bh % F.lit(_ART_CHECK_MOD)).cast("long").alias("big_checksum"),
+    )
+    nsc = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs_scored"))
+    return (
+        ustats.crossJoin(bstats)
+        .crossJoin(nsc)
+        .crossJoin(mism)
+        .select(
+            "uni_rows",
+            "uni_checksum",
+            "big_rows",
+            "big_checksum",
+            F.lit(max(v_uni, v_big)).cast("int").alias("artifact_version"),
+            "n_docs_scored",
+            "n_score_mismatch",
+            (F.col("n_score_mismatch") == 0).alias("roundtrip_ok"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # HTML → clean-text extraction (EXT-html; round 6)
 # ----------------------------------------------------------------------
@@ -10626,6 +10793,34 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "histogram_range_shards",
+    "EXT-sketch-quantile EXT-partition EXT-histogram",
+    oracle=op_sketches.histogram_range_shard_oracle_sql("events", "value"),
+)
+def histogram_range_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced RANGE-shard assignment from the histogram sketch — the
+    write-layout application of the quantile family
+    (operators/sketches.py histogram_range_shard_report): 8 output
+    ranges whose boundaries come from the 64-bin cumulative
+    distribution instead of the sample-sort ``repartitionByRange``
+    runs, so a ranged/sorted parquet layout gets near-equal file sizes
+    from exact integer arithmetic the oracle replays. Each bin joins
+    the shard whose quota its first row falls into (integer division —
+    engine-exact); shards are consecutive bin runs, so their value
+    ranges are DISJOINT by construction (``range_disjoint`` witness via
+    lag over the ≤8 shard rows) and each shard's size is bounded by
+    quota + one bin (``balanced_ok``). At 100 TB this is the
+    distribution-aware alternative to sampling: the histogram is one
+    map-side-combinable aggregate reused from the quantile gate, the
+    shard map is 64 rows broadcast back at the scan."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return op_sketches.histogram_range_shard_report(
+        ev, "value", bins=64, shards=8
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -10845,6 +11040,15 @@ _swap_specs("histogram_quantile_sketch", "adhoc_sql_nation_revenue")
 _swap_specs("cms_user_counts", "zorder_curve_keys")
 _swap_specs("cms_union_merge", "bpe_pair_counts")
 _swap_specs("stream_cms_user_counts", "status_priority_cube")
+# (c) The three late-round-8 debuts (LM-model persistence, streaming
+# Misra-Gries, histogram range-sharding) grow the registry to 225
+# (offset 300 % 225 = 75 → window [75:125]): the offset shift pulls
+# doc_stratified_sample / corpus_mix_epochs / doc_chunks — all fresh
+# r07 rows — into the window head, and the debuts swap over exactly
+# those three.
+_swap_specs("bigram_model_artifact_roundtrip", "doc_stratified_sample")
+_swap_specs("stream_heavy_hitter_words", "corpus_mix_epochs")
+_swap_specs("histogram_range_shards", "doc_chunks")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
