@@ -113,6 +113,7 @@ HEADLINE = [
     "bigram_model_artifact_roundtrip",
     "stream_heavy_hitter_words",
     "histogram_range_shards",
+    "incremental_bigram_model_equiv",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

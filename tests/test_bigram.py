@@ -186,3 +186,39 @@ def test_scores_from_persisted_model_tables(spark, tmp_path):
     assert direct == loaded == {
         (i, *v) for i, v in BG.py_bigram_scores(ROWS, TRAIN_IDS).items()
     }
+
+
+def test_model_fold_equals_union_retrain(spark):
+    """merge_model_tables over disjoint slices == retraining on the
+    union, cell-for-cell and score-for-score, in either fold order."""
+    from youtube_scraper_db_spark.llm.bigram import (
+        bigram_doc_scores_from_model,
+        bigram_model_tables,
+        merge_model_tables,
+    )
+
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    base = df.filter(F.col("doc_id") % 3 != 1)
+    batch = df.filter(F.col("doc_id") % 3 == 1)
+    ub, bb = bigram_model_tables(base, "doc_id", "text")
+    un, bn = bigram_model_tables(batch, "doc_id", "text")
+    ud, bd = bigram_model_tables(df, "doc_id", "text")
+
+    def canon(uni, big):
+        return (
+            sorted(map(tuple, uni.collect())),
+            sorted(map(tuple, big.collect())),
+        )
+
+    uf, bf = merge_model_tables(ub, bb, un, bn)
+    assert canon(uf, bf) == canon(ud, bd)
+    # fold order cannot matter (sum commutes)
+    ur, br = merge_model_tables(un, bn, ub, bb)
+    assert canon(ur, br) == canon(ud, bd)
+    sf = {tuple(r) for r in bigram_doc_scores_from_model(
+        df, "doc_id", "text", uf, bf
+    ).collect()}
+    sd = {tuple(r) for r in bigram_doc_scores_from_model(
+        df, "doc_id", "text", ud, bd
+    ).collect()}
+    assert sf == sd

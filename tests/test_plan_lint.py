@@ -93,6 +93,7 @@ BNLJ_OK = {
     "unigram_artifact_roundtrip",  # 1-row checksum/count/mismatch scalar joins
     "wordpiece_artifact_roundtrip",  # 1-row checksum/count/mismatch scalar joins
     "bigram_model_artifact_roundtrip",  # 1-row checksum/mismatch scalars
+    "incremental_bigram_model_equiv",   # 1-row checksum/merge/mismatch scalars
     "stream_heavy_hitter_words",  # 1-row total scalar vs candidate counts
     "histogram_range_shards",     # 1-row stats/cap scalar broadcasts
 }

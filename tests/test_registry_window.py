@@ -215,6 +215,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "bigram_model_artifact_roundtrip",
         "stream_heavy_hitter_words",
         "histogram_range_shards",
+        "incremental_bigram_model_equiv",
     },
 }
 

@@ -103,6 +103,47 @@ def bigram_model_tables(
     return uni, big
 
 
+def merge_model_tables(
+    uni_a: DataFrame,
+    big_a: DataFrame,
+    uni_b: DataFrame,
+    big_b: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold two bigram models trained on DISJOINT corpus slices into
+    one: counts are sum-mergeable (full-outer join + coalesced sum per
+    key), so the folded model is EXACTLY the model retrained on the
+    union — the incremental-maintenance story for the LM family (the
+    CMS cell-merge economics applied to count tables): a new document
+    batch folds into last month's saved model with one vocabulary-sized
+    merge, no corpus re-scan."""
+    uni = (
+        uni_a.select("w", F.col("c").alias("ca"))
+        .join(uni_b.select("w", F.col("c").alias("cb")), "w", "full_outer")
+        .select(
+            "w",
+            (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias(
+                "c"
+            ),
+        )
+    )
+    big = (
+        big_a.select("a", "b", F.col("c2").alias("ca"))
+        .join(
+            big_b.select("a", "b", F.col("c2").alias("cb")),
+            ["a", "b"],
+            "full_outer",
+        )
+        .select(
+            "a",
+            "b",
+            (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias(
+                "c2"
+            ),
+        )
+    )
+    return uni, big
+
+
 def bigram_doc_scores(
     docs: DataFrame,
     id_col: str,

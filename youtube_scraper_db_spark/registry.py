@@ -10056,6 +10056,139 @@ def bigram_model_artifact_roundtrip(
     )
 
 
+def _incremental_bigram_sql() -> str:
+    """Oracle for the incremental LM fold: the folded model equals the
+    union-retrained model exactly (integer-sum mergeability), so the
+    replay just trains on the FULL corpus and checksums that — the
+    engine computes its checksums over the FOLDED tables, making the
+    hash match itself the mergeability proof."""
+    uc = _artifact_checksum_sql("w || ':' || CAST(c AS VARCHAR)")
+    bc = _artifact_checksum_sql(
+        "a || ':' || b || ':' || CAST(c2 AS VARCHAR)"
+    )
+    return f"""
+    WITH {_TOK_CTE},
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+    ),
+    big AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+        SELECT t[k] AS a, t[k + 1] AS b
+        FROM tok, LATERAL unnest(range(1, len(t))) q(k)
+      ) GROUP BY a, b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS uni_rows,
+           (SELECT {uc} FROM uni) AS uni_checksum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM big) AS big_rows,
+           (SELECT {bc} FROM big) AS big_checksum,
+           TRUE AS merge_consistent,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+             AS n_docs_scored,
+           CAST(0 AS BIGINT) AS n_score_mismatch,
+           TRUE AS fold_ok
+    """
+
+
+@spec(
+    "incremental_bigram_model_equiv",
+    "EXT-bigram EXT-incr-rollup EXT-sketch-merge",
+    oracle=_incremental_bigram_sql(),
+)
+def incremental_bigram_model_equiv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL LM maintenance — completing the fold trilogy
+    (sketches merge cell-wise, ANN indexes fold row-wise, LM models
+    fold COUNT-wise): a new document batch (doc_id%5=4) trains its own
+    tiny model, folds into the base model by sum-merge
+    (llm/bigram.py merge_model_tables — one vocabulary-sized full-outer
+    join, no corpus re-scan), and the folded model must equal the
+    union-retrained model EXACTLY: both checksums are computed over the
+    FOLDED tables and hash-checked against the oracle's union-train
+    replay (the hash match IS the mergeability proof), the cell-wise
+    sym-diff witnesses ride along, and every document scores
+    identically under folded vs retrained
+    (bigram_doc_scores_from_model, null-safe full-outer compare)."""
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 5 != 4)
+    batch = d.filter(F.col("doc_id") % 5 == 4)
+    ub, bb = llm_bigram.bigram_model_tables(base, "doc_id", "text")
+    un, bn = llm_bigram.bigram_model_tables(batch, "doc_id", "text")
+    uf, bf = llm_bigram.merge_model_tables(ub, bb, un, bn)
+    ud, bd = llm_bigram.bigram_model_tables(d, "doc_id", "text")
+    diff = (
+        uf.exceptAll(ud)
+        .union(ud.exceptAll(uf))
+        .select(F.lit(1).alias("one"))
+        .unionByName(
+            bf.exceptAll(bd)
+            .union(bd.exceptAll(bf))
+            .select(F.lit(1).alias("one"))
+        )
+        .agg((F.count(F.lit(1)) == 0).alias("merge_consistent"))
+    )
+    scored_f = llm_bigram.bigram_doc_scores_from_model(
+        d, "doc_id", "text", uf, bf
+    )
+    scored_d = llm_bigram.bigram_doc_scores_from_model(
+        d, "doc_id", "text", ud, bd
+    )
+    cols = ["total_micrologp", "n_tokens", "n_backoff"]
+    a = scored_f.select("id", *[F.col(c).alias(f"__a_{c}") for c in cols])
+    b = scored_d.select("id", *[F.col(c).alias(f"__b_{c}") for c in cols])
+    same = None
+    for c in cols:
+        eq = F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        same = eq if same is None else (same & eq)
+    mism = (
+        a.join(b, "id", "full_outer")
+        .agg(
+            F.sum(F.when(same, 0).otherwise(1))
+            .cast("long")
+            .alias("n_score_mismatch")
+        )
+    )
+    from .functions.portable_hash import md5_halves
+
+    uh, _ = md5_halves(
+        F.concat_ws(":", F.col("w"), F.col("c").cast("string"))
+    )
+    bh, _ = md5_halves(
+        F.concat_ws(
+            ":", F.col("a"), F.col("b"), F.col("c2").cast("string")
+        )
+    )
+    ustats = uf.agg(
+        F.count(F.lit(1)).cast("long").alias("uni_rows"),
+        F.sum(uh % F.lit(_ART_CHECK_MOD)).cast("long").alias("uni_checksum"),
+    )
+    bstats = bf.agg(
+        F.count(F.lit(1)).cast("long").alias("big_rows"),
+        F.sum(bh % F.lit(_ART_CHECK_MOD)).cast("long").alias("big_checksum"),
+    )
+    nsc = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs_scored"))
+    return (
+        ustats.crossJoin(bstats)
+        .crossJoin(diff)
+        .crossJoin(nsc)
+        .crossJoin(mism)
+        .select(
+            "uni_rows",
+            "uni_checksum",
+            "big_rows",
+            "big_checksum",
+            "merge_consistent",
+            "n_docs_scored",
+            "n_score_mismatch",
+            (
+                F.col("merge_consistent") & (F.col("n_score_mismatch") == 0)
+            ).alias("fold_ok"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # HTML → clean-text extraction (EXT-html; round 6)
 # ----------------------------------------------------------------------
@@ -11049,6 +11182,12 @@ _swap_specs("stream_cms_user_counts", "status_priority_cube")
 _swap_specs("bigram_model_artifact_roundtrip", "doc_stratified_sample")
 _swap_specs("stream_heavy_hitter_words", "corpus_mix_epochs")
 _swap_specs("histogram_range_shards", "doc_chunks")
+# (d) The incremental-LM-fold debut (len 226, offset 300 % 226 = 74 →
+# window [74:124]): the shift pulls doc_split_assign (fresh r07 row)
+# into the head — the debut swaps over it; training_shard_manifest
+# (r04) slides off the tail and is the FIRST entry of round 9's
+# natural [124:174].
+_swap_specs("incremental_bigram_model_equiv", "doc_split_assign")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
