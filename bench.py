@@ -114,6 +114,8 @@ HEADLINE = [
     "stream_heavy_hitter_words",
     "histogram_range_shards",
     "incremental_bigram_model_equiv",
+    "stream_bpe_apply_tokens",
+    "pagerank_near_dups",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

@@ -93,3 +93,59 @@ def test_keep_list_one_canonical_per_cluster(spark):
         "d5": "canonical",
         "d7": "unique",
     }
+
+
+def test_pagerank_integer_matches_bruteforce(spark):
+    """3-iteration integer PR on a hand-checkable graph: a 3-cycle with
+    a pendant node and an isolated node — engine == pure-Python fold of
+    the same integer recurrence."""
+    from youtube_scraper_db_spark.llm.cluster import pagerank_integer
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    pair_list = [(0, 1), (1, 2), (2, 0), (0, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pair_list] + [(b, a) for a, b in pair_list],
+        "src long, dst long",
+    )
+    got = {
+        r["id"]: r["pr"]
+        for r in pagerank_integer(nodes, edges, iters=3).collect()
+    }
+
+    adj: dict[int, list[int]] = {}
+    for a, b in pair_list:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    pr = {v: 1_000_000 for v in range(5)}
+    for _ in range(3):
+        s = {v: 0 for v in range(5)}
+        for u, outs in adj.items():
+            c = pr[u] // len(outs)
+            for v in outs:
+                s[v] += c
+        pr = {v: 150_000 + (85 * s[v]) // 100 for v in range(5)}
+    assert got == pr
+    # the hub (deg 3) outranks cycle members; the isolate sits at the
+    # teleport floor
+    assert got[0] > got[1] and got[4] == 150_000
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    from youtube_scraper_db_spark.llm.cluster import pagerank_integer
+
+    nodes = spark.createDataFrame([(i,) for i in range(60)], "id long")
+    pair_list = [(i, (i * 7 + 1) % 60) for i in range(60)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pair_list] + [(b, a) for a, b in pair_list],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, pagerank_integer(nodes, edges, iters=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank_integer(
+                nodes.repartition(7), edges.repartition(11), iters=3
+            ).collect(),
+        )
+    )
+    assert a == b

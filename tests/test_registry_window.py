@@ -216,6 +216,8 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "stream_heavy_hitter_words",
         "histogram_range_shards",
         "incremental_bigram_model_equiv",
+        "stream_bpe_apply_tokens",
+        "pagerank_near_dups",
     },
 }
 

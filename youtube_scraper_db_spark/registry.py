@@ -2050,6 +2050,107 @@ def incremental_pq_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_sql(iters: int = 3) -> str:
+    """Oracle for the integer-PageRank gate: the near-dup edge set
+    replays via the portable-plane LSH pair SQL (the lsh_near_dups
+    oracle's device), then each iteration is one generated CTE pair —
+    contribution sum with integer division, then the teleport+damp
+    update — so the whole chain is exact integer arithmetic."""
+    parts = [
+        """
+    u AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))) AS uv
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT c.vec_a, c.vec_b
+      FROM cand c JOIN u ua ON ua.vec_id = c.vec_a
+                  JOIN u ub ON ub.vec_id = c.vec_b
+      WHERE list_dot_product(ua.uv, ub.uv) >= 0.4
+    ),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION ALL
+      SELECT vec_b AS src, vec_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT vec_id AS id, CAST(1000000 AS BIGINT) AS pr
+           FROM embeddings)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    c{i} AS (
+      SELECT e.dst AS id, SUM(r.pr // d.deg) AS s
+      FROM edges e JOIN deg d ON e.src = d.src
+                   JOIN r{i - 1} r ON e.src = r.id
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.vec_id AS id,
+             CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+      FROM embeddings n LEFT JOIN c{i} c ON n.vec_id = c.id
+    )""")
+    return (
+        "WITH "
+        + _PORTABLE_PLANES_CTE
+        + ","
+        + ",".join(parts)
+        + f"""
+    SELECT id AS vec_id, pr AS pr_micro FROM r{iters}
+    """
+    )
+
+
+@spec(
+    "pagerank_near_dups",
+    "EXT-concomp EXT-incr-rollup LLM-dedup-embed-lsh",
+    oracle=_pagerank_sql(3),
+)
+def pagerank_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank over the near-dup similarity graph
+    (llm/cluster.py pagerank_integer) — the iterative-graph family
+    beyond connected components: CC collapses a duplicate cluster, PR
+    RANKS inside it (centrality picks the canonical survivor / surfaces
+    hub documents). Edges are the subquadratic portable-LSH near-dup
+    pairs (the lsh_near_dups gate's plan), expanded to both directions;
+    3 fixed iterations of ``teleport + (85·Σ(pr div deg)) div 100`` in
+    integer micro-units, so distributed accumulation order cannot move
+    a value and the DuckDB oracle replays the ENTIRE edge build +
+    iteration chain value-for-value — an iterative distributed
+    algorithm under a full hash gate, like the trainer loops. Each
+    superstep is one keyed join + one keyed sum (two exchanges),
+    rank frame checkpointed per round against the iterative-lineage
+    trap."""
+    ensure_utc(spark)
+    from .llm.cluster import pagerank_integer
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = llm_similarity.lsh_near_dup_pairs(
+        e, dim=64, threshold=0.4, n_planes=4, plane_family="portable"
+    ).select("vec_a", "vec_b")
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")
+        )
+    )
+    ranks = pagerank_integer(
+        e.select("vec_id"), edges, node_col="vec_id", iters=3
+    )
+    return ranks.select(
+        F.col("id").alias("vec_id"), F.col("pr").alias("pr_micro")
+    )
+
+
 # ----------------------------------------------------------------------
 # Batch 4 — mutation sinks (S10-S13), schema evolution (S16), checkpoint
 # skip (S18), validity/availability filters (P11/P13), remaining scalar
@@ -8728,10 +8829,10 @@ def _bpe_word_sql(var: str) -> str:
     return s
 
 
-@spec(
-    "bpe_apply_tokens",
-    "EXT-bpe EXT-encode LLM-text",
-    oracle=f"""
+#: shared verbatim by the batch and STREAMING BPE-apply gates (the
+#: kernel is stateless/map-only, so the drained stream's output set is
+#: the batch output set).
+_BPE_APPLY_ORACLE = f"""
     WITH {_TOK_CTE},
     enc AS (
       SELECT doc_id,
@@ -8743,7 +8844,13 @@ def _bpe_word_sql(var: str) -> str:
            COALESCE(array_to_string(toks, ' '), '') AS token_text,
            CAST(len(toks) AS INT) AS n_tokens
     FROM enc
-    """,
+    """
+
+
+@spec(
+    "bpe_apply_tokens",
+    "EXT-bpe EXT-encode LLM-text",
+    oracle=_BPE_APPLY_ORACLE,
 )
 def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION over the corpus — the inference half of
@@ -8778,6 +8885,38 @@ def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.col("tokens")).alias("token_text"),
         F.col("n_tokens"),
     )
+
+
+@spec(
+    "stream_bpe_apply_tokens",
+    "EXT-bpe EXT-encode EXT-stream-enrich T5",
+    oracle=_BPE_APPLY_ORACLE,
+)
+def stream_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization as a STREAMING stage — the inference tokenizer
+    applied to documents as they arrive (the online half of the
+    train→save→load→apply artifact story: last month's merges tokenize
+    this month's stream): the documents table replays as a file source
+    and the SAME vocabulary-memoized Arrow kernel (llm/bpe.py
+    bpe_apply) runs inside the micro-batch — mapInPandas is stateless
+    and map-only, so it is streaming-legal with ZERO state, the memo
+    resets per batch (cost still tracks per-batch vocabulary), and the
+    drained append-mode output set is exactly the batch tokenization —
+    the gate shares the batch gate's oracle verbatim."""
+    ensure_utc(spark)
+    from .llm import bpe as llm_bpe
+
+    stream = read_table_stream(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    out = llm_bpe.bpe_apply(
+        stream, "doc_id", "text", [m[:2] for m in _BPE_FIXED_MERGES]
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.col("tokens")).alias("token_text"),
+        F.col("n_tokens"),
+    )
+    return _run_stream(out, state_partitions=_stream_parallelism(spark))
 
 
 def _bpe_train_sql(num_merges: int) -> str:
@@ -11188,6 +11327,13 @@ _swap_specs("histogram_range_shards", "doc_chunks")
 # (r04) slides off the tail and is the FIRST entry of round 9's
 # natural [124:174].
 _swap_specs("incremental_bigram_model_equiv", "doc_split_assign")
+# (e) The streaming-BPE and PageRank debuts (len 228, offset 300 % 228
+# = 72 → window [72:122]): the shift pulls uniq_users_sketch /
+# near_dup_clusters (both fresh r07 rows) into the head — the debuts
+# swap over them; the two tail entries that slid out lead round 9's
+# natural [122:172].
+_swap_specs("stream_bpe_apply_tokens", "uniq_users_sketch")
+_swap_specs("pagerank_near_dups", "near_dup_clusters")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
