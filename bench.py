@@ -116,6 +116,7 @@ HEADLINE = [
     "incremental_bigram_model_equiv",
     "stream_bpe_apply_tokens",
     "pagerank_near_dups",
+    "tfidf_cosine_pairs",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

@@ -96,6 +96,7 @@ BNLJ_OK = {
     "incremental_bigram_model_equiv",   # 1-row checksum/merge/mismatch scalars
     "stream_heavy_hitter_words",  # 1-row total scalar vs candidate counts
     "histogram_range_shards",     # 1-row stats/cap scalar broadcasts
+    "tfidf_cosine_pairs",         # 1-row doc-count scalar vs the df table
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

@@ -120,3 +120,43 @@ def test_label_centroids_fixed_point_exact(spark):
     assert out[0].n_vecs == 2 and out[0].centroid == [1.5, 2.5]
     # floor quantization: -1.5 → -1500/1000 exactly
     assert out[1].centroid == [10.0, -1.5]
+
+
+def test_tfidf_cosine_pairs_clone_detection(spark):
+    """A verbatim clone scores cosine 1.0 against its source; an
+    unrelated doc (no shared rare terms) never pairs; stop-terms
+    occurring in >N/10 docs carry no weight."""
+    from youtube_scraper_db_spark.llm.rarity import tfidf_cosine_pairs
+
+    stop = "the common filler "  # appears in every doc -> pruned
+    rows = [(i, stop + f"unique{i} token{i}") for i in range(20)]
+    rows[7] = (7, stop + "unique3 token3")  # clone of doc 3's rare part
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in tfidf_cosine_pairs(df, threshold=0.5).collect()
+    }
+    assert set(got) == {(3, 7)}
+    assert got[(3, 7)] == 1.0
+
+
+def test_tfidf_cosine_pairs_partial_overlap_and_determinism(spark):
+    from youtube_scraper_db_spark.llm.rarity import tfidf_cosine_pairs
+
+    rows = [(i, f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(30)]
+    rows[1] = (1, "alpha0 beta0 gammaX deltaX")  # half-overlap with doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, tfidf_cosine_pairs(df, threshold=0.3).collect())
+    )
+    assert got and got[0][:2] == (0, 1)
+    # half the terms shared, but the shared terms' df=2 lowers their
+    # idf vs the df=1 uniques -> cosine lands below the unweighted 0.5
+    assert 0.3 <= got[0][2] <= 0.5
+    again = sorted(
+        map(
+            tuple,
+            tfidf_cosine_pairs(df.repartition(7), threshold=0.3).collect(),
+        )
+    )
+    assert got == again

@@ -218,6 +218,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "incremental_bigram_model_equiv",
         "stream_bpe_apply_tokens",
         "pagerank_near_dups",
+        "tfidf_cosine_pairs",
     },
 }
 

@@ -208,3 +208,83 @@ def vocab_coverage(
             / 10000.0
         ).alias("coverage"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df_frac: int = 10,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Sparse TF-IDF document-similarity pairs via an INVERTED INDEX —
+    the fuzzy-dedup path that needs no embeddings (the classic sparse
+    all-pairs formulation, Elsayed et al. 2008): ``(doc_a, doc_b,
+    cos_sim)`` for every pair whose TF-IDF cosine ≥ ``threshold``.
+
+    Exactness device: per-(doc, term) weights are INTEGERS — ``w = tf ·
+    floor(idf_scale · ln(N / df) + 0.5)`` — so the pair dot product is
+    an integer sum (associative, order-free, oracle-exact); only the
+    final normalization divides by the (deterministic) double norms and
+    rounds to 4dp, the embedding-cosine convention. ``idf_scale`` keeps
+    products safely inside int64: w ≤ tf · idf_scale·ln(N) ≈ 1e6 at
+    corpus scale, so a pair's sum stays < 2^63 up to ~1e6 shared terms.
+
+    Scale shape: terms occurring in more than ``N / max_df_frac``
+    documents are PRUNED before pair generation (similarity is defined
+    over the pruned term space — norms included — and the oracle
+    replays the same pruning): stop-words both dominate inverted-list
+    length quadratically and carry no discriminative idf mass, so the
+    prune is simultaneously the semantic choice and the skew guard —
+    the residual token join has no heavy key by construction. Pair
+    partials then combine map-side into one keyed integer sum."""
+    occ = word_occurrences(docs, id_col, text_col)
+    tf = occ.groupBy(F.col(id_col).alias("d"), "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = docs.select(
+        F.countDistinct(id_col).cast("double").alias("n")
+    )
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        df_t.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * max_df_frac <= F.col("n"))
+        .select(
+            "w",
+            F.floor(
+                F.lit(float(idf_scale)) * F.log(F.col("n") / F.col("df"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qidf"),
+        )
+    )
+    wt = tf.join(kept, "w").select(
+        "d", "w", (F.col("tf") * F.col("qidf")).alias("wq")
+    )
+    norms = wt.groupBy("d").agg(
+        F.sqrt(F.sum(F.col("wq") * F.col("wq"))).alias("nrm")
+    )
+    a = wt.select(F.col("d").alias("doc_a"), "w", F.col("wq").alias("wa"))
+    b = wt.select(F.col("d").alias("doc_b"), "w", F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("d").alias("doc_a"),
+                               F.col("nrm").alias("na")), "doc_a")
+        .join(norms.select(F.col("d").alias("doc_b"),
+                           F.col("nrm").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1482,6 +1482,56 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "tfidf_cosine_pairs",
+    "EXT-tfidf LLM-dedup-jaccard LLM-sim",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    occ AS (SELECT doc_id AS d, w FROM tok, unnest(t) AS u(w)),
+    tf AS (SELECT d, w, CAST(COUNT(*) AS BIGINT) AS tf FROM occ GROUP BY d, w),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+    dft AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    kept AS (
+      SELECT w, CAST(FLOOR(1000.0 * ln(n / df) + 0.5) AS BIGINT) AS qidf
+      FROM dft, nd WHERE df * 10 <= n
+    ),
+    wt AS (
+      SELECT d, tf.w, tf.tf * kept.qidf AS wq
+      FROM tf JOIN kept ON tf.w = kept.w
+    ),
+    nrm AS (SELECT d, sqrt(SUM(wq * wq)) AS nrm FROM wt GROUP BY d),
+    dots AS (
+      SELECT a.d AS doc_a, b.d AS doc_b, SUM(a.wq * b.wq) AS dot
+      FROM wt a JOIN wt b ON a.w = b.w AND a.d < b.d
+      GROUP BY a.d, b.d
+    )
+    SELECT doc_a, doc_b,
+           ROUND(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots JOIN nrm na ON doc_a = na.d JOIN nrm nb ON doc_b = nb.d
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.3
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF document similarity via an INVERTED INDEX
+    (llm/rarity.py tfidf_cosine_pairs) — the fuzzy-dedup path that
+    needs no embeddings, completing the near-dup toolbox next to
+    MinHash/SimHash/n-gram-Jaccard/embedding-cosine: per-(doc, term)
+    weights are INTEGERS (tf · floor(1000·ln(N/df)+½)), so the pair dot
+    products are order-free integer sums the oracle replays exactly;
+    only the final norm division is float, rounded to 4dp before the
+    threshold on BOTH sides. Stop-terms (df > N/10) are pruned before
+    pair generation — simultaneously the semantic choice (no
+    discriminative idf mass) and the skew guard (the token join's heavy
+    keys are gone by construction; at 100 TB the remaining lists are
+    rare-term-sized, and prefix filtering — ngram_jaccard_pairs' device
+    — is the further pruning step if thresholds rise)."""
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    return llm_rarity.tfidf_cosine_pairs(
+        d, "doc_id", "text", threshold=0.3
+    )
+
+
+@spec(
     "simhash_dups",
     "LLM-dedup-simhash",
     oracle=r"""
@@ -11334,6 +11384,10 @@ _swap_specs("incremental_bigram_model_equiv", "doc_split_assign")
 # natural [122:172].
 _swap_specs("stream_bpe_apply_tokens", "uniq_users_sketch")
 _swap_specs("pagerank_near_dups", "near_dup_clusters")
+# (f) The TF-IDF cosine-pairs debut (len 229, offset 300 % 229 = 71 →
+# window [71:121]): event_value_percentiles (fresh r07 row) enters the
+# head and yields its slot.
+_swap_specs("tfidf_cosine_pairs", "event_value_percentiles")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
