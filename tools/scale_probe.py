@@ -52,6 +52,8 @@ EVENT_QUERIES = [
     "histogram_quantile_sketch",
     # round 8: streaming histogram — O(64) state while input grows
     "stream_histogram_quantiles",
+    # round 8: range-shard map stays 64 broadcast rows while input grows
+    "histogram_range_shards",
 ]
 DOC_QUERIES = [
     "doc_token_stats",
@@ -84,6 +86,11 @@ DOC_QUERIES = [
     "doc_trigram_quality",
     "bpe_artifact_roundtrip",
     "wordpiece_artifact_roundtrip",
+    # round 8 (late): streaming MG state is O(buckets·k) while the
+    # vocabulary grows with the disjoint-copy corpus; tfidf pair space
+    # is held subquadratic by the df prune
+    "stream_heavy_hitter_words",
+    "tfidf_cosine_pairs",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

@@ -44,7 +44,10 @@ def _mg_summary(items: Iterator[pd.DataFrame], col: str, k: int) -> Iterator[pd.
     counters = pd.Series(dtype="int64")
     for pdf in items:
         vc = pdf[col].value_counts()
-        counters = counters.add(vc, fill_value=0)
+        # astype: Series.add upcasts to float64 on index union; int64
+        # keeps the counters exact (here bounded by one partition's
+        # rows, but the streaming twin accumulates forever — one rule)
+        counters = counters.add(vc, fill_value=0).astype("int64")
         if len(counters) > k - 1:
             kth = counters.nlargest(k).iloc[-1]
             counters = counters - kth

@@ -984,13 +984,23 @@ def histogram_range_shard_report(
             "bin"
         ),
     )
-    bincnt = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE corpus pass: per-bin count AND value extrema — everything the
+    # per-shard report needs is then derivable from these ≤`bins` rows
+    # (a shard's count/min/max = sum/min/max over its consecutive bin
+    # run), so no second scan or row-level shard join ever runs.
+    bincnt = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
     cum = bincnt.withColumn(
         "cum", F.sum("cnt").over(Window.orderBy("bin"))
     )
     shard_map = cum.crossJoin(F.broadcast(stats)).select(
         "bin",
         "cnt",
+        "vmin",
+        "vmax",
         F.least(
             F.lit(shards - 1),
             F.expr(f"(cum - cnt) * {shards} div n"),
@@ -998,14 +1008,10 @@ def histogram_range_shard_report(
         .cast("long")
         .alias("shard"),
     )
-    per_shard = (
-        binned.join(F.broadcast(shard_map.select("bin", "shard")), "bin")
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            (F.floor(F.min("v") * 100 + F.lit(0.5)) / 100.0).alias("lo_val"),
-            (F.floor(F.max("v") * 100 + F.lit(0.5)) / 100.0).alias("hi_val"),
-        )
+    per_shard = shard_map.groupBy("shard").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        (F.floor(F.min("vmin") * 100 + F.lit(0.5)) / 100.0).alias("lo_val"),
+        (F.floor(F.max("vmax") * 100 + F.lit(0.5)) / 100.0).alias("hi_val"),
     )
     bound = (
         shard_map.crossJoin(F.broadcast(stats))

@@ -2161,7 +2161,7 @@ def _pagerank_sql(iters: int = 3) -> str:
 
 @spec(
     "pagerank_near_dups",
-    "EXT-concomp EXT-incr-rollup LLM-dedup-embed-lsh",
+    "EXT-pagerank EXT-concomp LLM-dedup-embed-lsh",
     oracle=_pagerank_sql(3),
 )
 def pagerank_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10120,6 +10120,50 @@ def wordpiece_artifact_roundtrip(
     )
 
 
+def _lm_checksums(uni: DataFrame, big: DataFrame) -> DataFrame:
+    """One-row (uni_rows, uni_checksum, big_rows, big_checksum) over a
+    bigram model's two count tables — the md5 canonical strings MUST
+    stay in lockstep with _bigram_model_artifact_sql /
+    _incremental_bigram_sql (both gates share this witness)."""
+    from .functions.portable_hash import md5_halves
+
+    uh, _ = md5_halves(
+        F.concat_ws(":", F.col("w"), F.col("c").cast("string"))
+    )
+    bh, _ = md5_halves(
+        F.concat_ws(
+            ":", F.col("a"), F.col("b"), F.col("c2").cast("string")
+        )
+    )
+    ustats = uni.agg(
+        F.count(F.lit(1)).cast("long").alias("uni_rows"),
+        F.sum(uh % F.lit(_ART_CHECK_MOD)).cast("long").alias("uni_checksum"),
+    )
+    bstats = big.agg(
+        F.count(F.lit(1)).cast("long").alias("big_rows"),
+        F.sum(bh % F.lit(_ART_CHECK_MOD)).cast("long").alias("big_checksum"),
+    )
+    return ustats.crossJoin(bstats)
+
+
+def _score_mismatch(scored_a: DataFrame, scored_b: DataFrame) -> DataFrame:
+    """One-row (n_score_mismatch): null-safe full-outer compare of two
+    (id, total_micrologp, n_tokens, n_backoff) score frames — a dropped
+    or extra document counts as a mismatch."""
+    cols = ["total_micrologp", "n_tokens", "n_backoff"]
+    a = scored_a.select("id", *[F.col(c).alias(f"__a_{c}") for c in cols])
+    b = scored_b.select("id", *[F.col(c).alias(f"__b_{c}") for c in cols])
+    same = None
+    for c in cols:
+        eq = F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        same = eq if same is None else (same & eq)
+    return a.join(b, "id", "full_outer").agg(
+        F.sum(F.when(same, 0).otherwise(1))
+        .cast("long")
+        .alias("n_score_mismatch")
+    )
+
+
 def _bigram_model_artifact_sql() -> str:
     """Oracle for the bigram-LM persistence gate: replay the two model
     aggregates (the LM's entire persistable state) over the even-doc_id
@@ -10188,48 +10232,17 @@ def bigram_model_artifact_roundtrip(
     v_uni = ar.save_table("bigram_uni", uni)
     v_big = ar.save_table("bigram_big", big)
     uni_l, big_l = ar.table("bigram_uni"), ar.table("bigram_big")
-    scored_t = llm_bigram.bigram_doc_scores_from_model(
-        d, "doc_id", "text", uni, big
-    )
-    scored_l = llm_bigram.bigram_doc_scores_from_model(
-        d, "doc_id", "text", uni_l, big_l
-    )
-    cols = ["total_micrologp", "n_tokens", "n_backoff"]
-    a = scored_t.select("id", *[F.col(c).alias(f"__a_{c}") for c in cols])
-    b = scored_l.select("id", *[F.col(c).alias(f"__b_{c}") for c in cols])
-    same = None
-    for c in cols:
-        eq = F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
-        same = eq if same is None else (same & eq)
-    mism = (
-        a.join(b, "id", "full_outer")
-        .agg(
-            F.sum(F.when(same, 0).otherwise(1))
-            .cast("long")
-            .alias("n_score_mismatch")
-        )
-    )
-    from .functions.portable_hash import md5_halves
-
-    uh, _ = md5_halves(
-        F.concat_ws(":", F.col("w"), F.col("c").cast("string"))
-    )
-    bh, _ = md5_halves(
-        F.concat_ws(
-            ":", F.col("a"), F.col("b"), F.col("c2").cast("string")
-        )
-    )
-    ustats = uni_l.agg(
-        F.count(F.lit(1)).cast("long").alias("uni_rows"),
-        F.sum(uh % F.lit(_ART_CHECK_MOD)).cast("long").alias("uni_checksum"),
-    )
-    bstats = big_l.agg(
-        F.count(F.lit(1)).cast("long").alias("big_rows"),
-        F.sum(bh % F.lit(_ART_CHECK_MOD)).cast("long").alias("big_checksum"),
+    mism = _score_mismatch(
+        llm_bigram.bigram_doc_scores_from_model(
+            d, "doc_id", "text", uni, big
+        ),
+        llm_bigram.bigram_doc_scores_from_model(
+            d, "doc_id", "text", uni_l, big_l
+        ),
     )
     nsc = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs_scored"))
     return (
-        ustats.crossJoin(bstats)
+        _lm_checksums(uni_l, big_l)
         .crossJoin(nsc)
         .crossJoin(mism)
         .select(
@@ -10318,48 +10331,17 @@ def incremental_bigram_model_equiv(
         )
         .agg((F.count(F.lit(1)) == 0).alias("merge_consistent"))
     )
-    scored_f = llm_bigram.bigram_doc_scores_from_model(
-        d, "doc_id", "text", uf, bf
-    )
-    scored_d = llm_bigram.bigram_doc_scores_from_model(
-        d, "doc_id", "text", ud, bd
-    )
-    cols = ["total_micrologp", "n_tokens", "n_backoff"]
-    a = scored_f.select("id", *[F.col(c).alias(f"__a_{c}") for c in cols])
-    b = scored_d.select("id", *[F.col(c).alias(f"__b_{c}") for c in cols])
-    same = None
-    for c in cols:
-        eq = F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
-        same = eq if same is None else (same & eq)
-    mism = (
-        a.join(b, "id", "full_outer")
-        .agg(
-            F.sum(F.when(same, 0).otherwise(1))
-            .cast("long")
-            .alias("n_score_mismatch")
-        )
-    )
-    from .functions.portable_hash import md5_halves
-
-    uh, _ = md5_halves(
-        F.concat_ws(":", F.col("w"), F.col("c").cast("string"))
-    )
-    bh, _ = md5_halves(
-        F.concat_ws(
-            ":", F.col("a"), F.col("b"), F.col("c2").cast("string")
-        )
-    )
-    ustats = uf.agg(
-        F.count(F.lit(1)).cast("long").alias("uni_rows"),
-        F.sum(uh % F.lit(_ART_CHECK_MOD)).cast("long").alias("uni_checksum"),
-    )
-    bstats = bf.agg(
-        F.count(F.lit(1)).cast("long").alias("big_rows"),
-        F.sum(bh % F.lit(_ART_CHECK_MOD)).cast("long").alias("big_checksum"),
+    mism = _score_mismatch(
+        llm_bigram.bigram_doc_scores_from_model(
+            d, "doc_id", "text", uf, bf
+        ),
+        llm_bigram.bigram_doc_scores_from_model(
+            d, "doc_id", "text", ud, bd
+        ),
     )
     nsc = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs_scored"))
     return (
-        ustats.crossJoin(bstats)
+        _lm_checksums(uf, bf)
         .crossJoin(diff)
         .crossJoin(nsc)
         .crossJoin(mism)

@@ -55,9 +55,14 @@ def mg_candidate_stream(
         for pdf in pdfs:
             # the SAME vectorized add-then-trim rule as the batch
             # _mg_summary (operators/heavy_hitters.py) — the state fold
-            # across batches equals the batch fold over the whole stream
+            # across batches equals the batch fold over the whole
+            # stream. astype back to int64 every add: Series.add
+            # upcasts to float64 on index union, and a counter past
+            # 2^53 would silently stop incrementing (x + 1.0 == x),
+            # breaking the candidate-superset bound on exactly the
+            # forever-running stream this state exists for.
             vc = pdf[col].value_counts()
-            counters = counters.add(vc, fill_value=0)
+            counters = counters.add(vc, fill_value=0).astype("int64")
             if len(counters) > k - 1:
                 kth = counters.nlargest(k).iloc[-1]
                 counters = counters - kth
