@@ -216,6 +216,7 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     max_df_frac: int = 10,
+    max_df_abs: int = 256,
     idf_scale: int = 1000,
 ) -> DataFrame:
     """Sparse TF-IDF document-similarity pairs via an INVERTED INDEX —
@@ -231,14 +232,22 @@ def tfidf_cosine_pairs(
     products safely inside int64: w ≤ tf · idf_scale·ln(N) ≈ 1e6 at
     corpus scale, so a pair's sum stays < 2^63 up to ~1e6 shared terms.
 
-    Scale shape: terms occurring in more than ``N / max_df_frac``
-    documents are PRUNED before pair generation (similarity is defined
-    over the pruned term space — norms included — and the oracle
-    replays the same pruning): stop-words both dominate inverted-list
-    length quadratically and carry no discriminative idf mass, so the
-    prune is simultaneously the semantic choice and the skew guard —
-    the residual token join has no heavy key by construction. Pair
-    partials then combine map-side into one keyed integer sum."""
+    Scale shape — the prune is TWO-SIDED, and both cuts are needed:
+    terms occurring in more than ``N / max_df_frac`` documents are cut
+    (stop-words carry no discriminative idf mass — the semantic
+    choice), AND terms on inverted lists longer than ``max_df_abs``
+    documents are cut (the COST guard: a term's pair fan-out is df², so
+    the absolute cap bounds total candidate work to O(|terms|·cap²) —
+    linear in vocabulary — whatever the corpus's growth pattern). The
+    relative cut alone is NOT a cost bound: when a corpus grows by
+    adding disjoint vocabularies (new domains/languages — exactly the
+    ×20 scale probe's replication model), every term's df/N ratio
+    FALLS while its list length stays put, the relative prune admits
+    everything, and pair generation degenerates toward all-pairs —
+    measured 2682× at ×20 volume before the cap existed
+    (SCALE_PROBE.md round 8). Similarity is defined over the pruned
+    term space — norms included — and the oracle replays both cuts.
+    Pair partials then combine map-side into one keyed integer sum."""
     occ = word_occurrences(docs, id_col, text_col)
     tf = occ.groupBy(F.col(id_col).alias("d"), "w").agg(
         F.count(F.lit(1)).alias("tf")
@@ -249,7 +258,10 @@ def tfidf_cosine_pairs(
     df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     kept = (
         df_t.crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") * max_df_frac <= F.col("n"))
+        .filter(
+            (F.col("df") * max_df_frac <= F.col("n"))
+            & (F.col("df") <= max_df_abs)
+        )
         .select(
             "w",
             F.floor(

@@ -1492,7 +1492,7 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dft AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
     kept AS (
       SELECT w, CAST(FLOOR(1000.0 * ln(n / df) + 0.5) AS BIGINT) AS qidf
-      FROM dft, nd WHERE df * 10 <= n
+      FROM dft, nd WHERE df * 10 <= n AND df <= 256
     ),
     wt AS (
       SELECT d, tf.w, tf.tf * kept.qidf AS wq
@@ -1518,12 +1518,14 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights are INTEGERS (tf · floor(1000·ln(N/df)+½)), so the pair dot
     products are order-free integer sums the oracle replays exactly;
     only the final norm division is float, rounded to 4dp before the
-    threshold on BOTH sides. Stop-terms (df > N/10) are pruned before
-    pair generation — simultaneously the semantic choice (no
-    discriminative idf mass) and the skew guard (the token join's heavy
-    keys are gone by construction; at 100 TB the remaining lists are
-    rare-term-sized, and prefix filtering — ngram_jaccard_pairs' device
-    — is the further pruning step if thresholds rise)."""
+    threshold on BOTH sides. The prune is TWO-SIDED: stop-terms
+    (df > N/10, the semantic cut) AND long inverted lists (df > 256,
+    the COST bound — pair fan-out is df² per term, and the ×20 scale
+    probe measured 2682× before this cap existed: disjoint-vocabulary
+    corpus growth drops every df/N ratio while list lengths hold, so a
+    relative prune alone degenerates to all-pairs). Both cuts replay in
+    the oracle; at 100 TB prefix filtering — ngram_jaccard_pairs'
+    device — is the further pruning step if thresholds rise."""
     ensure_utc(spark)
     d = _t(spark, sf_dir, "documents")
     return llm_rarity.tfidf_cosine_pairs(
