@@ -117,6 +117,7 @@ HEADLINE = [
     "stream_bpe_apply_tokens",
     "pagerank_near_dups",
     "tfidf_cosine_pairs",
+    "label_prop_communities",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

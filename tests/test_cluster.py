@@ -149,3 +149,42 @@ def test_pagerank_deterministic_across_partitionings(spark):
         )
     )
     assert a == b
+
+
+def test_label_propagation_communities(spark):
+    """Two dense triangles joined by one bridge: after 4 synchronous
+    rounds each triangle agrees on its min seed; engine matches a pure
+    Python fold of the same (count, min-label) argmax recurrence."""
+    from youtube_scraper_db_spark.llm.cluster import label_propagation
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    und = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(nodes, edges, iters=4).collect()
+    }
+
+    adj: dict[int, list[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {v: v for v in range(7)}
+    for _ in range(4):
+        new = {}
+        for v in range(7):
+            if v not in adj:
+                new[v] = v
+                continue
+            cnt: dict[int, int] = {}
+            for u in adj[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+    assert got == lab
+    # node 6 is isolated -> keeps its own label
+    assert got[6] == 6

@@ -219,6 +219,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "stream_bpe_apply_tokens",
         "pagerank_near_dups",
         "tfidf_cosine_pairs",
+        "label_prop_communities",
     },
 }
 

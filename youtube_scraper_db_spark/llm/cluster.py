@@ -250,3 +250,50 @@ def pagerank_integer(
             .localCheckpoint(eager=True)
         )
     return r
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation over the similarity graph — the
+    community-detection member of the iterative-graph trio (CC
+    collapses components, PageRank ranks inside them, LPA finds the
+    dense regions a component's bridges connect).
+
+    Determinism contract: seeds are the node ids; each round every node
+    SYNCHRONOUSLY adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label (argmax over (count, -label)
+    structs — a total order, so no engine can disagree), isolated
+    nodes keep their own label. Fixed ``iters``; synchronous LPA can
+    2-cycle on bipartite structures, which is fine here because the
+    output contract is the exact label vector after ``iters`` rounds
+    (hash-checked), not a convergence claim — the same
+    fixed-iteration-exactness trade as ``pagerank_integer``.
+
+    Scale shape: one keyed join + one (dst, label) count + one argmax
+    aggregate per round — Pregel supersteps as exchanges, label frame
+    localCheckpoint-ed per round against the iterative-lineage trap."""
+    ids = nodes.select(F.col(node_col).alias("id"))
+    lab = ids.select("id", F.col("id").alias("label"))
+    for _ in range(iters):
+        votes = (
+            edges.join(lab, edges["src"] == lab["id"])
+            .groupBy(F.col("dst").alias("vid"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = votes.groupBy("vid").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))
+            .alias("b")
+        ).select("vid", (-F.col("b.nl")).alias("new_label"))
+        lab = (
+            ids.join(best, ids["id"] == best["vid"], "left")
+            .select(
+                "id",
+                F.coalesce("new_label", F.col("id")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab

@@ -2161,6 +2161,89 @@ def _pagerank_sql(iters: int = 3) -> str:
     )
 
 
+def _label_prop_sql(iters: int = 4) -> str:
+    """Oracle for the label-propagation gate: same portable-LSH edge
+    build as the PageRank oracle, then each round is a (dst, label)
+    vote count + a row_number argmax (cnt DESC, label ASC — the exact
+    tie-break the engine's (count, -label) struct-max encodes)."""
+    head = _pagerank_sql(0)
+    # reuse the edge-build CTE chain (everything before r0) verbatim
+    head = head[: head.index(",\n    r0 AS")]
+    parts = [
+        """
+    l0 AS (SELECT vec_id AS id, CAST(vec_id AS BIGINT) AS label
+           FROM embeddings)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    v{i} AS (
+      SELECT e.dst AS vid, l.label, COUNT(*) AS cnt
+      FROM edges e JOIN l{i - 1} l ON e.src = l.id
+      GROUP BY e.dst, l.label
+    ),
+    b{i} AS (
+      SELECT vid, label AS new_label FROM (
+        SELECT vid, label,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM v{i}) WHERE rn = 1
+    ),
+    l{i} AS (
+      SELECT n.vec_id AS id,
+             CAST(COALESCE(b.new_label, n.vec_id) AS BIGINT) AS label
+      FROM embeddings n LEFT JOIN b{i} b ON n.vec_id = b.vid
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(parts)
+        + f"""
+    SELECT id AS vec_id, label FROM l{iters}
+    """
+    )
+
+
+@spec(
+    "label_prop_communities",
+    "EXT-labelprop EXT-concomp LLM-dedup-embed-lsh",
+    oracle=_label_prop_sql(4),
+)
+def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation over the near-dup graph
+    (llm/cluster.py label_propagation) — community detection completing
+    the iterative-graph trio (CC collapses, PageRank ranks, LPA finds
+    the dense regions a component's bridges connect). Seeds are node
+    ids; every round each node adopts its neighbors' most frequent
+    label, ties to the SMALLEST (a total order — the engine's
+    (count, -label) struct-max and the oracle's row_number(cnt DESC,
+    label ASC) encode the same argmax), isolated nodes keep their own.
+    Output contract is the EXACT label vector after 4 fixed rounds —
+    hash-checked end-to-end like pagerank_near_dups, not a convergence
+    claim (synchronous LPA can 2-cycle on bipartite structures; fixed
+    iterations keep it deterministic). Same edge build, same
+    per-superstep exchange shape, same per-round localCheckpoint."""
+    ensure_utc(spark)
+    from .llm.cluster import label_propagation
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = llm_similarity.lsh_near_dup_pairs(
+        e, dim=64, threshold=0.4, n_planes=4, plane_family="portable"
+    ).select("vec_a", "vec_b")
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")
+        )
+    )
+    labels = label_propagation(
+        e.select("vec_id"), edges, node_col="vec_id", iters=4
+    )
+    return labels.select(
+        F.col("id").alias("vec_id"), F.col("label").cast("long").alias("label")
+    )
+
+
 @spec(
     "pagerank_near_dups",
     "EXT-pagerank EXT-concomp LLM-dedup-embed-lsh",
@@ -11372,6 +11455,10 @@ _swap_specs("pagerank_near_dups", "near_dup_clusters")
 # window [71:121]): event_value_percentiles (fresh r07 row) enters the
 # head and yields its slot.
 _swap_specs("tfidf_cosine_pairs", "event_value_percentiles")
+# (g) The label-propagation debut (len 230, offset 300 % 230 = 70 →
+# window [70:120]): asof_latest_order (fresh r07 row) enters the head
+# and yields its slot.
+_swap_specs("label_prop_communities", "asof_latest_order")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
