@@ -177,6 +177,18 @@ def shapes(spark, sf_dir: str):
             .agg(F.max("rho").alias("rho"))
         )
 
+    def mg_summary():
+        from youtube_scraper_db_spark.streaming.heavy_hitters import (
+            mg_candidate_stream,
+        )
+
+        ev = (
+            read_table_stream(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull())
+            .select(F.col("user_id").cast("string").alias("w"))
+        )
+        return mg_candidate_stream(ev, "w", k=32, buckets=32)
+
     return {
         "stream_interval_join": interval_join,
         "stream_sessionize": sessions,
@@ -185,6 +197,11 @@ def shapes(spark, sf_dir: str):
         # (O(2^9 registers)) while key cardinality grows ×N — the entire
         # reason sketches exist in streaming (complete output mode)
         "stream_hll_registers": hll_registers,
+        # the deterministic-summary counterexample (round 8): ONE
+        # GroupState row per hash bucket holds the (k-1)-slot MG
+        # summary, so numRowsTotal is capped at `buckets`=32 while key
+        # cardinality grows ×N (update output mode)
+        "stream_mg_summary": mg_summary,
     }
 
 
@@ -220,7 +237,10 @@ def main() -> None:
         "|---|---|---|---|---|---|---|---|",
     ]
     for name, make in shapes(spark, args.sf).items():
-        mode = "complete" if name == "stream_hll_registers" else "append"
+        mode = {
+            "stream_hll_registers": "complete",
+            "stream_mg_summary": "update",
+        }.get(name, "append")
         w1, r1, m1, o1 = run_stateful(spark, make(), name, output_mode=mode)
         # rebuild against the scaled dir
         def make_scaled(nm=name):
@@ -240,6 +260,12 @@ def main() -> None:
                 "state O(sketch) — capped at 512"
                 if rN <= 512
                 else "SKETCH STATE GREW"
+            )
+        elif name == "stream_mg_summary":
+            verdict = (
+                "state O(buckets·k) — one state row per bucket"
+                if rN <= 32
+                else "MG STATE GREW"
             )
         else:
             verdict = (
