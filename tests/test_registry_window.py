@@ -221,6 +221,17 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "tfidf_cosine_pairs",
         "label_prop_communities",
     },
+    # Round 9 (VERDICT r08 items 1, 4-7): histogram_range_shards re-enters
+    # for a fresh row after the oracle's HUGEINT→BIGINT shard cast (the
+    # round-8 judge verified values identical — only the oracle output
+    # TYPE diverged), plus the round-9 debuts (ANN index artifact
+    # persistence, Misra-Gries merge, incremental connected-components
+    # fold, trigram model persistence).
+    9: {
+        "histogram_range_shards",
+        "ivf_artifact_roundtrip",
+        "pq_artifact_roundtrip",
+    },
 }
 
 

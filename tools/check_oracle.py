@@ -90,6 +90,30 @@ def main() -> int:
             continue
 
         ok = True
+        # Type lint: the driver's value hash is TYPE-SENSITIVE while the
+        # str() canonicalization below is not (Decimal('3') == '3').  A
+        # DuckDB windowed SUM / integer product silently widens to
+        # HUGEINT -> decimal128 in Arrow, which Spark never emits, so any
+        # such oracle output column is a guaranteed driver hash mismatch
+        # even when every value is identical (round-8 histogram_range_shards).
+        try:
+            dtypes = con.execute(
+                f"DESCRIBE (SELECT * FROM ({s.oracle}) __t LIMIT 0)"
+            ).fetchall()
+            leaky = [
+                (name, typ)
+                for name, typ, *_ in dtypes
+                if "DECIMAL" in typ.upper() or "HUGEINT" in typ.upper()
+            ]
+            if leaky:
+                print(
+                    f"FAIL {s.name}: non-portable oracle dtype(s) {leaky} — "
+                    f"CAST to BIGINT/DOUBLE in the oracle SQL"
+                )
+                ok = False
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {s.name}: dtype lint error: {e}")
+            ok = False
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {s.name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
             ok = False

@@ -593,6 +593,37 @@ def pq_train_codebooks(
     return np.stack(books)
 
 
+def pq_books_table(spark, books) -> DataFrame:
+    """PQ codebooks as a persistable DataFrame — one row per
+    (subspace ``j``, code ``c``) with the centroid vector: the ndarray's
+    entire state, so the archive's versioned parquet commit becomes the
+    PQ index's artifact store (``pq_artifact_roundtrip`` gates the
+    roundtrip). m×k rows (8×32 here) — codebooks are a driver-side
+    artifact by design (trained on a bounded sample, KBs total), so a
+    table this size is the honest persistence unit, exactly like FAISS
+    serializing its quantizer."""
+    rows = [
+        (int(j), int(c), [float(x) for x in books[j, c]])
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    return spark.createDataFrame(rows, "j int, c int, cv array<double>")
+
+
+def pq_books_from_table(bdf: DataFrame):
+    """Rebuild the m×k×ds codebook ndarray from the persisted table.
+    The collect is m×k rows (bounded KBs — the same driver-side budget
+    as ``pq_train_codebooks``'s sample); float64 → parquet DOUBLE →
+    float64 is exact, so loaded books are bit-identical to trained."""
+    rows = bdf.orderBy("j", "c").collect()
+    m = 1 + max(r["j"] for r in rows)
+    k = 1 + max(r["c"] for r in rows)
+    assert len(rows) == m * k, "codebook table has holes"
+    return np.array([r["cv"] for r in rows], dtype=np.float64).reshape(
+        m, k, -1
+    )
+
+
 def pq_ann_topk(
     emb: DataFrame,
     query_df: DataFrame,

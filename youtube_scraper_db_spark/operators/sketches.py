@@ -1060,7 +1060,8 @@ def histogram_range_shard_oracle_sql(
     cum AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM bincnt),
     smap AS (
       SELECT bin, cnt,
-             LEAST({shards - 1}, (cum - cnt) * {shards} // n) AS shard
+             CAST(LEAST({shards - 1}, (cum - cnt) * {shards} // n)
+                  AS BIGINT) AS shard
       FROM cum, stats
     ),
     per_shard AS (

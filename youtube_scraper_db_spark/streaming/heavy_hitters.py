@@ -56,13 +56,20 @@ def mg_candidate_stream(
             # the SAME vectorized add-then-trim rule as the batch
             # _mg_summary (operators/heavy_hitters.py) — the state fold
             # across batches equals the batch fold over the whole
-            # stream. astype back to int64 every add: Series.add
-            # upcasts to float64 on index union, and a counter past
-            # 2^53 would silently stop incrementing (x + 1.0 == x),
-            # breaking the candidate-superset bound on exactly the
-            # forever-running stream this state exists for.
-            vc = pdf[col].value_counts()
-            counters = counters.add(vc, fill_value=0).astype("int64")
+            # stream. The add stays in int64 END TO END: Series.add
+            # with fill_value upcasts to float64 on index union, so a
+            # counter past 2^53 would lose precision DURING the add
+            # (before any astype could save it) and silently stop
+            # incrementing (x + 1.0 == x), breaking the
+            # candidate-superset bound on exactly the forever-running
+            # stream this state exists for. Reindexing both sides to
+            # the union index with an int64 fill keeps every
+            # intermediate an int64.
+            vc = pdf[col].value_counts().astype("int64")
+            idx = counters.index.union(vc.index)
+            counters = counters.reindex(idx, fill_value=0) + vc.reindex(
+                idx, fill_value=0
+            )
             if len(counters) > k - 1:
                 kth = counters.nlargest(k).iloc[-1]
                 counters = counters - kth
