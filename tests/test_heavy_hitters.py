@@ -84,6 +84,65 @@ def test_recount_exact_with_any_superset(spark):
     assert got == {("hot", 400, 1000)}
 
 
+def test_merge_preserves_superset_and_bound(spark):
+    """mg_combine_summaries: merging two halves' summaries (combine +
+    one trim) keeps ≤ k-1 slots AND the merged candidate set recounts
+    to the exact heavy hitters — the Agarwal invariant
+    k·error ≤ N − Σcounters survives the merge, on an adversarial mix
+    where each half alone would trim differently."""
+    from youtube_scraper_db_spark.operators.heavy_hitters import (
+        mg_combine_summaries,
+        mg_partition_summaries,
+        recount_candidates,
+    )
+
+    rng = random.Random(11)
+    k = 8
+    # 'hot' is heavy only GLOBALLY: each half holds 50% of its mass,
+    # smeared among half-local noise that dominates the half's summary.
+    rows_a = ["hot"] * 700 + [f"a{i % 300}" for i in range(2300)]
+    rows_b = ["hot"] * 700 + [f"b{i % 300}" for i in range(2300)]
+    rng.shuffle(rows_a)
+    rng.shuffle(rows_b)
+    df_a = spark.createDataFrame([(w,) for w in rows_a], "w string").repartition(8)
+    df_b = spark.createDataFrame([(w,) for w in rows_b], "w string").repartition(8)
+    s_a = mg_combine_summaries(mg_partition_summaries(df_a, "w", k), "w", k)
+    s_b = mg_combine_summaries(mg_partition_summaries(df_b, "w", k), "w", k)
+    assert s_a.count() <= k - 1 and s_b.count() <= k - 1
+    merged = mg_combine_summaries(s_a.unionByName(s_b), "w", k)
+    assert merged.count() <= k - 1
+    full = df_a.unionByName(df_b)
+    got = {
+        (r.w, r.cnt)
+        for r in recount_candidates(full, merged.select("w"), "w", k).collect()
+    }
+    assert got == _exact(full, k)
+    assert ("hot", 1400) in got
+
+
+def test_combine_invariant_random(spark):
+    """Randomized invariant check: for every value, true_count −
+    merged_residual ≤ N/k (the error bound the superset guarantee
+    rests on), across partition layouts."""
+    from youtube_scraper_db_spark.operators.heavy_hitters import (
+        mg_combine_summaries,
+        mg_partition_summaries,
+    )
+
+    rng = random.Random(23)
+    k = 6
+    rows = [f"v{rng.randrange(40)}" for _ in range(4000)]
+    df = spark.createDataFrame([(w,) for w in rows], "w string").repartition(13)
+    summary = mg_combine_summaries(
+        mg_partition_summaries(df, "w", k), "w", k
+    )
+    resid = {r.w: r.cnt for r in summary.collect()}
+    true = {r.w: r.cnt for r in df.groupBy("w").agg(F.count("*").alias("cnt")).collect()}
+    n = len(rows)
+    for w, c in true.items():
+        assert c - resid.get(w, 0) <= n / k, (w, c, resid.get(w, 0))
+
+
 def test_streaming_mg_matches_batch(spark, tmp_path):
     """Cross-micro-batch MG state fold == batch heavy hitters: two
     source files split a heavy hitter's occurrences, so only the

@@ -231,6 +231,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "histogram_range_shards",
         "ivf_artifact_roundtrip",
         "pq_artifact_roundtrip",
+        "heavy_hitter_merge",
     },
 }
 

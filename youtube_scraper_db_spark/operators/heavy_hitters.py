@@ -40,19 +40,28 @@ def _mg_summary(items: Iterator[pd.DataFrame], col: str, k: int) -> Iterator[pd.
     non-positive — preserves the N_p/k error bound, so the candidate
     superset guarantee holds). Per batch this is a value_counts + an
     nlargest over at most |summary| + |batch vocab| keys, all C-speed;
-    no per-token Python."""
+    no per-token Python. Emits the RESIDUAL counters alongside the
+    candidate words — the recount path ignores them; the merge path
+    (``mg_combine_summaries``) is built on them."""
     counters = pd.Series(dtype="int64")
     for pdf in items:
-        vc = pdf[col].value_counts()
-        # astype: Series.add upcasts to float64 on index union; int64
-        # keeps the counters exact (here bounded by one partition's
-        # rows, but the streaming twin accumulates forever — one rule)
-        counters = counters.add(vc, fill_value=0).astype("int64")
+        # int64 end to end (same rule as the streaming twin,
+        # streaming/heavy_hitters.py): Series.add with fill_value
+        # upcasts to float64 DURING the add, so a counter past 2^53
+        # would lose precision before any astype — reindex both sides
+        # to the union index and add as int64 instead.
+        vc = pdf[col].value_counts().astype("int64")
+        idx = counters.index.union(vc.index)
+        counters = counters.reindex(idx, fill_value=0) + vc.reindex(
+            idx, fill_value=0
+        )
         if len(counters) > k - 1:
             kth = counters.nlargest(k).iloc[-1]
             counters = counters - kth
             counters = counters[counters > 0]
-    yield pd.DataFrame({col: counters.index.astype(str)})
+    yield pd.DataFrame(
+        {col: counters.index.astype(str), "cnt": counters.to_numpy()}
+    )
 
 
 def recount_candidates(
@@ -76,6 +85,50 @@ def recount_candidates(
     )
 
 
+def mg_partition_summaries(src: DataFrame, col: str, k: int) -> DataFrame:
+    """One (k-1)-slot Misra-Gries summary PER PARTITION, with residual
+    counters: ``(col, cnt)`` — map-only, O(k) memory per task, the
+    mergeable-summary unit everything else composes from."""
+    return src.select(col).mapInPandas(
+        lambda it: _mg_summary(it, col, k),
+        schema=f"{col} string, cnt long",
+    )
+
+
+def mg_combine_summaries(summaries: DataFrame, col: str, k: int) -> DataFrame:
+    """Reduce ANY number of MG summaries into one (k-1)-slot summary:
+    sum residual counters on the union support (one keyed aggregate over
+    ≤ (k-1) × summaries rows — tiny), then subtract the k-th largest
+    combined counter from all and drop the non-positive (one trim).
+
+    Soundness (the mergeable-summaries invariant, Agarwal et al. 2012):
+    each input summary maintains k·error ≤ N_i − Σcounters_i; summing
+    counters sums both sides, and the trim subtracts v from ≥ k counters
+    (v IS the k-th largest), removing ≥ k·v of counter mass — so
+    k·error ≤ N − Σcounters survives the combine, every value with true
+    count > N/k keeps a positive residual, and the combined candidate
+    set stays a SUPERSET of the true heavy hitters. This is why a
+    month's summary can fold into a year's without re-reading the
+    corpus (``heavy_hitter_merge`` gates it). The trim fires only when
+    more than k-1 counters survive the sum (same condition as the
+    per-partition rule)."""
+    added = summaries.groupBy(col).agg(F.sum("cnt").alias("cnt"))
+    kth = (
+        added.orderBy(F.desc("cnt"), F.asc(col))
+        .limit(k)
+        .agg(
+            F.when(F.count(F.lit(1)) >= k, F.min("cnt"))
+            .otherwise(F.lit(0))
+            .alias("__kth")
+        )
+    )
+    return (
+        added.crossJoin(F.broadcast(kth))
+        .select(col, (F.col("cnt") - F.col("__kth")).alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+
+
 def exact_heavy_hitters(
     items: DataFrame, col: str, k: int = 16
 ) -> DataFrame:
@@ -85,11 +138,5 @@ def exact_heavy_hitters(
     The threshold compare is integer (cnt * k > n_total) — no division,
     no float, engine-exact."""
     src = items.select(col)
-    cands = (
-        src.mapInPandas(
-            lambda it: _mg_summary(it, col, k),
-            schema=f"{col} string",
-        )
-        .distinct()
-    )
+    cands = mg_partition_summaries(src, col, k).select(col).distinct()
     return recount_candidates(src, cands, col, k)

@@ -11461,6 +11461,46 @@ def pq_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "heavy_hitter_merge",
+    "EXT-heavy-hitters EXT-sketch-merge",
+    oracle=_HH_ORACLE,
+)
+def heavy_hitter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries summary MERGEABILITY (r08 verdict item 5) — the
+    deterministic summary joins the HLL/CMS/Bloom/histogram merge
+    family: the corpus splits into two disjoint halves (doc_id parity),
+    each half reduces its per-partition summaries into ONE (k-1)-slot
+    half-summary, the two half-summaries MERGE by the same
+    combine-counters-then-trim rule (operators/heavy_hitters.py
+    mg_combine_summaries — the Agarwal et al. 2012 invariant
+    k·error ≤ N − Σcounters survives both the sum and the trim, so the
+    merged candidate set is still a superset of the true heavy
+    hitters), and the exact recount of the merged candidates over the
+    FULL corpus must equal the orthodox full-vocabulary GROUP BY —
+    the gate shares the batch gate's oracle verbatim. This is the
+    month-folds-into-year operation: merging summaries costs O(k)
+    rows, never a corpus re-read."""
+    from .operators.heavy_hitters import (
+        mg_combine_summaries,
+        mg_partition_summaries,
+        recount_candidates,
+    )
+
+    ensure_utc(spark)
+    occ = llm_rarity.word_occurrences(_t(spark, sf_dir, "documents"))
+    half_a = occ.filter(F.col("doc_id") % 2 == 0).select("w")
+    half_b = occ.filter(F.col("doc_id") % 2 == 1).select("w")
+    s_a = mg_combine_summaries(
+        mg_partition_summaries(half_a, "w", 32), "w", 32
+    )
+    s_b = mg_combine_summaries(
+        mg_partition_summaries(half_b, "w", 32), "w", 32
+    )
+    merged = mg_combine_summaries(s_a.unionByName(s_b), "w", 32)
+    return recount_candidates(occ.select("w"), merged.select("w"), "w", 32)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -11727,6 +11767,10 @@ _swap_specs("histogram_range_shards", "jsonl_export_roundtrip")
 # head — the debuts swap over them.
 _swap_specs("ivf_artifact_roundtrip", "inbox_stream_drain")
 _swap_specs("pq_artifact_roundtrip", "playlists_json_source_roundtrip")
+# (c) The MG-merge debut (len 233, offset 350 % 233 = 117 → window
+# [117:167]): the shift pulls transcript_files_roundtrip (fresh r08
+# green row) into the head — the debut swaps over it.
+_swap_specs("heavy_hitter_merge", "transcript_files_roundtrip")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
