@@ -188,3 +188,72 @@ def test_label_propagation_communities(spark):
     assert got == lab
     # node 6 is isolated -> keeps its own label
     assert got[6] == 6
+
+
+def test_fold_components_random_equals_recompute(spark):
+    """fold_components(labels(old), new) == connected_components(all),
+    over random graphs and random batch splits — on BOTH execution
+    paths (driver union-find and the distributed star loop via
+    driver_threshold=0)."""
+    import random
+
+    from youtube_scraper_db_spark.llm.cluster import (
+        connected_components,
+        fold_components,
+    )
+
+    rng = random.Random(42)
+    for trial, thresh in [(0, 500_000), (1, 500_000), (2, 0)]:
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        cut = len(edges) * 2 // 3
+        old_e = spark.createDataFrame(edges[:cut], "a long, b long")
+        new_e = spark.createDataFrame(edges[cut:], "a long, b long")
+        all_e = spark.createDataFrame(edges, "a long, b long")
+        old_lab = connected_components(
+            old_e, "a", "b", driver_threshold=thresh
+        )
+        folded = {
+            (r.node, r.component)
+            for r in fold_components(
+                old_lab, new_e, "a", "b", driver_threshold=thresh
+            ).collect()
+        }
+        full = {
+            (r.node, r.component)
+            for r in connected_components(
+                all_e, "a", "b", driver_threshold=thresh
+            ).collect()
+        }
+        assert folded == full, f"trial {trial}"
+
+
+def test_fold_components_new_nodes_and_bridges(spark):
+    """The fold's hard cases: a new edge BRIDGING two old components
+    (labels must merge to the global min), and edges introducing
+    brand-new nodes (self-label or join an old component)."""
+    from youtube_scraper_db_spark.llm.cluster import (
+        connected_components,
+        fold_components,
+    )
+
+    old_e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    # bridge 3-10 merges {1,2,3} with {10,11}; 20-21 is all-new;
+    # 11-30 attaches new node 30 to an old component
+    new_e = spark.createDataFrame(
+        [(3, 10), (20, 21), (11, 30)], "a long, b long"
+    )
+    labels = connected_components(old_e, "a", "b")
+    folded = {
+        (r.node, r.component)
+        for r in fold_components(labels, new_e, "a", "b").collect()
+    }
+    assert folded == {
+        (1, 1), (2, 1), (3, 1), (10, 1), (11, 1), (30, 1),
+        (20, 20), (21, 20),
+    }

@@ -232,6 +232,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "ivf_artifact_roundtrip",
         "pq_artifact_roundtrip",
         "heavy_hitter_merge",
+        "incremental_cc_equiv",
     },
 }
 

@@ -173,6 +173,71 @@ def connected_components(
     return leaves.unionAll(centers)
 
 
+def fold_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str,
+    dst: str,
+    driver_threshold: int = 500_000,
+) -> DataFrame:
+    """Fold a NEW edge batch into existing component ``(node,
+    component)`` labels WITHOUT re-reading the old edge set — the graph
+    member of the incremental-maintenance family (sketches merge
+    cell-wise, ANN indexes fold row-wise, LM models fold count-wise,
+    components fold by CONTRACTION).
+
+    Steps: (1) relabel both endpoints of the new edges through the
+    existing labels (two keyed joins against the label table — nodes
+    the old graph never saw keep themselves); (2) run connected
+    components on that CONTRACTED label-graph — its size is bounded by
+    the NEW batch (≤ 2·|batch| touched labels), not the corpus, so the
+    adaptive driver-side union-find almost always takes it; (3) map
+    every old label through the resulting merge map (left join +
+    coalesce — labels untouched by the batch keep themselves), and
+    self-label batch nodes the old labels didn't cover.
+
+    Exactness: contracting a graph's components to single vertices
+    preserves the connectivity the new edges induce, and because every
+    existing component is labeled by its MINIMUM member, the minimum
+    over merged labels IS the minimum over all member nodes — so folded
+    labels equal a full recompute on (old ∪ new) edges exactly
+    (``incremental_cc_equiv`` gates this). At 100 TB this is the daily
+    dedup-graph operation: yesterday's labels are a table, today's
+    pairs are a batch, and the fold costs two keyed joins over the
+    batch plus CC on the contracted (batch-bounded) graph."""
+    lab = labels.select("node", "component")
+    e = new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    lu = lab.select(F.col("node").alias("u"), F.col("component").alias("cu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("component").alias("cv"))
+    contracted = (
+        e.join(lu, "u", "left")
+        .join(lv, "v", "left")
+        .select(
+            F.coalesce("cu", F.col("u")).alias("a"),
+            F.coalesce("cv", F.col("v")).alias("b"),
+        )
+    )
+    merge_map = connected_components(
+        contracted, "a", "b", driver_threshold=driver_threshold
+    ).select(
+        F.col("node").alias("component"),
+        F.col("component").alias("__new_component"),
+    )
+    batch_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    fresh = batch_nodes.join(lab.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    base = lab.unionByName(fresh)
+    return base.join(merge_map, "component", "left").select(
+        "node",
+        F.coalesce("__new_component", "component").alias("component"),
+    )
+
+
 def dedup_keep_list(
     docs: DataFrame, id_col: str, labels: DataFrame
 ) -> DataFrame:

@@ -11501,6 +11501,53 @@ def heavy_hitter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recount_candidates(occ.select("w"), merged.select("w"), "w", 32)
 
 
+@spec(
+    "incremental_cc_equiv",
+    "EXT-concomp EXT-incr-rollup LLM-dedup-jaccard",
+    oracle="WITH RECURSIVE " + _JACCARD_EDGE_CTES + r"""
+    SELECT doc_id, cluster_id, TRUE AS fold_consistent
+    FROM lab
+    """,
+)
+def incremental_cc_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components (r08 verdict item 6) — the
+    graph member of the fold family: the 3-gram Jaccard pair list
+    splits into a base set and a new daily batch ((doc_a+doc_b)%3=2),
+    the base labels compute once, and the batch FOLDS in by contraction
+    (llm/cluster.py fold_components — relabel endpoints through the
+    existing labels, CC on the batch-bounded contracted graph, map old
+    labels through the merge map; the old edge set is never re-read).
+    Folded labels must equal the full recompute on all pairs EXACTLY:
+    the emitted rows come from the FOLDED path and hash-check against
+    the oracle's recursive-CTE closure over the full pair graph, with
+    the engine-side sym-diff against the recomputed labels riding
+    along (``fold_consistent``). Min-labeling makes this exact, not
+    approximate: a component's label is its minimum member, and the
+    minimum over merged labels is the minimum over member nodes."""
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    pairs = llm_dedup.jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.4
+    ).localCheckpoint(eager=True)
+    is_new = (F.col("doc_a") + F.col("doc_b")) % 3 == 2
+    base_labels = llm_cluster.connected_components(
+        pairs.filter(~is_new), "doc_a", "doc_b"
+    )
+    folded = llm_cluster.fold_components(
+        base_labels, pairs.filter(is_new), "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)
+    full = llm_cluster.connected_components(pairs, "doc_a", "doc_b")
+    diff = (
+        folded.exceptAll(full)
+        .union(full.exceptAll(folded))
+        .agg((F.count(F.lit(1)) == 0).alias("fold_consistent"))
+    )
+    return folded.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    ).crossJoin(diff)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -11771,6 +11818,10 @@ _swap_specs("pq_artifact_roundtrip", "playlists_json_source_roundtrip")
 # [117:167]): the shift pulls transcript_files_roundtrip (fresh r08
 # green row) into the head — the debut swaps over it.
 _swap_specs("heavy_hitter_merge", "transcript_files_roundtrip")
+# (d) The incremental-CC debut (len 234, offset 350 % 234 = 116 →
+# window [116:166]): the shift pulls decontamination_flags (fresh r08
+# green row) into the head — the debut swaps over it.
+_swap_specs("incremental_cc_equiv", "decontamination_flags")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
