@@ -118,6 +118,13 @@ HEADLINE = [
     "pagerank_near_dups",
     "tfidf_cosine_pairs",
     "label_prop_communities",
+    # round 9: ANN index artifacts (save→reload→search ×2), the MG
+    # summary merge, the incremental CC fold, order-3 LM persistence
+    "ivf_artifact_roundtrip",
+    "pq_artifact_roundtrip",
+    "heavy_hitter_merge",
+    "incremental_cc_equiv",
+    "trigram_model_artifact_roundtrip",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

@@ -233,6 +233,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "pq_artifact_roundtrip",
         "heavy_hitter_merge",
         "incremental_cc_equiv",
+        "trigram_model_artifact_roundtrip",
     },
 }
 

@@ -259,6 +259,46 @@ def _triples(t: Column) -> Column:
     )
 
 
+def trigram_model_tables(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_pred: Column | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The trigram LM's ENTIRE persistable state: the unigram ``(w,
+    c)``, bigram ``(a, b, c2)`` and trigram ``(a, b, c, c3)`` count
+    tables over the training slice — the three-table generalization of
+    ``bigram_model_tables``. T, the micro-log unigram scores and BOTH
+    context totals (c(a ·) and c(a b ·)) are pure derivations of these
+    counts, so count-persistence is sufficient at order 3 exactly as at
+    order 2 (``trigram_model_artifact_roundtrip`` saves these through
+    the archive's versioned commit and re-derives the rest on load)."""
+    tok = docs.select(
+        F.col(id_col).alias("id"), llm_text.tokens(text_col).alias("t")
+    )
+    train = tok.filter(train_pred) if train_pred is not None else tok
+    uni = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        train.select(F.explode(_pairs(F.col("t"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tri = (
+        train.select(F.explode(_triples(F.col("t"))).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+            F.col("p.c").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    return uni, big, tri
+
+
 def trigram_doc_scores(
     docs: DataFrame,
     id_col: str,
@@ -285,15 +325,27 @@ def trigram_doc_scores(
     Same scale shape as ``bigram_doc_scores`` with one more
     training-slice aggregate (trigram types) and one more type-counted
     join; strategies left to AQE for the same reason."""
+    uni, big, tri = trigram_model_tables(docs, id_col, text_col, train_pred)
+    return trigram_doc_scores_from_model(
+        docs, id_col, text_col, uni, big, tri
+    )
+
+
+def trigram_doc_scores_from_model(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    uni: DataFrame,
+    big: DataFrame,
+    tri: DataFrame,
+) -> DataFrame:
+    """Score every document under an EXPLICIT trigram model — the entry
+    point for models reloaded from a versioned artifact table. ``uni``
+    is ``(w, c)``, ``big`` is ``(a, b, c2)``, ``tri`` is ``(a, b, c,
+    c3)``; T, the micro-log unigram scores and both context totals
+    derive here, so the persisted counts are the whole model."""
     tok = docs.select(
         F.col(id_col).alias("id"), llm_text.tokens(text_col).alias("t")
-    )
-    train = tok.filter(train_pred) if train_pred is not None else tok
-
-    uni = (
-        train.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
     )
     tot = uni.agg(
         (F.sum("c") + F.count(F.lit(1))).cast("double").alias("T")
@@ -301,21 +353,7 @@ def trigram_doc_scores(
     um = uni.crossJoin(F.broadcast(tot)).select(
         "w", _mu_log((F.col("c") + 1) / F.col("T")).alias("u")
     )
-    big = (
-        train.select(F.explode(_pairs(F.col("t"))).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c2"))
-    )
     ctx = big.groupBy("a").agg(F.sum("c2").alias("c1"))
-    tri = (
-        train.select(F.explode(_triples(F.col("t"))).alias("p"))
-        .groupBy(
-            F.col("p.a").alias("a"),
-            F.col("p.b").alias("b"),
-            F.col("p.c").alias("c"),
-        )
-        .agg(F.count(F.lit(1)).alias("c3"))
-    )
     ctx3 = tri.groupBy("a", "b").agg(F.sum("c3").alias("c23"))
 
     oov = _mu_log(F.lit(1.0) / F.col("T"))

@@ -10231,11 +10231,15 @@ def _lm_checksums(uni: DataFrame, big: DataFrame) -> DataFrame:
     return ustats.crossJoin(bstats)
 
 
-def _score_mismatch(scored_a: DataFrame, scored_b: DataFrame) -> DataFrame:
+def _score_mismatch(
+    scored_a: DataFrame,
+    scored_b: DataFrame,
+    cols: tuple[str, ...] = ("total_micrologp", "n_tokens", "n_backoff"),
+) -> DataFrame:
     """One-row (n_score_mismatch): null-safe full-outer compare of two
-    (id, total_micrologp, n_tokens, n_backoff) score frames — a dropped
-    or extra document counts as a mismatch."""
-    cols = ["total_micrologp", "n_tokens", "n_backoff"]
+    (id, *cols) score frames — a dropped or extra document counts as a
+    mismatch. Default columns fit the bigram scorer; the trigram gate
+    passes its two-hop backoff witnesses."""
     a = scored_a.select("id", *[F.col(c).alias(f"__a_{c}") for c in cols])
     b = scored_b.select("id", *[F.col(c).alias(f"__b_{c}") for c in cols])
     same = None
@@ -11548,6 +11552,133 @@ def incremental_cc_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(diff)
 
 
+def _trigram_model_artifact_sql() -> str:
+    """Oracle for the trigram-LM persistence gate: replay the THREE
+    model aggregates (the order-3 LM's entire persistable state) over
+    the even-doc_id training slice, checksum their canonical rows, and
+    pin the engine-side equality witnesses to their only correct
+    values — the ``_bigram_model_artifact_sql`` device with one more
+    table."""
+    uc = _artifact_checksum_sql("w || ':' || CAST(c AS VARCHAR)")
+    bc = _artifact_checksum_sql(
+        "a || ':' || b || ':' || CAST(c2 AS VARCHAR)"
+    )
+    tc = _artifact_checksum_sql(
+        "a || ':' || b || ':' || c || ':' || CAST(c3 AS VARCHAR)"
+    )
+    return f"""
+    WITH {_TOK_CTE},
+    tr AS (SELECT doc_id, t FROM tok WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w
+    ),
+    big AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+        SELECT t[k] AS a, t[k + 1] AS b
+        FROM tr, LATERAL unnest(range(1, len(t))) q(k)
+      ) GROUP BY a, b
+    ),
+    tri AS (
+      SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
+        SELECT t[k] AS a, t[k + 1] AS b, t[k + 2] AS c
+        FROM tr, LATERAL unnest(range(1, len(t) - 1)) q(k)
+      ) GROUP BY a, b, c
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS uni_rows,
+           (SELECT {uc} FROM uni) AS uni_checksum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM big) AS big_rows,
+           (SELECT {bc} FROM big) AS big_checksum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS tri_rows,
+           (SELECT {tc} FROM tri) AS tri_checksum,
+           CAST(1 AS INT) AS artifact_version,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+             AS n_docs_scored,
+           CAST(0 AS BIGINT) AS n_score_mismatch,
+           TRUE AS roundtrip_ok
+    """
+
+
+@spec(
+    "trigram_model_artifact_roundtrip",
+    "EXT-trigram EXT-artifact S14 S16",
+    oracle=_trigram_model_artifact_sql(),
+)
+def trigram_model_artifact_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORDER-3 LM persistence (r08 verdict item 7) — closes the LM
+    artifact family's symmetry gap: the trigram model's entire
+    persistable state is its three count tables (llm/bigram.py
+    trigram_model_tables — T, the micro-log scores and BOTH context
+    totals are pure derivations), so all three commit through the
+    archive's versioned protocol, reload from parquet, and EVERY
+    document re-scores under the loaded model
+    (trigram_doc_scores_from_model) exactly as under the in-session
+    one — (total_micrologp, n_tokens, n_backoff2, n_backoff1) compare
+    null-safe over a full outer join, mismatches = 0. All three
+    artifact checksums hash-check against the oracle's replay of the
+    training aggregates. Ref: parity N/A (§2.12)."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+    from .functions.portable_hash import md5_halves
+
+    d = _t(spark, sf_dir, "documents")
+    uni, big, tri = llm_bigram.trigram_model_tables(
+        d, "doc_id", "text", train_pred=F.col("id") % 2 == 0
+    )
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_lmart_trigram_"))
+    v1 = ar.save_table("trigram_uni", uni)
+    v2 = ar.save_table("trigram_big", big)
+    v3 = ar.save_table("trigram_tri", tri)
+    uni_l = ar.table("trigram_uni")
+    big_l = ar.table("trigram_big")
+    tri_l = ar.table("trigram_tri")
+    mism = _score_mismatch(
+        llm_bigram.trigram_doc_scores_from_model(
+            d, "doc_id", "text", uni, big, tri
+        ),
+        llm_bigram.trigram_doc_scores_from_model(
+            d, "doc_id", "text", uni_l, big_l, tri_l
+        ),
+        cols=("total_micrologp", "n_tokens", "n_backoff2", "n_backoff1"),
+    )
+    th, _ = md5_halves(
+        F.concat_ws(
+            ":",
+            F.col("a"),
+            F.col("b"),
+            F.col("c"),
+            F.col("c3").cast("string"),
+        )
+    )
+    tstats = tri_l.agg(
+        F.count(F.lit(1)).cast("long").alias("tri_rows"),
+        F.sum(th % F.lit(_ART_CHECK_MOD)).cast("long").alias("tri_checksum"),
+    )
+    nsc = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs_scored"))
+    return (
+        _lm_checksums(uni_l, big_l)
+        .crossJoin(tstats)
+        .crossJoin(nsc)
+        .crossJoin(mism)
+        .select(
+            "uni_rows",
+            "uni_checksum",
+            "big_rows",
+            "big_checksum",
+            "tri_rows",
+            "tri_checksum",
+            F.lit(max(v1, v2, v3)).cast("int").alias("artifact_version"),
+            "n_docs_scored",
+            "n_score_mismatch",
+            (F.col("n_score_mismatch") == 0).alias("roundtrip_ok"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -11822,6 +11953,10 @@ _swap_specs("heavy_hitter_merge", "transcript_files_roundtrip")
 # window [116:166]): the shift pulls decontamination_flags (fresh r08
 # green row) into the head — the debut swaps over it.
 _swap_specs("incremental_cc_equiv", "decontamination_flags")
+# (e) The trigram-persistence debut (len 235, offset 350 % 235 = 115 →
+# window [115:165]): the shift pulls stream_correlated_pairs (fresh r08
+# green row) into the head — the debut swaps over it.
+_swap_specs("trigram_model_artifact_roundtrip", "stream_correlated_pairs")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
