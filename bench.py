@@ -125,6 +125,7 @@ HEADLINE = [
     "heavy_hitter_merge",
     "incremental_cc_equiv",
     "trigram_model_artifact_roundtrip",
+    "incremental_trigram_model_equiv",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

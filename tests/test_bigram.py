@@ -222,3 +222,52 @@ def test_model_fold_equals_union_retrain(spark):
         df, "doc_id", "text", ud, bd
     ).collect()}
     assert sf == sd
+
+
+def test_trigram_fold_and_artifact_roundtrip(spark, tmp_path):
+    """Order-3 symmetry of the fold + persistence story:
+    merge_trigram_model_tables over disjoint slices == retraining on
+    the union (either fold order), and a save/reload through the
+    archive re-scores every document identically, matching the pure
+    Python reference."""
+    from youtube_scraper_db_spark.archive import Archive
+    from youtube_scraper_db_spark.llm import bigram as BG
+    from youtube_scraper_db_spark.llm.bigram import (
+        merge_trigram_model_tables,
+        trigram_doc_scores_from_model,
+        trigram_model_tables,
+    )
+
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    base = df.filter(F.col("doc_id") % 3 != 1)
+    batch = df.filter(F.col("doc_id") % 3 == 1)
+    mb = trigram_model_tables(base, "doc_id", "text")
+    mn = trigram_model_tables(batch, "doc_id", "text")
+    md = trigram_model_tables(df, "doc_id", "text")
+
+    def canon(m):
+        return tuple(sorted(map(tuple, t.collect())) for t in m)
+
+    assert canon(merge_trigram_model_tables(mb, mn)) == canon(md)
+    assert canon(merge_trigram_model_tables(mn, mb)) == canon(md)
+
+    ar = Archive(spark, str(tmp_path / "db3"))
+    for name, t in zip(("t_uni", "t_big", "t_tri"), md):
+        assert ar.save_table(name, t) == 1
+    loaded = {
+        tuple(r)
+        for r in trigram_doc_scores_from_model(
+            df, "doc_id", "text",
+            ar.table("t_uni"), ar.table("t_big"), ar.table("t_tri"),
+        ).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in BG.trigram_doc_scores(df, "doc_id", "text").collect()
+    }
+    assert loaded == direct == {
+        (i, *v)
+        for i, v in BG.py_trigram_scores(
+            ROWS, {i for i, _ in ROWS}
+        ).items()
+    }

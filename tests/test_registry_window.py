@@ -234,6 +234,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "heavy_hitter_merge",
         "incremental_cc_equiv",
         "trigram_model_artifact_roundtrip",
+        "incremental_trigram_model_equiv",
     },
 }
 

@@ -91,6 +91,13 @@ DOC_QUERIES = [
     # is held subquadratic by the df prune
     "stream_heavy_hitter_words",
     "tfidf_cosine_pairs",
+    # round 9: the MG merge is two O(k) summaries + one trim (ratio =
+    # scan cost); the CC fold's contracted graph is batch-bounded; the
+    # trigram artifact is three vocab-bounded commits + reload + rescore
+    "heavy_hitter_merge",
+    "incremental_cc_equiv",
+    "trigram_model_artifact_roundtrip",
+    "incremental_trigram_model_equiv",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.
@@ -316,6 +323,11 @@ def main() -> None:
         "--skew", action="store_true",
         help="run the skewed-key probe instead of the growth probe",
     )
+    ap.add_argument(
+        "names", nargs="*",
+        help="probe only these queries (default: the full list); "
+        "selective runs print results but do NOT rewrite SCALE_PROBE.md",
+    )
     args = ap.parse_args()
 
     if args.skew:
@@ -327,6 +339,8 @@ def main() -> None:
     spark.stop()
 
     names = EVENT_QUERIES + DOC_QUERIES
+    if args.names:
+        names = [n for n in names if n in set(args.names)]
     base = time_all(args.sf, names)
     scaled = time_all(scaled_dir, names)
 
@@ -352,6 +366,9 @@ def main() -> None:
         lines.append(f"| {name} | {t1} | {tn} | {ratio}× | {verdict} |")
         print(lines[-1], flush=True)
 
+    if args.names:
+        print(f"(selective run — SCALE_PROBE.md not rewritten; scaled data in {scaled_dir})")
+        return
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALE_PROBE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -144,6 +144,37 @@ def merge_model_tables(
     return uni, big
 
 
+def merge_trigram_model_tables(
+    a: tuple[DataFrame, DataFrame, DataFrame],
+    b: tuple[DataFrame, DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fold two trigram models trained on DISJOINT corpus slices into
+    one — ``merge_model_tables`` generalized to order 3: all three
+    count tables are sum-mergeable (full-outer join + coalesced sum
+    per key), so the folded model equals the union-retrained model
+    EXACTLY (``incremental_trigram_model_equiv`` gates it). The merge
+    cost is vocabulary-type-sized (the trigram-type table dominates),
+    never a corpus re-scan."""
+
+    def _merge(x: DataFrame, y: DataFrame, keys: list[str], cnt: str):
+        return (
+            x.select(*keys, F.col(cnt).alias("__ca"))
+            .join(y.select(*keys, F.col(cnt).alias("__cb")), keys, "full_outer")
+            .select(
+                *keys,
+                (
+                    F.coalesce("__ca", F.lit(0)) + F.coalesce("__cb", F.lit(0))
+                ).alias(cnt),
+            )
+        )
+
+    return (
+        _merge(a[0], b[0], ["w"], "c"),
+        _merge(a[1], b[1], ["a", "b"], "c2"),
+        _merge(a[2], b[2], ["a", "b", "c"], "c3"),
+    )
+
+
 def bigram_doc_scores(
     docs: DataFrame,
     id_col: str,

@@ -11679,6 +11679,141 @@ def trigram_model_artifact_roundtrip(
     )
 
 
+def _incremental_trigram_sql() -> str:
+    """Oracle for the incremental trigram fold: the folded model equals
+    the union-retrained model exactly (integer-sum mergeability at all
+    three orders), so the replay trains on the FULL corpus and
+    checksums that — the engine computes its checksums over the FOLDED
+    tables, making the hash match itself the mergeability proof (the
+    ``_incremental_bigram_sql`` device, one table deeper)."""
+    uc = _artifact_checksum_sql("w || ':' || CAST(c AS VARCHAR)")
+    bc = _artifact_checksum_sql(
+        "a || ':' || b || ':' || CAST(c2 AS VARCHAR)"
+    )
+    tc = _artifact_checksum_sql(
+        "a || ':' || b || ':' || c || ':' || CAST(c3 AS VARCHAR)"
+    )
+    return f"""
+    WITH {_TOK_CTE},
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+    ),
+    big AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+        SELECT t[k] AS a, t[k + 1] AS b
+        FROM tok, LATERAL unnest(range(1, len(t))) q(k)
+      ) GROUP BY a, b
+    ),
+    tri AS (
+      SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
+        SELECT t[k] AS a, t[k + 1] AS b, t[k + 2] AS c
+        FROM tok, LATERAL unnest(range(1, len(t) - 1)) q(k)
+      ) GROUP BY a, b, c
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS uni_rows,
+           (SELECT {uc} FROM uni) AS uni_checksum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM big) AS big_rows,
+           (SELECT {bc} FROM big) AS big_checksum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS tri_rows,
+           (SELECT {tc} FROM tri) AS tri_checksum,
+           TRUE AS merge_consistent,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+             AS n_docs_scored,
+           CAST(0 AS BIGINT) AS n_score_mismatch,
+           TRUE AS fold_ok
+    """
+
+
+@spec(
+    "incremental_trigram_model_equiv",
+    "EXT-trigram EXT-incr-rollup EXT-sketch-merge",
+    oracle=_incremental_trigram_sql(),
+)
+def incremental_trigram_model_equiv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL order-3 LM maintenance — the fold family at trigram
+    depth: a new document batch (doc_id%5=4) trains its own tiny
+    model, folds into the base model by sum-merge at all three orders
+    (llm/bigram.py merge_trigram_model_tables — three type-table-sized
+    full-outer joins, no corpus re-scan), and the folded model must
+    equal the union-retrained model EXACTLY: all three checksums are
+    computed over the FOLDED tables and hash-checked against the
+    oracle's union-train replay, the cell-wise sym-diff witnesses ride
+    along (``merge_consistent``), and every document scores identically
+    under folded vs retrained (trigram_doc_scores_from_model, null-safe
+    full-outer compare over both backoff hops)."""
+    ensure_utc(spark)
+    from .functions.portable_hash import md5_halves
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 5 != 4)
+    batch = d.filter(F.col("doc_id") % 5 == 4)
+    mb = llm_bigram.trigram_model_tables(base, "doc_id", "text")
+    mn = llm_bigram.trigram_model_tables(batch, "doc_id", "text")
+    uf, bf, tf = llm_bigram.merge_trigram_model_tables(mb, mn)
+    ud, bd, td = llm_bigram.trigram_model_tables(d, "doc_id", "text")
+    diff = (
+        uf.exceptAll(ud)
+        .union(ud.exceptAll(uf))
+        .select(F.lit(1).alias("one"))
+        .unionByName(
+            bf.exceptAll(bd)
+            .union(bd.exceptAll(bf))
+            .select(F.lit(1).alias("one"))
+        )
+        .unionByName(
+            tf.exceptAll(td)
+            .union(td.exceptAll(tf))
+            .select(F.lit(1).alias("one"))
+        )
+        .agg((F.count(F.lit(1)) == 0).alias("merge_consistent"))
+    )
+    mism = _score_mismatch(
+        llm_bigram.trigram_doc_scores_from_model(
+            d, "doc_id", "text", uf, bf, tf
+        ),
+        llm_bigram.trigram_doc_scores_from_model(
+            d, "doc_id", "text", ud, bd, td
+        ),
+        cols=("total_micrologp", "n_tokens", "n_backoff2", "n_backoff1"),
+    )
+    th, _ = md5_halves(
+        F.concat_ws(
+            ":",
+            F.col("a"),
+            F.col("b"),
+            F.col("c"),
+            F.col("c3").cast("string"),
+        )
+    )
+    tstats = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("tri_rows"),
+        F.sum(th % F.lit(_ART_CHECK_MOD)).cast("long").alias("tri_checksum"),
+    )
+    nsc = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs_scored"))
+    return (
+        _lm_checksums(uf, bf)
+        .crossJoin(tstats)
+        .crossJoin(diff)
+        .crossJoin(nsc)
+        .crossJoin(mism)
+        .select(
+            "uni_rows",
+            "uni_checksum",
+            "big_rows",
+            "big_checksum",
+            "tri_rows",
+            "tri_checksum",
+            "merge_consistent",
+            "n_docs_scored",
+            "n_score_mismatch",
+            (F.col("n_score_mismatch") == 0).alias("fold_ok"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -11957,6 +12092,10 @@ _swap_specs("incremental_cc_equiv", "decontamination_flags")
 # window [115:165]): the shift pulls stream_correlated_pairs (fresh r08
 # green row) into the head — the debut swaps over it.
 _swap_specs("trigram_model_artifact_roundtrip", "stream_correlated_pairs")
+# (f) The trigram-fold debut (len 236, offset 350 % 236 = 114 → window
+# [114:164]): the shift pulls stream_enriched_events (fresh r08 green
+# row) into the head — the debut swaps over it.
+_swap_specs("incremental_trigram_model_equiv", "stream_enriched_events")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
