@@ -126,6 +126,11 @@ HEADLINE = [
     "incremental_cc_equiv",
     "trigram_model_artifact_roundtrip",
     "incremental_trigram_model_equiv",
+    # round 9: sketch artifacts — save the register/counter/bit table,
+    # reload, fold the new batch into the LOADED sketch
+    "hll_artifact_fold_roundtrip",
+    "cms_artifact_fold_roundtrip",
+    "bloom_artifact_fold_roundtrip",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

@@ -235,6 +235,9 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "incremental_cc_equiv",
         "trigram_model_artifact_roundtrip",
         "incremental_trigram_model_equiv",
+        "hll_artifact_fold_roundtrip",
+        "cms_artifact_fold_roundtrip",
+        "bloom_artifact_fold_roundtrip",
     },
 }
 

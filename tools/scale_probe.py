@@ -54,6 +54,10 @@ EVENT_QUERIES = [
     "stream_histogram_quantiles",
     # round 8: range-shard map stays 64 broadcast rows while input grows
     "histogram_range_shards",
+    # round 9: sketch artifacts — the saved table stays O(sketch) while
+    # input grows; the fold is a sketch-sized join (ratio = scan cost)
+    "hll_artifact_fold_roundtrip",
+    "cms_artifact_fold_roundtrip",
 ]
 DOC_QUERIES = [
     "doc_token_stats",

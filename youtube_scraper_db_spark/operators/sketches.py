@@ -219,6 +219,56 @@ def hll_union_oracle_sql(
     """
 
 
+def _ck_sql(canon: str, mod: int) -> str:
+    """Artifact-checksum SQL over canonical strings — the registry's
+    ``_artifact_checksum_sql`` formula (md5 hex chars 1-15 → 60-bit
+    BIGINT, summed mod ``mod``); kept in lockstep with the engine's
+    ``md5_halves``-based sums."""
+    return (
+        f"CAST(SUM((('0x' || substr(md5({canon}), 1, 15))::BIGINT)"
+        f" % {mod}) AS BIGINT)"
+    )
+
+
+def hll_artifact_oracle_sql(
+    table: str, key: str, split: str, p: int, checksum_mod: int
+) -> str:
+    """DuckDB replay of the HLL persistence+fold gate: the base-half
+    register table (the SAVED artifact) with its canonical checksum,
+    the new batch's registers folded in by greatest-merge, the folded
+    estimate vs the directly-sketched full input, and the exact union —
+    the ``hll_union_oracle_sql`` replay plus the artifact witnesses."""
+    ck = _ck_sql(
+        "CAST(bucket AS VARCHAR) || ':' || CAST(rho AS VARCHAR)",
+        checksum_mod,
+    )
+    return f"""
+    WITH {_hll_regs_sql('ha', 'ra', table, key, f' AND ({split})', p)},
+    {_hll_regs_sql('hb', 'rb', table, key, f' AND NOT ({split})', p)},
+    merged AS (
+      SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+             GREATEST(COALESCE(a.rho, 0), COALESCE(b.rho, 0)) AS rho
+      FROM ra a FULL OUTER JOIN rb b ON a.bucket = b.bucket
+    ),
+    {_hll_est_sql('merged', 'em', p)},
+    {_hll_regs_sql('hf', 'rf', table, key, '', p)},
+    {_hll_est_sql('rf', 'ef', p)},
+    art AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS saved_registers,
+             {ck} AS saved_checksum
+      FROM ra
+    )
+    SELECT a.saved_registers, a.saved_checksum,
+           ROUND(em.e, 4) AS union_estimate,
+           ROUND(ef.e, 4) AS direct_estimate,
+           ROUND(em.e, 4) = ROUND(ef.e, 4) AS merge_consistent,
+           (SELECT CAST(count(DISTINCT {key}) AS BIGINT)
+            FROM {table} WHERE {key} IS NOT NULL) AS exact_union,
+           CAST(1 AS INT) AS artifact_version
+    FROM em, ef, art a
+    """
+
+
 # --- Count-Min --------------------------------------------------------
 
 def cms_counters(
@@ -495,6 +545,104 @@ def cms_union_oracle_sql(
     """
 
 
+def cms_artifact_oracle_sql(
+    table: str,
+    key: str,
+    split: str,
+    checksum_mod: int,
+    depth: int = 4,
+    width: int = 4096,
+) -> str:
+    """DuckDB replay of the CMS persistence+fold gate — the
+    ``cms_union_oracle_sql`` replay with the base-half counter table
+    treated as the SAVED artifact: its row count and canonical checksum
+    ride along, everything else (fold, estimates through the folded
+    counters, the overestimate guarantee) is identical."""
+    mixes = [km_mix_sql(i) for i in range(depth)]
+    slot_rows = " UNION ALL ".join(
+        f"SELECT k, {i} AS row, ({m}) % {width} AS slot FROM kh"
+        for i, m in enumerate(mixes)
+    )
+    ck = _ck_sql(
+        "CAST(row AS VARCHAR) || ':' || CAST(slot AS VARCHAR)"
+        " || ':' || CAST(cnt AS VARCHAR)",
+        checksum_mod,
+    )
+    return f"""
+    WITH kf AS (
+      SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} WHERE {key} IS NOT NULL GROUP BY {key}
+    ),
+    ka AS (
+      SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} WHERE {key} IS NOT NULL AND ({split}) GROUP BY {key}
+    ),
+    kb AS (
+      SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} WHERE {key} IS NOT NULL AND NOT ({split}) GROUP BY {key}
+    ),
+    kh AS (
+      SELECT k,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM kf
+    ),
+    slots AS ({slot_rows}),
+    ca AS (
+      SELECT s.row, s.slot, CAST(SUM(ka.c) AS BIGINT) AS cnt
+      FROM slots s JOIN ka ON s.k = ka.k GROUP BY s.row, s.slot
+    ),
+    cb AS (
+      SELECT s.row, s.slot, CAST(SUM(kb.c) AS BIGINT) AS cnt
+      FROM slots s JOIN kb ON s.k = kb.k GROUP BY s.row, s.slot
+    ),
+    cd AS (
+      SELECT s.row, s.slot, CAST(SUM(kf.c) AS BIGINT) AS cnt
+      FROM slots s JOIN kf ON s.k = kf.k GROUP BY s.row, s.slot
+    ),
+    cm AS (
+      SELECT COALESCE(a.row, b.row) AS row, COALESCE(a.slot, b.slot) AS slot,
+             COALESCE(a.cnt, 0) + COALESCE(b.cnt, 0) AS cnt
+      FROM ca a FULL OUTER JOIN cb b ON a.row = b.row AND a.slot = b.slot
+    ),
+    cells AS (
+      SELECT SUM(CASE WHEN m.cnt = d.cnt THEN 0 ELSE 1 END) AS n_diff
+      FROM cm m FULL OUTER JOIN cd d ON m.row = d.row AND m.slot = d.slot
+    ),
+    em AS (
+      SELECT s.k, MIN(m.cnt) AS est
+      FROM slots s JOIN cm m ON s.row = m.row AND s.slot = m.slot
+      GROUP BY s.k
+    ),
+    ed AS (
+      SELECT s.k, MIN(d.cnt) AS est
+      FROM slots s JOIN cd d ON s.row = d.row AND s.slot = d.slot
+      GROUP BY s.k
+    ),
+    ests AS (
+      SELECT COUNT(*) AS keys,
+             CAST(SUM(em.est) AS BIGINT) AS sum_est_merged,
+             CAST(SUM(ed.est) AS BIGINT) AS sum_est_direct,
+             SUM(CASE WHEN em.est = ed.est THEN 0 ELSE 1 END) AS n_est_diff,
+             SUM(CASE WHEN em.est >= kf.c THEN 0 ELSE 1 END) AS n_underest
+      FROM em JOIN ed ON em.k = ed.k JOIN kf ON em.k = kf.k
+    ),
+    art AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS saved_cells,
+             {ck} AS saved_checksum
+      FROM ca
+    )
+    SELECT a.saved_cells, a.saved_checksum,
+           CAST(e.keys AS BIGINT) AS keys,
+           e.sum_est_merged, e.sum_est_direct,
+           (c.n_diff = 0 AND e.n_est_diff = 0) AS merge_consistent,
+           e.n_underest = 0 AS overestimate_ok,
+           (SELECT CAST(SUM(c) AS BIGINT) FROM kf) AS exact_total,
+           CAST(1 AS INT) AS artifact_version
+    FROM ests e, cells c, art a
+    """
+
+
 # --- Bloom ------------------------------------------------------------
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -673,6 +821,98 @@ def bloom_oracle_sql(
            CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS true_present,
            CAST(SUM(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END) AS BIGINT)
              AS false_positives
+    FROM t
+    """
+
+
+def bloom_artifact_oracle_sql(
+    build_table: str,
+    build_key: str,
+    probe_table: str,
+    probe_key: str,
+    split: str,
+    checksum_mod: int,
+    k: int = 5,
+    m_bits: int = 1 << 14,
+) -> str:
+    """DuckDB replay of the Bloom persistence+fold gate — the
+    ``bloom_union_oracle_sql`` replay with the base-half bit table
+    treated as the SAVED artifact (row count + canonical checksum);
+    fold = bit-union with the new half's bits, probe through the
+    merged filter, bit-set equality vs the directly-built filter."""
+    mixes = [km_mix_sql(i) for i in range(k)]
+    ba = " UNION ALL ".join(
+        f"SELECT ({m}) % {m_bits} AS pos FROM bha" for m in mixes
+    )
+    bb = " UNION ALL ".join(
+        f"SELECT ({m}) % {m_bits} AS pos FROM bhb" for m in mixes
+    )
+    bf = " UNION ALL ".join(
+        f"SELECT ({m}) % {m_bits} AS pos FROM bhf" for m in mixes
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT k, ({m}) % {m_bits} AS pos FROM ph" for m in mixes
+    )
+    ck = _ck_sql("CAST(pos AS VARCHAR)", checksum_mod)
+
+    def half(name: str, where: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST({build_key} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST({build_key} AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM {build_table} WHERE {build_key} IS NOT NULL{where}
+    )"""
+
+    return f"""
+    WITH {half('bha', f' AND ({split})')},
+    {half('bhb', f' AND NOT ({split})')},
+    {half('bhf', '')},
+    bits_a AS (SELECT DISTINCT pos FROM ({ba})),
+    bits_m AS (SELECT DISTINCT pos FROM (
+      SELECT pos FROM bits_a UNION ALL {bb})),
+    bits_d AS (SELECT DISTINCT pos FROM ({bf})),
+    bitcmp AS (
+      SELECT (SELECT COUNT(*) FROM bits_m) AS nbits_merged,
+             (SELECT COUNT(*) FROM (
+                SELECT pos FROM bits_m EXCEPT SELECT pos FROM bits_d
+                UNION ALL
+                SELECT pos FROM bits_d EXCEPT SELECT pos FROM bits_m
+             )) AS n_diff
+    ),
+    art AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS saved_bits,
+             {ck} AS saved_checksum
+      FROM bits_a
+    ),
+    ph AS (
+      SELECT DISTINCT {probe_key} AS k,
+             ('0x' || substr(md5(CAST({probe_key} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST({probe_key} AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM {probe_table} WHERE {probe_key} IS NOT NULL
+    ),
+    ppos AS (SELECT DISTINCT k, pos FROM ({probe_pos})),
+    m AS (
+      SELECT p.k, COUNT(*) AS ntotal, COUNT(b.pos) AS nset
+      FROM ppos p LEFT JOIN bits_m b ON p.pos = b.pos
+      GROUP BY p.k
+    ),
+    t AS (
+      SELECT m.k, m.nset = m.ntotal AS maybe,
+             EXISTS (SELECT 1 FROM {build_table} x
+                     WHERE x.{build_key} = m.k) AS present
+      FROM m
+    )
+    SELECT (SELECT saved_bits FROM art) AS saved_bits,
+           (SELECT saved_checksum FROM art) AS saved_checksum,
+           CAST(COUNT(*) AS BIGINT) AS probed,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS maybe_present,
+           CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS true_present,
+           CAST(SUM(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END) AS BIGINT)
+             AS false_positives,
+           (SELECT CAST(nbits_merged AS BIGINT) FROM bitcmp) AS nbits_merged,
+           (SELECT n_diff = 0 FROM bitcmp) AS merge_consistent,
+           CAST(1 AS INT) AS artifact_version
     FROM t
     """
 

@@ -11814,6 +11814,260 @@ def incremental_trigram_model_equiv(
     )
 
 
+@spec(
+    "hll_artifact_fold_roundtrip",
+    "EXT-sketch-hll EXT-artifact EXT-sketch-merge S14 S16",
+    oracle=op_sketches.hll_artifact_oracle_sql(
+        "events", "user_id", "event_id % 2 = 0", 9, _ART_CHECK_MOD
+    ),
+)
+def hll_artifact_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-ARTIFACT persistence, HLL — the artifact story's fourth
+    family (tokenizers, LM models, ANN indexes, now sketches): a
+    sketch's persistable state IS its register table, so yesterday's
+    HLL commits through the archive's versioned protocol, reloads from
+    parquet, and today's batch FOLDS into the LOADED registers by
+    greatest-merge (operators/sketches.py hll_merge) — the estimate
+    through the folded sketch must equal sketching the full input
+    directly (max is associative: ``merge_consistent`` exact), the
+    saved table's canonical checksum replays in the oracle, and the
+    exact union rides along. This is the daily-rollup loop a 100 TB
+    metrics store actually runs: load last month's 2^9-row sketch,
+    fold today, save back — never a re-scan."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+    from .functions.portable_hash import md5_halves
+
+    ev = _t(spark, sf_dir, "events")
+    base_regs = op_sketches.hll_registers(
+        ev.filter(F.col("event_id") % 2 == 0), "user_id", 9
+    )
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_skart_hll_"))
+    v = ar.save_table("hll_user_regs", base_regs)
+    regs_l = ar.table("hll_user_regs")
+    folded = op_sketches.hll_merge(
+        regs_l,
+        op_sketches.hll_registers(
+            ev.filter(F.col("event_id") % 2 != 0), "user_id", 9
+        ),
+    )
+    union_est = op_sketches.hll_estimate_from_registers(folded, 9).select(
+        F.col("estimate").alias("union_estimate")
+    )
+    direct_est = op_sketches.hll_estimate_from_registers(
+        op_sketches.hll_registers(ev, "user_id", 9), 9
+    ).select(F.col("estimate").alias("direct_estimate"))
+    h, _ = md5_halves(
+        F.concat_ws(
+            ":", F.col("bucket").cast("string"), F.col("rho").cast("string")
+        )
+    )
+    art = regs_l.agg(
+        F.count(F.lit(1)).cast("long").alias("saved_registers"),
+        F.sum(h % F.lit(_ART_CHECK_MOD)).cast("long").alias("saved_checksum"),
+    )
+    exact = ev.where(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").alias("exact_union")
+    )
+    return (
+        art.crossJoin(union_est)
+        .crossJoin(direct_est)
+        .select(
+            "saved_registers",
+            "saved_checksum",
+            "union_estimate",
+            "direct_estimate",
+            (F.col("union_estimate") == F.col("direct_estimate")).alias(
+                "merge_consistent"
+            ),
+        )
+        .crossJoin(exact)
+        .withColumn("artifact_version", F.lit(v).cast("int"))
+    )
+
+
+@spec(
+    "cms_artifact_fold_roundtrip",
+    "EXT-sketch-cms EXT-artifact EXT-sketch-merge S14 S16",
+    oracle=op_sketches.cms_artifact_oracle_sql(
+        "events", "user_id", "event_id % 2 = 0", _ART_CHECK_MOD
+    ),
+)
+def cms_artifact_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-ARTIFACT persistence, Count-Min: the saved artifact is
+    the counter table; the new batch's counters FOLD into the LOADED
+    table by cell-wise sum (operators/sketches.py cms_merge), every key
+    probes through the folded counters, and the result must be
+    cell-for-cell and estimate-for-estimate identical to sketching the
+    full input directly (integer sum is associative). The saved table's
+    canonical checksum replays in the oracle; the CMS overestimate
+    guarantee rides along over the folded counters."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+    from .functions.portable_hash import md5_halves
+
+    ev = _t(spark, sf_dir, "events")
+    base_cnt = op_sketches.cms_counters(
+        ev.filter(F.col("event_id") % 2 == 0), "user_id"
+    )
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_skart_cms_"))
+    v = ar.save_table("cms_user_counters", base_cnt)
+    cnt_l = ar.table("cms_user_counters")
+    folded = op_sketches.cms_merge(
+        cnt_l,
+        op_sketches.cms_counters(
+            ev.filter(F.col("event_id") % 2 != 0), "user_id"
+        ),
+    )
+    est_m = op_sketches.cms_point_estimates_from_counters(
+        ev, "user_id", folded
+    ).select(F.col("k"), F.col("est").alias("est_m"), "exact")
+    est_d = op_sketches.cms_point_estimates(ev, "user_id").select(
+        F.col("k"), F.col("est").alias("est_d")
+    )
+    direct = op_sketches.cms_counters(ev, "user_id")
+    cells = (
+        folded.withColumnRenamed("cnt", "cm")
+        .join(
+            direct.withColumnRenamed("cnt", "cd"), ["row", "slot"], "full_outer"
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("cm").eqNullSafe(F.col("cd")), 0).otherwise(1)
+            ).alias("n_cell_diff")
+        )
+    )
+    ests = est_m.join(est_d, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("keys"),
+        F.sum("est_m").cast("long").alias("sum_est_merged"),
+        F.sum("est_d").cast("long").alias("sum_est_direct"),
+        F.sum(F.when(F.col("est_m") == F.col("est_d"), 0).otherwise(1)).alias(
+            "n_est_diff"
+        ),
+        F.sum(F.when(F.col("est_m") >= F.col("exact"), 0).otherwise(1)).alias(
+            "n_underest"
+        ),
+    )
+    h, _ = md5_halves(
+        F.concat_ws(
+            ":",
+            F.col("row").cast("string"),
+            F.col("slot").cast("string"),
+            F.col("cnt").cast("string"),
+        )
+    )
+    art = cnt_l.agg(
+        F.count(F.lit(1)).cast("long").alias("saved_cells"),
+        F.sum(h % F.lit(_ART_CHECK_MOD)).cast("long").alias("saved_checksum"),
+    )
+    exact_total = ev.where(F.col("user_id").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_total")
+    )
+    return (
+        art.crossJoin(ests)
+        .crossJoin(cells)
+        .select(
+            "saved_cells",
+            "saved_checksum",
+            "keys",
+            "sum_est_merged",
+            "sum_est_direct",
+            ((F.col("n_cell_diff") == 0) & (F.col("n_est_diff") == 0)).alias(
+                "merge_consistent"
+            ),
+            (F.col("n_underest") == 0).alias("overestimate_ok"),
+        )
+        .crossJoin(exact_total)
+        .withColumn("artifact_version", F.lit(v).cast("int"))
+    )
+
+
+@spec(
+    "bloom_artifact_fold_roundtrip",
+    "EXT-sketch-bloom EXT-artifact EXT-sketch-merge S14 S16",
+    oracle=op_sketches.bloom_artifact_oracle_sql(
+        "orders",
+        "o_custkey",
+        "customer",
+        "c_custkey",
+        "o_orderkey % 2 = 0",
+        _ART_CHECK_MOD,
+    ),
+)
+def bloom_artifact_fold_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SKETCH-ARTIFACT persistence, Bloom: the saved artifact is the
+    set-bit-position table; the new half's bits FOLD into the LOADED
+    table by bit-union (operators/sketches.py bloom_merge), every
+    customer probes through the folded filter, and the folded bit set
+    must equal the directly-built filter bit-for-bit (set union is
+    associative: ``merge_consistent`` exact). The probe report — the
+    sketch's whole error surface, false positives included — and the
+    saved table's canonical checksum all replay in the oracle."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+    from .functions.portable_hash import md5_halves
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    bits_a = op_sketches.bloom_bits(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "o_custkey"
+    )
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_skart_bloom_"))
+    v = ar.save_table("bloom_cust_bits", bits_a)
+    bits_l = ar.table("bloom_cust_bits")
+    folded = op_sketches.bloom_merge(
+        bits_l,
+        op_sketches.bloom_bits(
+            orders.filter(F.col("o_orderkey") % 2 != 0), "o_custkey"
+        ),
+    ).localCheckpoint(eager=True)
+    report = op_sketches.bloom_probe_report_from_bits(
+        folded, orders, "o_custkey", customer, "c_custkey"
+    )
+    direct = op_sketches.bloom_bits(orders, "o_custkey")
+    bitcmp = (
+        folded.join(direct, "pos", "full_outer")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union"))
+        .crossJoin(folded.agg(F.count(F.lit(1)).cast("long").alias("nbits_merged")))
+        .crossJoin(direct.agg(F.count(F.lit(1)).cast("long").alias("nd")))
+        .select(
+            "nbits_merged",
+            (
+                (F.col("n_union") == F.col("nbits_merged"))
+                & (F.col("n_union") == F.col("nd"))
+            ).alias("merge_consistent"),
+        )
+    )
+    h, _ = md5_halves(F.col("pos").cast("string"))
+    art = bits_l.agg(
+        F.count(F.lit(1)).cast("long").alias("saved_bits"),
+        F.sum(h % F.lit(_ART_CHECK_MOD)).cast("long").alias("saved_checksum"),
+    )
+    return (
+        art.crossJoin(report)
+        .crossJoin(bitcmp)
+        .select(
+            "saved_bits",
+            "saved_checksum",
+            "probed",
+            "maybe_present",
+            "true_present",
+            "false_positives",
+            "nbits_merged",
+            "merge_consistent",
+        )
+        .withColumn("artifact_version", F.lit(v).cast("int"))
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -12096,6 +12350,13 @@ _swap_specs("trigram_model_artifact_roundtrip", "stream_correlated_pairs")
 # [114:164]): the shift pulls stream_enriched_events (fresh r08 green
 # row) into the head — the debut swaps over it.
 _swap_specs("incremental_trigram_model_equiv", "stream_enriched_events")
+# (g) The sketch-artifact trio (len 239, offset 350 % 239 = 111 →
+# window [111:161]): the shift pulls token_runs_udtf /
+# stream_cms_user_counts / stream_dedup_user_types (all fresh r08
+# green rows) into the head — the debuts swap over them.
+_swap_specs("hll_artifact_fold_roundtrip", "token_runs_udtf")
+_swap_specs("cms_artifact_fold_roundtrip", "stream_cms_user_counts")
+_swap_specs("bloom_artifact_fold_roundtrip", "stream_dedup_user_types")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
