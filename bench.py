@@ -131,6 +131,7 @@ HEADLINE = [
     "hll_artifact_fold_roundtrip",
     "cms_artifact_fold_roundtrip",
     "bloom_artifact_fold_roundtrip",
+    "histogram_artifact_frozen_fold",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

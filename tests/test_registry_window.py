@@ -238,6 +238,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "hll_artifact_fold_roundtrip",
         "cms_artifact_fold_roundtrip",
         "bloom_artifact_fold_roundtrip",
+        "histogram_artifact_frozen_fold",
     },
 }
 

@@ -284,3 +284,66 @@ def test_histogram_range_shards_degenerate_single_value(spark):
     rows = S.histogram_range_shard_report(df, "v", bins=64, shards=8).collect()
     assert len(rows) == 1 and rows[0]["n_rows"] == 10
     assert rows[0]["balanced_ok"] and rows[0]["range_disjoint"]
+
+
+def test_frozen_edge_binning_clamps_out_of_range(spark):
+    """histogram_bin_expr_frozen: new-batch values outside the saved
+    [lo, hi] clamp into the edge bins (below → 0, above → bins-1);
+    in-range values bin exactly like the in-plan form; hi == lo
+    degenerates to bin 0 for everything."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(-50.0,), (0.0,), (5.0,), (10.0,), (999.0,)], "v double"
+    )
+    got = {
+        r["v"]: r["bin"]
+        for r in df.select(
+            "v",
+            S.histogram_bin_expr_frozen(
+                F.col("v"), F.lit(0.0), F.lit(10.0), 4
+            ).alias("bin"),
+        ).collect()
+    }
+    assert got == {-50.0: 0, 0.0: 0, 5.0: 2, 10.0: 3, 999.0: 3}
+    degen = df.select(
+        S.histogram_bin_expr_frozen(
+            F.col("v"), F.lit(7.0), F.lit(7.0), 4
+        ).alias("bin")
+    ).collect()
+    assert {r["bin"] for r in degen} == {0}
+
+
+def test_frozen_edge_fold_equals_direct(spark):
+    """Fold of base bins + batch bins under the base's frozen edges ==
+    binning the union under the same edges — with the batch extending
+    the range on BOTH sides so the clamp path is exercised."""
+    from pyspark.sql import functions as F
+
+    bins = 8
+    base = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    batch = spark.createDataFrame(
+        [(float(i),) for i in range(-20, 140)], "v double"
+    )
+    edges = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+
+    def binned(src):
+        return (
+            src.crossJoin(F.broadcast(edges))
+            .select(
+                S.histogram_bin_expr_frozen(
+                    F.col("v"), F.col("lo"), F.col("hi"), bins
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ba = {r["bin"]: r["cnt"] for r in binned(base).collect()}
+    bb = {r["bin"]: r["cnt"] for r in binned(batch).collect()}
+    folded = {b: ba.get(b, 0) + bb.get(b, 0) for b in set(ba) | set(bb)}
+    direct = {
+        r["bin"]: r["cnt"] for r in binned(base.unionAll(batch)).collect()
+    }
+    assert folded == direct
+    assert sum(folded.values()) == 100 + 160

@@ -58,6 +58,7 @@ EVENT_QUERIES = [
     # input grows; the fold is a sketch-sized join (ratio = scan cost)
     "hll_artifact_fold_roundtrip",
     "cms_artifact_fold_roundtrip",
+    "histogram_artifact_frozen_fold",
 ]
 DOC_QUERIES = [
     "doc_token_stats",

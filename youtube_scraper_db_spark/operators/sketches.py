@@ -919,6 +919,93 @@ def bloom_artifact_oracle_sql(
 
 # --- Histogram quantile sketch ------------------------------------------
 
+def histogram_bin_expr_frozen(
+    v: Column, lo: Column, hi: Column, bins: int
+) -> Column:
+    """Binning under FROZEN edges — the fixed-boundary semantics a
+    PERSISTED histogram needs: the saved artifact carries [lo, hi] from
+    the data it was built on, and new batches may fall outside that
+    range, so out-of-range values CLAMP into the edge bins (below-range
+    → bin 0, above-range → bin bins-1). ``histogram_bin_expr`` (the
+    in-plan form) never sees out-of-range values because its stats row
+    comes from the same frame; this variant is the fold-time twin."""
+    w = (hi - lo) / float(bins)
+    return F.when(hi == lo, F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"), F.floor((v - lo) / w).cast("long")
+            ),
+        )
+    )
+
+
+def histogram_artifact_oracle_sql(
+    table: str, col: str, split: str, bins: int, checksum_mod: int
+) -> str:
+    """DuckDB replay of the frozen-edge histogram persistence+fold
+    gate: base-half edges + bin counts (the SAVED artifact, with its
+    canonical checksum), the new batch binned under the FROZEN edges
+    with edge-bin clamping, the cell-wise fold, and the direct
+    histogram of the full input under the same frozen edges — integer
+    sums, so fold ≡ direct exactly."""
+    ck = _ck_sql(
+        "CAST(bin AS VARCHAR) || ':' || CAST(cnt AS VARCHAR)", checksum_mod
+    )
+    clamp = (
+        f"CASE WHEN hi = lo THEN 0 ELSE LEAST({bins - 1}, GREATEST(0, "
+        f"CAST(FLOOR((v - lo) / ((hi - lo) / {float(bins)!r})) AS BIGINT)"
+        f")) END"
+    )
+    return f"""
+    WITH srcb AS (
+      SELECT CAST({col} AS DOUBLE) AS v FROM {table}
+      WHERE {col} IS NOT NULL AND ({split})
+    ),
+    srcn AS (
+      SELECT CAST({col} AS DOUBLE) AS v FROM {table}
+      WHERE {col} IS NOT NULL AND NOT ({split})
+    ),
+    srcf AS (
+      SELECT CAST({col} AS DOUBLE) AS v FROM {table} WHERE {col} IS NOT NULL
+    ),
+    edges AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM srcb),
+    bb AS (
+      SELECT {clamp} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM srcb, edges GROUP BY 1
+    ),
+    bn AS (
+      SELECT {clamp} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM srcn, edges GROUP BY 1
+    ),
+    folded AS (
+      SELECT COALESCE(a.bin, b.bin) AS bin,
+             COALESCE(a.cnt, 0) + COALESCE(b.cnt, 0) AS cnt
+      FROM bb a FULL OUTER JOIN bn b ON a.bin = b.bin
+    ),
+    direct AS (
+      SELECT {clamp} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM srcf, edges GROUP BY 1
+    ),
+    cmp AS (
+      SELECT SUM(CASE WHEN f.cnt = d.cnt THEN 0 ELSE 1 END) AS n_diff
+      FROM folded f FULL OUTER JOIN direct d ON f.bin = d.bin
+    ),
+    art AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS saved_bins,
+             {ck} AS saved_checksum
+      FROM bb
+    )
+    SELECT a.saved_bins, a.saved_checksum,
+           FLOOR((SELECT lo FROM edges) * 100 + 0.5) / 100.0 AS lo_edge,
+           FLOOR((SELECT hi FROM edges) * 100 + 0.5) / 100.0 AS hi_edge,
+           (SELECT CAST(SUM(cnt) AS BIGINT) FROM folded) AS n_total,
+           (SELECT n_diff = 0 FROM cmp) AS fold_consistent,
+           CAST(1 AS INT) AS artifact_version
+    FROM art a
+    """
+
+
 def histogram_bin_expr(v: Column, lo: Column, hi: Column, bins: int) -> Column:
     """The shared per-row binning projection — the ``hll_bucket_rho``
     device applied to histograms: batch construction, the streaming

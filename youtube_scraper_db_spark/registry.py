@@ -12068,6 +12068,134 @@ def bloom_artifact_fold_roundtrip(
     )
 
 
+@spec(
+    "histogram_artifact_frozen_fold",
+    "EXT-sketch-quantile EXT-histogram EXT-artifact EXT-sketch-merge S14 S16",
+    oracle=op_sketches.histogram_artifact_oracle_sql(
+        "events", "value", "event_id % 2 = 0", 64, _ART_CHECK_MOD
+    ),
+)
+def histogram_artifact_frozen_fold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SKETCH-ARTIFACT persistence, histogram — under FROZEN-edge
+    semantics, the contract a persisted histogram actually has: the
+    saved artifact is the (lo, hi) edge row plus the bin-count table,
+    and new batches bin under the LOADED edges with out-of-range values
+    clamping into the edge bins (operators/sketches.py
+    histogram_bin_expr_frozen — the in-plan form never sees
+    out-of-range values; the fold-time twin must). The batch's counts
+    FOLD into the loaded table by cell-wise sum, and the folded
+    histogram must equal binning the full input under the same frozen
+    edges directly (integer sums: ``fold_consistent`` exact). The saved
+    table's canonical checksum and the frozen edges replay in the
+    oracle. This closes the sketch family's artifact story: the
+    range-dependence that kept the histogram out of the plain fold trio
+    is exactly what freezing the edges resolves."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+    from .functions.portable_hash import md5_halves
+
+    bins = 64
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(
+        (F.col("event_id") % 2 == 0) & F.col("value").isNotNull()
+    ).select(F.col("value").cast("double").alias("v"))
+    batch = ev.filter(
+        (F.col("event_id") % 2 != 0) & F.col("value").isNotNull()
+    ).select(F.col("value").cast("double").alias("v"))
+    edges = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    bins_base = (
+        base.crossJoin(F.broadcast(edges))
+        .select(
+            op_sketches.histogram_bin_expr_frozen(
+                F.col("v"), F.col("lo"), F.col("hi"), bins
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_skart_hist_"))
+    v1 = ar.save_table("hist_edges", edges)
+    v2 = ar.save_table("hist_bins", bins_base)
+    edges_l = ar.table("hist_edges")
+    bins_l = ar.table("hist_bins")
+
+    def _binned(src):
+        return (
+            src.crossJoin(F.broadcast(edges_l))
+            .select(
+                op_sketches.histogram_bin_expr_frozen(
+                    F.col("v"), F.col("lo"), F.col("hi"), bins
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    folded = (
+        bins_l.withColumnRenamed("cnt", "ca")
+        .join(_binned(batch).withColumnRenamed("cnt", "cb"), "bin", "full_outer")
+        .select(
+            "bin",
+            (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias(
+                "cnt"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    direct = _binned(base.unionAll(batch))
+    cmp_ = (
+        folded.withColumnRenamed("cnt", "cf")
+        .join(direct.withColumnRenamed("cnt", "cd"), "bin", "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("cf").eqNullSafe(F.col("cd")), 0).otherwise(1)
+            ).alias("n_diff")
+        )
+        .select((F.col("n_diff") == 0).alias("fold_consistent"))
+    )
+    h, _ = md5_halves(
+        F.concat_ws(
+            ":", F.col("bin").cast("string"), F.col("cnt").cast("string")
+        )
+    )
+    art = bins_l.agg(
+        F.count(F.lit(1)).cast("long").alias("saved_bins"),
+        F.sum(h % F.lit(_ART_CHECK_MOD)).cast("long").alias("saved_checksum"),
+    )
+
+    def half_up2(c):
+        return F.floor(c * 100 + F.lit(0.5)) / 100.0
+
+    return (
+        art.crossJoin(
+            edges_l.select(
+                half_up2(F.col("lo")).alias("lo_edge"),
+                half_up2(F.col("hi")).alias("hi_edge"),
+            )
+        )
+        .crossJoin(
+            folded.agg(F.sum("cnt").cast("long").alias("n_total"))
+        )
+        .crossJoin(cmp_)
+        .withColumn(
+            "artifact_version", F.lit(max(v1, v2)).cast("int")
+        )
+        .select(
+            "saved_bins",
+            "saved_checksum",
+            "lo_edge",
+            "hi_edge",
+            "n_total",
+            "fold_consistent",
+            "artifact_version",
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -12357,6 +12485,10 @@ _swap_specs("incremental_trigram_model_equiv", "stream_enriched_events")
 _swap_specs("hll_artifact_fold_roundtrip", "token_runs_udtf")
 _swap_specs("cms_artifact_fold_roundtrip", "stream_cms_user_counts")
 _swap_specs("bloom_artifact_fold_roundtrip", "stream_dedup_user_types")
+# (h) The frozen-edge histogram debut (len 240, offset 350 % 240 = 110
+# → window [110:160]): the shift pulls cms_union_merge (fresh r08
+# green row) into the head — the debut swaps over it.
+_swap_specs("histogram_artifact_frozen_fold", "cms_union_merge")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
