@@ -50,6 +50,9 @@ ARROW_STAGES = {
     "wordpiece_artifact_roundtrip",  # two memoized greedy-match apply kernels
     "incremental_pq_equiv",      # PQ encode/ADC kernels over base+batch+full
     "stream_heavy_hitter_words",  # recount joins the drained MG candidates
+    # round 9
+    "pq_artifact_roundtrip",     # PQ encode/ADC kernels (stored + reloaded books)
+    "heavy_hitter_merge",        # per-partition MG summaries are mapInPandas
 }
 
 #: queries where a BroadcastNestedLoopJoin is the documented, bounded
@@ -97,6 +100,19 @@ BNLJ_OK = {
     "stream_heavy_hitter_words",  # 1-row total scalar vs candidate counts
     "histogram_range_shards",     # 1-row stats/cap scalar broadcasts
     "tfidf_cosine_pairs",         # 1-row doc-count scalar vs the df table
+    # round 9: the artifact/fold gates join 1-row checksum / sym-diff /
+    # recall scalars (and the ANN ones carry the nprobe centroid scalar)
+    "ivf_artifact_roundtrip",
+    "pq_artifact_roundtrip",
+    "heavy_hitter_merge",         # ≤k-1 candidates × 1-row total (the
+                                  # heavy_hitter_words shape) + kth-trim scalar
+    "incremental_cc_equiv",       # labels × 1-row fold-consistency scalar
+    "trigram_model_artifact_roundtrip",
+    "incremental_trigram_model_equiv",
+    "hll_artifact_fold_roundtrip",
+    "cms_artifact_fold_roundtrip",
+    "bloom_artifact_fold_roundtrip",
+    "histogram_artifact_frozen_fold",  # 1-row frozen-edges broadcast + scalars
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

@@ -336,6 +336,8 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.skew:
+        if args.names:
+            raise SystemExit("--skew runs its fixed query set; drop the names")
         run_skew_probe(args)
         return
 
@@ -345,6 +347,13 @@ def main() -> None:
 
     names = EVENT_QUERIES + DOC_QUERIES
     if args.names:
+        unknown = sorted(set(args.names) - set(names))
+        if unknown:
+            raise SystemExit(
+                f"unknown probe queries {unknown} — add them to "
+                "EVENT_QUERIES or DOC_QUERIES first (a silent skip would "
+                "burn the full scaled-data build and report nothing)"
+            )
         names = [n for n in names if n in set(args.names)]
     base = time_all(args.sf, names)
     scaled = time_all(scaled_dir, names)

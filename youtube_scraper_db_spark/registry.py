@@ -9969,10 +9969,11 @@ def _tokens_text(applied: DataFrame) -> DataFrame:
 
 
 def _artifact_checksum_sql(canon: str) -> str:
-    return (
-        f"CAST(SUM((('0x' || substr(md5({canon}), 1, 15))::BIGINT)"
-        f" % {_ART_CHECK_MOD}) AS BIGINT)"
-    )
+    """The artifact-checksum SQL formula lives ONCE, in
+    operators/sketches.py (``_ck_sql``) — the sketch-artifact oracles
+    build theirs there; this delegation keeps every artifact gate's
+    checksum definition literally the same expression."""
+    return op_sketches._ck_sql(canon, _ART_CHECK_MOD)
 
 
 def _artifact_report_sql(art_body: str, canon: str, src: str = "art") -> str:
@@ -10858,10 +10859,12 @@ def cms_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_m = op_sketches.cms_point_estimates_from_counters(
         ev, "user_id", merged
     ).select(F.col("k"), F.col("est").alias("est_m"), "exact")
-    est_d = op_sketches.cms_point_estimates(ev, "user_id").select(
-        F.col("k"), F.col("est").alias("est_d")
-    )
+    # build the direct counter table ONCE — it feeds both the estimate
+    # twin and the cell-wise compare
     direct = op_sketches.cms_counters(ev, "user_id")
+    est_d = op_sketches.cms_point_estimates_from_counters(
+        ev, "user_id", direct
+    ).select(F.col("k"), F.col("est").alias("est_d"))
     cells = (
         merged.withColumnRenamed("cnt", "cm")
         .join(direct.withColumnRenamed("cnt", "cd"), ["row", "slot"], "full_outer")
@@ -11926,10 +11929,13 @@ def cms_artifact_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_m = op_sketches.cms_point_estimates_from_counters(
         ev, "user_id", folded
     ).select(F.col("k"), F.col("est").alias("est_m"), "exact")
-    est_d = op_sketches.cms_point_estimates(ev, "user_id").select(
-        F.col("k"), F.col("est").alias("est_d")
-    )
+    # build the direct counter table ONCE — it feeds both the estimate
+    # twin and the cell-wise compare (review catch: the previous
+    # cms_point_estimates call rebuilt the identical table internally)
     direct = op_sketches.cms_counters(ev, "user_id")
+    est_d = op_sketches.cms_point_estimates_from_counters(
+        ev, "user_id", direct
+    ).select(F.col("k"), F.col("est").alias("est_d"))
     cells = (
         folded.withColumnRenamed("cnt", "cm")
         .join(
