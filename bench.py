@@ -132,6 +132,7 @@ HEADLINE = [
     "cms_artifact_fold_roundtrip",
     "bloom_artifact_fold_roundtrip",
     "histogram_artifact_frozen_fold",
+    "heavy_hitter_artifact_fold",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

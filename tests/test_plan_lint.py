@@ -53,6 +53,7 @@ ARROW_STAGES = {
     # round 9
     "pq_artifact_roundtrip",     # PQ encode/ADC kernels (stored + reloaded books)
     "heavy_hitter_merge",        # per-partition MG summaries are mapInPandas
+    "heavy_hitter_artifact_fold",  # same MG summary kernels, saved + batch
 }
 
 #: queries where a BroadcastNestedLoopJoin is the documented, bounded
@@ -113,6 +114,7 @@ BNLJ_OK = {
     "cms_artifact_fold_roundtrip",
     "bloom_artifact_fold_roundtrip",
     "histogram_artifact_frozen_fold",  # 1-row frozen-edges broadcast + scalars
+    "heavy_hitter_artifact_fold",      # candidates × 1-row total + trim scalars
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

@@ -239,6 +239,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "cms_artifact_fold_roundtrip",
         "bloom_artifact_fold_roundtrip",
         "histogram_artifact_frozen_fold",
+        "heavy_hitter_artifact_fold",
     },
 }
 

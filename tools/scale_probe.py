@@ -103,6 +103,7 @@ DOC_QUERIES = [
     "incremental_cc_equiv",
     "trigram_model_artifact_roundtrip",
     "incremental_trigram_model_equiv",
+    "heavy_hitter_artifact_fold",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

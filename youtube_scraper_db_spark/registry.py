@@ -12202,6 +12202,52 @@ def histogram_artifact_frozen_fold(
     )
 
 
+@spec(
+    "heavy_hitter_artifact_fold",
+    "EXT-heavy-hitters EXT-artifact EXT-sketch-merge S14 S16",
+    oracle=_HH_ORACLE,
+)
+def heavy_hitter_artifact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries summary ARTIFACT — completing the MG grid (merge ✓
+    heavy_hitter_merge, streaming ✓ stream_heavy_hitter_words, artifact
+    here): yesterday's (k-1)-slot candidate summary is a (w, cnt)
+    table, so it commits through the archive's versioned protocol,
+    reloads from parquet, and today's batch summary FOLDS into the
+    LOADED one by the combine-then-trim rule (operators/heavy_hitters.py
+    mg_combine_summaries — the invariant k·error ≤ N − Σcounters is
+    indifferent to a parquet roundtrip of exact longs, so the folded
+    candidate set stays a superset of the true heavy hitters). The
+    exact recount over the full corpus decides, and the gate shares the
+    batch oracle verbatim — the forever-running pipeline shape: load
+    the summary, fold the day, recount on demand, save back."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+    from .operators.heavy_hitters import (
+        mg_combine_summaries,
+        mg_partition_summaries,
+        recount_candidates,
+    )
+
+    occ = llm_rarity.word_occurrences(_t(spark, sf_dir, "documents"))
+    base = occ.filter(F.col("doc_id") % 2 == 0).select("w")
+    batch = occ.filter(F.col("doc_id") % 2 == 1).select("w")
+    s_base = mg_combine_summaries(
+        mg_partition_summaries(base, "w", 32), "w", 32
+    )
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_skart_mg_"))
+    ar.save_table("mg_word_summary", s_base)
+    s_loaded = ar.table("mg_word_summary")
+    s_batch = mg_combine_summaries(
+        mg_partition_summaries(batch, "w", 32), "w", 32
+    )
+    folded = mg_combine_summaries(
+        s_loaded.unionByName(s_batch), "w", 32
+    )
+    return recount_candidates(occ.select("w"), folded.select("w"), "w", 32)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -12495,6 +12541,10 @@ _swap_specs("bloom_artifact_fold_roundtrip", "stream_dedup_user_types")
 # → window [110:160]): the shift pulls cms_union_merge (fresh r08
 # green row) into the head — the debut swaps over it.
 _swap_specs("histogram_artifact_frozen_fold", "cms_union_merge")
+# (i) The MG-artifact debut (len 241, offset 350 % 241 = 109 → window
+# [109:159]): the shift pulls incremental_rollup_equiv (fresh r08
+# green row) into the head — the debut swaps over it.
+_swap_specs("heavy_hitter_artifact_fold", "incremental_rollup_equiv")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
