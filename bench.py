@@ -133,6 +133,9 @@ HEADLINE = [
     "bloom_artifact_fold_roundtrip",
     "histogram_artifact_frozen_fold",
     "heavy_hitter_artifact_fold",
+    # round 9: grouped sketches — per-dimension cardinalities/percentiles
+    "hll_distinct_users_by_type",
+    "event_value_quantiles_by_type",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

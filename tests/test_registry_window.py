@@ -240,6 +240,8 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "bloom_artifact_fold_roundtrip",
         "histogram_artifact_frozen_fold",
         "heavy_hitter_artifact_fold",
+        "hll_distinct_users_by_type",
+        "event_value_quantiles_by_type",
     },
 }
 

@@ -59,6 +59,10 @@ EVENT_QUERIES = [
     "hll_artifact_fold_roundtrip",
     "cms_artifact_fold_roundtrip",
     "histogram_artifact_frozen_fold",
+    # round 9: grouped sketches — state O(groups × sketch) while the
+    # event volume (and user cardinality) grows
+    "hll_distinct_users_by_type",
+    "event_value_quantiles_by_type",
 ]
 DOC_QUERIES = [
     "doc_token_stats",

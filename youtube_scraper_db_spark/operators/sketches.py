@@ -104,6 +104,105 @@ def hll_estimate_from_registers(regs: DataFrame, p: int = 9) -> DataFrame:
     )
 
 
+def hll_registers_grouped(
+    df: DataFrame, group_col: str, key: str, p: int = 9
+) -> DataFrame:
+    """(g, bucket, rho): one HLL register table PER GROUP from a single
+    keyed aggregate — the scale replacement for ``GROUP BY
+    count(DISTINCT key)``, whose shuffle carries every distinct
+    (group, key) pair; this shuffles at most groups × 2^p register rows
+    with full map-side combine. State is O(groups × 2^p) regardless of
+    key cardinality."""
+    bucket, rho = hll_bucket_rho(F.col(key), p)
+    return (
+        df.where(F.col(key).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimates_grouped(regs: DataFrame, p: int = 9) -> DataFrame:
+    """(g, estimate, nonzero_registers) per group from a grouped
+    register table — the ``hll_estimate_from_registers`` arithmetic
+    (alpha correction + small-range linear counting, 4dp rounding) as
+    one grouped aggregate instead of one scalar row."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy("g").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("v")))
+    zeros = F.lit(m) - F.col("v")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        "g",
+        F.round(est, 4).alias("estimate"),
+        F.col("v").cast("long").alias("nonzero_registers"),
+    )
+
+
+def hll_grouped_oracle_sql(
+    table: str, group_col: str, key: str, p: int = 9
+) -> str:
+    """DuckDB replay of the grouped HLL estimates — the
+    ``hll_oracle_sql`` hash/rho/harmonic arithmetic with every
+    aggregate keyed by the group column."""
+    w = 60 - p
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    bitlen = " + ".join(
+        f"CASE WHEN tail >= {1 << k} THEN 1 ELSE 0 END" for k in range(w)
+    )
+    return f"""
+    WITH h AS (
+      SELECT {group_col} AS g,
+             ('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT AS h1
+      FROM {table}
+      WHERE {key} IS NOT NULL AND {group_col} IS NOT NULL
+    ),
+    br AS (SELECT g, h1 >> {w} AS bucket, h1 & {(1 << w) - 1} AS tail FROM h),
+    regs AS (
+      SELECT g, bucket, MAX({w + 1} - ({bitlen})) AS rho
+      FROM br GROUP BY g, bucket
+    ),
+    agg AS (
+      SELECT g, SUM(power(2.0, -rho)) AS s, COUNT(*) AS v
+      FROM regs GROUP BY g
+    ),
+    est AS (
+      SELECT g,
+             CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m})
+                        / (s + ({m} - v)) <= CAST({2.5 * m!r} AS DOUBLE)
+                   AND ({m} - v) > 0
+                  THEN CAST({float(m)!r} AS DOUBLE)
+                       * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - v))
+                  ELSE (CAST({alpha!r} AS DOUBLE) * {m} * {m})
+                       / (s + ({m} - v))
+             END AS e, v
+      FROM agg
+    ),
+    ex AS (
+      SELECT {group_col} AS g,
+             CAST(COUNT(DISTINCT {key}) AS BIGINT) AS exact_distinct
+      FROM {table}
+      WHERE {key} IS NOT NULL AND {group_col} IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT est.g AS {group_col}, ROUND(est.e, 4) AS estimate,
+           CAST(est.v AS BIGINT) AS nonzero_registers, ex.exact_distinct
+    FROM est JOIN ex ON est.g = ex.g
+    """
+
+
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Union two HLL sketches: element-wise max over the register
     tables (full outer join on bucket). Max is associative and
@@ -1069,6 +1168,137 @@ def histogram_quantile_report(
     return histogram_report_from_counters(
         direct, merged, stats, df, col, bins, qs
     )
+
+
+def histogram_quantiles_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    bins: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Per-GROUP histogram quantile estimates — the scalar sketch's
+    rank-pick arithmetic (``histogram_report_from_counters``) keyed by
+    a group column: per-group [lo, hi] edges, per-group 64-bin counts
+    (one keyed aggregate, map-side combinable), a per-group cumulative
+    sum (window partitioned by group — groups × bins rows, never fact
+    rows), and the first-covering-bin interpolation per quantile. At
+    100 TB this is per-dimension percentiles from one bounded-state
+    pass: state is O(groups × bins) and the only fact-sized stage is
+    the binning scan. Columns: (group_col, n_rows, {tag}_est per q),
+    half-up 2dp rounding — the oracle replays every number."""
+    from pyspark.sql import Window
+
+    src = df.where(
+        F.col(col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"), F.col(col).cast("double").alias("v")
+    )
+    stats = src.groupBy("g").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = src.join(F.broadcast(stats), "g").select(
+        "g",
+        histogram_bin_expr(F.col("v"), F.col("lo"), F.col("hi"), bins).alias(
+            "bin"
+        ),
+    )
+    cnts = binned.groupBy("g", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = cnts.join(F.broadcast(stats), "g").withColumn(
+        "cum", F.sum("cnt").over(Window.partitionBy("g").orderBy("bin"))
+    )
+
+    def half_up2(c: Column) -> Column:
+        return F.floor(c * 100 + F.lit(0.5)) / 100.0
+
+    w = (F.col("hi") - F.col("lo")) / float(bins)
+    out = stats.select("g", F.col("n").cast("long").alias("n_rows"))
+    for q in qs:
+        tag = str(q).replace("0.", "p")
+        r = F.col("n") * float(q)
+        pick = (
+            cum.where(F.col("cum") >= r)
+            .withColumn(
+                "__rn",
+                F.row_number().over(Window.partitionBy("g").orderBy("bin")),
+            )
+            .where(F.col("__rn") == 1)
+            .select(
+                "g",
+                half_up2(
+                    F.col("lo")
+                    + w
+                    * (
+                        F.col("bin")
+                        + (r - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                    )
+                ).alias(f"{tag}_est"),
+            )
+        )
+        out = out.join(pick, "g")
+    return out
+
+
+def histogram_quantiles_grouped_oracle_sql(
+    table: str,
+    group_col: str,
+    col: str,
+    bins: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> str:
+    """DuckDB replay of the grouped histogram quantiles — identical
+    per-group edges, binning, cumulative sum, and first-covering-bin
+    interpolation, half-up 2dp on both sides."""
+    pick_ctes = []
+    pick_cols = []
+    for q in qs:
+        tag = str(q).replace("0.", "p")
+        pick_ctes.append(f"""
+    {tag} AS (
+      SELECT g,
+             FLOOR((lo + ((hi - lo) / {float(bins)!r})
+                    * (bin + (n * {q!r} - (cum - cnt)) / cnt)) * 100
+                   + 0.5) / 100.0 AS {tag}_est
+      FROM (
+        SELECT c.g, c.bin, c.cnt, c.cum, s.lo, s.hi, s.n,
+               row_number() OVER (PARTITION BY c.g ORDER BY c.bin) AS rn
+        FROM cum c JOIN stats s USING (g)
+        WHERE c.cum >= s.n * {q!r}
+      ) WHERE rn = 1
+    )""")
+        pick_cols.append(f"{tag}.{tag}_est")
+    joins = " ".join(f"JOIN {str(q).replace('0.', 'p')} USING (g)" for q in qs)
+    return f"""
+    WITH src AS (
+      SELECT {group_col} AS g, CAST({col} AS DOUBLE) AS v
+      FROM {table}
+      WHERE {col} IS NOT NULL AND {group_col} IS NOT NULL
+    ),
+    stats AS (
+      SELECT g, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+      FROM src GROUP BY g
+    ),
+    binned AS (
+      SELECT s.g, CASE WHEN t.hi = t.lo THEN 0
+                  ELSE LEAST(CAST(FLOOR((s.v - t.lo)
+                                  / ((t.hi - t.lo) / {float(bins)!r}))
+                             AS BIGINT), {bins - 1}) END AS bin
+      FROM src s JOIN stats t USING (g)
+    ),
+    cnts AS (
+      SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM binned GROUP BY g, bin
+    ),
+    cum AS (
+      SELECT g, bin, cnt, SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum
+      FROM cnts
+    ),{",".join(pick_ctes)}
+    SELECT stats.g AS {group_col}, CAST(stats.n AS BIGINT) AS n_rows,
+           {", ".join(pick_cols)}
+    FROM stats {joins}
+    """
 
 
 def histogram_counters(

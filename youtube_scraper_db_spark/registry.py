@@ -12248,6 +12248,71 @@ def heavy_hitter_artifact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recount_candidates(occ.select("w"), folded.select("w"), "w", 32)
 
 
+@spec(
+    "hll_distinct_users_by_type",
+    "EXT-sketch-hll A3 A2",
+    oracle=op_sketches.hll_grouped_oracle_sql("events", "event_type", "user_id", 9),
+)
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HLL — approximate distinct users PER EVENT TYPE next to
+    the exact counts: the scale replacement for ``GROUP BY
+    count(DISTINCT user_id)``, whose shuffle carries every distinct
+    (type, user) pair; the sketch form shuffles at most groups × 2^9
+    register rows with full map-side combine
+    (operators/sketches.py hll_registers_grouped /
+    hll_estimates_grouped). At 100 TB this is THE daily-dashboard
+    aggregate — per-dimension cardinalities from one bounded-state
+    pass — and per-group registers merge across days exactly like the
+    scalar sketch (same element-wise max). Both the estimates and the
+    exact twins hash-check against the oracle's replay of the full
+    hash/rho/harmonic arithmetic."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    regs = op_sketches.hll_registers_grouped(ev, "event_type", "user_id", 9)
+    est = op_sketches.hll_estimates_grouped(regs, 9)
+    exact = (
+        ev.where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").alias("g"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "g").select(
+        F.col("g").alias("event_type"),
+        "estimate",
+        "nonzero_registers",
+        "exact_distinct",
+    )
+
+
+@spec(
+    "event_value_quantiles_by_type",
+    "EXT-sketch-quantile EXT-histogram A8",
+    oracle=op_sketches.histogram_quantiles_grouped_oracle_sql(
+        "events", "event_type", "value", 64, (0.5, 0.9)
+    ),
+)
+def event_value_quantiles_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED histogram quantiles — per-event-type p50/p90 from 64-bin
+    histograms (operators/sketches.py histogram_quantiles_grouped):
+    per-group edges, one keyed bin-count aggregate, a per-group
+    cumulative sum over groups × bins rows, first-covering-bin
+    interpolation. The per-dimension-percentile dashboard aggregate at
+    100 TB: the only fact-sized stage is the binning scan; everything
+    downstream is O(groups × bins) and map-side combinable — where
+    ``approx_percentile`` per group carries t-digest state, this is
+    deterministic integer/floor arithmetic the oracle replays
+    value-for-value (same contract as histogram_quantile_sketch, keyed
+    by group)."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return op_sketches.histogram_quantiles_grouped(
+        ev, "event_type", "value", 64, (0.5, 0.9)
+    ).select(
+        F.col("g").alias("event_type"), "n_rows", "p5_est", "p9_est"
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -12545,6 +12610,14 @@ _swap_specs("histogram_artifact_frozen_fold", "cms_union_merge")
 # [109:159]): the shift pulls incremental_rollup_equiv (fresh r08
 # green row) into the head — the debut swaps over it.
 _swap_specs("heavy_hitter_artifact_fold", "incremental_rollup_equiv")
+# (j) The grouped-HLL debut (len 242, offset 350 % 242 = 108 → window
+# [108:158]): the shift pulls cms_user_counts (fresh r08 green row)
+# into the head — the debut swaps over it.
+_swap_specs("hll_distinct_users_by_type", "cms_user_counts")
+# (k) The grouped-quantiles debut (len 243, offset 350 % 243 = 107 →
+# window [107:157]): the shift pulls histogram_quantile_sketch (fresh
+# r08 green row) into the head — the debut swaps over it.
+_swap_specs("event_value_quantiles_by_type", "histogram_quantile_sketch")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
