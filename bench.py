@@ -136,6 +136,7 @@ HEADLINE = [
     # round 9: grouped sketches — per-dimension cardinalities/percentiles
     "hll_distinct_users_by_type",
     "event_value_quantiles_by_type",
+    "heavy_hitter_words_by_lang",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

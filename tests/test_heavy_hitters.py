@@ -191,3 +191,43 @@ def test_streaming_mg_matches_batch(spark, tmp_path):
     }
     want = _exact(df, 8)
     assert got == want and ("hh", 900) in got
+
+
+def test_grouped_heavy_hitters_exact_per_group(spark):
+    """exact_heavy_hitters_grouped == the orthodox per-group groupBy
+    HAVING, on an adversarial mix where each group has different
+    hitters and sizes, across partition layouts."""
+    import random as _r
+
+    from pyspark.sql import functions as F2
+
+    from youtube_scraper_db_spark.operators.heavy_hitters import (
+        exact_heavy_hitters_grouped,
+    )
+
+    rng = _r.Random(5)
+    rows = (
+        [("en", "the")] * 900
+        + [("en", f"e{i % 700}") for i in range(2100)]
+        + [("zh", "de")] * 300
+        + [("zh", f"z{i % 100}") for i in range(400)]
+        + [("fr", f"f{i}") for i in range(500)]  # no hitters
+    )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, w string").repartition(11)
+    got = {
+        (r.g, r.w, r.cnt, r.n_group)
+        for r in exact_heavy_hitters_grouped(df, "g", "w", k=8).collect()
+    }
+    tot = {r.g: r.n for r in df.groupBy("g").agg(F2.count("*").alias("n")).collect()}
+    want = {
+        (r.g, r.w, r.cnt, tot[r.g])
+        for r in df.groupBy("g", "w")
+        .agg(F2.count("*").alias("cnt"))
+        .collect()
+        if r.cnt * 8 > tot[r.g]
+    }
+    assert got == want
+    assert ("en", "the", 900, 3000) in got
+    assert ("zh", "de", 300, 700) in got
+    assert not any(g == "fr" for g, *_ in got)

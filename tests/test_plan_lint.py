@@ -54,6 +54,7 @@ ARROW_STAGES = {
     "pq_artifact_roundtrip",     # PQ encode/ADC kernels (stored + reloaded books)
     "heavy_hitter_merge",        # per-partition MG summaries are mapInPandas
     "heavy_hitter_artifact_fold",  # same MG summary kernels, saved + batch
+    "heavy_hitter_words_by_lang",  # per-group MG summary kernel
 }
 
 #: queries where a BroadcastNestedLoopJoin is the documented, bounded

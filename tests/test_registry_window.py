@@ -242,6 +242,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "heavy_hitter_artifact_fold",
         "hll_distinct_users_by_type",
         "event_value_quantiles_by_type",
+        "heavy_hitter_words_by_lang",
     },
 }
 

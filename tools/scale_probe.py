@@ -108,6 +108,7 @@ DOC_QUERIES = [
     "trigram_model_artifact_roundtrip",
     "incremental_trigram_model_equiv",
     "heavy_hitter_artifact_fold",
+    "heavy_hitter_words_by_lang",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

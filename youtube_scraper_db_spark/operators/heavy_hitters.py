@@ -64,6 +64,79 @@ def _mg_summary(items: Iterator[pd.DataFrame], col: str, k: int) -> Iterator[pd.
     )
 
 
+def _mg_summary_grouped(
+    items: Iterator[pd.DataFrame], gcol: str, col: str, k: int
+) -> Iterator[pd.DataFrame]:
+    """One (k-1)-slot Misra-Gries summary PER GROUP inside each
+    partition — the ``_mg_summary`` fold with a (group, value)
+    MultiIndex and a per-group trim. The invariant k·err_g ≤ N_g −
+    Σcounters_g holds independently per group (a trim only touches its
+    own group's counters), so each group's candidate set is a superset
+    of that group's heavy hitters by the same pigeonhole. Memory is
+    O(groups-in-partition × k)."""
+    counters = pd.Series(
+        dtype="int64",
+        index=pd.MultiIndex.from_arrays([[], []], names=[gcol, col]),
+    )
+    for pdf in items:
+        vc = pdf.groupby([gcol, col]).size().astype("int64")
+        idx = counters.index.union(vc.index)
+        counters = counters.reindex(idx, fill_value=0) + vc.reindex(
+            idx, fill_value=0
+        )
+        sizes = counters.groupby(level=0).size()
+        for g in sizes.index[sizes > k - 1]:
+            grp = counters.loc[g]
+            kth = grp.nlargest(k).iloc[-1]
+            counters.loc[g] = (grp - kth).to_numpy()
+        counters = counters[counters > 0]
+    yield pd.DataFrame(
+        {
+            gcol: counters.index.get_level_values(0).astype(str),
+            col: counters.index.get_level_values(1).astype(str),
+            "cnt": counters.to_numpy(),
+        }
+    )
+
+
+def exact_heavy_hitters_grouped(
+    items: DataFrame, gcol: str, col: str, k: int = 16
+) -> DataFrame:
+    """Per-GROUP heavy hitters: all values of ``col`` occurring in MORE
+    than 1/``k`` of their group's rows, exact. Columns: (gcol, col,
+    cnt, n_group). The grouped member of the MG family (grouped HLL
+    counts distinct per dimension; this finds the dominant VALUES per
+    dimension) — candidate generation stays map-only with O(groups × k)
+    state per task, and the recount shuffle carries only candidate
+    (group, value) pairs plus a groups-sized total table, never the
+    full per-group vocabulary."""
+    src = items.select(gcol, col)
+    cands = (
+        src.mapInPandas(
+            lambda it: _mg_summary_grouped(it, gcol, col, k),
+            schema=f"{gcol} string, {col} string, cnt long",
+        )
+        .select(gcol, col)
+        .distinct()
+    )
+    counted = (
+        src.join(F.broadcast(cands), [gcol, col], "left_semi")
+        .groupBy(gcol, col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = src.groupBy(gcol).agg(F.count(F.lit(1)).alias("n_group"))
+    return (
+        counted.join(F.broadcast(totals), gcol)
+        .filter(F.col("cnt") * k > F.col("n_group"))
+        .select(
+            gcol,
+            col,
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("n_group").cast("long").alias("n_group"),
+        )
+    )
+
+
 def recount_candidates(
     src: DataFrame, cands: DataFrame, col: str, k: int
 ) -> DataFrame:

@@ -12313,6 +12313,49 @@ def event_value_quantiles_by_type(
     )
 
 
+@spec(
+    "heavy_hitter_words_by_lang",
+    "EXT-heavy-hitters LLM-text A8",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    occ AS (
+      SELECT d.lang AS g, u.w
+      FROM tok JOIN documents d USING (doc_id), unnest(t) AS u(w)
+      WHERE d.lang IS NOT NULL
+    ),
+    tot AS (SELECT g, COUNT(*) AS n FROM occ GROUP BY g)
+    SELECT o.g AS lang, o.w, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ANY_VALUE(t.n) AS BIGINT) AS n_group
+    FROM occ o JOIN tot t ON o.g = t.g
+    GROUP BY o.g, o.w
+    HAVING COUNT(*) * 32 > ANY_VALUE(t.n)
+    """,
+)
+def heavy_hitter_words_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED heavy hitters — the dominant words PER LANGUAGE, exact,
+    completing the grouped triad (grouped HLL counts distinct per
+    dimension, grouped histogram ranks values per dimension, this finds
+    the dominant VALUES per dimension): per-partition per-group
+    Misra-Gries summaries (operators/heavy_hitters.py
+    _mg_summary_grouped — the k·err_g ≤ N_g − Σcounters_g invariant
+    holds independently per group, so each group's candidate set is a
+    superset of its true heavy hitters), then an exact recount of the
+    broadcast (group, word) candidate pairs only. The oracle is the
+    orthodox per-group GROUP BY ... HAVING over the whole vocabulary.
+    At 100 TB this is per-corpus-slice stopword/boilerplate detection
+    without shuffling each slice's full vocabulary."""
+    from .operators.heavy_hitters import exact_heavy_hitters_grouped
+
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    occ = d.where(F.col("lang").isNotNull()).select(
+        "lang", F.explode(llm_text.tokens("text")).alias("w")
+    )
+    return exact_heavy_hitters_grouped(occ, "lang", "w", k=32)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -12618,6 +12661,10 @@ _swap_specs("hll_distinct_users_by_type", "cms_user_counts")
 # window [107:157]): the shift pulls histogram_quantile_sketch (fresh
 # r08 green row) into the head — the debut swaps over it.
 _swap_specs("event_value_quantiles_by_type", "histogram_quantile_sketch")
+# (l) The grouped-heavy-hitters debut (len 244, offset 350 % 244 = 106
+# → window [106:156]): the shift pulls incremental_pq_equiv (fresh r08
+# green row) into the head — the debut swaps over it.
+_swap_specs("heavy_hitter_words_by_lang", "incremental_pq_equiv")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
