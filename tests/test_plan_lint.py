@@ -116,6 +116,15 @@ BNLJ_OK = {
     "bloom_artifact_fold_roundtrip",
     "histogram_artifact_frozen_fold",  # 1-row frozen-edges broadcast + scalars
     "heavy_hitter_artifact_fold",      # candidates × 1-row total + trim scalars
+    # round 10: the grouped Bloom probe matrix is a broadcast cross join
+    # of the ≤ dim-cardinality group list against the distinct probe
+    # keys — the partition-pruning question asked group-wise, never a
+    # data×data cartesian
+    "bloom_filter_by_type",
+    # round 10: 1-row saved-count / sym-diff scalar joins (the artifact
+    # gate shape)
+    "minhash_index_artifact_roundtrip",
+    "incremental_minhash_equiv",
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

@@ -347,3 +347,60 @@ def test_frozen_edge_fold_equals_direct(spark):
     }
     assert folded == direct
     assert sum(folded.values()) == 100 + 160
+
+
+def test_grouped_cms_equals_scalar_per_group(spark):
+    """Per-group independence: the grouped CMS counter table restricted
+    to one group is EXACTLY the scalar counter table built over that
+    group's rows (no cell sharing across groups), and every per-group
+    estimate obeys est >= exact."""
+    df = spark.createDataFrame(
+        [("a" if i % 3 else "b", i % 40) for i in range(3000)],
+        "g string, k long",
+    )
+    grouped = S.cms_counters_grouped(df, "g", "k", depth=4, width=256)
+    for g in ("a", "b"):
+        scalar = S.cms_counters(
+            df.where(F.col("g") == g), "k", depth=4, width=256
+        )
+        got = {
+            (r["row"], r["slot"]): r["cnt"]
+            for r in grouped.where(F.col("g") == g).collect()
+        }
+        want = {(r["row"], r["slot"]): r["cnt"] for r in scalar.collect()}
+        assert got == want
+    est = S.cms_point_estimates_grouped(df, "g", "k", depth=4, width=256)
+    for r in est.collect():
+        assert r["overestimate_ok"], r
+
+
+def test_grouped_bloom_equals_scalar_per_group(spark):
+    """Per-group independence for the grouped Bloom: each group's bit
+    set equals the scalar filter over that group's rows, and probing
+    never misses a key truly present in its group."""
+    build = spark.createDataFrame(
+        [("a" if (i // 2) % 2 else "b", i) for i in range(0, 400, 2)],
+        "g string, k long",
+    )
+    probe = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    bits = S.bloom_bits_grouped(build, "g", "k", k=5, m_bits=1 << 12)
+    for g in ("a", "b"):
+        scalar = S.bloom_bits(
+            build.where(F.col("g") == g), "k", k=5, m_bits=1 << 12
+        )
+        got = {r["pos"] for r in bits.where(F.col("g") == g).collect()}
+        want = {r["pos"] for r in scalar.collect()}
+        assert got == want
+    rep = {
+        r["g"]: r
+        for r in S.bloom_probe_report_grouped(
+            build, "g", "k", probe, "k", k=5, m_bits=1 << 12
+        ).collect()
+    }
+    for g in ("a", "b"):
+        r = rep[g]
+        assert r["probed"] == 400
+        assert r["true_present"] == 100
+        # no false negatives: every present key is maybe-present
+        assert r["maybe_present"] >= r["true_present"]
+        assert r["false_positives"] == r["maybe_present"] - r["true_present"]

@@ -63,6 +63,10 @@ EVENT_QUERIES = [
     # event volume (and user cardinality) grows
     "hll_distinct_users_by_type",
     "event_value_quantiles_by_type",
+    # round 10: grouped CMS counters / grouped Bloom bits — state
+    # O(groups × sketch) while event volume and user cardinality grow
+    "cms_user_counts_by_type",
+    "bloom_filter_by_type",
 ]
 DOC_QUERIES = [
     "doc_token_stats",
@@ -109,6 +113,10 @@ DOC_QUERIES = [
     "incremental_trigram_model_equiv",
     "heavy_hitter_artifact_fold",
     "heavy_hitter_words_by_lang",
+    # round 10: the LSH index artifact is O(docs × bands) rows; the
+    # fold signs/bands only the batch — both ratios read as scan cost
+    "minhash_index_artifact_roundtrip",
+    "incremental_minhash_equiv",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.
@@ -163,6 +171,13 @@ def build_scaled(spark, sf_dir: str, factor: int) -> str:
     scaled_d.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
     )
+
+    # dims probed against the scaled facts ride through UNSCALED — the
+    # realistic axis is facts growing under a fixed dimension table
+    for dim in ("customer",):
+        read_table(spark, sf_dir, dim).write.mode("overwrite").parquet(
+            os.path.join(out, f"{dim}.parquet")
+        )
     return out
 
 

@@ -344,13 +344,29 @@ def minhash_lsh_pairs(
     collisions are shared by both engines, keeping the value-hash
     check exact). The default (xxhash64 + murmur3 ``F.hash`` bucket)
     stays the production path."""
-    rows = num_hashes // bands
     # Materialized once: consumed by the band index and both sides of the
     # signature join-back. Cache lifetime is scope-managed (CacheScope).
     scope = _scope_or_default(scope)
     sig = scope.persist(
         minhash_signatures(df, id_col, text_col, num_hashes, k, portable=portable)
     )
+    banded = minhash_band_table(sig, num_hashes, bands, portable=portable)
+    return lsh_pairs_from_index(banded, sig, num_hashes)
+
+
+def minhash_band_table(
+    sig: DataFrame, num_hashes: int = 32, bands: int = 8, portable: bool = False
+) -> DataFrame:
+    """(doc, band, bucket): the LSH INDEX rows of a signature table —
+    the persistable artifact of the near-dup store. Banding is per-doc
+    (no shuffle, no cross-doc state), which is exactly what makes the
+    index FOLDABLE: the band table of (old ∪ new) docs is the union of
+    their band tables, so a daily batch signs + bands ONLY its own docs
+    under the frozen hash-family parameters and appends
+    (``minhash_index_artifact_roundtrip`` / ``incremental_minhash_equiv``
+    gate this). ``portable=True`` uses the exact-integer polynomial
+    bucket replayable in DuckDB (see ``minhash_lsh_pairs``)."""
+    rows = num_hashes // bands
 
     def bucket_of(sl: Column) -> Column:
         if portable:
@@ -368,7 +384,7 @@ def minhash_lsh_pairs(
         return F.hash(sl)
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sig.select(
+    return sig.select(
         "doc",
         F.explode(
             F.transform(
@@ -381,6 +397,16 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+
+def lsh_pairs_from_index(
+    banded: DataFrame, sig: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) from an EXPLICIT band-index table —
+    the entry point for querying a PERSISTED index (reloaded or folded)
+    rather than one built in-session. The self-join keys are (band,
+    bucket) with only doc ids as payload; full signatures join back onto
+    the deduped pair list afterwards, so wide arrays never ride through
+    the candidate shuffle."""
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -545,6 +545,135 @@ def cms_oracle_sql(
     """
 
 
+def cms_counters_grouped(
+    df: DataFrame, group_col: str, key: str, depth: int = 4, width: int = 4096
+) -> DataFrame:
+    """(g, row, slot, cnt): one Count-Min counter table PER GROUP from a
+    single keyed aggregate — the frequency member of the grouped-sketch
+    grid (grouped HLL registers, grouped histogram quantiles, grouped
+    Misra-Gries). The group key simply joins the (row, slot) cell
+    identity: every per-group table obeys the scalar sketch's guarantees
+    independently because no cell is shared across groups. Shuffle
+    carries at most groups × depth × width counter rows with full
+    map-side combine — the per-dimension frequency dashboard at 100 TB
+    without a (group, key)-cardinality shuffle."""
+    h1, h2 = _h1h2(F.col(key))
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (
+                        _mix(F.col("__h1"), F.col("__h2"), i) % F.lit(width)
+                    ).alias("slot"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("rs")
+    return (
+        df.where(F.col(key).isNotNull() & F.col(group_col).isNotNull())
+        # digest halves bound once per row before the per-seed explosion
+        # (see cms_cell_rows)
+        .select(F.col(group_col).alias("g"), h1.alias("__h1"), h2.alias("__h2"))
+        .select("g", rows)
+        .select("g", "rs.row", "rs.slot")
+        .groupBy("g", "row", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_point_estimates_grouped(
+    df: DataFrame, group_col: str, key: str, depth: int = 4, width: int = 4096
+) -> DataFrame:
+    """(g, k, est, exact, overestimate_ok): Count-Min point estimates
+    through the PER-GROUP counter tables for every distinct (group, key)
+    pair, next to the exact counts — ``cms_point_estimates`` keyed by
+    group. The witness est ≥ exact holds per group independently (each
+    group's cells only ever count that group's rows). Probe side joins
+    per-(group, key) slots against the grouped counter table; both sides
+    are (g, row, slot)-keyed aggregates."""
+    counters = cms_counters_grouped(df, group_col, key, depth, width)
+    h1, h2 = _h1h2(F.col("k"))
+    grouped = (
+        df.where(F.col(key).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), F.col(key).alias("k"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    probes = (
+        grouped
+        .select("g", "k", "exact", h1.alias("__h1"), h2.alias("__h2"))
+        .select(
+            "g",
+            "k",
+            "exact",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"),
+                            (
+                                _mix(F.col("__h1"), F.col("__h2"), i)
+                                % F.lit(width)
+                            ).alias("slot"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("rs"),
+        )
+        .select("g", "k", "exact", "rs.row", "rs.slot")
+    )
+    return (
+        # left join + coalesce-to-0 mirrors cms_point_estimates_from_
+        # counters: correct when probing keys a group's build never saw
+        probes.join(counters, ["g", "row", "slot"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .groupBy("g", "k", "exact")
+        .agg(F.min("cnt").cast("long").alias("est"))
+        .select(
+            "g",
+            "k",
+            "est",
+            F.col("exact").cast("long").alias("exact"),
+            (F.col("est") >= F.col("exact")).alias("overestimate_ok"),
+        )
+    )
+
+
+def cms_grouped_oracle_sql(
+    table: str, group_col: str, key: str, depth: int = 4, width: int = 4096
+) -> str:
+    """DuckDB replay of the grouped CMS point estimates — the
+    ``cms_oracle_sql`` hash/slot/min arithmetic with every aggregate and
+    the counter join keyed by the group column."""
+    mixes = [km_mix_sql(i) for i in range(depth)]
+    slot_rows = " UNION ALL ".join(
+        f"SELECT g, k, exact, {i} AS row, ({m}) % {width} AS slot FROM kh"
+        for i, m in enumerate(mixes)
+    )
+    return f"""
+    WITH kh AS (
+      SELECT {group_col} AS g, {key} AS k, CAST(COUNT(*) AS BIGINT) AS exact,
+             ('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST({key} AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM {table}
+      WHERE {key} IS NOT NULL AND {group_col} IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    slots AS ({slot_rows}),
+    counters AS (
+      SELECT g, row, slot, SUM(exact) AS cnt FROM slots GROUP BY g, row, slot
+    )
+    SELECT s.g AS {group_col}, s.k,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est, s.exact,
+           MIN(COALESCE(c.cnt, 0)) >= s.exact AS overestimate_ok
+    FROM slots s LEFT JOIN counters c
+      ON s.g = c.g AND s.row = c.row AND s.slot = c.slot
+    GROUP BY s.g, s.k, s.exact
+    """
+
+
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Union two Count-Min counter tables: element-wise SUM (outer join
     on (row, slot)). Sum is associative/commutative, so merged counters
@@ -921,6 +1050,185 @@ def bloom_oracle_sql(
            CAST(SUM(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END) AS BIGINT)
              AS false_positives
     FROM t
+    """
+
+
+def bloom_bits_grouped(
+    df: DataFrame, group_col: str, key: str, k: int = 5, m_bits: int = 1 << 14
+) -> DataFrame:
+    """(g, pos): the distinct set bit positions of ONE Bloom filter PER
+    GROUP — the membership member of the grouped-sketch grid. The group
+    key joins the bit identity, so each group's filter is exactly the
+    scalar filter over that group's rows (no cross-group sharing) and
+    per-group filters merge across days by the same distinct-union.
+    O(groups × min(m_bits, k·distinct)) rows — the partition-level
+    pruning index at 100 TB (one filter per partition/day, broadcast to
+    skip whole partitions before a shuffle)."""
+    h1, h2 = _h1h2(F.col(key))
+    return (
+        df.where(F.col(key).isNotNull() & F.col(group_col).isNotNull())
+        # digest halves bound once per row, not once per seed (see
+        # cms_cell_rows)
+        .select(F.col(group_col).alias("g"), h1.alias("__h1"), h2.alias("__h2"))
+        .select(
+            "g",
+            F.explode(
+                F.array(
+                    *[
+                        _mix(F.col("__h1"), F.col("__h2"), i) % F.lit(m_bits)
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def bloom_probe_report_grouped(
+    build: DataFrame,
+    group_col: str,
+    build_key: str,
+    probe: DataFrame,
+    probe_key: str,
+    k: int = 5,
+    m_bits: int = 1 << 14,
+) -> DataFrame:
+    """(g, probed, maybe_present, true_present, false_positives): probe
+    every distinct ``probe_key`` against EVERY group's filter — the
+    partition-pruning question ("which partitions can this key skip?")
+    asked for the whole probe set at once. A key is maybe-present in a
+    group iff all k of its positions are set in THAT group's bits; truth
+    comes from the exact per-group semi-join, so each group's false
+    positives — the sketch's entire error — are hash-checked.
+
+    Shape: the probe side hashes once (positions are group-independent),
+    the group×key probe matrix comes from a broadcast cross join against
+    the group DIM (≤ partition-count rows — the allowlisted
+    dim-cardinality cross join, not a data×data cartesian), and set-bit
+    counting is a (g, pos)-keyed join. Nothing fact-sized crosses."""
+    pk = (
+        probe.where(F.col(probe_key).isNotNull())
+        .select(F.col(probe_key).alias("k"))
+        .distinct()
+    )
+    h1, h2 = _h1h2(F.col("k"))
+    ppos = (
+        pk.select("k", h1.alias("__h1"), h2.alias("__h2"))
+        .select(
+            "k",
+            F.explode(
+                F.array(
+                    *[
+                        _mix(F.col("__h1"), F.col("__h2"), i) % F.lit(m_bits)
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    bits = bloom_bits_grouped(build, group_col, build_key, k, m_bits)
+    groups = bits.select("g").distinct()
+    hits = (
+        ppos.join(bits, "pos")
+        .groupBy("g", "k")
+        .agg(F.countDistinct("pos").alias("nset"))
+    )
+    npos = ppos.groupBy("k").agg(F.countDistinct("pos").alias("ntotal"))
+    maybe = (
+        F.broadcast(groups)
+        .crossJoin(npos)
+        .join(hits, ["g", "k"], "left")
+        .select(
+            "g",
+            "k",
+            (F.coalesce(F.col("nset"), F.lit(0)) == F.col("ntotal")).alias(
+                "maybe"
+            ),
+        )
+    )
+    truth = (
+        build.where(
+            F.col(build_key).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("g"), F.col(build_key).alias("k")
+        )
+        .distinct()
+        .withColumn("present", F.lit(True))
+    )
+    joined = maybe.join(truth, ["g", "k"], "left").select(
+        "g", "maybe", F.coalesce("present", F.lit(False)).alias("present")
+    )
+    return joined.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("probed"),
+        F.sum(F.col("maybe").cast("long")).cast("long").alias("maybe_present"),
+        F.sum(F.col("present").cast("long")).cast("long").alias("true_present"),
+        F.sum((F.col("maybe") & ~F.col("present")).cast("long"))
+        .cast("long")
+        .alias("false_positives"),
+    )
+
+
+def bloom_grouped_oracle_sql(
+    build_table: str,
+    group_col: str,
+    build_key: str,
+    probe_table: str,
+    probe_key: str,
+    k: int = 5,
+    m_bits: int = 1 << 14,
+) -> str:
+    """DuckDB replay of the grouped Bloom probe report — the
+    ``bloom_oracle_sql`` bit/probe arithmetic with the bit table, the
+    probe matrix, and the truth join keyed by the group column."""
+    mixes = [km_mix_sql(i) for i in range(k)]
+    build_pos = " UNION ALL ".join(
+        f"SELECT g, ({m}) % {m_bits} AS pos FROM bh" for m in mixes
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT k, ({m}) % {m_bits} AS pos FROM ph" for m in mixes
+    )
+    return f"""
+    WITH bh AS (
+      SELECT DISTINCT {group_col} AS g,
+             ('0x' || substr(md5(CAST({build_key} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST({build_key} AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM {build_table}
+      WHERE {build_key} IS NOT NULL AND {group_col} IS NOT NULL
+    ),
+    bits AS (SELECT DISTINCT g, pos FROM ({build_pos})),
+    ph AS (
+      SELECT DISTINCT {probe_key} AS k,
+             ('0x' || substr(md5(CAST({probe_key} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST({probe_key} AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM {probe_table} WHERE {probe_key} IS NOT NULL
+    ),
+    ppos AS (SELECT DISTINCT k, pos FROM ({probe_pos})),
+    grp AS (SELECT DISTINCT g FROM bits),
+    m AS (
+      SELECT grp.g, p.k,
+             COUNT(*) AS ntotal,
+             COUNT(b.pos) AS nset
+      FROM grp CROSS JOIN ppos p
+      LEFT JOIN bits b ON b.g = grp.g AND b.pos = p.pos
+      GROUP BY grp.g, p.k
+    ),
+    t AS (
+      SELECT m.g, m.k, m.nset = m.ntotal AS maybe,
+             EXISTS (SELECT 1 FROM {build_table} x
+                     WHERE x.{build_key} = m.k
+                       AND x.{group_col} = m.g) AS present
+      FROM m
+    )
+    SELECT g AS {group_col},
+           CAST(COUNT(*) AS BIGINT) AS probed,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS maybe_present,
+           CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS true_present,
+           CAST(SUM(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END) AS BIGINT)
+             AS false_positives
+    FROM t GROUP BY g
     """
 
 

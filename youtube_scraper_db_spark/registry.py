@@ -1408,17 +1408,16 @@ _PORTABLE_PLANES_CTE = r"""
 """
 
 
-@spec(
-    "minhash_lsh_dups",
-    "LLM-dedup-minhash",
-    oracle=r"""
-    WITH corpus AS (
-      SELECT doc_id AS doc, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc, text FROM documents
-    ),
+def _minhash_band_pipeline_ctes(corpus_sql: str) -> str:
+    """norm → tok → sh → hh → mh → sig → bands → cand → est: the literal
+    DuckDB twin of llm/dedup.py ``minhash_signatures(portable=True)`` +
+    ``minhash_band_table(num_hashes=32, bands=16)`` +
+    ``lsh_pairs_from_index`` over an arbitrary ``corpus (doc, text)``
+    CTE — shared by the LSH listing gate and the round-10 index
+    persistence/fold gates so the replay lives ONCE."""
+    return f"""corpus AS ({corpus_sql}),
     norm AS (
-      SELECT doc, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt FROM corpus
+      SELECT doc, regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS nt FROM corpus
     ),
     tok AS (
       SELECT doc, regexp_split_to_array(trim(nt), ' ') AS ts
@@ -1461,7 +1460,17 @@ _PORTABLE_PLANES_CTE = r"""
                      i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 32.0
                    * 10000 + 0.5) / 10000 AS est_jaccard
       FROM cand c JOIN sig a ON a.doc = c.doc_a JOIN sig b ON b.doc = c.doc_b
-    )
+    )"""
+
+
+@spec(
+    "minhash_lsh_dups",
+    "LLM-dedup-minhash",
+    oracle="WITH " + _minhash_band_pipeline_ctes(
+        """SELECT doc_id AS doc, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc, text FROM documents"""
+    ) + """
     SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
     """,
 )
@@ -12354,6 +12363,237 @@ def heavy_hitter_words_by_lang(
         "lang", F.explode(llm_text.tokens("text")).alias("w")
     )
     return exact_heavy_hitters_grouped(occ, "lang", "w", k=32)
+
+
+@spec(
+    "cms_user_counts_by_type",
+    "EXT-sketch-cms A2 A8",
+    oracle=op_sketches.cms_grouped_oracle_sql("events", "event_type", "user_id"),
+)
+def cms_user_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Count-Min — per-event-type frequency estimates for every
+    user's event count next to the exact counts, completing the
+    grouped-sketch grid's frequency cell (grouped HLL counts distinct
+    per dimension, grouped histogram ranks, grouped MG finds dominant
+    values; this ESTIMATES any value's frequency per dimension with
+    bounded state). One counter table per group from a single keyed
+    aggregate (operators/sketches.py cms_counters_grouped): the group
+    key joins the (row, slot) cell identity, so every per-group table
+    obeys est ≥ exact independently — the witness rides along per
+    (type, user) row and the oracle replays the per-group counters,
+    collisions included. State is O(groups × depth × width) regardless
+    of volume; per-group counters merge across days by the same
+    element-wise sum as the scalar sketch."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return op_sketches.cms_point_estimates_grouped(
+        ev, "event_type", "user_id"
+    ).select(
+        F.col("g").alias("event_type"),
+        "k",
+        "est",
+        "exact",
+        "overestimate_ok",
+    )
+
+
+@spec(
+    "bloom_filter_by_type",
+    "EXT-sketch-bloom J10 A8",
+    oracle=op_sketches.bloom_grouped_oracle_sql(
+        "events", "event_type", "user_id", "customer", "c_custkey"
+    ),
+)
+def bloom_filter_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Bloom — one membership filter PER EVENT TYPE over the
+    users who produced that type, probed by every customer: the
+    partition-pruning index asked group-wise ("which event-type
+    partitions can skip this key?"), completing the grouped-sketch
+    grid's membership cell. Each group's bit table is exactly the
+    scalar filter over that group's rows (the group key joins the bit
+    identity — operators/sketches.py bloom_bits_grouped), so per-group
+    false positives are independent and the oracle hash-checks each
+    group's full error surface. The probe side hashes ONCE (positions
+    are group-independent); the group×key probe matrix is a broadcast
+    cross join against the ≤ dim-cardinality group list, never a
+    data×data cartesian. At 100 TB: per-partition filters roll up by
+    distinct-union and prune shuffle input partition-by-partition."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    return op_sketches.bloom_probe_report_grouped(
+        ev, "event_type", "user_id", customer, "c_custkey"
+    ).select(
+        F.col("g").alias("event_type"),
+        "probed",
+        "maybe_present",
+        "true_present",
+        "false_positives",
+    )
+
+
+@spec(
+    "minhash_index_artifact_roundtrip",
+    "LLM-dedup-minhash EXT-artifact S14 S16",
+    oracle="WITH " + _minhash_band_pipeline_ctes(
+        "SELECT doc_id AS doc, text FROM documents"
+    ) + """
+    SELECT doc_a, doc_b, est_jaccard,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sig) AS sig_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bands) AS band_rows,
+           TRUE AS sig_consistent, TRUE AS band_consistent,
+           CAST(1 AS INT) AS artifact_version
+    FROM est WHERE est_jaccard >= 0.25
+    """,
+)
+def minhash_index_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH index PERSISTENCE — the near-dup family joins the
+    artifact families (tokenizers, LM models, IVF/PQ, sketches, MG all
+    roundtrip through archive.py; the band index didn't): the signature
+    table (doc, sig array<bigint>) and the band-bucket index (doc, band,
+    bucket) — together the ENTIRE queryable state of a near-dup store —
+    commit through the versioned Archive, reload, and must answer
+    identically. The gate emits the reloaded index's candidate pairs
+    (hash-checked against the oracle's full band replay) alongside
+    saved-table row counts and the reload≡rebuild sym-diff witnesses.
+    At 100 TB the index IS the product: signatures are computed once
+    per doc ever, and dedup queries run against the stored band table,
+    never a re-shingled corpus."""
+    import tempfile
+
+    from .archive import Archive
+
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    sig = llm_dedup.minhash_signatures(
+        d, "doc_id", "text", 32, 3, portable=True
+    ).localCheckpoint(eager=True)
+    bands = llm_dedup.minhash_band_table(
+        sig, 32, 16, portable=True
+    ).localCheckpoint(eager=True)
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_mhart_"))
+    v_s = ar.save_table("mh_sigs", sig)
+    v_b = ar.save_table("mh_bands", bands)
+    sig_l = ar.table("mh_sigs")
+    bands_l = ar.table("mh_bands")
+
+    def _sig_str(df):
+        return df.select(
+            "doc",
+            F.concat_ws(",", F.col("sig").cast("array<string>")).alias("s"),
+        )
+
+    sig_diff = (
+        _sig_str(sig_l)
+        .exceptAll(_sig_str(sig))
+        .union(_sig_str(sig).exceptAll(_sig_str(sig_l)))
+        .agg((F.count(F.lit(1)) == 0).alias("sig_consistent"))
+    )
+    band_diff = (
+        bands_l.exceptAll(bands)
+        .union(bands.exceptAll(bands_l))
+        .agg((F.count(F.lit(1)) == 0).alias("band_consistent"))
+    )
+    pairs = llm_dedup.lsh_pairs_from_index(bands_l, sig_l, 32).filter(
+        F.col("est_jaccard") >= 0.25
+    )
+    counts = sig_l.agg(
+        F.count(F.lit(1)).cast("long").alias("sig_rows")
+    ).crossJoin(
+        bands_l.agg(F.count(F.lit(1)).cast("long").alias("band_rows"))
+    )
+    return (
+        pairs.crossJoin(counts)
+        .crossJoin(sig_diff)
+        .crossJoin(band_diff)
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            "sig_rows",
+            "band_rows",
+            "sig_consistent",
+            "band_consistent",
+            F.lit(max(v_s, v_b)).cast("int").alias("artifact_version"),
+        )
+    )
+
+
+@spec(
+    "incremental_minhash_equiv",
+    "LLM-dedup-minhash EXT-incr-rollup EXT-artifact",
+    oracle="WITH " + _minhash_band_pipeline_ctes(
+        "SELECT doc_id AS doc, text FROM documents"
+    ) + """
+    SELECT doc_a, doc_b, est_jaccard, TRUE AS fold_consistent
+    FROM est WHERE est_jaccard >= 0.25
+    """,
+)
+def incremental_minhash_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash-LSH index maintenance — the daily operation
+    of a 100 TB dedup store: yesterday's signature + band tables are
+    Archive artifacts, today's doc batch (doc_id % 3 = 2) signs and
+    bands ONLY ITSELF under the frozen family parameters read back from
+    the persisted ``mh_params`` table, and the fold is a pure append
+    (banding is per-doc, so index(old ∪ new) = index(old) ∪ index(new)
+    — no rebuild, no re-shingling of the base corpus). Candidate pairs
+    from the FOLDED index must equal the full-rebuild pairs exactly:
+    the emitted rows come from the folded path, hash-checked against
+    the oracle's replay over the whole corpus, with the engine-side
+    sym-diff against the rebuilt index riding along
+    (``fold_consistent``) — the ``incremental_ivf_equiv`` device for
+    the near-dup family."""
+    import tempfile
+
+    from .archive import Archive
+
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 3 != 2)
+    batch = d.filter(F.col("doc_id") % 3 == 2)
+    sig_base = llm_dedup.minhash_signatures(
+        base, "doc_id", "text", 32, 3, portable=True
+    ).localCheckpoint(eager=True)
+    bands_base = llm_dedup.minhash_band_table(sig_base, 32, 16, portable=True)
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_mhfold_"))
+    ar.save_table("mh_sigs", sig_base)
+    ar.save_table("mh_bands", bands_base)
+    # the frozen hash-family parameters the daily fold must reuse —
+    # persisted WITH the index, read back to drive the batch banding
+    ar.save_table(
+        "mh_params",
+        spark.createDataFrame(
+            [(32, 16, 3)], "num_hashes int, bands int, shingle_k int"
+        ),
+    )
+    p = ar.table("mh_params").first()
+    sig_l = ar.table("mh_sigs")
+    bands_l = ar.table("mh_bands")
+    sig_batch = llm_dedup.minhash_signatures(
+        batch, "doc_id", "text", p["num_hashes"], p["shingle_k"], portable=True
+    )
+    bands_batch = llm_dedup.minhash_band_table(
+        sig_batch, p["num_hashes"], p["bands"], portable=True
+    )
+    folded_sig = sig_l.unionByName(sig_batch).localCheckpoint(eager=True)
+    folded_bands = bands_l.unionByName(bands_batch).localCheckpoint(eager=True)
+    pairs_f = llm_dedup.lsh_pairs_from_index(
+        folded_bands, folded_sig, p["num_hashes"]
+    ).localCheckpoint(eager=True)
+    sig_full = llm_dedup.minhash_signatures(
+        d, "doc_id", "text", 32, 3, portable=True
+    ).localCheckpoint(eager=True)
+    pairs_r = llm_dedup.lsh_pairs_from_index(
+        llm_dedup.minhash_band_table(sig_full, 32, 16, portable=True),
+        sig_full,
+        32,
+    )
+    diff = (
+        pairs_f.exceptAll(pairs_r)
+        .union(pairs_r.exceptAll(pairs_f))
+        .agg((F.count(F.lit(1)) == 0).alias("fold_consistent"))
+    )
+    return pairs_f.filter(F.col("est_jaccard") >= 0.25).crossJoin(diff)
 
 
 # ----------------------------------------------------------------------
