@@ -125,6 +125,7 @@ BNLJ_OK = {
     # gate shape)
     "minhash_index_artifact_roundtrip",
     "incremental_minhash_equiv",
+    "stream_cc_labels",           # drained labels × 1-row sym-diff scalar
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

@@ -117,6 +117,9 @@ DOC_QUERIES = [
     # fold signs/bands only the batch — both ratios read as scan cost
     "minhash_index_artifact_roundtrip",
     "incremental_minhash_equiv",
+    # round 10: each micro-batch fold is two keyed joins over the batch
+    # + CC on the batch-bounded contracted graph
+    "stream_cc_labels",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

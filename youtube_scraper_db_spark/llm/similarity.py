@@ -614,11 +614,25 @@ def pq_books_from_table(bdf: DataFrame):
     """Rebuild the m×k×ds codebook ndarray from the persisted table.
     The collect is m×k rows (bounded KBs — the same driver-side budget
     as ``pq_train_codebooks``'s sample); float64 → parquet DOUBLE →
-    float64 is exact, so loaded books are bit-identical to trained."""
+    float64 is exact, so loaded books are bit-identical to trained.
+
+    Validation is a real exception, not ``assert`` (stripped under
+    ``python -O``), and checks the (j, c) key SET against the full m×k
+    grid — a row count alone would let a duplicate-plus-missing pair
+    silently reshape centroids into the wrong slots."""
     rows = bdf.orderBy("j", "c").collect()
+    if not rows:
+        raise ValueError("codebook table is empty")
     m = 1 + max(r["j"] for r in rows)
     k = 1 + max(r["c"] for r in rows)
-    assert len(rows) == m * k, "codebook table has holes"
+    seen = {(r["j"], r["c"]) for r in rows}
+    grid = {(j, c) for j in range(m) for c in range(k)}
+    if len(rows) != m * k or seen != grid:
+        raise ValueError(
+            "codebook table is not the exact m×k grid: "
+            f"{len(rows)} rows, missing={sorted(grid - seen)[:4]}, "
+            f"dupes={len(rows) - len(seen)}"
+        )
     return np.array([r["cv"] for r in rows], dtype=np.float64).reshape(
         m, k, -1
     )

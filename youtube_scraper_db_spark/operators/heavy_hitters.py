@@ -85,10 +85,23 @@ def _mg_summary_grouped(
             idx, fill_value=0
         )
         sizes = counters.groupby(level=0).size()
-        for g in sizes.index[sizes > k - 1]:
-            grp = counters.loc[g]
-            kth = grp.nlargest(k).iloc[-1]
-            counters.loc[g] = (grp - kth).to_numpy()
+        if (sizes > k - 1).any():
+            # Vectorized per-group trim (no per-group Python loop — cost
+            # would grow O(groups × |counters|) at high group
+            # cardinality): the k-th largest value per group is row k-1
+            # of the descending-sorted series within its group, and
+            # nth(k-1) exists EXACTLY for the over-full groups (size ≥
+            # k); everyone else subtracts 0. One group-level int64
+            # subtraction — no float upcast (the round-8 Series.add
+            # lesson), no positional assignment.
+            kth = (
+                counters.sort_values(ascending=False)
+                .groupby(level=0)
+                .nth(k - 1)
+                .droplevel(1)
+                .reindex(sizes.index, fill_value=0)
+            )
+            counters = counters.sub(kth, level=0).astype("int64")
         counters = counters[counters > 0]
     yield pd.DataFrame(
         {

@@ -12596,6 +12596,67 @@ def incremental_minhash_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs_f.filter(F.col("est_jaccard") >= 0.25).crossJoin(diff)
 
 
+@spec(
+    "stream_cc_labels",
+    "EXT-concomp EXT-stream-cdc T5",
+    oracle="WITH RECURSIVE " + _JACCARD_EDGE_CTES + r"""
+    SELECT doc_id, cluster_id, TRUE AS stream_consistent
+    FROM lab
+    """,
+)
+def stream_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING connected components END-TO-END (streaming/cc.py
+    run_cc_stream) — the graph trio's missing streaming member
+    (sketches, Misra-Gries, BPE-apply and CDC all had streaming twins;
+    connectivity didn't): the 3-gram Jaccard pair list replays as a
+    file stream split into MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over a 4-file staging write), and each batch
+    FOLDS into a versioned label table by contraction
+    (llm/cluster.py fold_components inside foreachBatch — two keyed
+    joins over the batch + CC on the batch-bounded contracted graph;
+    the historical edge set is never re-read). The drained table must
+    equal the one-shot batch CC on the full edge set — exact for ANY
+    micro-batch layout because each fold is exact (min-over-merged-
+    labels = min-over-members, the ``incremental_cc_equiv`` argument,
+    applied inductively). Emitted rows come from the DRAINED table,
+    hash-checked against the oracle's recursive-CTE closure, with the
+    engine-side sym-diff against the batch recompute riding along.
+    At 100 TB this is the dedup-graph ingest loop: pair batches arrive
+    continuously and the label store stays current without ever
+    recomputing history."""
+    import tempfile
+
+    from .streaming.cc import run_cc_stream
+
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    pairs = llm_dedup.jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.4
+    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    staged = tempfile.mkdtemp(prefix="sg_ccs_src_")
+    pairs.repartition(4).write.mode("overwrite").parquet(staged)
+    updates = (
+        spark.readStream.schema("doc_a long, doc_b long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    table_root = tempfile.mkdtemp(prefix="sg_ccs_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="sg_ccs_ckpt_")
+    drained = run_cc_stream(
+        updates, "doc_a", "doc_b", table_root, ckpt
+    ).localCheckpoint(eager=True)
+    full = llm_cluster.connected_components(pairs, "doc_a", "doc_b")
+    diff = (
+        drained.exceptAll(full)
+        .union(full.exceptAll(drained))
+        .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
+    )
+    return drained.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    ).crossJoin(diff)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
