@@ -10764,20 +10764,44 @@ def hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate the union. Because max is associative/commutative, merged
     registers are IDENTICAL to sketching the combined input — emitted
     as the exact ``merge_consistent`` witness next to both estimates
-    and the exact union count, all replayed by the oracle."""
+    and the exact union count, all replayed by the oracle.
+
+    Plan shape (r09 watch-list fix): ONE events scan hashes each row
+    once and aggregates all THREE register tables (half a / half b /
+    direct) as conditional maxes in a single 2^p-row-keyed pass —
+    the former three-scan form computed the md5 bucket/rho triple per
+    scan. The halves re-expand from the checkpointed (sketch-sized)
+    register rows, so the merge still exercises ``hll_merge``'s
+    full-outer element-wise max on real tables."""
     ensure_utc(spark)
     ev = _t(spark, sf_dir, "events")
-    a = op_sketches.hll_registers(
-        ev.filter(F.col("event_id") % 2 == 0), "user_id", 9
+    bucket, rho = op_sketches.hll_bucket_rho(F.col("user_id"), 9)
+    regs3 = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(
+            (F.col("event_id") % 2 == 0).alias("in_a"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.max(F.when(F.col("in_a"), F.col("rho"))).alias("rho_a"),
+            F.max(F.when(~F.col("in_a"), F.col("rho"))).alias("rho_b"),
+            F.max("rho").alias("rho_d"),
+        )
+        .localCheckpoint(eager=True)  # O(2^p) rows, reused three ways
     )
-    b = op_sketches.hll_registers(
-        ev.filter(F.col("event_id") % 2 != 0), "user_id", 9
+    a = regs3.where(F.col("rho_a").isNotNull()).select(
+        "bucket", F.col("rho_a").alias("rho")
+    )
+    b = regs3.where(F.col("rho_b").isNotNull()).select(
+        "bucket", F.col("rho_b").alias("rho")
     )
     merged = op_sketches.hll_estimate_from_registers(
         op_sketches.hll_merge(a, b), 9
     ).select(F.col("estimate").alias("union_estimate"))
     direct = op_sketches.hll_estimate_from_registers(
-        op_sketches.hll_registers(ev, "user_id", 9), 9
+        regs3.select("bucket", F.col("rho_d").alias("rho")), 9
     ).select(F.col("estimate").alias("direct_estimate"))
     exact = ev.where(F.col("user_id").isNotNull()).agg(
         F.countDistinct("user_id").alias("exact_union")
