@@ -126,6 +126,7 @@ BNLJ_OK = {
     "minhash_index_artifact_roundtrip",
     "incremental_minhash_equiv",
     "stream_cc_labels",           # drained labels × 1-row sym-diff scalar
+    "weighted_sample_merge",      # 64 merged rows × 1-row sym-diff scalar
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

@@ -244,6 +244,28 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "event_value_quantiles_by_type",
         "heavy_hitter_words_by_lang",
     },
+    # Round 10 (VERDICT r09 items 1-4): the five round-10 debuts
+    # (grouped CMS/Bloom completing the grouped-sketch grid, MinHash
+    # index artifact persistence + incremental fold, streaming
+    # connected components), plus the seven r04-rowed stragglers the
+    # r09 verdict ordered refreshed (their last driver witness was
+    # round 4; swapped over low-risk r05 window entries that the
+    # natural rotation re-checks in rounds 11-13 at their new indices).
+    10: {
+        "cms_user_counts_by_type",
+        "bloom_filter_by_type",
+        "minhash_index_artifact_roundtrip",
+        "incremental_minhash_equiv",
+        "stream_cc_labels",
+        "weighted_sample_merge",
+        "adhoc_sql_nation_revenue",
+        "status_priority_cube",
+        "bpe_pair_counts",
+        "salted_supplier_revenue",
+        "salted_distinct_users",
+        "jsonl_export_roundtrip",
+        "zorder_curve_keys",
+    },
 }
 
 

@@ -12681,6 +12681,59 @@ def stream_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(diff)
 
 
+@spec(
+    "weighted_sample_merge",
+    "EXT-sample-weighted EXT-sketch-merge O7",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN n_chars <= 0 THEN 0.0 ELSE
+               round(pow(
+                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) + 1) / 4294967296.0,
+                 1.0 / n_chars), 6)
+             END AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, priority, TRUE AS merge_consistent FROM (
+      SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT 64
+    )
+    """,
+)
+def weighted_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-sample MERGEABILITY — what makes the A-Res sampler a
+    bounded-state DISTRIBUTED op, same contract as the sketch merges:
+    each shard keeps only its top-k by priority (O(k) state), and
+    re-ranking the union of two shard summaries must equal sampling the
+    combined input directly. Exact, not approximate: the priority is a
+    pure function of the row (md5(doc_id), weight) and the (priority
+    DESC, doc_id) order is strict, so top-k(A ∪ B) =
+    top-k(top-k(A) ∪ top-k(B)) — the emitted rows come from the MERGED
+    path, hash-checked against the oracle's direct replay, with the
+    engine-side sym-diff against the direct sample riding along. At
+    100 TB this is month-folds-into-year for training-mixture sampling:
+    per-day top-k tables merge in O(k) without re-reading any corpus."""
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    half_a = d.filter(F.col("doc_id") % 2 == 0)
+    half_b = d.filter(F.col("doc_id") % 2 != 0)
+    sa = llm_sampling.weighted_sample(half_a, "doc_id", "n_chars", 64)
+    sb = llm_sampling.weighted_sample(half_b, "doc_id", "n_chars", 64)
+    merged = (
+        sa.unionByName(sb)
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(64)
+        .localCheckpoint(eager=True)
+    )
+    direct = llm_sampling.weighted_sample(d, "doc_id", "n_chars", 64)
+    diff = (
+        merged.exceptAll(direct)
+        .union(direct.exceptAll(merged))
+        .agg((F.count(F.lit(1)) == 0).alias("merge_consistent"))
+    )
+    return merged.select("doc_id", "n_chars", "priority").crossJoin(diff)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -12990,6 +13043,45 @@ _swap_specs("event_value_quantiles_by_type", "histogram_quantile_sketch")
 # → window [106:156]): the shift pulls incremental_pq_equiv (fresh r08
 # green row) into the head — the debut swaps over it.
 _swap_specs("heavy_hitter_words_by_lang", "incremental_pq_equiv")
+
+# --- Round 10 (ORACLE_ROUND=10, len 249, offset 400 % 249 = 151 →
+# window [151:201]) ---------------------------------------------------
+# (a) The five round-10 debuts (grouped CMS/Bloom, MinHash index
+# persistence + fold, streaming CC) swap over the five head-gained
+# slots — indices 151-155, each pulled into the window by one of the
+# five registrations, each holding a fresh r09 green row (verified by
+# names.index() against CORRECTNESS_r09.json before writing, per the
+# r9 lesson). The displaced r09 entries land at the tail (indices
+# 244-248), inside the natural round-11 window [450 % len : +50].
+_swap_specs("cms_user_counts_by_type", "classic_q18_large_orders")
+_swap_specs("bloom_filter_by_type", "stream_window_late_drop")
+_swap_specs("minhash_index_artifact_roundtrip", "classic_q5_local_volume")
+_swap_specs("incremental_minhash_equiv", "event_value_mad")
+_swap_specs("stream_cc_labels", "ci_name_search")
+# (b) The seven r04-rowed stragglers (r09 VERDICT "What's wrong" item
+# 2 — their driver witness is five rounds old and they sit OUTSIDE the
+# natural window at indices 35/36/39/56/57/80/220) swap over seven
+# r05-rowed window entries from the lowest-risk classes (format
+# round-trips, facade/layout listings — byte-exact oracle-verified at
+# all SFs locally every round). The displaced entries inherit the
+# straggler indices, which the natural rotation re-checks next:
+# index 220 in round 11 ([201:249]), 35/36/39 in round 12 ([2:52]),
+# 56/57/80 in round 13 ([52:102]) — so their r05 refresh is delayed
+# 1-3 rounds, while the stragglers' r04 rows (one round older) refresh
+# NOW.
+_swap_specs("adhoc_sql_nation_revenue", "csv_export_roundtrip")
+_swap_specs("status_priority_cube", "xml_export_roundtrip")
+_swap_specs("bpe_pair_counts", "compacted_docs_roundtrip")
+_swap_specs("salted_supplier_revenue", "corpus_facade_annotated")
+_swap_specs("salted_distinct_users", "partitioned_orders_prune")
+_swap_specs("jsonl_export_roundtrip", "referential_integrity_report")
+_swap_specs("zorder_curve_keys", "jsonl_gzip_roundtrip")
+# (c) The weighted-sample-merge debut (len 250, offset 400 % 250 = 150
+# → window [150:200]): the shift pulls event_props_variant (fresh r09
+# green row, index 150) into the head — the debut swaps over it;
+# g711_energy_windows (index 200) falls off the tail and re-enters in
+# the natural round-11 window [200:250].
+_swap_specs("weighted_sample_merge", "event_props_variant")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
