@@ -137,6 +137,16 @@ HEADLINE = [
     "hll_distinct_users_by_type",
     "event_value_quantiles_by_type",
     "heavy_hitter_words_by_lang",
+    # round 10: grouped CMS/Bloom complete the grouped-sketch grid;
+    # MinHash index persistence + incremental fold; streaming CC;
+    # weighted-sample merge
+    "cms_user_counts_by_type",
+    "bloom_filter_by_type",
+    "minhash_index_artifact_roundtrip",
+    "incremental_minhash_equiv",
+    "stream_cc_labels",
+    "weighted_sample_merge",
+    "stream_lsh_ingest_dups",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

@@ -471,3 +471,40 @@ def test_portable_minhash_full_recall_on_clones(spark):
     }
     for i in range(20):
         assert (i, i + 1000) in clones
+
+
+def test_lsh_index_decomposition_equals_fused_pipeline(spark):
+    """The round-10 refactor contract on the PRODUCTION (xxhash64) hash
+    family, which no oracle replays: minhash_band_table +
+    lsh_pairs_from_index over a signature table must reproduce
+    minhash_lsh_pairs exactly, and the band table must be a pure
+    per-doc function (index of a union == union of the indexes — the
+    property the persisted-index fold gates rely on)."""
+    random.seed(11)
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(random.choice(words) for _ in range(30)))
+        for i in range(60)
+    ]
+    rows += [(100 + i, rows[i][1]) for i in range(10)]  # 10 exact clones
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fused = D.minhash_lsh_pairs(df, "doc_id", "text", num_hashes=16, bands=8)
+    sig = D.minhash_signatures(df, "doc_id", "text", num_hashes=16)
+    bands = D.minhash_band_table(sig, num_hashes=16, bands=8)
+    composed = D.lsh_pairs_from_index(bands, sig, num_hashes=16)
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, composed.collect()))
+    assert a == b and len(a) >= 10
+
+    # fold property: band rows of a doc subset are exactly the full
+    # index restricted to those docs (banding has no cross-doc state)
+    part = df.filter(F.col("doc_id") % 2 == 0)
+    sig_p = D.minhash_signatures(part, "doc_id", "text", num_hashes=16)
+    bands_p = D.minhash_band_table(sig_p, num_hashes=16, bands=8)
+    full_restricted = bands.join(
+        part.select(F.col("doc_id").alias("doc")), "doc", "left_semi"
+    )
+    assert sorted(map(tuple, bands_p.collect())) == sorted(
+        map(tuple, full_restricted.collect())
+    )

@@ -127,6 +127,7 @@ BNLJ_OK = {
     "incremental_minhash_equiv",
     "stream_cc_labels",           # drained labels × 1-row sym-diff scalar
     "weighted_sample_merge",      # 64 merged rows × 1-row sym-diff scalar
+    "stream_lsh_ingest_dups",     # drained pairs × 1-row sym-diff scalar
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

@@ -258,6 +258,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "incremental_minhash_equiv",
         "stream_cc_labels",
         "weighted_sample_merge",
+        "stream_lsh_ingest_dups",
         "adhoc_sql_nation_revenue",
         "status_priority_cube",
         "bpe_pair_counts",

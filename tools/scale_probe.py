@@ -120,6 +120,12 @@ DOC_QUERIES = [
     # round 10: each micro-batch fold is two keyed joins over the batch
     # + CC on the batch-bounded contracted graph
     "stream_cc_labels",
+    # round 10: per-shard top-k state is O(k); the merge re-ranks 2k
+    # rows — ratio reads as scan cost
+    "weighted_sample_merge",
+    # round 10: per-batch cost is one keyed join against the band
+    # store + a batch self-join; history never re-shingled
+    "stream_lsh_ingest_dups",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

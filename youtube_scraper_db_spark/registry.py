@@ -12734,6 +12734,68 @@ def weighted_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("doc_id", "n_chars", "priority").crossJoin(diff)
 
 
+@spec(
+    "stream_lsh_ingest_dups",
+    "LLM-dedup-minhash EXT-stream-cdc T5",
+    oracle="WITH " + _minhash_band_pipeline_ctes(
+        """SELECT doc_id AS doc, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc, text FROM documents"""
+    ) + """
+    SELECT doc_a, doc_b, est_jaccard, TRUE AS stream_consistent
+    FROM est WHERE est_jaccard >= 0.5
+    """,
+)
+def stream_lsh_ingest_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online near-dup detection AT INGEST — dedup-before-store as a
+    stream (streaming/dedup.py run_lsh_ingest_stream): the cloned
+    corpus replays as doc micro-batches (maxFilesPerTrigger=1 over a
+    4-file staging write); each batch signs and bands only itself,
+    probes the STORED band table for near-dups of everything already
+    ingested, self-joins for within-batch pairs, then APPENDS its rows
+    to the store (the log-structured index fold — banding is per-doc,
+    so the fold is a pure append). Every candidate pair surfaces
+    exactly once — inside the batch carrying both docs, or when the
+    later doc probes the store — so the drained pair set must equal
+    the one-shot LSH pair list of the full corpus for ANY micro-batch
+    layout. Emitted rows come from the DRAINED store, hash-checked
+    against the oracle's full band replay (shared verbatim with
+    minhash_lsh_dups), with the engine-side sym-diff riding along.
+    At 100 TB this is THE corpus ingest loop: per-batch cost is one
+    keyed join against the band store, and history is never
+    re-shingled."""
+    import tempfile
+
+    from .streaming.dedup import run_lsh_ingest_stream
+
+    ensure_utc(spark)
+    corpus = _cloned_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("doc"), "text"
+    )
+    staged = tempfile.mkdtemp(prefix="sg_lshing_src_")
+    corpus.repartition(4).write.mode("overwrite").parquet(staged)
+    updates = (
+        spark.readStream.schema("doc long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    index_root = tempfile.mkdtemp(prefix="sg_lshing_idx_")
+    ckpt = tempfile.mkdtemp(prefix="sg_lshing_ckpt_")
+    pairs, _sigs, _bands = run_lsh_ingest_stream(
+        updates, index_root, ckpt, 32, 16, 3, portable=True
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    batch_pairs = llm_dedup.minhash_lsh_pairs(
+        corpus, "doc", "text", num_hashes=32, bands=16, portable=True
+    )
+    diff = (
+        pairs.exceptAll(batch_pairs)
+        .union(batch_pairs.exceptAll(pairs))
+        .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
+    )
+    return pairs.filter(F.col("est_jaccard") >= 0.5).crossJoin(diff)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -13082,6 +13144,12 @@ _swap_specs("zorder_curve_keys", "jsonl_gzip_roundtrip")
 # g711_energy_windows (index 200) falls off the tail and re-enters in
 # the natural round-11 window [200:250].
 _swap_specs("weighted_sample_merge", "event_props_variant")
+# (d) The streaming-LSH-ingest debut (len 251, offset 400 % 251 = 149
+# → window [149:199]): the shift pulls custom_source_roundtrip (fresh
+# r09 green row, index 149) into the head — the debut swaps over it;
+# msadpcm_energy_windows (index 199) falls off the tail and re-enters
+# in the natural round-11 window [199:249].
+_swap_specs("stream_lsh_ingest_dups", "custom_source_roundtrip")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
