@@ -147,6 +147,7 @@ HEADLINE = [
     "stream_cc_labels",
     "weighted_sample_merge",
     "stream_lsh_ingest_dups",
+    "weighted_sample_by_source",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution.

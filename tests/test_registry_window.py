@@ -259,6 +259,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "stream_cc_labels",
         "weighted_sample_merge",
         "stream_lsh_ingest_dups",
+        "weighted_sample_by_source",
         "adhoc_sql_nation_revenue",
         "status_priority_cube",
         "bpe_pair_counts",

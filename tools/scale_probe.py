@@ -126,6 +126,8 @@ DOC_QUERIES = [
     # round 10: per-batch cost is one keyed join against the band
     # store + a batch self-join; history never re-shingled
     "stream_lsh_ingest_dups",
+    # round 10: one stratum-keyed window, O(k) survivors per group
+    "weighted_sample_by_source",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

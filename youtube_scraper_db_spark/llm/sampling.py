@@ -143,3 +143,30 @@ def weighted_sample(
         .orderBy(F.desc("priority"), F.asc(id_col))
         .limit(n)
     )
+
+
+def weighted_sample_grouped(
+    df: DataFrame, group_col: str, id_col: str, weight_col: str, n: int
+) -> DataFrame:
+    """Deterministic weighted sample of size ``n`` PER GROUP — the
+    stratified member of the A-Res family (training-mixture sampling:
+    "k docs per source, weighted by quality/length"). Same priority
+    function as ``weighted_sample`` (md5-derived u^(1/w), 6 dp, id
+    tiebreak), ranked inside each group by a partitioned window: one
+    shuffle on the group key, per-group O(n) survivors, no global sort.
+    Mergeable per group for free — the priority is a pure per-row
+    function, so per-shard per-group top-n tables re-rank exactly like
+    ``weighted_sample_merge``. Adds ``priority`` and keeps ``rk`` out
+    of the result."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("priority"), F.asc(id_col))
+    )
+    return (
+        df.withColumn("priority", ares_priority(id_col, weight_col))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+        .drop("rk")
+    )

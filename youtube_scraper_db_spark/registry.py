@@ -12796,6 +12796,53 @@ def stream_lsh_ingest_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("est_jaccard") >= 0.5).crossJoin(diff)
 
 
+@spec(
+    "weighted_sample_by_source",
+    "EXT-sample-weighted A8 W1",
+    oracle="""
+    SELECT source, doc_id, n_chars, priority FROM (
+      SELECT source, doc_id, n_chars,
+             CASE WHEN n_chars <= 0 THEN 0.0 ELSE
+               round(pow(
+                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) + 1) / 4294967296.0,
+                 1.0 / n_chars), 6)
+             END AS priority,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CASE WHEN n_chars <= 0 THEN 0.0 ELSE
+                 round(pow(
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 1) / 4294967296.0,
+                   1.0 / n_chars), 6) END DESC, doc_id
+             ) AS rk
+      FROM documents WHERE source IS NOT NULL
+    ) WHERE rk <= 16
+    """,
+)
+def weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED weighted sampling — k docs PER SOURCE, weighted by
+    length (llm/sampling.py weighted_sample_grouped): the
+    training-mixture primitive ("upweight curated sources but cap each
+    source's contribution, chosen by quality weight") as one
+    partitioned window — a single shuffle on the stratum key, O(k)
+    survivors per group, no global sort. The A-Res priority is the
+    same md5-derived pure per-row function as the global sampler, so
+    membership is rerun-stable, auditable per row, and per-shard
+    per-group top-k tables merge exactly (the weighted_sample_merge
+    theorem applied within each group). Oracle replays priority and
+    rank verbatim."""
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    return llm_sampling.weighted_sample_grouped(
+        d.select("source", "doc_id", "n_chars"),
+        "source",
+        "doc_id",
+        "n_chars",
+        16,
+    ).select("source", "doc_id", "n_chars", "priority")
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -13150,6 +13197,12 @@ _swap_specs("weighted_sample_merge", "event_props_variant")
 # msadpcm_energy_windows (index 199) falls off the tail and re-enters
 # in the natural round-11 window [199:249].
 _swap_specs("stream_lsh_ingest_dups", "custom_source_roundtrip")
+# (e) The stratified-weighted-sample debut (len 252, offset 400 % 252
+# = 148 → window [148:198]): the shift pulls corpus_mix_epochs (fresh
+# r09 green row, index 148) into the head — the debut swaps over it;
+# adpcm_energy_windows (index 198) falls off the tail and re-enters in
+# the natural round-11 window [198:248].
+_swap_specs("weighted_sample_by_source", "corpus_mix_epochs")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
