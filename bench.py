@@ -150,7 +150,10 @@ HEADLINE = [
     "weighted_sample_by_source",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
-    # writes + sentinel construction), not plan execution.
+    # writes + sentinel construction), not plan execution. The streaming
+    # gates ABOVE stay in because their wall time is compute-dominated
+    # (per-batch sign/band/join/CC work over the corpus), with the same
+    # bounded scaffolding as a small additive term.
 ]
 
 

@@ -71,3 +71,36 @@ def test_stream_equals_batch_cc_any_layout(spark, tmp_path):
     assert got == want
     assert got[40] == 40 and got[41] == 40
     assert len({got[n] for n in (5, 6, 7, 20, 21, 22)}) == 1
+
+
+def test_restart_resumes_label_versions(spark, tmp_path):
+    """A rerun against the same checkpoint must fold NEW batches into
+    the labels already on disk — not into empty v0 (the version pointer
+    resumes from the highest committed v{n} directory)."""
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    spark.createDataFrame([(1, 2)], "a long, b long").coalesce(1).write.parquet(
+        os.path.join(staged, "batch_0.parquet")
+    )
+    table_root = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema("a long, b long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged + "/*/")
+        )
+
+    first = run_cc_stream(stream(), "a", "b", table_root, ckpt)
+    assert {r["node"]: r["component"] for r in first.collect()} == {1: 1, 2: 1}
+
+    # "restart": a new edge arrives that must MERGE with the stored
+    # component; the old batch is checkpoint-skipped, so a pointer
+    # reset to empty v0 would lose node 1/2 entirely
+    spark.createDataFrame([(2, 3)], "a long, b long").coalesce(1).write.parquet(
+        os.path.join(staged, "batch_1.parquet")
+    )
+    second = run_cc_stream(stream(), "a", "b", table_root, ckpt)
+    got = {r["node"]: r["component"] for r in second.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

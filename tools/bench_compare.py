@@ -95,9 +95,11 @@ def _scrape_query_pairs(text: str) -> dict[str, float]:
     — the r09-verdict finding). The bench line is
     ``{..., "queries": {...}, "sf": ..., "calib": {...}}``, so
     everything before ``}, "sf"`` (or ``}, "calib"``) is queries-map
-    territory; scrape ``"name": float`` pairs there and drop the first
-    pair when the fragment starts mid-name (its key is truncated and
-    would never match another round's names anyway)."""
+    territory; scrape ``"name": float`` pairs there. A name cut
+    mid-identifier by the tail boundary loses its opening quote, so the
+    quoted-name regex simply never captures it — no drop-first
+    heuristic is needed (one would wrongly discard a complete first
+    pair whenever the cut lands exactly on a pair boundary)."""
     import re
 
     stop = len(text)
@@ -109,14 +111,7 @@ def _scrape_query_pairs(text: str) -> dict[str, float]:
     pairs = re.findall(
         r'"([A-Za-z_][A-Za-z0-9_]*)"\s*:\s*([0-9]+(?:\.[0-9]+)?)', region
     )
-    out = {k: float(v) for k, v in pairs if k not in _NON_QUERY_KEYS}
-    if out and not region.lstrip().startswith('"'):
-        first_key = next(iter(out))
-        # fragment opens mid-pair — the first captured name is a suffix
-        # of the real one
-        if region.find(f'"{first_key}"') <= 2:
-            out.pop(first_key)
-    return out
+    return {k: float(v) for k, v in pairs if k not in _NON_QUERY_KEYS}
 
 
 def main() -> None:

@@ -381,7 +381,12 @@ def minhash_band_table(
                 )
                 % F.lit(_P60),
             )
-        return F.hash(sl)
+        # widened to long so the band table has ONE storage type across
+        # both hash families — a persisted index written by the
+        # production path must read back under the same 'bucket long'
+        # schema the portable path uses (values are unchanged: a 32-bit
+        # murmur3 int widens losslessly)
+        return F.hash(sl).cast("long")
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     return sig.select(

@@ -53,10 +53,24 @@ def run_cc_stream(
     frame, not a parquet dir — an empty write materializes no readable
     footer); folding a batch into empty labels degenerates to plain
     connected components on that batch, so no special first-batch path
-    exists."""
+    exists.
+
+    Restart contract: the version pointer RESUMES from the highest
+    ``v{n}`` directory on disk, so a rerun against the same checkpoint
+    (which skips already-committed batches) folds new batches into the
+    labels already accumulated — not into empty v0. A batch replayed
+    after a crash between the table write and the checkpoint commit
+    re-folds edges whose endpoints are already co-labeled: the
+    contracted graph is all self-loops, the merge map is the identity,
+    and the new version equals the old one — idempotent."""
     spark = edge_updates.sparkSession
     os.makedirs(table_root, exist_ok=True)
-    current = {"v": 0}
+    existing = [
+        int(d[1:])
+        for d in os.listdir(table_root)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    current = {"v": max(existing, default=0)}
 
     def _labels() -> DataFrame:
         if current["v"] == 0:

@@ -56,10 +56,20 @@ def run_lsh_ingest_stream(
     Exactly-once discovery: a candidate pair (same band bucket,
     doc_a < doc_b) surfaces EITHER inside the batch that carries both
     docs (the within-batch self-join) OR when the later doc's batch
-    probes the store — never both, because a doc enters the store only
-    after its batch's probe. The drained pair set therefore equals the
-    one-shot ``minhash_lsh_pairs`` of the full corpus for ANY
-    micro-batch layout (``stream_lsh_ingest_dups`` gates the equality).
+    probes the store — never both, because a batch's probe reads only
+    OTHER batches' store directories. The drained pair set therefore
+    equals the one-shot ``minhash_lsh_pairs`` of the full corpus for
+    ANY micro-batch layout (``stream_lsh_ingest_dups`` gates the
+    equality).
+
+    Restart/replay contract (foreachBatch is at-least-once): every
+    batch writes its sig/band/pair rows to its OWN ``b_{batch_id}``
+    subdirectory in OVERWRITE mode, so a replayed batch rewrites the
+    same deterministic rows instead of appending duplicates, its probe
+    excludes its own directory (it may already exist from the crashed
+    attempt) so it never pairs with itself, and store presence is
+    derived from the directories on disk — a rerun against the same
+    checkpoint resumes against the full prior store.
 
     Per-batch cost is batch-sized: one keyed join of the batch's band
     rows against the stored band table plus a batch self-join — the
@@ -79,12 +89,21 @@ def run_lsh_ingest_stream(
     sig_dir = os.path.join(index_root, "sigs")
     band_dir = os.path.join(index_root, "bands")
     pair_dir = os.path.join(index_root, "pairs")
-    state = {"has_store": False, "has_pairs": False}
+    for d in (sig_dir, band_dir, pair_dir):
+        os.makedirs(d, exist_ok=True)
     sig_schema = "doc long, sig array<bigint>"
     band_schema = "doc long, band int, bucket long"
     pair_schema = "doc_a long, doc_b long, est_jaccard double"
 
-    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def _batch_dirs(root: str, exclude: int | None = None) -> list[str]:
+        return sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("b_")
+            and (exclude is None or d != f"b_{exclude}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sig_b = minhash_signatures(
             batch_df, "doc", "text", num_hashes, k, portable=portable
         ).localCheckpoint(eager=True)
@@ -92,9 +111,14 @@ def run_lsh_ingest_stream(
             sig_b, num_hashes, bands, portable=portable
         ).localCheckpoint(eager=True)
         within = lsh_pairs_from_index(bands_b, sig_b, num_hashes)
-        if state["has_store"]:
-            store_bands = spark.read.schema(band_schema).parquet(band_dir)
-            store_sigs = spark.read.schema(sig_schema).parquet(sig_dir)
+        store_band_dirs = _batch_dirs(band_dir, exclude=batch_id)
+        if store_band_dirs:
+            store_bands = spark.read.schema(band_schema).parquet(
+                *store_band_dirs
+            )
+            store_sigs = spark.read.schema(sig_schema).parquet(
+                *_batch_dirs(sig_dir, exclude=batch_id)
+            )
             a = bands_b.alias("a")
             s = store_bands.alias("s")
             # store doc ids and batch doc ids are disjoint (ingest
@@ -139,12 +163,17 @@ def run_lsh_ingest_stream(
             new_pairs = within.unionByName(cross)
         else:
             new_pairs = within
-        new_pairs.write.mode("append").parquet(pair_dir)
-        state["has_pairs"] = True
-        # append AFTER probing: the batch must not see itself in the store
-        sig_b.write.mode("append").parquet(sig_dir)
-        bands_b.write.mode("append").parquet(band_dir)
-        state["has_store"] = True
+        # per-batch OVERWRITE directories: deterministic rows, so a
+        # replayed batch rewrites instead of duplicating
+        new_pairs.write.mode("overwrite").parquet(
+            os.path.join(pair_dir, f"b_{batch_id}")
+        )
+        sig_b.write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"b_{batch_id}")
+        )
+        bands_b.write.mode("overwrite").parquet(
+            os.path.join(band_dir, f"b_{batch_id}")
+        )
 
     q = (
         doc_updates.writeStream.foreachBatch(apply_batch)
@@ -153,15 +182,15 @@ def run_lsh_ingest_stream(
         .start()
     )
     q.awaitTermination()
-    empty_pairs = spark.createDataFrame([], pair_schema)
+
+    def _read(root: str, schema: str) -> DataFrame:
+        dirs = _batch_dirs(root)
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*dirs)
+
     return (
-        spark.read.schema(pair_schema).parquet(pair_dir)
-        if state["has_pairs"]
-        else empty_pairs,
-        spark.read.schema(sig_schema).parquet(sig_dir)
-        if state["has_store"]
-        else spark.createDataFrame([], sig_schema),
-        spark.read.schema(band_schema).parquet(band_dir)
-        if state["has_store"]
-        else spark.createDataFrame([], band_schema),
+        _read(pair_dir, pair_schema),
+        _read(sig_dir, sig_schema),
+        _read(band_dir, band_schema),
     )
