@@ -148,6 +148,22 @@ HEADLINE = [
     "weighted_sample_merge",
     "stream_lsh_ingest_dups",
     "weighted_sample_by_source",
+    # round 10 (late): KMV/theta sketches (distinct + set algebra +
+    # artifact fold), time-series analytics (LOCF fill, EWMA, Markov
+    # transitions, grouped OLS), skyline, Hilbert layout keys
+    "kmv_distinct_users",
+    "kmv_union_merge",
+    "kmv_semijoin_cardinality",
+    "kmv_artifact_fold_roundtrip",
+    "event_value_locf",
+    "event_value_ewma",
+    "event_type_transitions",
+    "event_ols_trend",
+    "pareto_frontier_parts",
+    "hilbert_curve_keys",
+    "stream_kmv_distinct_users",
+    "kmv_rollup_merge",
+    "benford_price_digits",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution. The streaming

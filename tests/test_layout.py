@@ -118,3 +118,89 @@ def test_zorder_prunes_2d_box_queries(spark, tmp_path):
     l_x = sum(_hits(lboxes, *q) for q in xqueries)
     assert l_x == 16 * len(xqueries), l_x  # stripes read everything
     assert z_x <= 0.66 * l_x, (z_x, l_x)
+
+
+# --- Hilbert curve (round 10) -----------------------------------------
+
+
+def _ref_xy2d(order: int, x: int, y: int) -> int:
+    """Independent reference: the classic Wikipedia xy2d with full-size
+    reflections — intentionally NOT the masked per-level form the
+    operator unrolls, so a transcription bug in either cannot hide."""
+    n = 1 << order
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_reference_is_bijective_unit_step():
+    order = 4
+    n = 1 << order
+    cells = {}
+    for x in range(n):
+        for y in range(n):
+            cells[_ref_xy2d(order, x, y)] = (x, y)
+    assert sorted(cells) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = cells[d], cells[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_keyed_matches_reference_grid(spark):
+    from youtube_scraper_db_spark.operators.layout import hilbert_keyed
+
+    order = 4
+    n = 1 << order
+    rows = [(x * n + y, x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    # min=0/max=n-1 → the floor normalization is the identity on the grid
+    got = {
+        r["id"]: r["hkey"]
+        for r in hilbert_keyed(df, ["a", "b"], bits=order).collect()
+    }
+    for x in range(n):
+        for y in range(n):
+            assert got[x * n + y] == _ref_xy2d(order, x, y), (x, y)
+
+
+def test_hilbert_locality_beats_zorder_on_avg_jump(spark):
+    """The curve's selling point, measured: mean spatial distance
+    between consecutive curve positions is exactly 1 for Hilbert,
+    >1 for the Z-curve (diagonal jumps)."""
+    from youtube_scraper_db_spark.operators.layout import hilbert_keyed, zorder_key
+
+    order = 4
+    n = 1 << order
+    rows = [(x * n + y, x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    h = {
+        r["hkey"]: (r["a"], r["b"])
+        for r in hilbert_keyed(df, ["a", "b"], bits=order).select(
+            "hkey", "a", "b"
+        ).collect()
+    }
+    z = {
+        r["zkey"]: (r["a"], r["b"])
+        for r in df.select(
+            zorder_key(df, ["a", "b"], bits=order).alias("zkey"), "a", "b"
+        ).collect()
+    }
+
+    def mean_jump(m):
+        ks = sorted(m)
+        return sum(
+            abs(m[a][0] - m[b][0]) + abs(m[a][1] - m[b][1])
+            for a, b in zip(ks, ks[1:])
+        ) / (len(ks) - 1)
+
+    assert mean_jump(h) == 1.0
+    assert mean_jump(z) > 1.2

@@ -55,6 +55,13 @@ ARROW_STAGES = {
     "heavy_hitter_merge",        # per-partition MG summaries are mapInPandas
     "heavy_hitter_artifact_fold",  # same MG summary kernels, saved + batch
     "heavy_hitter_words_by_lang",  # per-group MG summary kernel
+    # round 10: per-partition bottom-k-of-distinct-hashes kernels
+    # (operators/kmv.py) — O(k) state, map-only
+    "kmv_distinct_users",
+    "kmv_distinct_users_by_type",
+    "kmv_union_merge",
+    "kmv_semijoin_cardinality",
+    "kmv_artifact_fold_roundtrip",
 }
 
 #: queries where a BroadcastNestedLoopJoin is the documented, bounded
@@ -128,6 +135,28 @@ BNLJ_OK = {
     "stream_cc_labels",           # drained labels × 1-row sym-diff scalar
     "weighted_sample_merge",      # 64 merged rows × 1-row sym-diff scalar
     "stream_lsh_ingest_dups",     # drained pairs × 1-row sym-diff scalar
+    # round 10: KMV gates join 1-row estimate / theta / exact-distinct
+    # scalars against ≤k-row sketch tables
+    "kmv_distinct_users",
+    "kmv_union_merge",
+    "kmv_semijoin_cardinality",
+    "kmv_artifact_fold_roundtrip",
+    # round 10: dim-types × generated-calendar spine cross join
+    "event_value_locf",
+    # round 10: |types| count rows × 1-row total scalar
+    "event_type_entropy",
+    # round 10: frontier-superset survivors × survivors exact dominance
+    # recheck (both sides bucket-pruned to frontier scale) + the 1-row
+    # min/max normalization scalars
+    "pareto_frontier_parts",
+    # round 10: 1-row estimate / sym-diff / exact scalar joins over
+    # k-row (checkpointed) sketch tables; benford joins the 1-row total
+    "stream_kmv_distinct_users",
+    "kmv_rollup_merge",
+    "benford_price_digits",
+    # round 10: three 1-row scalar aggregates (triangles/edges/degree
+    # stats) cross-joined into the single report row
+    "near_dup_triangles",
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the
@@ -141,6 +170,8 @@ SINGLE_PARTITION_OK = {
     "histogram_quantile_sketch",  # cumulative sum over 64 aggregated bins
     "stream_histogram_quantiles",  # same 64-bin cumulative sum (drained counters)
     "histogram_range_shards",  # 64-bin cumsum + lag over <=8 shard rows
+    # round 10: running max over the 64-bucket skyline threshold table
+    "pareto_frontier_parts",
 }
 
 

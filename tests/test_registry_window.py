@@ -267,6 +267,24 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "salted_distinct_users",
         "jsonl_export_roundtrip",
         "zorder_curve_keys",
+        "kmv_distinct_users",
+        "kmv_distinct_users_by_type",
+        "kmv_union_merge",
+        "kmv_semijoin_cardinality",
+        "kmv_artifact_fold_roundtrip",
+        "event_value_locf",
+        "event_value_ewma",
+        "event_type_transitions",
+        "event_ols_trend",
+        "event_type_entropy",
+        "pareto_frontier_parts",
+        "hilbert_curve_keys",
+        "stream_kmv_distinct_users",
+        "kmv_rollup_merge",
+        "benford_price_digits",
+        "trigram_search_docs",
+        "near_dup_triangles",
+        "event_value_cusum",
     },
 }
 

@@ -67,6 +67,28 @@ EVENT_QUERIES = [
     # O(groups × sketch) while event volume and user cardinality grow
     "cms_user_counts_by_type",
     "bloom_filter_by_type",
+    # round 10: KMV / theta sketches — bottom-k state stays O(k)
+    # (global) / O(groups × k) (grouped) while event volume and user
+    # cardinality grow; merge/fold touch only k-row tables
+    "kmv_distinct_users",
+    "kmv_distinct_users_by_type",
+    "kmv_union_merge",
+    "kmv_artifact_fold_roundtrip",
+    # round 10: time-series analytics — output stays O(types × days) /
+    # O(types²) / O(types) while event volume grows; the only
+    # fact-sized work is one aggregate (locf/ewma/ols/entropy) or one
+    # user-keyed window (transitions)
+    "event_value_locf",
+    "event_value_ewma",
+    "event_type_transitions",
+    "event_ols_trend",
+    "event_type_entropy",
+    # round 10: streaming KMV folds O(k) state per micro-batch; the
+    # grouped→global rollup touches only groups×k sketch rows
+    "stream_kmv_distinct_users",
+    "kmv_rollup_merge",
+    # round 10: CUSUM is one aggregate + a dim window (O(types×days))
+    "event_value_cusum",
 ]
 DOC_QUERIES = [
     "doc_token_stats",
@@ -128,6 +150,11 @@ DOC_QUERIES = [
     "stream_lsh_ingest_dups",
     # round 10: one stratum-keyed window, O(k) survivors per group
     "weighted_sample_by_source",
+    # round 10: trigram search touches only the query's posting lists
+    # after one explode shuffle; triangles' wedge join is bounded by
+    # degree-ordered orientation (out-degree O(√m))
+    "trigram_search_docs",
+    "near_dup_triangles",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

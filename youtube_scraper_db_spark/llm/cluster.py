@@ -368,3 +368,82 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return lab
+
+
+def triangle_stats(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Triangle count + global clustering coefficient of an undirected
+    edge list — the graph-density diagnostic completing the iterative
+    trio (CC collapses, PageRank ranks, LPA partitions; this MEASURES
+    how clique-like the near-dup neighborhoods are, the signal that
+    separates template families from chance collisions).
+
+    Scale shape (the classic MapReduce triangle algorithm, Suri &
+    Vassilvitskii WWW'11): orient each edge from its lower-(degree, id)
+    endpoint to the higher one — an ACYCLIC orientation under a total
+    order, so every triangle has exactly one vertex with two out-edges
+    and is counted exactly ONCE however the order is chosen; degree
+    ordering specifically bounds every out-degree by O(√m), which caps
+    the wedge join's blowup on skewed (hub-heavy) graphs where id
+    ordering would explode. Count = wedges (out-edge ⋈ out-edge on the
+    middle vertex) semi-joined against the oriented edge set. Because
+    the COUNT is orientation-invariant, the oracle replays it with the
+    simpler canonical a<b<c three-way join and must agree exactly.
+
+    Emits exact-integer n_nodes / n_edges / n_triangles / wedge2
+    (Σ d·(d−1), twice the wedge count) and the global clustering
+    coefficient 6·T / wedge2 (≡ 3·T / wedges) rounded at 6dp."""
+    e = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by degrees + 3 join sides
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    w1 = o.select(F.col("src").alias("m"), F.col("dst").alias("p"))
+    w2 = o.select(F.col("src").alias("m"), F.col("dst").alias("q"))
+    wedges = w1.join(w2, "m").where(F.col("p") < F.col("q"))
+    # a wedge (p ← m → q) closes iff (p,q) is an oriented edge in
+    # EITHER direction — orientation of the closing edge is free
+    closing = o.select(
+        F.least("src", "dst").alias("p"), F.greatest("src", "dst").alias("q")
+    )
+    tri = wedges.select(
+        F.least("p", "q").alias("p"), F.greatest("p", "q").alias("q")
+    ).join(closing, ["p", "q"], "left_semi")
+    stats = (
+        tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .crossJoin(deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1)).cast("long").alias("wedge2"),
+        ))
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "wedge2",
+        F.when(
+            F.col("wedge2") > 0,
+            F.round(
+                F.lit(6.0) * F.col("n_triangles").cast("double")
+                / F.col("wedge2").cast("double"),
+                6,
+            ),
+        ).alias("global_cc"),
+    )

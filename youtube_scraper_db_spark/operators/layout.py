@@ -70,6 +70,124 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     return key
 
 
+def hilbert_keyed(
+    df: DataFrame, cols: list[str], bits: int = 8, out: str = "hkey"
+) -> DataFrame:
+    """``df`` plus the 2-D Hilbert-curve sort key of ``cols`` — the
+    locality-tighter sibling of ``zorder_key``.
+
+    The Z-curve's bit interleave has long diagonal jumps (adjacent keys
+    can be far apart in space), so file bounding boxes overlap more than
+    they must; the Hilbert curve visits each cell of the 2^bits × 2^bits
+    grid exactly once with every step at grid distance 1, which is the
+    best known clustering for multi-dim data skipping (Faloutsos &
+    Roseman, PODS 1989 — and why lakehouse OPTIMIZE offers it beside
+    Z-order). Same min-max floor normalization as the Z-key; the curve
+    index is the classic per-level quadrant + rotate fold, unrolled to
+    ``bits`` chained PROJECTIONS (one select per level keeps the
+    expression tree linear — a single nested Column would double per
+    level), all LEAST/GREATEST/CASE/shift/mask codegen, no UDF. Each
+    level's coordinates are masked to [0, s) before the reflection, so
+    no intermediate is ever negative and any ANSI engine replays the
+    key bit-for-bit (the registry oracle does, via the identical CTE
+    chain from ``hilbert_oracle_sql``)."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_keyed is defined for exactly 2 columns")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).first()
+    base = [c for c in df.columns]
+    cur = df.select(
+        "*",
+        _normalized(cols[0], stats[f"mn_{cols[0]}"], stats[f"mx_{cols[0]}"], bits)
+        .cast("long")
+        .alias("__hx"),
+        _normalized(cols[1], stats[f"mn_{cols[1]}"], stats[f"mx_{cols[1]}"], bits)
+        .cast("long")
+        .alias("__hy"),
+        F.lit(0).cast("long").alias("__hd"),
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
+        rx = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        # quadrant order 00→0, 01→1, 11→2, 10→3 (== (3·rx) XOR ry,
+        # spelled as a CASE so the oracle twin is engine-neutral)
+        quad = (
+            F.when((rx == 0) & (ry == 0), 0)
+            .when((rx == 0) & (ry == 1), 1)
+            .when((rx == 1) & (ry == 1), 2)
+            .otherwise(3)
+        )
+        xm = x.bitwiseAND(F.lit(s - 1))
+        ym = y.bitwiseAND(F.lit(s - 1))
+        nx = (
+            F.when(ry == 1, xm)
+            .when(rx == 1, F.lit(s - 1) - ym)
+            .otherwise(ym)
+        )
+        ny = (
+            F.when(ry == 1, ym)
+            .when(rx == 1, F.lit(s - 1) - xm)
+            .otherwise(xm)
+        )
+        cur = cur.select(
+            *base,
+            nx.alias("__hx"),
+            ny.alias("__hy"),
+            (d + F.lit(s * s) * quad.cast("long")).alias("__hd"),
+        )
+    return cur.select(*base, F.col("__hd").alias(out))
+
+
+def hilbert_oracle_sql(
+    table: str, key: str, cols: list[str], bits: int = 8
+) -> str:
+    """The DuckDB twin of ``hilbert_keyed`` — the identical normalize +
+    per-level quadrant/rotate fold as a chain of ``bits`` CTEs."""
+    c0, c1 = cols
+    top = (1 << bits) - 1
+    norm = ", ".join(
+        f"LEAST(GREATEST(CAST(FLOOR((CAST({c} AS DOUBLE) - mn{i})"
+        f" / (mx{i} - mn{i}) * {top}) AS BIGINT), 0), {top}) AS {v}"
+        for i, (c, v) in enumerate(((c0, "hx"), (c1, "hy")))
+    )
+    levels = []
+    prev = "v0"
+    for lvl, i in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << i
+        cte = f"""
+    v{lvl + 1} AS (
+      SELECT {key},
+        CASE WHEN ((hy >> {i}) & 1) = 1 THEN hx & {s - 1}
+             WHEN ((hx >> {i}) & 1) = 1 THEN {s - 1} - (hy & {s - 1})
+             ELSE hy & {s - 1} END AS hx,
+        CASE WHEN ((hy >> {i}) & 1) = 1 THEN hy & {s - 1}
+             WHEN ((hx >> {i}) & 1) = 1 THEN {s - 1} - (hx & {s - 1})
+             ELSE hx & {s - 1} END AS hy,
+        hd + {s * s} * (CASE WHEN ((hx >> {i}) & 1) = 0
+                                  AND ((hy >> {i}) & 1) = 0 THEN 0
+                             WHEN ((hx >> {i}) & 1) = 0 THEN 1
+                             WHEN ((hy >> {i}) & 1) = 1 THEN 2
+                             ELSE 3 END) AS hd
+      FROM {prev}
+    )"""
+        levels.append(cte)
+        prev = f"v{lvl + 1}"
+    return f"""
+    WITH st AS (
+      SELECT min(CAST({c0} AS DOUBLE)) AS mn0, max(CAST({c0} AS DOUBLE)) AS mx0,
+             min(CAST({c1} AS DOUBLE)) AS mn1, max(CAST({c1} AS DOUBLE)) AS mx1
+      FROM {table}
+    ),
+    v0 AS (SELECT {key}, {norm}, CAST(0 AS BIGINT) AS hd FROM {table}, st),
+    {",".join(levels)}
+    SELECT {key}, hd AS hkey FROM {prev}
+    """
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

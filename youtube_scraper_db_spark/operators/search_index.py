@@ -1,0 +1,68 @@
+"""Trigram substring-search index — candidate pruning for LIKE.
+
+A substring search (``text LIKE '%needle%'``) is a full-corpus scan
+with a per-row scan of every byte — at 100 TB, the one query shape no
+layout trick saves. The standard fix (PostgreSQL pg_trgm, code-search
+engines): index every 3-char substring of every document as a
+(gram, doc) posting table. A query literal of length L contains L-2
+overlapping trigrams; only documents containing ALL of them can match,
+so the search becomes an intersection of |query|-2 posting lists plus
+an exact ``contains`` verify on the survivors — the candidate-superset
++ exact-recheck shape (Misra-Gries, skyline) applied to text search.
+
+Exactness: any document containing the literal contains every trigram
+of the literal (substring closure), so the candidate set is a superset
+of the true answer and the verify step makes the result EXACT — the
+registry oracle replays the naive LIKE definition against it.
+
+Scale shape: the posting build is one explode + distinct shuffle (in
+production it is built ONCE and persisted through the archive, then
+folded per ingest batch like every other index artifact here); a
+search touches only the query's posting lists (a grams-sized
+semi-join), never the corpus text. The gram explode is pure
+``transform(sequence(...))`` codegen — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def trigram_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(gram, id) posting table: every distinct 3-char substring of
+    ``text_col`` per row. Rows with NULL or <3-char text emit nothing
+    (they cannot match any ≥3-char literal)."""
+    grams = F.expr(
+        f"transform(sequence(1, length({text_col}) - 2),"
+        f" i -> substring({text_col}, i, 3))"
+    )
+    return (
+        df.where(F.col(text_col).isNotNull() & (F.length(text_col) >= 3))
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def trigram_search(
+    df: DataFrame, id_col: str, text_col: str, literal: str
+) -> DataFrame:
+    """ids of rows whose ``text_col`` contains ``literal`` — posting-
+    list intersection + exact verify. ``literal`` must be ≥3 chars
+    (shorter needles have no trigram and must fall back to the scan)."""
+    if len(literal) < 3:
+        raise ValueError("trigram_search needs a literal of length >= 3")
+    qgrams = sorted({literal[i : i + 3] for i in range(len(literal) - 2)})
+    postings = trigram_postings(df, id_col, text_col)
+    cand = (
+        postings.where(F.col("gram").isin(qgrams))
+        .groupBy("id")
+        .agg(F.countDistinct("gram").alias("ng"))
+        .where(F.col("ng") == len(qgrams))
+        .select("id")
+    )
+    return (
+        df.join(cand, F.col(id_col) == F.col("id"), "left_semi")
+        .where(F.contains(F.col(text_col), F.lit(literal)))
+        .select(id_col)
+    )

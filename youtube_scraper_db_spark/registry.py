@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .archive import Archive
@@ -45,10 +45,12 @@ from .llm import similarity as llm_similarity
 from .llm import wordpiece as llm_wordpiece
 from .llm import text as llm_text
 from .operators import bucketing
+from .operators import kmv as op_kmv
 from .operators import sketches as op_sketches
 from .operators.dedup import dedup_first_seen
 from .operators.diffsync import diff_keys_single_shuffle
-from .operators.layout import zorder_key
+from .operators import skyline as op_skyline
+from .operators.layout import hilbert_keyed, hilbert_oracle_sql, zorder_key
 from .operators.partitioning import read_partitioned, write_partitioned
 from .operators.skew import salted_count_distinct, salted_join
 from .operators.windows import assign_positions, next_position, ordered_collect
@@ -12844,6 +12846,1028 @@ def weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# KMV / theta distinct sketches (EXT-sketch-kmv; round 10) — the set
+# algebra HLL cannot do: intersection / Jaccard / semi-join-cardinality
+# estimation from O(k) state (operators/kmv.py).
+# ----------------------------------------------------------------------
+
+@spec(
+    "kmv_distinct_users",
+    "EXT-sketch-kmv A3",
+    oracle=op_kmv.kmv_oracle_sql("events", "user_id", 64),
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-user estimate (k=64) beside the exact
+    count — the third distinct-count scale path (exact salted,
+    HLL registers, now KMV bottom-k). Unlike HLL, the KMV sketch
+    retains a uniform key SAMPLE, so the same O(k) state also answers
+    intersections (kmv_semijoin_cardinality). Plan: hash projection →
+    per-partition Arrow bottom-k (map-only, O(k) state, raw keys never
+    shuffle) → distinct + ordered limit over ≤ partitions·k survivors.
+    The md5-portable hash makes the retained set, the k-th order
+    statistic, and the estimate's exact value — error included —
+    DuckDB-replayable (operators/kmv.py kmv_oracle_sql)."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    sk = op_kmv.kmv_sketch(ev, "user_id", 64)
+    exact = ev.where(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return op_kmv.kmv_estimate(sk, 64).crossJoin(exact)
+
+
+@spec(
+    "kmv_distinct_users_by_type",
+    "EXT-sketch-kmv A3 A2",
+    oracle=op_kmv.kmv_grouped_oracle_sql("events", "event_type", "user_id", 32),
+)
+def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED KMV — one bottom-k sketch per event type from ONE scan
+    (operators/kmv.py kmv_sketch_grouped): the grouped Arrow kernel
+    keeps an O(k) state per group per partition, so the exchange
+    carries ≤ partitions·groups·k partial-sketch rows instead of every
+    distinct (type, user) pair; the per-group row_number cap runs over
+    that partial-sketch table, never the data. Completes the
+    grouped-sketch grid (HLL/CMS/Bloom/quantiles/MG) with the one
+    sketch whose per-group state is a mergeable key sample. Each
+    group's estimate and exact witness replay in the oracle."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    sk = op_kmv.kmv_sketch_grouped(ev, "event_type", "user_id", 32)
+    exact = (
+        ev.where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").cast("string").alias("g"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return op_kmv.kmv_estimate_grouped(sk, 32).join(exact, "g")
+
+
+@spec(
+    "kmv_union_merge",
+    "EXT-sketch-kmv EXT-sketch-merge",
+    oracle=op_kmv.kmv_union_merge_oracle_sql(
+        "events", "user_id", "event_id % 2 = 0", 64
+    ),
+)
+def kmv_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV MERGEABILITY — bottom-k is a mergeable summary: the bottom-k
+    of a union depends only on the union's k smallest distinct hashes,
+    every one of which each side retained, so merging two half-sketches
+    (operators/kmv.py kmv_merge) yields EXACTLY the directly-built
+    sketch — ``merge_consistent`` is an exact set identity, not a
+    tolerance. This is what lets per-day / per-dataset / per-partition
+    KMV sketches roll up without rescanning — the same contract the
+    HLL/CMS/Bloom/MG merge gates pin for their families. Both
+    estimates, the identity witness, and the exact union count replay
+    in the oracle."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    half = F.col("event_id") % 2 == 0
+    sa = op_kmv.kmv_sketch(ev.filter(half), "user_id", 64)
+    sb = op_kmv.kmv_sketch(ev.filter(~half), "user_id", 64)
+    merged = op_kmv.kmv_merge(sa, sb, 64).localCheckpoint(eager=True)
+    direct = op_kmv.kmv_sketch(ev, "user_id", 64).localCheckpoint(eager=True)
+    est_m = op_kmv.kmv_estimate(merged, 64).select(
+        F.col("estimate").alias("est_merged"), "sketch_size"
+    )
+    est_d = op_kmv.kmv_estimate(direct, 64).select(
+        F.col("estimate").alias("est_direct")
+    )
+    cmp = (
+        merged.join(direct, "h")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .crossJoin(merged.agg(F.count(F.lit(1)).alias("nm")))
+        .crossJoin(direct.agg(F.count(F.lit(1)).alias("nd")))
+        .select(
+            (
+                (F.col("n_common") == F.col("nm"))
+                & (F.col("n_common") == F.col("nd"))
+            ).alias("merge_consistent")
+        )
+    )
+    exact = ev.where(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        est_m.crossJoin(est_d)
+        .crossJoin(cmp)
+        .crossJoin(exact)
+        .select(
+            "est_merged", "est_direct", "sketch_size",
+            "merge_consistent", "exact_distinct",
+        )
+    )
+
+
+@spec(
+    "kmv_semijoin_cardinality",
+    "EXT-sketch-kmv J10 A3",
+    oracle=op_kmv.kmv_setops_oracle_sql(
+        "customer", "c_custkey", "orders", "o_custkey", 128
+    ),
+)
+def kmv_semijoin_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA SET OPERATIONS — the estimate HLL structurally cannot
+    produce: how many customer keys also appear in orders (the
+    semi-join / decontamination-overlap cardinality), from two O(k)
+    sketches and NO join of the base tables. Under the shared
+    threshold θ = min(θ_a, θ_b), every retained hash < θ is a uniform
+    sample of the key-space union, so |sample ∩| · 2^60 / θ estimates
+    the intersection and the sample ratio estimates Jaccard (Beyer et
+    al. 2007). All arithmetic on the two k-row sketch tables; the θ
+    scalar broadcasts as a 1-row frame. Estimates, sample sizes, and
+    the exact intersection/union witnesses all replay in the oracle."""
+    ensure_utc(spark)
+    k = 128
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    sa = op_kmv.kmv_sketch(cust, "c_custkey", k).localCheckpoint(eager=True)
+    sb = op_kmv.kmv_sketch(orders, "o_custkey", k).localCheckpoint(eager=True)
+    th = (
+        op_kmv.kmv_theta(sa, k)
+        .crossJoin(op_kmv.kmv_theta(sb, k).withColumnRenamed("theta", "theta_b"))
+        .select(F.least("theta", "theta_b").alias("theta"))
+    )
+    inter_n = (
+        sa.join(sb, "h")
+        .crossJoin(th)
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sample_intersection"))
+    )
+    union_n = (
+        sa.unionByName(sb)
+        .distinct()
+        .crossJoin(th)
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sample_union"))
+    )
+    space = F.lit(op_kmv.KMV_SPACE)
+    ests = (
+        inter_n.crossJoin(union_n)
+        .crossJoin(th)
+        .select(
+            F.round(
+                F.col("sample_intersection").cast("double") * space
+                / F.col("theta").cast("double"),
+                4,
+            ).alias("est_intersection"),
+            F.round(
+                F.col("sample_union").cast("double") * space
+                / F.col("theta").cast("double"),
+                4,
+            ).alias("est_union"),
+            F.round(
+                F.col("sample_intersection").cast("double")
+                / F.col("sample_union").cast("double"),
+                4,
+            ).alias("jaccard_est"),
+            "sample_intersection",
+            "sample_union",
+        )
+    )
+    ca = cust.where(F.col("c_custkey").isNotNull()).select(
+        F.col("c_custkey").alias("x")
+    ).distinct()
+    ob = orders.where(F.col("o_custkey").isNotNull()).select(
+        F.col("o_custkey").alias("x")
+    ).distinct()
+    exact_i = ca.join(ob, "x", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_intersection")
+    )
+    exact_u = ca.unionByName(ob).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union")
+    )
+    return ests.crossJoin(exact_i).crossJoin(exact_u)
+
+
+@spec(
+    "kmv_artifact_fold_roundtrip",
+    "EXT-sketch-kmv EXT-artifact EXT-sketch-merge S14 S16",
+    oracle=op_kmv.kmv_artifact_oracle_sql(
+        "events", "user_id", "event_id % 4 = 0", 64, _ART_CHECK_MOD
+    ),
+)
+def kmv_artifact_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-ARTIFACT persistence, KMV: the saved artifact is the
+    base split's k-row bottom-k hash table; the new batch's sketch
+    FOLDS into the RELOADED table by kmv_merge, and because bottom-k
+    mergeability is exact, the folded sketch must equal the
+    directly-built full sketch hash-for-hash (``fold_consistent`` is a
+    set identity). This is the daily 100 TB operation for overlap
+    auditing: sketch yesterday's corpus once, persist k rows, fold
+    today's batch without rescanning history. Saved-table checksum,
+    both estimates, the identity witness, and the exact count all
+    replay in the oracle."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+    from .functions.portable_hash import md5_halves
+
+    k = 64
+    ev = _t(spark, sf_dir, "events")
+    batch = F.col("event_id") % 4 == 0
+    base_sk = op_kmv.kmv_sketch(ev.filter(~batch), "user_id", k)
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_skart_kmv_"))
+    v = ar.save_table("kmv_user_sketch", base_sk)
+    loaded = ar.table("kmv_user_sketch")
+    folded = op_kmv.kmv_merge(
+        loaded, op_kmv.kmv_sketch(ev.filter(batch), "user_id", k), k
+    ).localCheckpoint(eager=True)
+    direct = op_kmv.kmv_sketch(ev, "user_id", k).localCheckpoint(eager=True)
+    est_f = op_kmv.kmv_estimate(folded, k).select(
+        F.col("estimate").alias("folded_estimate")
+    )
+    est_d = op_kmv.kmv_estimate(direct, k).select(
+        F.col("estimate").alias("direct_estimate")
+    )
+    cmp = (
+        folded.join(direct, "h")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .crossJoin(folded.agg(F.count(F.lit(1)).alias("nf")))
+        .crossJoin(direct.agg(F.count(F.lit(1)).alias("nd")))
+        .select(
+            (
+                (F.col("n_common") == F.col("nf"))
+                & (F.col("n_common") == F.col("nd"))
+            ).alias("fold_consistent")
+        )
+    )
+    h1, _ = md5_halves(F.col("h").cast("string"))
+    art = loaded.agg(
+        F.count(F.lit(1)).cast("long").alias("saved_size"),
+        F.sum(h1 % F.lit(_ART_CHECK_MOD)).cast("long").alias("saved_checksum"),
+    )
+    exact = ev.where(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        art.crossJoin(est_f)
+        .crossJoin(est_d)
+        .crossJoin(cmp)
+        .crossJoin(exact)
+        .withColumn("artifact_version", F.lit(v).cast("int"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Time-series analytics (EXT-ts-*; round 10): LOCF gap fill, windowed
+# exponential smoothing, Markov transitions, grouped OLS trend,
+# distribution entropy — the dashboard layer over the events stream.
+# ----------------------------------------------------------------------
+
+#: Daily mean via the floor-of-rounded-sum device (incremental_rollup
+#: _equiv): the float dust in SUM(value) is squeezed out by ROUND(.,2)
+#: BEFORE the division, and FLOOR has no half-way tie to disagree on.
+_DAILY_AVG_SQL = "FLOOR(ROUND(SUM(value), 2) / COUNT(*) * 100) / 100.0"
+
+
+def _daily_avg_col() -> Column:
+    return F.floor(
+        F.round(F.sum("value"), 2) / F.count(F.lit(1)) * 100
+    ) / F.lit(100.0)
+
+
+@spec(
+    "event_value_locf",
+    "EXT-ts-gapfill EXT-gapfill W2 A2",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n, {_DAILY_AVG_SQL} AS avg_v
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    cal AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    ),
+    spine AS (
+      SELECT t.event_type, cal.day
+      FROM (SELECT DISTINCT event_type FROM d) t, cal
+    )
+    SELECT s.event_type, s.day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           last_value(d.avg_v IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_avg,
+           (d.n IS NULL) AS is_gap
+    FROM spine s LEFT JOIN d ON s.event_type = d.event_type
+                            AND s.day = d.day
+    """,
+)
+def event_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) gap fill — the VALUE
+    interpolation twin of daily_event_counts_dense's zero-filled
+    counts: per event type, the daily mean value on a GENERATED dense
+    calendar spine (dim-types × days — never a stored calendar scan),
+    missing days forward-filled by ``last(..., ignorenulls)`` over the
+    per-type window. This is the op that makes downstream
+    moving-window statistics correct across silent days. Plan: one
+    groupBy shuffle (type, day), a broadcast spine join, and a
+    dim-partitioned window over O(types × days) aggregated rows — no
+    fact-row funnel. The floor-of-rounded-sum daily mean replays
+    exactly in the oracle; leading gaps before a type's first
+    observation stay NULL by definition in both engines."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _daily_avg_col().alias("avg_v"),
+        )
+    )
+    cal = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    spine = d.select("event_type").distinct().crossJoin(cal)
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(d, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("filled_avg"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
+#: Windowed exponential smoothing: 8 dyadic weights 2^-j. The weights
+#: and the per-day means are fixed-expression arithmetic (not an
+#: unordered aggregate), so both engines evaluate the identical tree.
+_EWMA_TERMS = 8
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"COALESCE({0.5 ** j!r} * lag(avg_v, {j}) OVER w, 0.0)"
+        for j in range(_EWMA_TERMS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(avg_v, {j}) OVER w IS NULL THEN 0.0"
+        f" ELSE {0.5 ** j!r} END)"
+        for j in range(_EWMA_TERMS)
+    )
+    return f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {_DAILY_AVG_SQL} AS avg_v
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, day, avg_v,
+           ROUND(({num}) / ({den}), 4) AS ewma
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """
+
+
+@spec("event_value_ewma", "EXT-ts-ewma W2 A2", oracle=_ewma_sql())
+def event_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed exponential smoothing (EWMA, α=1/2, 8 terms) of the
+    per-type daily mean — the trend line a monitoring dashboard draws.
+    A recursive EWMA needs 2^t reciprocal weights (overflow) or a
+    sequential scan (not distributed); the FINITE form Σ 2^-j·x_(t-j)
+    / Σ 2^-j truncates below 2^-8 ≈ 0.4% weight and becomes 8 lag()
+    terms over one dim-partitioned window — distributed, exact, and
+    engine-neutral: the weights are dyadic (exact doubles), the means
+    are the floor-device values, and the sum is a FIXED left-to-right
+    expression tree, identical in both engines, so ROUND(.,4) is
+    hash-stable. One (type, day) aggregate shuffle + one dim window."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(_daily_avg_col().alias("avg_v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(_EWMA_TERMS):
+        lagged = F.lag("avg_v", j).over(w)
+        num = num + F.coalesce(F.lit(0.5 ** j) * lagged, F.lit(0.0))
+        den = den + F.when(lagged.isNull(), F.lit(0.0)).otherwise(
+            F.lit(0.5 ** j)
+        )
+    return d.select(
+        "event_type", "day", "avg_v", F.round(num / den, 4).alias("ewma")
+    )
+
+
+@spec(
+    "event_type_transitions",
+    "EXT-ts-markov W1 A2",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    t AS (
+      SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4)
+             AS prob
+    FROM t
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types — the
+    sequence model behind funnel diagnostics ("what follows a view?").
+    One user-keyed window (lag over (ts, event_id) total order — the
+    sessionized_events shuffle, reusable), one (prev, cur) aggregate
+    whose output is |types|² rows, and a dim-sized window turning
+    counts into row-stochastic probabilities. Ratios of exact integers
+    → ROUND(.,4) is engine-stable. At 100 TB this is one fact shuffle
+    on user_id + one types²-row table."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(
+            F.lag("event_type").over(wseq).alias("prev_type"), "event_type"
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wrow = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wrow).cast("double"),
+            4,
+        ).alias("prob"),
+    )
+
+
+@spec(
+    "event_ols_trend",
+    "EXT-ts-regression A8",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(ROUND(value * 1000) AS BIGINT) AS yq
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(yq) AS sy,
+             SUM(x * x) AS sxx, SUM(x * yq) AS sxy, SUM(yq * yq) AS syy
+      FROM q GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / 1000.0, 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000.0, 4) AS intercept,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6) AS r2
+    FROM s
+    """,
+)
+def event_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares trend (slope / intercept / R²) of event
+    value over time, per type — regr_slope & co. re-derived from
+    INTEGER sufficient statistics so the oracle hash-matches: y is
+    milli-quantized to exact int64 (the integer micro-log device of
+    the LM gates), x is a small day offset, so n/Σx/Σy/Σxx/Σxy/Σyy are
+    all EXACT integers (order-free — no float-accumulation drift);
+    the final slope arithmetic is a fixed expression tree both engines
+    evaluate identically. One map-side-combining aggregate, output =
+    one row per type. At petabyte scale the Σx·y terms move to
+    DECIMAL(38,0) or per-day pre-aggregation; the plan shape stays."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    q = ev.where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("x"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("yq"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, sxyd = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    syyd = F.col("syy").cast("double")
+    num = nd * sxyd - sxd * syd
+    dx = nd * sxxd - sxd * sxd
+    dy = nd * syyd - syd * syd
+    return s.select(
+        "event_type",
+        "n",
+        F.round(num / dx / F.lit(1000.0), 6).alias("slope"),
+        F.round(
+            (syd - num / dx * sxd) / nd / F.lit(1000.0), 4
+        ).alias("intercept"),
+        F.round(num * num / dx / dy, 6).alias("r2"),
+    )
+
+
+@spec(
+    "event_type_entropy",
+    "EXT-ts-entropy A2 A1",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS n FROM events
+      WHERE event_type IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_types FROM c)
+    SELECT CAST(tot.total AS BIGINT) AS n_total,
+           CAST(tot.n_types AS BIGINT) AS n_types,
+           ROUND(-SUM((CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                      * ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))), 4)
+             AS entropy,
+           ROUND(-SUM((CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                      * ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)))
+                 / ln(CAST(tot.n_types AS DOUBLE)), 4) AS norm_entropy,
+           ROUND(1.0 - CAST(SUM(n * n) AS DOUBLE)
+                 / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 4)
+             AS gini
+    FROM c, tot
+    GROUP BY tot.total, tot.n_types
+    """,
+)
+def event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution health of the event-type mix: Shannon entropy (raw
+    + normalized by ln|types|) and Gini impurity — the source-mix
+    diagnostic a corpus-curation dashboard tracks per snapshot. One
+    count aggregate (dim-sized output) + a 1-row total broadcast; the
+    Gini term Σn² is an EXACT integer sum (order-free), entropy's
+    5-term float sum rounds at 4dp. O(types) state at any volume."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = c.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    return (
+        c.crossJoin(tot)
+        .groupBy("total", "n_types")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+            F.round(
+                -F.sum(p * F.log(p)) / F.log(F.col("n_types").cast("double")),
+                4,
+            ).alias("norm_entropy"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.col("n") * F.col("n")).cast("double")
+                / (F.col("total").cast("double") * F.col("total").cast("double")),
+                4,
+            ).alias("gini"),
+        )
+        .select(
+            F.col("total").cast("long").alias("n_total"),
+            F.col("n_types").cast("long").alias("n_types"),
+            "entropy",
+            "norm_entropy",
+            "gini",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Skyline + Hilbert layout (EXT-skyline, EXT-hilbert; round 10)
+# ----------------------------------------------------------------------
+
+@spec(
+    "pareto_frontier_parts",
+    "EXT-skyline J9 A5",
+    oracle=op_skyline.pareto_oracle_sql(
+        "part",
+        "p.p_partkey AS p_partkey, p.p_retailprice AS p_retailprice, "
+        "p.p_size AS p_size",
+        "p_retailprice",
+        "p_size",
+    ),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): parts where no other part is both
+    cheaper-or-equal AND larger-or-equal (strict somewhere) — "best
+    price for the size". The naive answer is a quadratic NOT-EXISTS
+    self-join; operators/skyline.py prunes with a 64-bucket running-max
+    threshold table (broadcast, provably-dominated rows drop map-side)
+    and runs the exact dominance join only among the frontier-superset
+    survivors — the Misra-Gries candidates-then-recount shape applied
+    to dominance. The oracle replays the NAIVE definition, so the gate
+    proves the optimized plan ≡ textbook semantics."""
+    ensure_utc(spark)
+    part = _t(spark, sf_dir, "part")
+    return op_skyline.pareto_frontier(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice",
+        "p_size",
+    )
+
+
+@spec(
+    "hilbert_curve_keys",
+    "EXT-hilbert EXT-zorder",
+    oracle=hilbert_oracle_sql(
+        "orders", "o_orderkey", ["o_totalprice", "o_custkey"], bits=8
+    ),
+)
+def hilbert_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout key over (o_totalprice, o_custkey) — the
+    locality-tighter sibling of zorder_curve_keys (every curve step is
+    grid distance 1, so file bounding boxes are tighter than the
+    Z-curve's diagonal jumps; the option lakehouse OPTIMIZE offers
+    beside Z-order). operators/layout.py hilbert_keyed: same min-max
+    floor normalization, then the per-level quadrant+rotate fold
+    unrolled to 8 chained projections — pure CASE/shift/mask codegen,
+    no UDF, expression tree linear in bits. The oracle replays the
+    identical CTE chain, and tests/test_layout.py checks bijectivity +
+    unit-step adjacency against an independent reference."""
+    ensure_utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    return hilbert_keyed(
+        o.select("o_orderkey", "o_totalprice", "o_custkey"),
+        ["o_totalprice", "o_custkey"],
+        bits=8,
+    ).select("o_orderkey", "hkey")
+
+
+@spec(
+    "stream_kmv_distinct_users",
+    "EXT-sketch-kmv EXT-stream-agg T5",
+    oracle=(
+        "SELECT o.*, TRUE AS stream_consistent FROM ("
+        + op_kmv.kmv_oracle_sql("events", "user_id", 64)
+        + ") o"
+    ),
+)
+def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV maintained INCREMENTALLY over a stream (streaming/kmv.py
+    run_kmv_stream) — the KMV member of the streaming-sketch family
+    beside stream_hll/cms/bloom/histogram and the streaming MG: the
+    events replay as a file stream in MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over a 4-file staging write); each batch is
+    sketched with the batch kernel and FOLDS into a versioned bottom-k
+    table by kmv_merge inside foreachBatch — O(k) state forever vs
+    O(distinct keys) for exact streaming distinct. Bottom-k
+    mergeability is exact, so the drained sketch must equal the
+    one-shot batch sketch hash-for-hash for ANY micro-batch layout —
+    the gate emits the drained estimate beside the engine-side
+    sym-diff witness and shares the batch gate's oracle verbatim."""
+    import tempfile
+
+    from .streaming.kmv import run_kmv_stream
+
+    ensure_utc(spark)
+    k = 64
+    ev = _t(spark, sf_dir, "events")
+    staged = tempfile.mkdtemp(prefix="sg_kmvs_src_")
+    ev.select("user_id").repartition(4).write.mode("overwrite").parquet(
+        staged
+    )
+    updates = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    table_root = tempfile.mkdtemp(prefix="sg_kmvs_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="sg_kmvs_ckpt_")
+    drained = run_kmv_stream(
+        updates, "user_id", k, table_root, ckpt
+    ).localCheckpoint(eager=True)
+    direct = op_kmv.kmv_sketch(ev, "user_id", k).localCheckpoint(eager=True)
+    diff = (
+        drained.exceptAll(direct)
+        .union(direct.exceptAll(drained))
+        .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
+    )
+    exact = ev.where(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        op_kmv.kmv_estimate(drained, k)
+        .crossJoin(exact)
+        .crossJoin(diff)
+    )
+
+
+@spec(
+    "kmv_rollup_merge",
+    "EXT-sketch-kmv EXT-sketch-merge A2",
+    oracle=f"""
+    WITH {op_kmv.kmv_bottomk_cte("direct", "events", "user_id", "event_type IS NOT NULL", 64)},
+    st AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM direct)
+    SELECT {op_kmv._est_sql("n", "kth", 64)} AS est_rollup,
+           {op_kmv._est_sql("n", "kth", 64)} AS est_direct,
+           TRUE AS rollup_consistent,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+             AS exact_distinct
+    FROM st
+    """,
+)
+def kmv_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMENSION ROLLUP over grouped sketches — the cube operation a
+    sketch store exists for: the per-event-type KMV sketches
+    (kmv_sketch_grouped, one scan) collapse into the global sketch by
+    dropping the group key and re-capping, and the result must equal
+    the directly-built global sketch hash-for-hash: any hash in the
+    global bottom-k is in its own group's bottom-k, so the group-wise
+    retention loses nothing (the mergeability identity applied across
+    a dimension instead of across batches). This is why a 100 TB store
+    keeps only leaf-grain sketches: every coarser grain derives by
+    merge, never by rescan. The engine computes BOTH paths and the
+    sym-diff witness; the oracle replays the (provably identical)
+    direct sketch for both estimate columns."""
+    ensure_utc(spark)
+    k = 64
+    ev = _t(spark, sf_dir, "events")
+    grouped = op_kmv.kmv_sketch_grouped(ev, "event_type", "user_id", k)
+    rollup = (
+        grouped.select("h").distinct().orderBy("h").limit(k)
+    ).localCheckpoint(eager=True)
+    direct = op_kmv.kmv_sketch(
+        ev.where(F.col("event_type").isNotNull()), "user_id", k
+    ).localCheckpoint(eager=True)
+    diff = (
+        rollup.exceptAll(direct)
+        .union(direct.exceptAll(rollup))
+        .agg((F.count(F.lit(1)) == 0).alias("rollup_consistent"))
+    )
+    est_r = op_kmv.kmv_estimate(rollup, k).select(
+        F.col("estimate").alias("est_rollup")
+    )
+    est_d = op_kmv.kmv_estimate(direct, k).select(
+        F.col("estimate").alias("est_direct")
+    )
+    exact = ev.where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    return (
+        est_r.crossJoin(est_d)
+        .crossJoin(diff)
+        .crossJoin(exact)
+        .select("est_rollup", "est_direct", "rollup_consistent", "exact_distinct")
+    )
+
+
+def _benford_expected_sql() -> str:
+    import math
+
+    cases = " ".join(
+        f"WHEN digit = {d} THEN CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return f"CASE {cases} END"
+
+
+@spec(
+    "benford_price_digits",
+    "EXT-quality-benford A2",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS observed_p,
+           {_benford_expected_sql()} AS expected_p,
+           ROUND(ABS(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                     - ({_benford_expected_sql()})), 6) AS abs_dev
+    FROM c, tot
+    """,
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic
+    synthetic-data / fraud screen a data-quality layer runs per
+    snapshot. The first significant digit comes from the INTEGER cents
+    string (never floor(log10(x)) — a last-ulp libm disagreement at a
+    power of ten would flip the digit between engines; int→string is
+    byte-identical everywhere), the expected Benford mass is a
+    Python-computed double literal baked into BOTH plans (zero libm
+    involvement), and observed shares are ratios of exact counts. One
+    9-row aggregate + a 1-row total broadcast; O(9) state at any
+    volume."""
+    import math
+
+    ensure_utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        o.where(F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0))
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = c.agg(F.sum("n").alias("total"))
+    ex = None
+    for d in range(1, 10):
+        branch = F.lit(math.log10(1.0 + 1.0 / d))
+        ex = (
+            F.when(F.col("digit") == d, branch)
+            if ex is None
+            else ex.when(F.col("digit") == d, branch)
+        )
+    obs = F.col("n").cast("double") / F.col("total").cast("double")
+    return c.crossJoin(tot).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        ex.alias("expected_p"),
+        F.round(F.abs(obs - ex), 6).alias("abs_dev"),
+    )
+
+
+@spec(
+    "trigram_search_docs",
+    "EXT-search-trigram P5",
+    oracle="SELECT doc_id FROM documents WHERE text LIKE '%slow vector%'",
+)
+def trigram_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through a TRIGRAM POSTING INDEX
+    (operators/search_index.py — the pg_trgm / code-search device):
+    the literal's 3-grams intersect posting lists to a candidate
+    superset (any doc containing the literal contains all its
+    trigrams), then an exact ``contains`` verify — the
+    candidate-then-recheck shape applied to the one query no layout
+    trick saves (`LIKE '%...%'` full scans every byte at 100 TB; the
+    posting semi-join touches only the query's grams). The oracle
+    replays the NAIVE LIKE definition, so the gate proves index+verify
+    ≡ scan semantics. In production the posting table persists through
+    the archive and folds per ingest batch; here it builds in-plan
+    (one explode+distinct shuffle, pure transform/sequence codegen)."""
+    ensure_utc(spark)
+    from .operators.search_index import trigram_search
+
+    d = _t(spark, sf_dir, "documents")
+    return trigram_search(d, "doc_id", "text", "slow vector")
+
+
+@spec(
+    "near_dup_triangles",
+    "EXT-triangles EXT-concomp A1",
+    oracle="WITH RECURSIVE " + _JACCARD_EDGE_CTES + r"""
+    ,
+    dg AS (
+      SELECT x, COUNT(*) AS d FROM (
+        SELECT doc_a AS x FROM jp UNION ALL SELECT doc_b AS x FROM jp
+      ) GROUP BY x
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM jp e1
+      JOIN jp e2 ON e2.doc_a = e1.doc_b
+      JOIN jp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    wd AS (SELECT SUM(d * (d - 1)) AS w2 FROM dg)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM jp) AS n_edges,
+           CAST(t AS BIGINT) AS n_triangles,
+           CAST(w2 AS BIGINT) AS wedge2,
+           CASE WHEN w2 > 0
+                THEN ROUND(6.0 * t / CAST(w2 AS DOUBLE), 6) END AS global_cc
+    FROM tri, wd
+    """,
+)
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the near-dup
+    graph (llm/cluster.py triangle_stats) — the density diagnostic
+    completing the graph family (CC collapses, PageRank ranks, LPA
+    partitions, this MEASURES clique-ness: template families close
+    their wedges, chance collisions don't). Engine counts via the
+    degree-ordered orientation (Suri-Vassilvitskii: out-degrees capped
+    at O(√m), so the wedge join survives hub skew); the count is
+    orientation-INVARIANT, so the oracle's canonical a<b<c three-way
+    join must agree exactly — the gate proves the skew-safe plan ≡
+    textbook definition. Same edge set as the CC/stream-CC gates
+    (3-gram Jaccard ≥ 0.4 pairs, SQL-replayed)."""
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    pairs = llm_dedup.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.4)
+    return llm_cluster.triangle_stats(pairs, "doc_a", "doc_b")
+
+
+@spec(
+    "event_value_cusum",
+    "EXT-ts-cusum W2 A2",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {_DAILY_AVG_SQL} AS avg_v
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, day, avg_v,
+             CAST(ROUND(avg_v * 100) AS BIGINT) AS cents
+      FROM d
+    ),
+    w AS (
+      SELECT event_type, day, avg_v,
+             SUM(cents) OVER (PARTITION BY event_type ORDER BY day) AS run,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS idx,
+             SUM(cents) OVER (PARTITION BY event_type) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type, day, avg_v,
+           ROUND(CAST(n * run - idx * s AS DOUBLE)
+                 / CAST(100 * n AS DOUBLE), 4) AS cusum
+    FROM w
+    """,
+)
+def event_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point statistic per event type — the monitoring
+    primitive that flags level shifts a moving average smooths over:
+    the running sum of deviations from the type's mean daily value.
+    The whole statistic is EXACT-INTEGER until one final division:
+    daily means are the 2-dec floor-device values, so 100·avg is an
+    exact int; cusum_t = Σ_{{i≤t}}(x_i − μ) rewrites as
+    (n·run_t − t·s)/(100·n) with run/s/n exact integer window sums —
+    no float accumulation anywhere, both engines agree to the bit
+    before the 4dp round. One (type, day) aggregate + one
+    dim-partitioned window; O(types × days) output at any volume."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(_daily_avg_col().alias("avg_v"))
+        .withColumn(
+            "cents", F.round(F.col("avg_v") * 100, 0).cast("long")
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    run = F.sum("cents").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    idx = F.row_number().over(wo)
+    s = F.sum("cents").over(wp)
+    n = F.count(F.lit(1)).over(wp)
+    return d.select(
+        "event_type",
+        "day",
+        "avg_v",
+        F.round(
+            (n * run - idx * s).cast("double") / (F.lit(100) * n).cast("double"),
+            4,
+        ).alias("cusum"),
+    )
+
+
+# ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
 
@@ -13203,6 +14227,68 @@ _swap_specs("stream_lsh_ingest_dups", "custom_source_roundtrip")
 # adpcm_energy_windows (index 198) falls off the tail and re-enters in
 # the natural round-11 window [198:248].
 _swap_specs("weighted_sample_by_source", "corpus_mix_epochs")
+# (f) The five KMV-sketch debuts (len 257, offset 400 % 257 = 143 →
+# window [143:193]): the shift pulls indices 143-147 into the head —
+# user_status_history, stream_allowlisted_events, asof_next_order,
+# stream_cdc_upsert_orders, heavy_hitter_words, ALL with fresh r09
+# green rows (verified by names.index() against CORRECTNESS_r09.json
+# before writing) — the debuts swap over them. The five entries
+# dropped off the tail (indices 193-197: classic_q8_market_share,
+# custom_source_stream_drain, stream_update_mode_counts,
+# mjpeg_frame_pixel_stats, pcm_depth_energy_windows — all r05-rowed)
+# land at the head of the natural round-11 window [450 % 257 = 193 :
+# 243], so their refresh is next round, not lost.
+_swap_specs("kmv_distinct_users", "user_status_history")
+_swap_specs("kmv_distinct_users_by_type", "stream_allowlisted_events")
+_swap_specs("kmv_union_merge", "asof_next_order")
+_swap_specs("kmv_semijoin_cardinality", "stream_cdc_upsert_orders")
+_swap_specs("kmv_artifact_fold_roundtrip", "heavy_hitter_words")
+# (g) The seven time-series/skyline/Hilbert debuts (len 264, offset
+# 400 % 264 = 136 → window [136:186]): the shift pulls indices 136-142
+# into the head — point_lookup_order, stream_outer_correlated_pairs,
+# minhash_lsh_recall, stream_top_event_types, stream_sessionized_users,
+# event_status_attribution, vocab_coverage_curve, ALL with fresh r09
+# green rows (verified by names.index() against CORRECTNESS_r09.json
+# before writing) — the debuts swap over them. The seven entries
+# dropped off the tail (indices 186-192: classic_q17/q15/q11/q19/q21/
+# q20/q2 — all r05-rowed) land at the head of the natural round-11
+# window [450 % 264 = 186 : 236], so their refresh is next round.
+_swap_specs("event_value_locf", "point_lookup_order")
+_swap_specs("event_value_ewma", "stream_outer_correlated_pairs")
+_swap_specs("event_type_transitions", "minhash_lsh_recall")
+_swap_specs("event_ols_trend", "stream_top_event_types")
+_swap_specs("event_type_entropy", "stream_sessionized_users")
+_swap_specs("pareto_frontier_parts", "event_status_attribution")
+_swap_specs("hilbert_curve_keys", "vocab_coverage_curve")
+# (h) The streaming-KMV / rollup / Benford debuts (len 267, offset
+# 400 % 267 = 133 → window [133:183]): the shift pulls indices 133-135
+# into the head — doc_unigram_rarity, doc_tfidf_terms,
+# segment_dedup_docs, all fresh r09 green rows (verified by
+# names.index() against CORRECTNESS_r09.json) — the debuts swap over
+# them. The three entries dropped off the tail (indices 183-185:
+# native_session_rollup, not_in_null_semantics, classic_q6_revenue_delta
+# — all r05-rowed) land at the head of the natural round-11 window
+# [450 % 267 = 183 : 233], so their refresh is next round.
+_swap_specs("stream_kmv_distinct_users", "doc_unigram_rarity")
+_swap_specs("kmv_rollup_merge", "doc_tfidf_terms")
+_swap_specs("benford_price_digits", "segment_dedup_docs")
+# (i) The trigram-search / triangles / CUSUM debuts (len 270, offset
+# 400 % 270 = 130 → window [130:180]): the shift pulls indices 130-132
+# into the head — corpus_curation_report, histogram_range_shards,
+# pq_ann_recall, all fresh r09 green rows (verified by names.index()
+# against CORRECTNESS_r09.json) — the debuts swap over them. The shift
+# also pushes index 180 = status_priority_cube out the tail — one of
+# the seven r04-rowed stragglers swap (b) moved IN for refresh, so it
+# swaps back over stream_full_outer_pairs (r05-rowed, index 158): the
+# r04 refresh outranks the r05 one, and the displaced entry lands at
+# index 180 = the head of the natural round-11 window [450 % 270 =
+# 180 : 230], refreshed next round. recursive_cte_closure /
+# avi_frame_samples (r05, indices 181-182) also dropped off the tail
+# into that same round-11 head.
+_swap_specs("trigram_search_docs", "corpus_curation_report")
+_swap_specs("near_dup_triangles", "histogram_range_shards")
+_swap_specs("event_value_cusum", "pq_ann_recall")
+_swap_specs("status_priority_cube", "stream_full_outer_pairs")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
