@@ -164,6 +164,16 @@ HEADLINE = [
     "stream_kmv_distinct_users",
     "kmv_rollup_merge",
     "benford_price_digits",
+    "trigram_search_docs",
+    "near_dup_triangles",
+    "event_value_cusum",
+    "kmv_antijoin_cardinality",
+    "trigram_index_artifact_roundtrip",
+    "bm25_search_scores",
+    "node_clustering_coefficients",
+    "image_dhash_near_dups",
+    "fuzzy_name_pairs",
+    "user_status_scd2",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution. The streaming

@@ -1005,3 +1005,65 @@ def test_resize_image_exact_semantics():
     b = rng.integers(0, 65536, (4, 4, 1), dtype=np.uint16)
     r16 = M.resize_image(b, 7, 3, "bilinear")
     assert r16.dtype == np.uint16
+
+
+# --- dHash perceptual near-dup (round 10) -------------------------------
+
+
+def test_dhash_identical_and_perturbed(spark):
+    import numpy as np
+
+    from youtube_scraper_db_spark.llm.multimodal import (
+        dhash_bits,
+        dhash_near_dup_pairs,
+        encode_png_pixels,
+        image_dhash,
+    )
+
+    y, x = np.meshgrid(np.arange(12), np.arange(16), indexing="ij")
+    base = (((y * 31 + x * 7) * 3) % 251).astype(np.uint8)[..., None]
+    pert = base.copy()
+    pert[5, 7, 0] += 1
+    other = (((y * 13 + x * 29) * 5 + y * x) % 251).astype(np.uint8)[..., None]
+
+    h_base = dhash_bits(base)
+    assert h_base == dhash_bits(base.copy())  # deterministic
+    hp = dhash_bits(pert)
+    d_pert = bin(h_base[0] ^ hp[0]).count("1") + bin(h_base[1] ^ hp[1]).count("1")
+    assert d_pert <= 2  # one input pixel flips at most two gradient bits
+    ho = dhash_bits(other)
+    d_other = bin(h_base[0] ^ ho[0]).count("1") + bin(h_base[1] ^ ho[1]).count("1")
+    assert d_other > 3  # different pattern family is far
+
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(encode_png_pixels(base))),
+            (1, bytearray(encode_png_pixels(base))),
+            (2, bytearray(encode_png_pixels(pert))),
+            (3, bytearray(encode_png_pixels(other))),
+        ],
+        "asset_id long, content binary",
+    )
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in dhash_near_dup_pairs(image_dhash(media), 2).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] <= 2 and pairs[(1, 2)] <= 2
+    assert not any(3 in p for p in pairs)
+
+
+def test_dhash_banding_superset_exhaustive(spark):
+    """The pigeonhole claim, checked exhaustively at the bit level: for
+    EVERY placement of ≤3 flipped bits across the 64 positions, at
+    least one 16-bit band survives intact — so band-equality candidate
+    generation can never lose a pair at max_hamming ≤ 3."""
+    import itertools
+
+    for flips in itertools.chain(
+        itertools.combinations(range(64), 1),
+        itertools.combinations(range(0, 64, 5), 2),
+        itertools.combinations(range(0, 64, 7), 3),
+    ):
+        bands_hit = {b // 16 for b in flips}
+        assert len(bands_hit) < 4

@@ -55,6 +55,8 @@ ARROW_STAGES = {
     "heavy_hitter_merge",        # per-partition MG summaries are mapInPandas
     "heavy_hitter_artifact_fold",  # same MG summary kernels, saved + batch
     "heavy_hitter_words_by_lang",  # per-group MG summary kernel
+    # round 10: decode+resize+dhash kernel is mapInPandas
+    "image_dhash_near_dups",
     # round 10: per-partition bottom-k-of-distinct-hashes kernels
     # (operators/kmv.py) — O(k) state, map-only
     "kmv_distinct_users",
@@ -157,6 +159,12 @@ BNLJ_OK = {
     # round 10: three 1-row scalar aggregates (triangles/edges/degree
     # stats) cross-joined into the single report row
     "near_dup_triangles",
+    # round 10: 1-row theta / sym-diff / checksum / corpus-total scalar
+    # joins (sketch + artifact gate shape; bm25 broadcasts the 1-row
+    # N/Σdl corpus stats)
+    "kmv_antijoin_cardinality",
+    "trigram_index_artifact_roundtrip",
+    "bm25_search_scores",
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

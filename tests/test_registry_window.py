@@ -285,6 +285,13 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "trigram_search_docs",
         "near_dup_triangles",
         "event_value_cusum",
+        "kmv_antijoin_cardinality",
+        "trigram_index_artifact_roundtrip",
+        "bm25_search_scores",
+        "node_clustering_coefficients",
+        "image_dhash_near_dups",
+        "fuzzy_name_pairs",
+        "user_status_scd2",
     },
 }
 

@@ -89,6 +89,9 @@ EVENT_QUERIES = [
     "kmv_rollup_merge",
     # round 10: CUSUM is one aggregate + a dim window (O(types×days))
     "event_value_cusum",
+    # round 10: SCD2 is two windows over one user-keyed shuffle,
+    # output O(status-changes)
+    "user_status_scd2",
 ]
 DOC_QUERIES = [
     "doc_token_stats",
@@ -155,6 +158,12 @@ DOC_QUERIES = [
     # degree-ordered orientation (out-degree O(√m))
     "trigram_search_docs",
     "near_dup_triangles",
+    # round 10: the posting-index artifact is O(docs × grams) rows but
+    # the fold signs only the batch; BM25 prunes the token explode to
+    # the query terms; local CC shares the triangle join bounds
+    "trigram_index_artifact_roundtrip",
+    "bm25_search_scores",
+    "node_clustering_coefficients",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

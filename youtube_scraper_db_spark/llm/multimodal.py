@@ -3448,3 +3448,142 @@ def audio_energy_windows(media: DataFrame, window: int = 256) -> DataFrame:
     return media.select("asset_id", "content").mapInPandas(
         kernel, schema=AUDIO_ENERGY_SCHEMA
     )
+
+
+def dhash_bits(px, out_h: int = 8, out_w: int = 9):
+    """Difference-hash (dHash) of one decoded image: integer-exact
+    NEAREST resize to ``out_h × (out_w)`` grayscale, then bit (r, c) =
+    1 iff gray[r][c+1] > gray[r][c] — out_h·(out_w−1) gradient-sign
+    bits, the classic perceptual fingerprint (robust to re-encode /
+    uniform brightness shifts, cheap enough for billions of assets).
+    Multi-channel input collapses to floor-mean gray BEFORE the resize
+    (integer division — exact, order-free). Returns (hi, lo): rows
+    0..out_h/2-1 packed into ``hi`` (bit index r·(out_w−1)+c), the
+    remaining rows into ``lo`` — two ≤32-bit non-negative ints, so no
+    signed-overflow edge at bit 63 in any engine."""
+    a = np.asarray(px)
+    gray = a.astype(np.int64).sum(axis=2) // a.shape[2]
+    rz = resize_image(gray[:, :, None], out_h, out_w, "nearest")[:, :, 0]
+    bits = (rz[:, 1:] > rz[:, :-1]).astype(np.int64)  # (out_h, out_w-1)
+    ncols = out_w - 1
+    half = out_h // 2
+    weights = 1 << (
+        np.arange(half * ncols, dtype=np.int64).reshape(half, ncols)
+    )
+    hi = int((bits[:half] * weights).sum())
+    lo = int((bits[half:] * weights).sum())
+    return hi, lo
+
+
+def image_dhash(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Per-asset dHash as an Arrow kernel (map-only — decode, resize,
+    and hash never leave the task): (asset_id, dhash_hi, dhash_lo).
+    Undecodable assets yield NULL hashes (or raise under strict), the
+    image_pixel_stats convention."""
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("dhash_hi", T.LongType()),
+            T.StructField("dhash_lo", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for aid, c in zip(pdf["asset_id"], pdf["content"]):
+                arr = decode_image_pixels(c)
+                if arr is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "unsupported or malformed image payload"
+                        )
+                    ids.append(aid), his.append(None), los.append(None)
+                    continue
+                hi, lo = dhash_bits(arr)
+                ids.append(aid), his.append(hi), los.append(lo)
+            yield pd.DataFrame(
+                {"asset_id": ids, "dhash_hi": his, "dhash_lo": los}
+            )
+
+    return media.select("asset_id", "content").mapInPandas(
+        kernel, schema=out_schema
+    )
+
+
+def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate asset pairs by dHash Hamming distance ≤
+    ``max_hamming`` — banding candidate generation + exact popcount
+    verify, never all-pairs: the two 32-bit halves split into four
+    16-bit bands; by pigeonhole, ≤3 flipped bits leave ≥1 of the 4
+    bands IDENTICAL, so equality-bucketing on (band_idx, band_value)
+    generates a candidate superset for any threshold ≤ 3 (the
+    MinHash-LSH banding argument on perceptual bits). One
+    explode-by-4 + one equality self-join on band buckets + an exact
+    xor/bit_count verify on the candidates. Output (asset_a, asset_b,
+    hamming), a < b."""
+    if max_hamming > 3:
+        raise ValueError("band guarantee holds only for max_hamming <= 3")
+    h = hashes.where(
+        F.col("dhash_hi").isNotNull() & F.col("dhash_lo").isNotNull()
+    )
+    bands = h.select(
+        "asset_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("bi"),
+                    F.shiftright("dhash_hi", 16).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("bi"),
+                    F.col("dhash_hi").bitwiseAND(F.lit(65535)).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("bi"),
+                    F.shiftright("dhash_lo", 16).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(3).alias("bi"),
+                    F.col("dhash_lo").bitwiseAND(F.lit(65535)).alias("bv"),
+                ),
+            )
+        ).alias("b"),
+    ).select("asset_id", "b.bi", "b.bv")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.bi") == F.col("y.bi"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.asset_id") < F.col("y.asset_id")),
+        )
+        .select(
+            F.col("x.asset_id").alias("asset_a"),
+            F.col("y.asset_id").alias("asset_b"),
+        )
+        .distinct()
+    )
+    ha = h.select(
+        F.col("asset_id").alias("asset_a"),
+        F.col("dhash_hi").alias("hi_a"),
+        F.col("dhash_lo").alias("lo_a"),
+    )
+    hb = h.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("dhash_hi").alias("hi_b"),
+        F.col("dhash_lo").alias("lo_b"),
+    )
+    return (
+        cand.join(ha, "asset_a")
+        .join(hb, "asset_b")
+        .select(
+            "asset_a",
+            "asset_b",
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -13867,6 +13867,545 @@ def event_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "kmv_antijoin_cardinality",
+    "EXT-sketch-kmv J9 A3",
+    oracle=f"""
+    WITH {op_kmv.kmv_bottomk_cte("bka", "customer", "c_custkey", "", 128)},
+    {op_kmv.kmv_bottomk_cte("bkb", "orders", "o_custkey", "", 128)},
+    sta AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM bka),
+    stb AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM bkb),
+    th AS (
+      SELECT LEAST((SELECT {op_kmv._theta_sql("n", "kth", 128)} FROM sta),
+                   (SELECT {op_kmv._theta_sql("n", "kth", 128)} FROM stb))
+               AS theta
+    ),
+    dif AS (
+      SELECT COUNT(*) AS n FROM bka a, th
+      WHERE a.h < th.theta
+        AND NOT EXISTS (SELECT 1 FROM bkb b WHERE b.h = a.h)
+    )
+    SELECT ROUND(CAST(dif.n AS DOUBLE) * CAST({op_kmv.KMV_SPACE!r} AS DOUBLE)
+                 / CAST(th.theta AS DOUBLE), 4) AS est_difference,
+           CAST(dif.n AS BIGINT) AS sample_difference,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT DISTINCT c_custkey AS x FROM customer
+              WHERE c_custkey IS NOT NULL
+              EXCEPT
+              SELECT DISTINCT o_custkey AS x FROM orders
+              WHERE o_custkey IS NOT NULL)) AS exact_difference,
+           (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer
+            WHERE c_custkey IS NOT NULL) AS exact_total_a
+    FROM dif, th
+    """,
+)
+def kmv_antijoin_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA SET DIFFERENCE — the anti-join cardinality ("customers
+    with NO orders", the J9 classic) estimated from two O(k) sketches
+    and no join of the base tables, completing the KMV set algebra
+    (union + intersection in kmv_semijoin_cardinality; difference
+    here). Soundness: every hash below θ = min(θ_a, θ_b) is retained
+    by BOTH sketches if its key is in both sets, so "in S_a under θ
+    but absent from S_b" decides key ∉ B exactly over the uniform
+    sub-θ sample; |sample|·2^60/θ estimates |A∖B|. The exact anti-join
+    count rides along as the witness."""
+    ensure_utc(spark)
+    k = 128
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    sa = op_kmv.kmv_sketch(cust, "c_custkey", k).localCheckpoint(eager=True)
+    sb = op_kmv.kmv_sketch(orders, "o_custkey", k).localCheckpoint(eager=True)
+    th = (
+        op_kmv.kmv_theta(sa, k)
+        .crossJoin(op_kmv.kmv_theta(sb, k).withColumnRenamed("theta", "theta_b"))
+        .select(F.least("theta", "theta_b").alias("theta"))
+    )
+    dif = (
+        sa.crossJoin(th)
+        .where(F.col("h") < F.col("theta"))
+        .join(sb, "h", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("sample_difference"))
+    )
+    est = dif.crossJoin(th).select(
+        F.round(
+            F.col("sample_difference").cast("double")
+            * F.lit(op_kmv.KMV_SPACE)
+            / F.col("theta").cast("double"),
+            4,
+        ).alias("est_difference"),
+        "sample_difference",
+    )
+    ca = cust.where(F.col("c_custkey").isNotNull()).select(
+        F.col("c_custkey").alias("x")
+    ).distinct()
+    ob = orders.where(F.col("o_custkey").isNotNull()).select(
+        F.col("o_custkey").alias("x")
+    ).distinct()
+    exact_d = ca.join(ob, "x", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_difference")
+    )
+    exact_a = ca.agg(F.count(F.lit(1)).cast("long").alias("exact_total_a"))
+    return est.crossJoin(exact_d).crossJoin(exact_a)
+
+
+@spec(
+    "trigram_index_artifact_roundtrip",
+    "EXT-search-trigram EXT-artifact S14 S16",
+    oracle=f"""
+    WITH base AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(text) - 2),
+                      i -> substr(text, i, 3))) AS gram
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) >= 3
+          AND NOT (doc_id % 4 = 0)
+      )
+    ),
+    art AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS saved_postings,
+             CAST(SUM(('0x' || substr(md5(gram || ':' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      % {_ART_CHECK_MOD}) AS BIGINT) AS saved_checksum
+      FROM base
+    )
+    SELECT art.saved_postings, art.saved_checksum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE text LIKE '%slow vector%') AS n_matches,
+           TRUE AS fold_consistent,
+           CAST(1 AS INT) AS artifact_version
+    FROM art
+    """,
+)
+def trigram_index_artifact_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEARCH-INDEX persistence — the artifact story applied to the
+    trigram posting table (tokenizers, LM models, IVF/PQ, sketches, MG
+    and the LSH band store all roundtrip through the archive; the
+    search index was the one index family without a persisted
+    artifact): the base split's postings commit through the versioned
+    archive, reload, and the new batch's postings FOLD in by
+    distinct-union (set union is associative — the folded table must
+    equal the directly-built full posting table row-for-row,
+    ``fold_consistent`` exact). A search for 'slow vector' through the
+    FOLDED index must then match the naive LIKE over the full corpus —
+    index maintenance proven equivalent to rebuild, which is the daily
+    ingest path of a 100 TB code/doc-search store. Saved-table
+    checksum, posting count, match count all replay in the oracle."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+    from .functions.portable_hash import md5_halves
+    from .operators.search_index import trigram_postings
+
+    d = _t(spark, sf_dir, "documents")
+    batch = F.col("doc_id") % 4 == 0
+    base_p = trigram_postings(d.filter(~batch), "doc_id", "text")
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_trgidx_"))
+    v = ar.save_table("trigram_postings", base_p)
+    loaded = ar.table("trigram_postings")
+    folded = (
+        loaded.unionByName(trigram_postings(d.filter(batch), "doc_id", "text"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # checkpointed: the sym-diff's two exceptAll passes would otherwise
+    # rebuild the full posting explode twice
+    direct = trigram_postings(d, "doc_id", "text").localCheckpoint(eager=True)
+    diff = (
+        folded.exceptAll(direct)
+        .union(direct.exceptAll(folded))
+        .agg((F.count(F.lit(1)) == 0).alias("fold_consistent"))
+    )
+    literal = "slow vector"
+    qgrams = sorted({literal[i : i + 3] for i in range(len(literal) - 2)})
+    cand = (
+        folded.where(F.col("gram").isin(qgrams))
+        .groupBy("id")
+        .agg(F.countDistinct("gram").alias("ng"))
+        .where(F.col("ng") == len(qgrams))
+        .select("id")
+    )
+    matches = (
+        d.join(cand, F.col("doc_id") == F.col("id"), "left_semi")
+        .where(F.contains(F.col("text"), F.lit(literal)))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
+    h1, _ = md5_halves(
+        F.concat_ws(":", F.col("gram"), F.col("id").cast("string"))
+    )
+    art = loaded.agg(
+        F.count(F.lit(1)).cast("long").alias("saved_postings"),
+        F.sum(h1 % F.lit(_ART_CHECK_MOD)).cast("long").alias("saved_checksum"),
+    )
+    return (
+        art.crossJoin(matches)
+        .crossJoin(diff)
+        .select("saved_postings", "saved_checksum", "n_matches",
+                "fold_consistent")
+        .withColumn("artifact_version", F.lit(v).cast("int"))
+    )
+
+
+@spec(
+    "bm25_search_scores",
+    "EXT-search-bm25 LLM-text A2 O7",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    dln AS (SELECT doc_id, len(t) AS dl FROM tok),
+    gs AS (SELECT COUNT(*) AS n, SUM(dl) AS s FROM dln),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(t) AS w FROM tok
+      ) WHERE w IN ('vector', 'merge') GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    sc AS (
+      SELECT tf.doc_id,
+             ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+             * (CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(dln.dl AS DOUBLE)
+                         * CAST(n AS DOUBLE) / CAST(s AS DOUBLE)))
+               AS t_score
+      FROM tf JOIN df USING (w) JOIN dln ON dln.doc_id = tf.doc_id, gs
+    ),
+    agg AS (SELECT doc_id, SUM(t_score) AS score FROM sc GROUP BY doc_id)
+    SELECT a.doc_id, ROUND(a.score, 6) AS bm25,
+           CAST(dln.dl AS BIGINT) AS dl
+    FROM agg a JOIN dln ON dln.doc_id = a.doc_id
+    ORDER BY a.score DESC, a.doc_id LIMIT 20
+    """,
+)
+def bm25_search_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones; the Lucene/ES
+    default) for the 2-term query {{vector, merge}} — the RELEVANCE
+    layer over the search family (trigram index finds candidates; this
+    ranks them), and the classic curation scorer for query-targeted
+    corpus slices. Every input is an exact integer (tf, df, dl, N,
+    Σdl); idf and the length normalization are FIXED expression trees
+    over those integers (dl/avgdl computed as dl·N/Σdl — no
+    intermediate float aggregate), and the per-doc score sums ≤2
+    per-term scores (one commutative addition), so both engines
+    produce bit-identical doubles — the top-20 selection (score desc,
+    doc_id tie-break) is therefore deterministic BEFORE the 6dp round.
+    Plan: one token-explode aggregate pruned to the query terms, a
+    2-row df broadcast, a doc-length join, TakeOrdered head."""
+    ensure_utc(spark)
+    terms = ["vector", "merge"]
+    k1, b = 1.2, 0.75
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(llm_text.tokens("text")).alias("w"))
+    dln = d.select("doc_id", llm_text.token_count("text").alias("dl"))
+    gs = dln.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    )
+    tf = (
+        toks.where(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    tfd = F.col("tf").cast("double")
+    dfd = F.col("df").cast("double")
+    dld = F.col("dl").cast("double")
+    idf = F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
+    t_score = (
+        idf
+        * (tfd * F.lit(k1 + 1.0))
+        / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dld * nd / sd))
+    )
+    sc = (
+        tf.join(F.broadcast(df), "w")
+        .join(dln, "doc_id")
+        .crossJoin(gs)
+        .select("doc_id", t_score.alias("t_score"))
+    )
+    agg = sc.groupBy("doc_id").agg(F.sum("t_score").alias("score"))
+    return (
+        agg.join(dln, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            F.round("score", 6).alias("bm25"),
+            F.col("dl").cast("long").alias("dl"),
+        )
+    )
+
+
+@spec(
+    "node_clustering_coefficients",
+    "EXT-triangles A2",
+    oracle="WITH RECURSIVE " + _JACCARD_EDGE_CTES + r"""
+    ,
+    dg AS (
+      SELECT x, COUNT(*) AS d FROM (
+        SELECT doc_a AS x FROM jp UNION ALL SELECT doc_b AS x FROM jp
+      ) GROUP BY x
+    ),
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM jp e1
+      JOIN jp e2 ON e2.doc_a = e1.doc_b
+      JOIN jp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    tc AS (
+      SELECT x, COUNT(*) AS t FROM (
+        SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY x
+    )
+    SELECT dg.x AS node, CAST(dg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles,
+           ROUND(CAST(2 * COALESCE(tc.t, 0) AS DOUBLE)
+                 / CAST(dg.d * (dg.d - 1) AS DOUBLE), 6) AS lcc
+    FROM dg LEFT JOIN tc ON tc.x = dg.x
+    WHERE dg.d >= 2
+    """,
+)
+def node_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the near-dup graph
+    (llm/cluster.py local_clustering) — the node-grained companion of
+    ``near_dup_triangles``: lcc(v) = 2·t_v / (d_v·(d_v−1)) separates
+    documents inside template cliques (lcc ≈ 1) from bridge documents
+    whose neighborhoods don't know each other (lcc ≈ 0) — the
+    precision signal for cluster-collapse decisions. Engine keeps the
+    degree-ordered orientation and explodes each triangle's three
+    corners once; the oracle recounts per-corner from the canonical
+    a<b<c triangle list. Exact-integer counts; lcc rounds at 6dp from
+    an exact ratio."""
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    pairs = llm_dedup.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.4)
+    return llm_cluster.local_clustering(pairs, "doc_a", "doc_b")
+
+
+def _dhash_oracle_sql() -> str:
+    """DuckDB replay of the dHash near-dup gate: regenerate the
+    fixture pixels arithmetically (the codec-gate device), replay the
+    integer-exact nearest resize index math, the gradient-sign bits,
+    the two 32-bit packs, and the banding-free exact pairwise Hamming
+    filter (candidate banding is a pruning, not a semantics change)."""
+
+    def v(y: str, x: str) -> str:
+        return (
+            f"((({y}) * 31 + ({x}) * 7) * (1 + i % 7)) % 251"
+            f" + (CASE WHEN i % 2 = 0 AND ({y}) = i % 12"
+            f" AND ({x}) = i % 16 THEN 1 ELSE 0 END)"
+        )
+
+    sy = "(((2 * r + 1) * 12) // 16)"
+    sxc = "(((2 * c + 1) * 16) // 18)"
+    sxn = "(((2 * (c + 1) + 1) * 16) // 18)"
+    return f"""
+    WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 120),
+    grid AS (
+      SELECT i, rr.r AS r, cc.c AS c
+      FROM ids, LATERAL unnest(range(0, 8)) rr(r),
+           LATERAL unnest(range(0, 8)) cc(c)
+    ),
+    b AS (
+      SELECT i, r, c,
+             CASE WHEN ({v(sy, sxn)}) > ({v(sy, sxc)})
+                  THEN 1 ELSE 0 END AS bit
+      FROM grid
+    ),
+    h AS (
+      SELECT i,
+             CAST(SUM(CASE WHEN r < 4 THEN bit << (r * 8 + c)
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN r >= 4 THEN bit << ((r - 4) * 8 + c)
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM b GROUP BY i
+    )
+    SELECT a.i AS asset_a, b2.i AS asset_b,
+           CAST(bit_count(xor(a.hi, b2.hi))
+                + bit_count(xor(a.lo, b2.lo)) AS BIGINT) AS hamming
+    FROM h a JOIN h b2 ON a.i < b2.i
+    WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 2
+    """
+
+
+@spec(
+    "image_dhash_near_dups",
+    "LLM-multimodal EXT-dhash EXT-lsh-index",
+    oracle=_dhash_oracle_sql(),
+)
+def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection end-to-end — the op that ties the
+    multimodal and dedup families together: conforming grayscale PNG
+    fixtures (pixel pattern per asset class, half the assets carrying a
+    one-pixel perturbation) decode through the REAL codec, dHash
+    through the integer-exact nearest resize (llm/multimodal.py
+    dhash_bits — gradient-sign bits, the classic perceptual
+    fingerprint), and pair up by Hamming ≤ 2 via 16-BIT BANDING
+    (pigeonhole: ≤3 flipped bits leave ≥1 of 4 bands identical, the
+    MinHash-LSH argument on perceptual bits) + exact popcount verify —
+    never all-pairs. The oracle regenerates pixels arithmetically and
+    replays resize index math, gradient bits, bit packing, and the
+    exact pairwise Hamming filter, so a one-ulp slip anywhere in the
+    decode→resize→hash→band→verify chain flips the value hash. Blob
+    synthesis is bounded driver scaffolding (120 assets); decode+hash
+    run distributed, map-only."""
+    ensure_utc(spark)
+    import numpy as np
+
+    ids = [
+        int(r.doc_id)
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+        .collect()
+    ]
+    blobs = []
+    for i in ids:
+        y, x = np.meshgrid(np.arange(12), np.arange(16), indexing="ij")
+        base = (((y * 31 + x * 7) * (1 + i % 7)) % 251).astype(np.int64)
+        if i % 2 == 0:
+            base[i % 12, i % 16] += 1
+        blobs.append(
+            (
+                i,
+                bytearray(
+                    llm_multimodal.encode_png_pixels(
+                        base.astype(np.uint8)[..., None]
+                    )
+                ),
+            )
+        )
+    media = spark.createDataFrame(
+        blobs, "asset_id long, content binary"
+    ).repartition(8)
+    hashes = llm_multimodal.image_dhash(media).localCheckpoint(eager=True)
+    return llm_multimodal.dhash_near_dup_pairs(hashes, max_hamming=2)
+
+
+@spec(
+    "fuzzy_name_pairs",
+    "EXT-fuzzy-join P4",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM n a JOIN n b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join at edit distance ≤ 1 via DELETION-NEIGHBORHOOD
+    indexing (the SymSpell device): the naive answer is an O(V²)
+    pairwise Levenshtein scan — the fix indexes each distinct name
+    under itself plus its |s| one-character-deletion variants, joins
+    on shared variants (two strings within one edit ALWAYS share a
+    variant: a substitution pair meets at the common deletion, an
+    insert/delete pair meets at the shorter string itself), and runs
+    exact Levenshtein only on the candidate superset — the
+    candidates-then-recheck shape applied to string matching, the
+    standard spell-correction/entity-resolution primitive. Variant
+    generation is pure transform/sequence codegen; the oracle replays
+    the naive definition, proving index+verify ≡ textbook semantics."""
+    ensure_utc(spark)
+    names = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").isNotNull())
+        .select(F.col("p_name").alias("s"))
+        .distinct()
+    )
+    variants = names.select(
+        "s",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(s)), i -> CASE WHEN i = 0"
+                " THEN s ELSE concat(substring(s, 1, i - 1),"
+                " substring(s, i + 1, length(s))) END)"
+            )
+        ).alias("v"),
+    ).distinct()
+    cand = (
+        variants.alias("a")
+        .join(
+            variants.alias("b"),
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("name_a"), F.col("b.s").alias("name_b"))
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+    ).where(F.col("dist") <= 1)
+
+
+@spec(
+    "user_status_scd2",
+    "EXT-scd2 T3 W1 W2",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS (
+      SELECT user_id, event_type AS status, ts AS valid_from, event_id
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, status, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           (lead(valid_from) OVER w2 IS NULL) AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def user_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 dimension build from the event log — the warehouse
+    staple the reference's "latest status" query (T3) is a projection
+    of: collapse CONSECUTIVE same-status runs (only CHANGES open a
+    row), stamp each run [valid_from, valid_to) by the next change's
+    timestamp, NULL-open the current row. Two windows over ONE
+    user-keyed shuffle (lag to detect changes, lead to close
+    intervals — AQE reuses the partitioning); output is
+    O(status-changes), not O(events). The standard point-in-time join
+    target: ``status AS OF t`` = the row with valid_from ≤ t <
+    valid_to (the as-of family's dimension side)."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.where(F.col("user_id").isNotNull()).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    chg = seq.where(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        "event_id",
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w2)
+    return chg.select(
+        "user_id",
+        "status",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -14289,6 +14828,35 @@ _swap_specs("trigram_search_docs", "corpus_curation_report")
 _swap_specs("near_dup_triangles", "histogram_range_shards")
 _swap_specs("event_value_cusum", "pq_ann_recall")
 _swap_specs("status_priority_cube", "stream_full_outer_pairs")
+# (j) The KMV-difference / search-index-artifact / BM25 / local-CC
+# debuts (len 274, offset 400 % 274 = 126 → window [126:176]): the
+# shift pulls indices 126-129 into the head — corpus_vocab_topk,
+# training_shard_manifest, audio_meta_decode, audio_energy_windows,
+# all fresh r09 green rows (verified by names.index() against
+# CORRECTNESS_r09.json) — the debuts swap over them. The four entries
+# dropped off the tail (indices 176-179: bmp_pixel_stats,
+# user_event_type_unpivot, supplier_revenue_deciles,
+# gif_frame_pixel_stats — all r05-rowed) land at the head of the
+# natural round-11 window [450 % 274 = 176 : 226], refreshed next
+# round.
+_swap_specs("kmv_antijoin_cardinality", "corpus_vocab_topk")
+_swap_specs("trigram_index_artifact_roundtrip", "training_shard_manifest")
+_swap_specs("bm25_search_scores", "audio_meta_decode")
+_swap_specs("node_clustering_coefficients", "audio_energy_windows")
+# (k) The image-dHash debut (len 275, offset 400 % 275 = 125 → window
+# [125:175]): the shift pulls substring_dup_flags (fresh r09 green
+# row, index 125) into the head — the debut swaps over it;
+# gif_pixel_stats (r05, index 175) falls off the tail into the head of
+# the natural round-11 window [450 % 275 = 175 : 225].
+_swap_specs("image_dhash_near_dups", "substring_dup_flags")
+# (l) The fuzzy-join / SCD2 debuts (len 277, offset 400 % 277 = 123 →
+# window [123:173]): the shift pulls int8_ann_topk / int8_ann_recall
+# (fresh r09 green rows, indices 123-124) into the head — the debuts
+# swap over them; png_pixel_stats / jpeg_pixel_stats (r05, indices
+# 173-174) fall off the tail into the head of the natural round-11
+# window [450 % 277 = 173 : 223].
+_swap_specs("fuzzy_name_pairs", "int8_ann_topk")
+_swap_specs("user_status_scd2", "int8_ann_recall")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
