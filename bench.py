@@ -174,6 +174,7 @@ HEADLINE = [
     "image_dhash_near_dups",
     "fuzzy_name_pairs",
     "user_status_scd2",
+    "kmv_sliding_distinct_users",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution. The streaming

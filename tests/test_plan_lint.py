@@ -57,6 +57,9 @@ ARROW_STAGES = {
     "heavy_hitter_words_by_lang",  # per-group MG summary kernel
     # round 10: decode+resize+dhash kernel is mapInPandas
     "image_dhash_near_dups",
+    # round 10: daily leaf sketches come from the grouped bottom-k
+    # kernel (operators/kmv.py)
+    "kmv_sliding_distinct_users",
     # round 10: per-partition bottom-k-of-distinct-hashes kernels
     # (operators/kmv.py) — O(k) state, map-only
     "kmv_distinct_users",
@@ -165,6 +168,11 @@ BNLJ_OK = {
     "kmv_antijoin_cardinality",
     "trigram_index_artifact_roundtrip",
     "bm25_search_scores",
+    # round 10: two bounded range joins — |days| dim × broadcast
+    # days×k sketch rows (the sliding merge), and the exact witness's
+    # days × events range join, the baseline the leaf-sketch store
+    # replaces (the embedding_near_dups exact-twin precedent)
+    "kmv_sliding_distinct_users",
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

@@ -292,6 +292,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "image_dhash_near_dups",
         "fuzzy_name_pairs",
         "user_status_scd2",
+        "kmv_sliding_distinct_users",
     },
 }
 

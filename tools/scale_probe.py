@@ -92,6 +92,9 @@ EVENT_QUERIES = [
     # round 10: SCD2 is two windows over one user-keyed shuffle,
     # output O(status-changes)
     "user_status_scd2",
+    # round 10: sliding distinct from daily leaf sketches — the merge
+    # touches days×k sketch rows; only the exact witness scans events
+    "kmv_sliding_distinct_users",
 ]
 DOC_QUERIES = [
     "doc_token_stats",
