@@ -175,6 +175,8 @@ HEADLINE = [
     "fuzzy_name_pairs",
     "user_status_scd2",
     "kmv_sliding_distinct_users",
+    "stream_skyline_parts",
+    "bm25_index_artifact_fold",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution. The streaming

@@ -173,6 +173,10 @@ BNLJ_OK = {
     # days × events range join, the baseline the leaf-sketch store
     # replaces (the embedding_near_dups exact-twin precedent)
     "kmv_sliding_distinct_users",
+    # round 10: frontier-sized drained rows × 1-row sym-diff scalar;
+    # BM25 fold joins 1-row stats / checksum / witness scalars
+    "stream_skyline_parts",
+    "bm25_index_artifact_fold",
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

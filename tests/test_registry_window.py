@@ -293,6 +293,8 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "fuzzy_name_pairs",
         "user_status_scd2",
         "kmv_sliding_distinct_users",
+        "stream_skyline_parts",
+        "bm25_index_artifact_fold",
     },
 }
 

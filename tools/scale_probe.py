@@ -167,6 +167,9 @@ DOC_QUERIES = [
     "trigram_index_artifact_roundtrip",
     "bm25_search_scores",
     "node_clustering_coefficients",
+    # round 10: BM25 index fold — tf/dl append, df/stats merge by
+    # integer addition; both paths built for the equivalence witness
+    "bm25_index_artifact_fold",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.

@@ -14505,6 +14505,256 @@ def kmv_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "day")
 
 
+@spec(
+    "stream_skyline_parts",
+    "EXT-skyline EXT-stream-cdc T5",
+    oracle="SELECT o.*, TRUE AS stream_consistent FROM ("
+    + op_skyline.pareto_oracle_sql(
+        "part",
+        "p.p_partkey AS p_partkey, p.p_retailprice AS p_retailprice, "
+        "p.p_size AS p_size",
+        "p_retailprice",
+        "p_size",
+    )
+    + ") o",
+)
+def stream_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Pareto-frontier maintenance (streaming/skyline.py) —
+    dominance joins the streaming maintenance family: parts replay as
+    a 4-micro-batch file stream, each batch folds into a versioned
+    frontier table by frontier(stored ∪ batch), and because
+    frontier(A∪B) = frontier(frontier(A)∪B) (dominance is transitive —
+    proof in the module docstring), the drained frontier must equal
+    the one-shot batch skyline of the full table row-for-row, for ANY
+    micro-batch layout. Per batch the work is frontier+batch-bounded;
+    history is never re-read — the live-dashboard version of "best
+    price per size". Shares the batch gate's naive NOT-EXISTS oracle
+    verbatim, with the engine-side sym-diff witness riding along."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .streaming.skyline import run_skyline_stream
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    staged = tempfile.mkdtemp(prefix="sg_sky_src_")
+    part.repartition(4).write.mode("overwrite").parquet(staged)
+    updates = (
+        spark.readStream.schema(
+            "p_partkey long, p_retailprice double, p_size int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    table_root = tempfile.mkdtemp(prefix="sg_sky_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="sg_sky_ckpt_")
+    drained = run_skyline_stream(
+        updates, "p_retailprice", "p_size", table_root, ckpt
+    ).localCheckpoint(eager=True)
+    direct = op_skyline.pareto_frontier(
+        part, "p_retailprice", "p_size"
+    ).localCheckpoint(eager=True)
+    diff = (
+        drained.exceptAll(direct)
+        .union(direct.exceptAll(drained))
+        .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
+    )
+    return drained.crossJoin(diff)
+
+
+@spec(
+    "bm25_index_artifact_fold",
+    "EXT-search-bm25 EXT-artifact EXT-incr-rollup S14 S16",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    base AS (
+      SELECT t.doc_id, u.w FROM tok t, unnest(t.t) AS u(w)
+      WHERE NOT (t.doc_id % 4 = 0)
+    ),
+    df_base AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df FROM base GROUP BY w
+    ),
+    art AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS saved_terms,
+             CAST(SUM(('0x' || substr(md5(w || ':' ||
+                        CAST(df AS VARCHAR)), 1, 15))::BIGINT
+                      % {_ART_CHECK_MOD}) AS BIGINT) AS saved_checksum
+      FROM df_base
+    )
+    SELECT art.saved_terms, art.saved_checksum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS n_docs_folded,
+           (SELECT CAST(COUNT(DISTINCT t.doc_id) AS BIGINT)
+            FROM tok t, unnest(t.t) AS u(w)
+            WHERE u.w IN ('vector', 'merge')) AS n_scored,
+           TRUE AS fold_consistent,
+           TRUE AS score_consistent,
+           CAST(1 AS INT) AS artifact_version
+    FROM art
+    """,
+)
+def bm25_index_artifact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL BM25 index maintenance — the ranked-search ingest
+    path: the index's persistable state is four tables (per-doc term
+    frequencies, doc lengths, the AGGREGATED document-frequency table,
+    and the 1-row corpus stats), committed through the versioned
+    archive. A new doc batch folds in WITHOUT rescanning history: tf/dl
+    rows append (doc sets are disjoint), df counts MERGE by full-outer
+    addition, and N / Σdl add — all exact integer algebra, so the
+    folded df table must equal the recomputed-from-scratch one
+    row-for-row (``fold_consistent``) and BM25 scores served through
+    the folded index must equal direct full-corpus scores doc-for-doc
+    (``score_consistent`` — same fixed expression tree over identical
+    integers, compared EXACTLY, no tolerance). Saved-artifact checksum,
+    corpus counts, and the matched-doc count replay in the oracle."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+    from .functions.portable_hash import md5_halves
+
+    terms = ["vector", "merge"]
+    k1, b = 1.2, 0.75
+    d = _t(spark, sf_dir, "documents")
+    batch_pred = F.col("doc_id") % 4 == 0
+
+    def tf_dl(dd: DataFrame) -> tuple[DataFrame, DataFrame]:
+        toks = dd.select(
+            "doc_id", F.explode(llm_text.tokens("text")).alias("w")
+        )
+        tf = toks.groupBy("doc_id", "w").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        dl = dd.select("doc_id", llm_text.token_count("text").alias("dl"))
+        return tf, dl
+
+    def df_of(tf: DataFrame) -> DataFrame:
+        return tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+
+    def stats_of(dl: DataFrame) -> DataFrame:
+        return dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        )
+
+    tf_base, dl_base = tf_dl(d.filter(~batch_pred))
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_bm25idx_"))
+    v = ar.save_table("bm25_tf", tf_base)
+    ar.save_table("bm25_dl", dl_base)
+    ar.save_table("bm25_df", df_of(tf_base))
+    ar.save_table("bm25_stats", stats_of(dl_base))
+    tf_b, dl_b = tf_dl(d.filter(batch_pred))
+    tf_f = ar.table("bm25_tf").unionByName(tf_b).localCheckpoint(eager=True)
+    dl_f = ar.table("bm25_dl").unionByName(dl_b).localCheckpoint(eager=True)
+    df_l = ar.table("bm25_df")
+    df_f = (
+        df_l.withColumnRenamed("df", "df_a")
+        .join(
+            df_of(tf_b).withColumnRenamed("df", "df_b"), "w", "full_outer"
+        )
+        .select(
+            "w",
+            (
+                F.coalesce("df_a", F.lit(0)) + F.coalesce("df_b", F.lit(0))
+            ).alias("df"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    st_f = (
+        ar.table("bm25_stats")
+        .crossJoin(
+            stats_of(dl_b)
+            .withColumnRenamed("n", "nb")
+            .withColumnRenamed("s", "sb")
+        )
+        .select(
+            (F.col("n") + F.col("nb")).alias("n"),
+            (F.col("s") + F.col("sb")).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # direct recompute from the full corpus
+    tf_dir, dl_dir = tf_dl(d)
+    df_dir = df_of(tf_dir).localCheckpoint(eager=True)
+    st_dir = stats_of(dl_dir)
+    df_diff = (
+        df_f.exceptAll(df_dir)
+        .union(df_dir.exceptAll(df_f))
+        .agg((F.count(F.lit(1)) == 0).alias("df_same"))
+    )
+    st_diff = st_f.crossJoin(
+        st_dir.withColumnRenamed("n", "nd").withColumnRenamed("s", "sd")
+    ).select(
+        ((F.col("n") == F.col("nd")) & (F.col("s") == F.col("sd"))).alias(
+            "st_same"
+        )
+    )
+
+    def scores(tf: DataFrame, dl: DataFrame, dfr: DataFrame, st: DataFrame):
+        nd = F.col("n").cast("double")
+        sd = F.col("s").cast("double")
+        tfd = F.col("tf").cast("double")
+        dfd = F.col("df").cast("double")
+        dld = F.col("dl").cast("double")
+        idf = F.log(
+            (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0)
+        )
+        t_score = (
+            idf
+            * (tfd * F.lit(k1 + 1.0))
+            / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dld * nd / sd))
+        )
+        return (
+            tf.where(F.col("w").isin(terms))
+            .join(F.broadcast(dfr.where(F.col("w").isin(terms))), "w")
+            .join(dl, "doc_id")
+            .crossJoin(st)
+            .select("doc_id", t_score.alias("t_score"))
+            .groupBy("doc_id")
+            .agg(F.sum("t_score").alias("score"))
+        )
+
+    sc_f = scores(tf_f, dl_f, df_f, st_f)
+    sc_d = scores(tf_dir, dl_dir, df_dir, st_dir)
+    sc_cmp = (
+        sc_f.withColumnRenamed("score", "sf")
+        .join(sc_d.withColumnRenamed("score", "sdr"), "doc_id", "full_outer")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("sf").eqNullSafe(F.col("sdr")), 0
+                ).otherwise(1)
+            ).alias("n_mismatch"),
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+        )
+        .select(
+            (F.col("n_mismatch") == 0).alias("score_consistent"), "n_scored"
+        )
+    )
+    h1, _ = md5_halves(
+        F.concat_ws(":", F.col("w"), F.col("df").cast("string"))
+    )
+    art = df_l.agg(
+        F.count(F.lit(1)).cast("long").alias("saved_terms"),
+        F.sum(h1 % F.lit(_ART_CHECK_MOD)).cast("long").alias("saved_checksum"),
+    )
+    n_docs = st_f.select(F.col("n").cast("long").alias("n_docs_folded"))
+    return (
+        art.crossJoin(n_docs)
+        .crossJoin(sc_cmp)
+        .crossJoin(df_diff)
+        .crossJoin(st_diff)
+        .select(
+            "saved_terms",
+            "saved_checksum",
+            "n_docs_folded",
+            "n_scored",
+            (F.col("df_same") & F.col("st_same")).alias("fold_consistent"),
+            "score_consistent",
+        )
+        .withColumn("artifact_version", F.lit(v).cast("int"))
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -14962,6 +15212,15 @@ _swap_specs("user_status_scd2", "int8_ann_recall")
 # classic_q7_volume_shipping (r05, index 172) falls off the tail into
 # the head of the natural round-11 window [450 % 278 = 172 : 222].
 _swap_specs("kmv_sliding_distinct_users", "doc_repetition_stats")
+# (n) The streaming-skyline / BM25-index-fold debuts (len 280, offset
+# 400 % 280 = 120 → window [120:170]): the shift pulls
+# image_header_decode / gif_frame_samples (fresh r09 green rows,
+# indices 120-121) into the head — the debuts swap over them;
+# classic_q16_supplier_variety / classic_q14_promo_share (r05, indices
+# 170-171) fall off the tail into the head of the natural round-11
+# window [450 % 280 = 170 : 220].
+_swap_specs("stream_skyline_parts", "image_header_decode")
+_swap_specs("bm25_index_artifact_fold", "gif_frame_samples")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
