@@ -323,8 +323,81 @@ def main() -> None:
     # JSON line outgrew ~1.6 KB — the driver parses this line, so it
     # must hit the pipe before any teardown runs.
     print(json.dumps(out), flush=True)
+    # Compact SECOND line (round-10 verdict item 2): the driver's
+    # artifact keeps only the last ~2000 chars of stdout, so the full
+    # line above loses its head once the registry outgrew ~55 timed
+    # queries (BENCH_r07+: parsed=null, ~55/125 timings recovered from
+    # the tail). This line is the LAST stdout the process emits and is
+    # sized to fit the tail whole: hashed names (sha1 prefix, length
+    # chosen collision-free across the whole REGISTRY so
+    # tools/bench_compare.py can invert it), integer centiseconds, and
+    # millisecond calib anchors. It carries metric/value/unit/sf too,
+    # so a driver that json-parses the tail's last line records a valid
+    # bench result again.
+    print(_compact_line(timings, calib, total, sf, errors), flush=True)
     if errors:
         sys.exit(1)
+
+
+def _name_hash_len(names: list[str]) -> int:
+    """Shortest sha1-hex prefix length >= 5 that is collision-free over
+    the DISTINCT ``names``. Deterministic per registry state; emitted as
+    ``hl`` so the decoder re-derives the same mapping."""
+    import hashlib
+
+    digests = {hashlib.sha1(n.encode()).hexdigest() for n in set(names)}
+    hl = 5
+    while len({d[:hl] for d in digests}) < len(digests):
+        hl += 1
+    return hl
+
+
+def _compact_line(
+    timings: dict[str, float],
+    calib: dict,
+    total: float,
+    sf: float,
+    errors: dict[str, str],
+) -> str:
+    import hashlib
+
+    # collision-check over EVERY registry name (not just the timed
+    # subset) so tools/bench_compare.py can invert hashes against the
+    # registry of any later round — names are append-only.
+    hl = _name_hash_len([s.name for s in REGISTRY] + sorted(timings))
+
+    def _build(scale: int, key: str) -> str:
+        out = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "bv": 1,
+            "hl": hl,
+            "nq": len(timings),
+            "calms": {
+                k: int(round(v * 1000))
+                for k, v in calib.items()
+                if isinstance(v, (int, float))
+            },
+            key: {
+                hashlib.sha1(n.encode()).hexdigest()[:hl]: int(
+                    round(t * scale)
+                )
+                for n, t in sorted(timings.items())
+            },
+        }
+        if errors:
+            out["nerr"] = len(errors)
+        return json.dumps(out, separators=(",", ":"))
+
+    line = _build(100, "qcs")
+    if len(line) > 1950:
+        # registry growth headroom: the driver keeps a 2000-char tail —
+        # once centiseconds no longer fit, drop a digit (deciseconds,
+        # key "qds") rather than losing the map's head again.
+        line = _build(10, "qds")
+    return line
 
 
 if __name__ == "__main__":

@@ -58,9 +58,12 @@ def test_constant_minimize_column(spark):
 
 def test_single_row_and_monotone_chain(spark):
     _run(spark, [(1.0, 1)])
-    # strictly improving chain: every point on the frontier
+    # strictly worsening chain: price rises AND size falls along i, so
+    # (0.0, 100) dominates everything — only it survives
     _run(spark, [(float(i), 100 - i) for i in range(20)])
-    # strictly worsening chain: only the first survives
+    # trade-off chain: price and size both rise, so no point dominates
+    # another (dominance needs <= price AND >= size, strict on one) —
+    # every point is Pareto-optimal
     _run(spark, [(float(i), i) for i in range(20)])
 
 

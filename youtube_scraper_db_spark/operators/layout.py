@@ -149,9 +149,13 @@ def hilbert_oracle_sql(
     per-level quadrant/rotate fold as a chain of ``bits`` CTEs."""
     c0, c1 = cols
     top = (1 << bits) - 1
+    # CASE guard mirrors the Spark side's _normalized mx<=mn → 0 branch
+    # (round-11 ADVICE): a constant column would otherwise divide by
+    # zero and yield inf/NaN in DuckDB where Spark emits bucket 0.
     norm = ", ".join(
+        f"CASE WHEN mx{i} <= mn{i} THEN 0 ELSE "
         f"LEAST(GREATEST(CAST(FLOOR((CAST({c} AS DOUBLE) - mn{i})"
-        f" / (mx{i} - mn{i}) * {top}) AS BIGINT), 0), {top}) AS {v}"
+        f" / (mx{i} - mn{i}) * {top}) AS BIGINT), 0), {top}) END AS {v}"
         for i, (c, v) in enumerate(((c0, "hx"), (c1, "hy")))
     )
     levels = []

@@ -54,15 +54,18 @@ def trigram_search(
         raise ValueError("trigram_search needs a literal of length >= 3")
     qgrams = sorted({literal[i : i + 3] for i in range(len(literal) - 2)})
     postings = trigram_postings(df, id_col, text_col)
+    # collision-safe candidate column (round-11 ADVICE): if the caller's
+    # id column is itself named "id", joining on F.col(id_col) ==
+    # F.col("id") would be ambiguous/self-referential.
     cand = (
         postings.where(F.col("gram").isin(qgrams))
         .groupBy("id")
         .agg(F.countDistinct("gram").alias("ng"))
         .where(F.col("ng") == len(qgrams))
-        .select("id")
+        .select(F.col("id").alias("__cand_id"))
     )
     return (
-        df.join(cand, F.col(id_col) == F.col("id"), "left_semi")
+        df.join(cand, F.col(id_col) == F.col("__cand_id"), "left_semi")
         .where(F.contains(F.col(text_col), F.lit(literal)))
         .select(id_col)
     )

@@ -36,6 +36,7 @@ import os
 from pyspark.sql import DataFrame
 
 from ..llm.cluster import fold_components
+from .versioned import latest_committed_version
 
 
 def run_cc_stream(
@@ -56,7 +57,9 @@ def run_cc_stream(
     exists.
 
     Restart contract: the version pointer RESUMES from the highest
-    ``v{n}`` directory on disk, so a rerun against the same checkpoint
+    COMMITTED ``v{n}`` directory on disk (``_SUCCESS``-verified, see
+    versioned.py — a partial directory from a crash mid-write is skipped
+    and overwritten by the next fold), so a rerun against the same checkpoint
     (which skips already-committed batches) folds new batches into the
     labels already accumulated — not into empty v0. A batch replayed
     after a crash between the table write and the checkpoint commit
@@ -65,12 +68,7 @@ def run_cc_stream(
     and the new version equals the old one — idempotent."""
     spark = edge_updates.sparkSession
     os.makedirs(table_root, exist_ok=True)
-    existing = [
-        int(d[1:])
-        for d in os.listdir(table_root)
-        if d.startswith("v") and d[1:].isdigit()
-    ]
-    current = {"v": max(existing, default=0)}
+    current = {"v": latest_committed_version(table_root)}
 
     def _labels() -> DataFrame:
         if current["v"] == 0:

@@ -28,6 +28,7 @@ import os
 from pyspark.sql import DataFrame
 
 from ..operators.kmv import kmv_merge, kmv_sketch
+from .versioned import latest_committed_version
 
 
 def run_kmv_stream(
@@ -44,17 +45,15 @@ def run_kmv_stream(
     v0 is the EMPTY sketch (in-session empty frame — an empty parquet
     write materializes no readable footer); merging a batch into it
     degenerates to the batch's own sketch, so no first-batch special
-    case. The version pointer RESUMES from the highest ``v{n}`` on disk
-    (restart folds new batches into accumulated state, not into v0);
-    a crash-replayed batch merges already-ranked hashes — idempotent."""
+    case. The version pointer RESUMES from the highest COMMITTED
+    ``v{n}`` on disk — committed means the parquet ``_SUCCESS`` marker
+    exists (versioned.py); a partial directory from a crash mid-write is
+    skipped and overwritten by the next fold. Restart folds new batches
+    into accumulated state, not into v0; a crash-replayed batch merges
+    already-ranked hashes — idempotent."""
     spark = updates.sparkSession
     os.makedirs(table_root, exist_ok=True)
-    existing = [
-        int(d[1:])
-        for d in os.listdir(table_root)
-        if d.startswith("v") and d[1:].isdigit()
-    ]
-    current = {"v": max(existing, default=0)}
+    current = {"v": latest_committed_version(table_root)}
 
     def _sketch() -> DataFrame:
         if current["v"] == 0:

@@ -15,8 +15,18 @@ q ∈ A∖frontier(A) is itself dominated by some q′ ∈ frontier(A), and
 dominance is transitive, so q′ eliminates the survivor — contradiction.
 So the stored frontier is all the state a fold ever needs: each batch
 costs pareto_frontier(frontier ∪ batch) — frontier-plus-batch-bounded,
-never a re-read of history. Replaying a batch is idempotent (its
-points are already dominated-or-present).
+never a re-read of history.
+
+Replay idempotency (round-11 ADVICE): dominance requires strictness, so
+an exact duplicate of a stored frontier row would SURVIVE beside it —
+a crash-replayed batch would grow the frontier with duplicates. The
+fold therefore runs ``distinct()`` on its input first: replaying any
+batch re-adds rows the frontier already holds, the distinct collapses
+them, and the fold is a no-op — idempotent. Multiplicity caveat: a
+legitimately duplicated INPUT row (same values twice in the source)
+keeps both copies under the one-shot batch operator but one copy here;
+callers gating drained ≡ batch must feed full-row-unique updates (the
+``stream_skyline_parts`` gate streams part rows, unique by p_partkey).
 """
 
 from __future__ import annotations
@@ -26,6 +36,7 @@ import os
 from pyspark.sql import DataFrame
 
 from ..operators.skyline import pareto_frontier
+from .versioned import latest_committed_version
 
 
 def run_skyline_stream(
@@ -38,15 +49,12 @@ def run_skyline_stream(
     """Drain ``updates`` into a versioned frontier table, folding each
     micro-batch through the batch skyline operator. Returns the final
     frontier as a batch DataFrame. Version pointer RESUMES from the
-    highest ``v{n}`` on disk (the streaming/cc.py restart contract)."""
+    highest COMMITTED ``v{n}`` on disk — ``_SUCCESS``-verified
+    (versioned.py), so a partial directory from a crash mid-write is
+    skipped and overwritten by the next fold."""
     spark = updates.sparkSession
     os.makedirs(table_root, exist_ok=True)
-    existing = [
-        int(d[1:])
-        for d in os.listdir(table_root)
-        if d.startswith("v") and d[1:].isdigit()
-    ]
-    current = {"v": max(existing, default=0)}
+    current = {"v": latest_committed_version(table_root)}
     schema = updates.schema
 
     def _frontier() -> DataFrame:
@@ -57,8 +65,13 @@ def run_skyline_stream(
         )
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        # distinct() makes crash-replay idempotent: a replayed batch's
+        # rows are already frontier rows (or dominated), and exact
+        # duplicates — which strict dominance can never eliminate —
+        # collapse before the frontier test. See module docstring for
+        # the input-multiplicity caveat.
         folded = pareto_frontier(
-            _frontier().unionByName(batch_df), minimize, maximize
+            _frontier().unionByName(batch_df).distinct(), minimize, maximize
         )
         nxt = current["v"] + 1
         folded.write.mode("overwrite").parquet(
