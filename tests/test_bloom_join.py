@@ -1,0 +1,104 @@
+"""Explicit Bloom runtime-filter join pruning (operators/bloom_join.py).
+
+Exactness is the operator's contract: the pruned join must be
+row-identical to the plain join on any input (no false negatives), with
+the false-positive leak bounded and eliminated by the join itself. The
+plan tests pin the placement that matters at 100 TB — the membership
+predicate evaluates against the broadcast 1-row mask BEFORE the
+equi-join, so the join exchange moves only maybe-matching rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from youtube_scraper_db_spark.io import read_table
+from youtube_scraper_db_spark.operators import bloom_join as bj
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df):
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_pruned_join_equals_plain_join(spark):
+    li = read_table(spark, SF, "lineitem")
+    orders = read_table(spark, SF, "orders")
+    dim = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    pruned = bj.bloom_pruned_join(li, "l_orderkey", dim, "o_orderkey")
+    plain = li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
+    assert pruned.exceptAll(plain).count() == 0
+    assert plain.exceptAll(pruned).count() == 0
+
+
+def test_prune_is_superset_of_matches_and_bounded(spark):
+    li = read_table(spark, SF, "lineitem")
+    orders = read_table(spark, SF, "orders")
+    dim = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    mask = bj.bloom_pos_mask(dim, "o_orderkey")
+    pruned = bj.bloom_prune(li, "l_orderkey", mask)
+    n_pruned = pruned.count()
+    n_match = li.join(dim, li["l_orderkey"] == dim["o_orderkey"]).count()
+    n_fact = li.count()
+    # no false negatives: every matching row passes
+    assert n_pruned >= n_match
+    # the prune actually prunes (non-matching majority mostly dropped);
+    # with n_dim·k/m ≈ 0.45 the fp rate is well under 20% of non-matchers
+    assert n_pruned - n_match <= 0.2 * (n_fact - n_match)
+
+
+def test_empty_dim_prunes_everything(spark):
+    li = read_table(spark, SF, "lineitem")
+    orders = read_table(spark, SF, "orders")
+    empty = orders.where(F.lit(False)).select("o_orderkey")
+    mask = bj.bloom_pos_mask(empty, "o_orderkey")
+    assert bj.bloom_prune(li, "l_orderkey", mask).count() == 0
+    assert (
+        bj.bloom_pruned_join(li, "l_orderkey", empty, "o_orderkey").count()
+        == 0
+    )
+
+
+def test_null_fact_keys_pruned(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k long, v string"
+    )
+    dim = spark.createDataFrame([(1,)], "k2 long")
+    mask = bj.bloom_pos_mask(dim, "k2")
+    got = sorted(
+        r["v"] for r in bj.bloom_prune(df, "k", mask).collect()
+    )
+    assert got == ["a"]  # NULL never equi-joins; 2 is a true negative
+    # unless 2 is a false positive — allow it but never the NULL
+    assert "b" not in got
+
+
+def test_membership_filter_evaluates_before_equi_join(spark):
+    li = read_table(spark, SF, "lineitem")
+    orders = read_table(spark, SF, "orders")
+    dim = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    plan = _formatted_plan(
+        bj.bloom_pruned_join(li, "l_orderkey", dim, "o_orderkey")
+    )
+    # the 1-row mask crosses in via the allowlisted scalar BNLJ, and the
+    # membership lookups (element_at against the mask map) evaluate
+    # there — upstream of the equi-join
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "element_at" in plan
+    bnlj = plan.index("BroadcastNestedLoopJoin")
+    equi = max(plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+    assert equi >= 0
+    # tree prints top-down: the equi-join (final) prints before its
+    # children, so the BNLJ appearing AFTER it in text means it is a
+    # descendant — i.e. the prune happens below/before the equi-join
+    assert bnlj > equi

@@ -1,0 +1,170 @@
+"""Bloom runtime-filter join pruning — the approximate-membership
+semi-join reduction a 100 TB fact⋈dim join leans on when the dim side
+is too big to broadcast as ROWS but its membership fits in a few hundred
+KB of hash positions (Spark's own adaptive variant is
+``spark.sql.optimizer.runtime.bloomFilter.enabled``, exercised in
+tests/test_runtime_filters.py — this module is the EXPLICIT, plannable
+operator with an oracle-replayable hash family; reference parity: the
+scraper's keyed reconciliation joins, ref db.py sync paths, are this
+fact⋈dim shape once the video table outgrows a broadcast).
+
+Shape at scale:
+- ``bloom_pos_mask`` folds the dim side's join keys into ONE row holding
+  a ``map<bigint, boolean>`` of the filter's set positions (≤ m_bits
+  entries; ≤ k·|dim keys| before saturation) — a distinct over hash
+  positions, all map-side combinable, O(m_bits) output whatever the
+  data volume.
+- ``bloom_prune`` broadcast-crossJoins that 1-row mask to the fact side
+  (the plan-lint-allowlisted scalar BNLJ) and evaluates all k position
+  lookups as native Column expressions (``try_element_at`` — no explode,
+  no shuffle, no Python): the fact scan shrinks BEFORE the join's
+  exchange, which is the entire point — the shuffle moves only rows
+  that can possibly match, plus the bounded false-positive leak
+  ≈ (1-e^{-kn/m})^k of the non-matchers.
+- ``bloom_pruned_join`` then runs the EXACT equi-join on the pruned
+  fact: false positives fall out of the join itself, so the result is
+  row-identical to the unpruned join — no false negatives exist — which
+  is what lets the driver oracle this operator with plain-join SQL.
+
+The default m_bits=2^14 packs into a ~16k-entry broadcast map. Past
+~2^20 positions a single-row map stops being the right carrier — at
+that point use Spark's built-in runtime bloom (BloomFilterAggregate
+packs words engine-side) or partition the mask; this operator's value
+is the EXPLICIT plan + the md5/Kirsch-Mitzenmacher portable family
+(functions/portable_hash.py) that DuckDB replays value-for-value,
+false positives included.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable_hash import km_mix, km_mix_sql, md5_halves
+
+
+def _positions(key_col: Column, k: int, m_bits: int) -> list[Column]:
+    """The k Bloom positions of one key — md5 halves mixed per seed,
+    mod the bit-space (hashes are 60-bit non-negative, so ``%`` is a
+    true modulus in both engines)."""
+    h1, h2 = md5_halves(key_col.cast("string"))
+    return [km_mix(h1, h2, i) % F.lit(m_bits) for i in range(k)]
+
+
+def bloom_pos_mask(
+    dim: DataFrame, key: str, k: int = 5, m_bits: int = 1 << 14
+) -> DataFrame:
+    """ONE row ``(mask: map<bigint,boolean>)``: the set positions of the
+    Bloom filter over ``dim.key``. Unset positions are absent entries —
+    probers read absence as 0. Empty dim → empty map (every probe
+    misses, pruning everything: exact, since nothing joins either)."""
+    pos = (
+        dim.where(F.col(key).isNotNull())
+        .select(F.explode(F.array(*_positions(F.col(key), k, m_bits))).alias("pos"))
+        .distinct()
+    )
+    return pos.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("pos"), F.lit(True).alias("v")))
+        ).alias("mask")
+    )
+
+
+def might_contain(
+    key_col: Column, mask: Column, k: int = 5, m_bits: int = 1 << 14
+) -> Column:
+    """All-k-positions-set membership test against a position mask —
+    pure Column arithmetic (codegen, no UDF): k md5-mix positions, a
+    map lookup per position, an AND-fold. NULL keys test False (a NULL
+    never equi-joins, so pruning it is exact)."""
+    tests = [
+        F.try_element_at(mask, p).isNotNull()
+        for p in _positions(key_col, k, m_bits)
+    ]
+    return key_col.isNotNull() & reduce(lambda a, b: a & b, tests)
+
+
+def bloom_prune(
+    fact: DataFrame,
+    fact_key: str,
+    mask_row: DataFrame,
+    k: int = 5,
+    m_bits: int = 1 << 14,
+) -> DataFrame:
+    """``fact`` rows whose ``fact_key`` the Bloom mask might contain —
+    the pre-shuffle scan reduction. The 1-row mask broadcasts (scalar
+    BNLJ); the membership filter itself is whole-stage codegen, so the
+    join exchange downstream moves only maybe-matching rows."""
+    return (
+        fact.crossJoin(F.broadcast(mask_row))
+        .where(might_contain(F.col(fact_key), F.col("mask"), k, m_bits))
+        .drop("mask")
+    )
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    k: int = 5,
+    m_bits: int = 1 << 14,
+) -> DataFrame:
+    """Exact inner equi-join with a Bloom-pruned fact side. Result is
+    row-identical to ``fact.join(dim, fact_key == dim_key)``: the prune
+    only drops rows with no partner (false positives leak through and
+    the join eliminates them; false negatives cannot exist)."""
+    mask = bloom_pos_mask(dim, dim_key, k, m_bits)
+    pruned = bloom_prune(fact, fact_key, mask, k, m_bits)
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")
+
+
+def bloom_prune_pass_count_sql(
+    fact_table: str,
+    fact_key: str,
+    dim_table: str,
+    dim_key: str,
+    dim_where: str,
+    k: int = 5,
+    m_bits: int = 1 << 14,
+) -> str:
+    """DuckDB replay of the PRUNED fact-row count: a fact row passes iff
+    every one of its k positions is in the dim side's distinct position
+    set (position-set membership ≡ the map lookups engine-side). Counts
+    fact ROWS (keys re-joined to the fact table), matching
+    ``bloom_prune(...).count()``."""
+    mixes = [km_mix_sql(i) for i in range(k)]
+    dim_pos = " UNION ALL ".join(
+        f"SELECT ({m}) % {m_bits} AS pos FROM dh" for m in mixes
+    )
+    fact_pos = " UNION ALL ".join(
+        f"SELECT rid, ({m}) % {m_bits} AS pos FROM fh" for m in mixes
+    )
+    return f"""
+    WITH dh AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST({dim_key} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST({dim_key} AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM {dim_table} WHERE ({dim_where}) AND {dim_key} IS NOT NULL
+    ),
+    bits AS (SELECT DISTINCT pos FROM ({dim_pos})),
+    fk AS (
+      SELECT DISTINCT {fact_key} AS rid FROM {fact_table}
+      WHERE {fact_key} IS NOT NULL
+    ),
+    fh AS (
+      SELECT rid,
+             ('0x' || substr(md5(CAST(rid AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST(rid AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM fk
+    ),
+    fp AS (SELECT DISTINCT rid, pos FROM ({fact_pos})),
+    passing AS (
+      SELECT rid FROM fp LEFT JOIN bits b USING (pos)
+      GROUP BY rid HAVING COUNT(*) = COUNT(b.pos)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM {fact_table} f JOIN passing p ON f.{fact_key} = p.rid
+    """

@@ -412,3 +412,140 @@ def kmv_artifact_oracle_sql(
            CAST(1 AS INT) AS artifact_version
     FROM art, fst, dst, cmp
     """
+
+
+# --- Sliding windows over leaf sketches --------------------------------
+
+
+def kmv_leaf_sketches(
+    df: DataFrame, ts_col: str, key: str, k: int, grain: str = "day"
+) -> DataFrame:
+    """(leaf: timestamp, h): one KMV sketch per ``grain`` bucket of
+    ``ts_col`` — the persisted leaf store a sliding-window sketch
+    service keeps. O(leaves × k) rows whatever the event volume."""
+    bucketed = df.withColumn("__leaf", F.date_trunc(grain, F.col(ts_col)))
+    return kmv_sketch_grouped(bucketed, "__leaf", key, k).select(
+        F.to_timestamp("g").alias("leaf"), "h"
+    )
+
+
+def kmv_sliding_estimates(
+    leaves: DataFrame, k: int, width: int, grain: str = "day"
+) -> DataFrame:
+    """Per-window-end (wend, estimate, sketch_size, kth_hash) for every
+    sliding window of ``width`` leaves ending at each leaf present in
+    ``leaves`` (the output of ``kmv_leaf_sketches``).
+
+    Exactness: bottom-k merge is exact, so the window sketch built by
+    merging its leaves equals the sketch built directly from the
+    window's raw events hash-for-hash — the oracle builds windows the
+    direct way and the driver hash-compares. Shape: the range join runs
+    on the ≤ leaves×k LEAF TABLE (never per-event work), the per-window
+    re-cap is a dim-sized window function; generalizes round-10's fixed
+    7-day/daily gate to any (grain, width) calendar."""
+    ends = leaves.select(F.col("leaf").alias("wend")).distinct()
+    lo = F.col("wend") - F.expr(f"INTERVAL {width - 1} {grain}")
+    dw = (
+        ends.join(
+            F.broadcast(leaves),
+            (F.col("leaf") >= lo) & (F.col("leaf") <= F.col("wend")),
+        )
+        .select("wend", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("wend").orderBy("h")
+    bk = (
+        dw.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    st = bk.groupBy("wend").agg(
+        F.count(F.lit(1)).cast("long").alias("sketch_size"),
+        F.max("h").alias("kth_hash"),
+    )
+    return st.select(
+        "wend",
+        _est_expr(F.col("sketch_size"), F.col("kth_hash"), k).alias(
+            "estimate"
+        ),
+        "sketch_size",
+        "kth_hash",
+    )
+
+
+def sliding_exact_distinct(
+    df: DataFrame, ts_col: str, key: str, width: int, grain: str = "day"
+) -> DataFrame:
+    """(wend, exact_distinct): the exact sliding-window distinct count —
+    the accuracy witness. The range join runs over the DEDUPED
+    (leaf, key) table, never raw events: at 100 TB the deduped table is
+    bounded by |keys|·|leaves| while events grow without bound (this
+    dedupe is what flattened the round-10 gate's ×20 probe, which
+    range-joined raw events)."""
+    lk = (
+        df.where(F.col(key).isNotNull())
+        .select(
+            F.date_trunc(grain, F.col(ts_col)).alias("leaf"),
+            F.col(key).alias("__k"),
+        )
+        .distinct()
+    )
+    ends = lk.select(F.col("leaf").alias("wend")).distinct()
+    lo = F.col("wend") - F.expr(f"INTERVAL {width - 1} {grain}")
+    return (
+        ends.join(
+            lk, (F.col("leaf") >= lo) & (F.col("leaf") <= F.col("wend"))
+        )
+        .groupBy("wend")
+        .agg(F.countDistinct("__k").cast("long").alias("exact_distinct"))
+    )
+
+
+def kmv_sliding_oracle_sql(
+    table: str, ts_col: str, key: str, k: int, width: int, grain: str = "day"
+) -> str:
+    """DuckDB replay of leaf-sketch + window merge + exact witness for
+    any (grain, width) calendar. Column names match the engine side:
+    (wend, estimate, sketch_size, kth_hash, exact_distinct)."""
+    return f"""
+    WITH ends AS (
+      SELECT DISTINCT date_trunc('{grain}', {ts_col}) AS wend FROM {table}
+      WHERE {ts_col} IS NOT NULL
+    ),
+    hs AS (
+      SELECT DISTINCT date_trunc('{grain}', {ts_col}) AS leaf,
+             {_h_sql(key)} AS h
+      FROM {table} WHERE {key} IS NOT NULL AND {ts_col} IS NOT NULL
+    ),
+    dw AS (
+      SELECT DISTINCT ends.wend, hs.h
+      FROM ends JOIN hs
+        ON hs.leaf BETWEEN ends.wend - INTERVAL {width - 1} {grain}
+                       AND ends.wend
+    ),
+    bk AS (
+      SELECT wend, h FROM (
+        SELECT wend, h, row_number() OVER (PARTITION BY wend ORDER BY h)
+                 AS rn
+        FROM dw
+      ) WHERE rn <= {k}
+    ),
+    st AS (SELECT wend, COUNT(*) AS n, MAX(h) AS kth FROM bk GROUP BY wend),
+    lk AS (
+      SELECT DISTINCT date_trunc('{grain}', {ts_col}) AS leaf, {key} AS kk
+      FROM {table} WHERE {key} IS NOT NULL AND {ts_col} IS NOT NULL
+    ),
+    ex AS (
+      SELECT ends.wend, count(DISTINCT lk.kk) AS exact_distinct
+      FROM ends JOIN lk
+        ON lk.leaf BETWEEN ends.wend - INTERVAL {width - 1} {grain}
+                       AND ends.wend
+      GROUP BY ends.wend
+    )
+    SELECT CAST(st.wend AS TIMESTAMP) AS wend,
+           {_est_sql("st.n", "st.kth", k)} AS estimate,
+           CAST(st.n AS BIGINT) AS sketch_size,
+           CAST(st.kth AS BIGINT) AS kth_hash,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM st JOIN ex ON ex.wend = st.wend
+    """

@@ -44,6 +44,7 @@ from .llm import bigram as llm_bigram
 from .llm import similarity as llm_similarity
 from .llm import wordpiece as llm_wordpiece
 from .llm import text as llm_text
+from .operators import bloom_join as op_bloom_join
 from .operators import bucketing
 from .operators import kmv as op_kmv
 from .operators import sketches as op_sketches
@@ -14491,11 +14492,18 @@ def kmv_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sketch_size",
         "kth_hash",
     )
+    # exact witness range-joins the DEDUPED (day, user) table, never raw
+    # events — user-days are bounded by |users|·|days| while events grow
+    # without bound (round-10's ×20 probe steepness came from joining
+    # raw events here; see operators/kmv.py sliding_exact_distinct)
+    user_days = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(F.col("day").alias("eday"), "user_id")
+        .distinct()
+    )
     exact = (
         days.join(
-            ev.where(F.col("user_id").isNotNull()).select(
-                F.col("day").alias("eday"), "user_id"
-            ),
+            user_days,
             (F.col("eday") >= F.date_sub(F.col("day"), 6))
             & (F.col("eday") <= F.col("day")),
         )
@@ -14752,6 +14760,189 @@ def bm25_index_artifact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_consistent",
         )
         .withColumn("artifact_version", F.lit(v).cast("int"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Round 11 — (grain, width)-parameterized sliding KMV (r10 verdict
+# item 4 generalizes round-10's fixed 7-day gate)
+# ----------------------------------------------------------------------
+
+@spec(
+    "kmv_sliding_distinct_users_30d",
+    "EXT-sketch-kmv EXT-sketch-merge W2",
+    oracle=op_kmv.kmv_sliding_oracle_sql(
+        "events", "ts", "user_id", 32, 30, "day"
+    ),
+)
+def kmv_sliding_distinct_users_30d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The (grain, width)-PARAMETERIZED sliding-window KMV service
+    (operators/kmv.py kmv_leaf_sketches / kmv_sliding_estimates /
+    sliding_exact_distinct — r10 verdict item 4 generalized the fixed
+    7-day gate): 30-day sliding distinct users over daily leaf
+    sketches. Same leaf store answers BOTH the 7-day and the 30-day
+    calendar — the point of persisting O(days × k) leaf rows instead of
+    per-window raw events. The window merge range-joins the leaf table
+    (≤ days×k rows); the exact witness range-joins the deduped user-day
+    table, so neither side does per-event work, and the merged window
+    sketch equals the directly-built one hash-for-hash (bottom-k merge
+    exactness), which the oracle proves per window."""
+    ensure_utc(spark)
+    k, width = 32, 30
+    ev = _t(spark, sf_dir, "events")
+    leaves = op_kmv.kmv_leaf_sketches(ev, "ts", "user_id", k, "day")
+    est = op_kmv.kmv_sliding_estimates(leaves, k, width, "day")
+    exact = op_kmv.sliding_exact_distinct(ev, "ts", "user_id", width, "day")
+    return est.join(exact, "wend")
+
+
+# ----------------------------------------------------------------------
+# Round 11 — streaming weighted sample (r10 verdict item 6)
+# ----------------------------------------------------------------------
+
+@spec(
+    "stream_weighted_sample",
+    "EXT-sample-weighted EXT-stream-cdc T5",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN n_chars <= 0 THEN 0.0 ELSE
+               round(pow(
+                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) + 1) / 4294967296.0,
+                 1.0 / n_chars), 6)
+             END AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, priority, TRUE AS stream_consistent FROM (
+      SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT 64
+    )
+    """,
+)
+def stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING weighted sampling (streaming/sample.py — r10 verdict
+    item 6 completes the streaming maintenance family: KMV folds the
+    hash sample, this folds the A-Res PRIORITY sample): documents
+    replay as a 4-micro-batch file stream; each batch ranks itself
+    (O(k) survivors), folds into a versioned ≤k-row reservoir, and
+    because the priority is a pure per-row function the re-rank
+    identity top-k(A∪B) = top-k(top-k(A)∪top-k(B)) — the same
+    mergeability ``weighted_sample_merge`` proves across SHARDS —
+    makes the drained reservoir equal the one-shot batch sample
+    row-for-row, for ANY micro-batch layout. The oracle is the batch
+    sampler's replay VERBATIM; the engine-side sym-diff against the
+    direct sample rides along. At 100 TB this is reservoir-at-ingest:
+    O(k) state forever, no corpus re-read per refresh."""
+    import tempfile
+
+    from .streaming.sample import run_weighted_sample_stream
+
+    ensure_utc(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    staged = tempfile.mkdtemp(prefix="sg_wsamp_src_")
+    d.repartition(4).write.mode("overwrite").parquet(staged)
+    updates = (
+        spark.readStream.schema("doc_id long, n_chars bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    table_root = tempfile.mkdtemp(prefix="sg_wsamp_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="sg_wsamp_ckpt_")
+    drained = run_weighted_sample_stream(
+        updates, "doc_id", "n_chars", 64, table_root, ckpt
+    ).localCheckpoint(eager=True)
+    direct = llm_sampling.weighted_sample(
+        d, "doc_id", "n_chars", 64
+    ).localCheckpoint(eager=True)
+    diff = (
+        drained.exceptAll(direct)
+        .union(direct.exceptAll(drained))
+        .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
+    )
+    return drained.select("doc_id", "n_chars", "priority").crossJoin(diff)
+
+
+# ----------------------------------------------------------------------
+# Round 11 — Bloom runtime-filter join pruning (r10 verdict item 3)
+# ----------------------------------------------------------------------
+
+@spec(
+    "bloom_pruned_join",
+    "EXT-sketch-bloom J2 EXT-runtime-filter",
+    oracle=f"""
+    WITH pj AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS joined_rows,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority = '1-URGENT'
+    )
+    SELECT p.cnt AS bloom_pass,
+           pj.joined_rows,
+           pj.revenue,
+           CAST(p.cnt - pj.joined_rows AS BIGINT) AS false_pos_rows,
+           TRUE AS no_false_negatives
+    FROM ({op_bloom_join.bloom_prune_pass_count_sql(
+        "lineitem",
+        "l_orderkey",
+        "orders",
+        "o_orderkey",
+        "o_orderpriority = '1-URGENT'",
+    )}) p, pj
+    """,
+)
+def bloom_pruned_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime-filter join pruning as an EXPLICIT operator
+    (operators/bloom_join.py; the adaptive engine-side twin is
+    tests/test_runtime_filters.py): build the filter over the urgent
+    orders' keys, broadcast the 1-row position mask, prune the lineitem
+    scan BEFORE the join's exchange, then run the exact equi-join. One
+    row out: the pruned-scan row count (DuckDB replays it through the
+    portable md5 family — false positives hash-checked exactly), the
+    joined rows + revenue (identical to the PLAIN join, which is the
+    oracle's side — pruning must lose nothing), the false-positive leak
+    in rows, and the Spark-side no-false-negatives witness (pruned-join
+    count == unpruned-join count, computed independently engine-side).
+    At 100 TB this is the shape that cuts the fact shuffle to
+    |matches| + the bounded fp leak when the dim side exceeds the
+    broadcast threshold but its key membership fits in KBs."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    dim = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    mask = op_bloom_join.bloom_pos_mask(dim, "o_orderkey")
+    pruned = op_bloom_join.bloom_prune(li, "l_orderkey", mask)
+    bloom_pass = pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("bloom_pass")
+    )
+    joined = pruned.join(dim, pruned["l_orderkey"] == dim["o_orderkey"])
+    jstats = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("joined_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
+            2,
+        ).alias("revenue"),
+    )
+    plain_rows = (
+        li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("plain_rows"))
+    )
+    return (
+        bloom_pass.crossJoin(jstats)
+        .crossJoin(plain_rows)
+        .select(
+            "bloom_pass",
+            "joined_rows",
+            "revenue",
+            (F.col("bloom_pass") - F.col("joined_rows"))
+            .cast("long")
+            .alias("false_pos_rows"),
+            (F.col("joined_rows") == F.col("plain_rows")).alias(
+                "no_false_negatives"
+            ),
+        )
     )
 
 
