@@ -177,6 +177,15 @@ HEADLINE = [
     "kmv_sliding_distinct_users",
     "stream_skyline_parts",
     "bm25_index_artifact_fold",
+    # round 11: explicit Bloom runtime-filter pruning, the
+    # (grain,width)-parameterized sliding KMV, the streaming A-Res
+    # reservoir
+    "bloom_pruned_join",
+    "kmv_sliding_distinct_users_30d",
+    "stream_weighted_sample",
+    "bloom_pruned_anti_join",
+    "hll_sliding_distinct_users",
+    "pareto_frontier_by_brand",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution. The streaming

@@ -102,3 +102,39 @@ def test_membership_filter_evaluates_before_equi_join(spark):
     # children, so the BNLJ appearing AFTER it in text means it is a
     # descendant — i.e. the prune happens below/before the equi-join
     assert bnlj > equi
+
+
+def test_anti_join_equals_plain_anti_join(spark):
+    li = read_table(spark, SF, "lineitem")
+    orders = read_table(spark, SF, "orders")
+    dim = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    got = bj.bloom_pruned_anti_join(li, "l_orderkey", dim, "o_orderkey")
+    plain = li.join(dim, li["l_orderkey"] == dim["o_orderkey"], "left_anti")
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
+
+
+def test_anti_join_keeps_null_keys_and_duplicates(spark):
+    fact = spark.createDataFrame(
+        [(1, "m"), (1, "m"), (None, "n"), (None, "n"), (2, "x"), (2, "x")],
+        "k long, v string",
+    )
+    dim = spark.createDataFrame([(1,)], "k2 long")
+    got = sorted(
+        (
+            (r["k"], r["v"])
+            for r in bj.bloom_pruned_anti_join(fact, "k", dim, "k2").collect()
+        ),
+        key=lambda t: (t[0] is not None, t[0] or 0, t[1]),
+    )
+    # LEFT ANTI: NULL keys never match (kept, twice); 1 matches
+    # (dropped, both copies); 2 doesn't match (kept, twice)
+    assert got == [(None, "n"), (None, "n"), (2, "x"), (2, "x")]
+
+
+def test_anti_join_empty_dim_returns_all(spark):
+    fact = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dim = spark.createDataFrame([], "k2 long")
+    assert bj.bloom_pruned_anti_join(fact, "k", dim, "k2").count() == 2

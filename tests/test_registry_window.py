@@ -296,6 +296,62 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "stream_skyline_parts",
         "bm25_index_artifact_fold",
     },
+    # Round 11 refreshes the ENTIRE r05-rowed class (40 queries): 33
+    # land in the natural window [167:217] via round-10's deliberate
+    # tail drops, the 7 displaced/out-of-reach ones swap over r07-rowed
+    # slots, and the three round-11 debuts swap over the r10-fresh
+    # head-gained classics.
+    11: {
+        # debuts
+        "kmv_sliding_distinct_users_30d",
+        "stream_weighted_sample",
+        "bloom_pruned_join",
+        "pareto_frontier_by_brand",
+        "hll_sliding_distinct_users",
+        "bloom_pruned_anti_join",
+        # r05 stragglers swapped in
+        "csv_export_roundtrip",
+        "xml_export_roundtrip",
+        "compacted_docs_roundtrip",
+        "corpus_facade_annotated",
+        "partitioned_orders_prune",
+        "referential_integrity_report",
+        "jsonl_gzip_roundtrip",
+        # r05 class refreshed by the natural walk
+        "classic_q16_supplier_variety",
+        "classic_q14_promo_share",
+        "classic_q7_volume_shipping",
+        "png_pixel_stats",
+        "jpeg_pixel_stats",
+        "gif_pixel_stats",
+        "bmp_pixel_stats",
+        "user_event_type_unpivot",
+        "supplier_revenue_deciles",
+        "gif_frame_pixel_stats",
+        "stream_full_outer_pairs",
+        "recursive_cte_closure",
+        "avi_frame_samples",
+        "native_session_rollup",
+        "not_in_null_semantics",
+        "classic_q6_revenue_delta",
+        "classic_q17_small_qty",
+        "classic_q15_top_supplier",
+        "classic_q11_important_stock",
+        "classic_q19_bracket_revenue",
+        "classic_q21_waiting_supplier",
+        "classic_q20_excess_stock",
+        "classic_q2_min_cost",
+        "classic_q8_market_share",
+        "custom_source_stream_drain",
+        "stream_update_mode_counts",
+        "mjpeg_frame_pixel_stats",
+        "pcm_depth_energy_windows",
+        "adpcm_energy_windows",
+        "msadpcm_energy_windows",
+        "g711_energy_windows",
+        "bpe_apply_tokens",
+        "bpe_trained_merges",
+    },
 }
 
 

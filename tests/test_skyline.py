@@ -85,3 +85,48 @@ def test_nulls_excluded(spark):
         for r in pareto_frontier(df, "price", "size").collect()
     )
     assert got == [(1.0, 5), (2.0, 6)]
+
+
+def test_grouped_frontier_matches_per_group_brute(spark):
+    import itertools
+
+    from youtube_scraper_db_spark.operators.skyline import (
+        pareto_frontier_grouped,
+    )
+
+    rows = []
+    for g in ("a", "b", "c"):
+        base = ord(g)
+        rows += [
+            (g, i, float((i * 7 + base) % 13), (i * 5 + base) % 11)
+            for i in range(40)
+        ]
+    rows.append((None, 999, 1.0, 1))       # NULL group excluded
+    rows.append(("a", 998, None, 50))       # NULL measure excluded
+    df = spark.createDataFrame(
+        rows, "g string, id long, price double, size long"
+    )
+    got = sorted(
+        (r["g"], r["id"])
+        for r in pareto_frontier_grouped(df, "g", "price", "size").collect()
+    )
+
+    def brute(pts):
+        out = []
+        for p in pts:
+            if not any(
+                q[2] <= p[2] and q[3] >= p[3] and (q[2] < p[2] or q[3] > p[3])
+                for q in pts
+            ):
+                out.append((p[0], p[1]))
+        return out
+
+    valid = [r for r in rows if r[0] is not None and r[2] is not None]
+    expected = sorted(
+        x
+        for g, pts in itertools.groupby(
+            sorted(valid, key=lambda r: r[0]), key=lambda r: r[0]
+        )
+        for x in brute(list(pts))
+    )
+    assert got == expected

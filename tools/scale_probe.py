@@ -95,6 +95,19 @@ EVENT_QUERIES = [
     # round 10: sliding distinct from daily leaf sketches — the merge
     # touches days×k sketch rows; only the exact witness scans events
     "kmv_sliding_distinct_users",
+    # round 11: the (grain,width)-parameterized calendars — window
+    # merges touch O(days×k) / O(days×2^p) leaf rows; the exact witness
+    # now range-joins deduped user-days, never raw events
+    "kmv_sliding_distinct_users_30d",
+    "hll_sliding_distinct_users",
+    # round 11: bloom-pruned joins — the mask stays O(m_bits) while the
+    # fact side grows; ratios read as scan+shuffle-of-matches cost
+    # (lineitem/orders now replicate with consistent FKs)
+    "bloom_pruned_join",
+    "bloom_pruned_anti_join",
+    # round 11: grouped skyline — thresholds stay O(brands×64) while
+    # rows per brand grow; recheck is frontier-superset-sized
+    "pareto_frontier_by_brand",
 ]
 DOC_QUERIES = [
     "doc_token_stats",
@@ -170,6 +183,9 @@ DOC_QUERIES = [
     # round 10: BM25 index fold — tf/dl append, df/stats merge by
     # integer addition; both paths built for the equivalence witness
     "bm25_index_artifact_fold",
+    # round 11: streaming A-Res reservoir — per-batch rank + ≤2k-row
+    # re-rank; state O(k) while the corpus grows
+    "stream_weighted_sample",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.
@@ -223,6 +239,40 @@ def build_scaled(spark, sf_dir: str, factor: int) -> str:
         scaled_d = scaled_d.unionAll(c)
     scaled_d.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
+    )
+
+    # round 11: lineitem/orders grow with CONSISTENT FKs (both keyed
+    # offsets use max(o_orderkey), so every scaled line still joins its
+    # scaled order) — the bloom-pruned join/anti-join probe axis; part
+    # grows under FIXED p_brand values (catalog families constant, rows
+    # per family grow — the grouped-skyline probe axis).
+    od = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    od_off = od.agg(F.max("o_orderkey")).first()[0] + 1
+    _replicate(
+        li, factor,
+        {"l_orderkey": od_off, "l_partkey": 0, "l_suppkey": 0,
+         "l_linenumber": 0, "l_quantity": 0, "l_extendedprice": 0,
+         "l_discount": 0, "l_tax": 0, "l_returnflag": 0,
+         "l_linestatus": 0, "l_shipdate": 0},
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+    _replicate(
+        od, factor,
+        {"o_orderkey": od_off, "o_custkey": 0, "o_orderstatus": 0,
+         "o_totalprice": 0, "o_orderdate": 0, "o_orderpriority": 0},
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    pt = read_table(spark, sf_dir, "part")
+    _replicate(
+        pt, factor,
+        {"p_partkey": pt.agg(F.max("p_partkey")).first()[0] + 1,
+         "p_name": 0, "p_brand": 0, "p_type": 0, "p_size": 0,
+         "p_retailprice": 0},
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "part.parquet")
     )
 
     # dims probed against the scaled facts ride through UNSCALED — the

@@ -168,3 +168,41 @@ def bloom_prune_pass_count_sql(
     SELECT CAST(COUNT(*) AS BIGINT) AS cnt
     FROM {fact_table} f JOIN passing p ON f.{fact_key} = p.rid
     """
+
+
+def bloom_pruned_anti_join(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    k: int = 5,
+    m_bits: int = 1 << 14,
+) -> DataFrame:
+    """Exact LEFT ANTI join with Bloom short-circuiting — the diff-sync
+    / decontamination shape at 100 TB (reference parity: the scraper's
+    insert-if-absent and new-only sync paths, ref db.py): rows whose
+    key FAILS the membership test are DEFINITE non-members (no false
+    negatives), so they enter the result with no shuffle at all; only
+    the maybe-present minority — true members plus the bounded
+    false-positive leak — pays the exact anti-join's exchange. On an
+    append-mostly workload (most fact rows new) this moves the
+    anti-join's shuffle from O(fact) to O(matches + fp), the mirror
+    image of ``bloom_pruned_join``'s semi reduction.
+
+    Exactness: result = (fact ∖ maybe) ∪ anti_join(maybe, dim) — every
+    true member tests maybe (no false negatives), so the first term
+    contains only true non-members; the second term resolves the fps
+    exactly. Row-identical to the plain anti join (duplicates kept:
+    both branches preserve fact-row multiplicity; a NULL fact key tests
+    NOT-maybe and lands in the first branch, matching LEFT ANTI
+    semantics — NULL never equals any dim key)."""
+    mask = bloom_pos_mask(dim, dim_key, k, m_bits)
+    tagged = fact.crossJoin(F.broadcast(mask)).withColumn(
+        "__maybe", might_contain(F.col(fact_key), F.col("mask"), k, m_bits)
+    ).drop("mask")
+    definite_new = tagged.where(~F.col("__maybe")).drop("__maybe")
+    maybe = tagged.where(F.col("__maybe")).drop("__maybe")
+    resolved = maybe.join(
+        dim, maybe[fact_key] == dim[dim_key], "left_anti"
+    )
+    return definite_new.unionByName(resolved)

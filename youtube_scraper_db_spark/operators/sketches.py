@@ -2029,3 +2029,119 @@ def bloom_union_oracle_sql(
            (SELECT n_diff = 0 FROM bitcmp) AS merge_consistent
     FROM t
     """
+
+
+# --- Sliding windows over leaf register tables --------------------------
+
+
+def hll_leaf_registers(
+    df: DataFrame, ts_col: str, key: str, grain: str = "day", p: int = 9
+) -> DataFrame:
+    """(leaf: timestamp, bucket, rho): one HLL register table per
+    ``grain`` bucket of ``ts_col`` — the persisted leaf store of a
+    sliding-window distinct-count service (the KMV twin is
+    operators/kmv.py kmv_leaf_sketches). O(leaves × 2^p) rows whatever
+    the event volume."""
+    bucketed = df.withColumn("__leaf", F.date_trunc(grain, F.col(ts_col)))
+    return hll_registers_grouped(bucketed, "__leaf", key, p).select(
+        F.col("g").alias("leaf"), "bucket", "rho"
+    )
+
+
+def hll_sliding_estimates(
+    leaves: DataFrame, width: int, grain: str = "day", p: int = 9
+) -> DataFrame:
+    """Per-window-end (wend, estimate, nonzero_registers) for every
+    sliding window of ``width`` leaves — register-max merge over the
+    leaf table. HLL merge is exact (per-bucket max is associative and
+    order-free), so each window's merged registers are IDENTICAL to
+    the registers built directly from the window's raw events, which
+    the oracle proves by building them the direct way. The range join
+    runs on the O(leaves × 2^p) register table, never per-event."""
+    ends = leaves.select(F.col("leaf").alias("wend")).distinct()
+    lo = F.col("wend") - F.expr(f"INTERVAL {width - 1} {grain}")
+    merged = (
+        ends.join(
+            F.broadcast(leaves),
+            (F.col("leaf") >= lo) & (F.col("leaf") <= F.col("wend")),
+        )
+        .groupBy(F.col("wend").alias("g"), F.col("bucket"))
+        .agg(F.max("rho").alias("rho"))
+    )
+    return hll_estimates_grouped(merged, p).select(
+        F.col("g").alias("wend"), "estimate", "nonzero_registers"
+    )
+
+
+def hll_sliding_oracle_sql(
+    table: str,
+    ts_col: str,
+    key: str,
+    width: int,
+    grain: str = "day",
+    p: int = 9,
+) -> str:
+    """DuckDB replay of leaf registers + window register-max merge +
+    estimate arithmetic + the exact sliding distinct witness."""
+    w = 60 - p
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    bitlen = " + ".join(
+        f"CASE WHEN tail >= {1 << k} THEN 1 ELSE 0 END" for k in range(w)
+    )
+    return f"""
+    WITH ends AS (
+      SELECT DISTINCT date_trunc('{grain}', {ts_col}) AS wend FROM {table}
+      WHERE {ts_col} IS NOT NULL
+    ),
+    h AS (
+      SELECT date_trunc('{grain}', {ts_col}) AS leaf,
+             ('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT AS h1
+      FROM {table} WHERE {key} IS NOT NULL AND {ts_col} IS NOT NULL
+    ),
+    br AS (
+      SELECT leaf, h1 >> {w} AS bucket, h1 & {(1 << w) - 1} AS tail FROM h
+    ),
+    lregs AS (
+      SELECT leaf, bucket, MAX({w + 1} - ({bitlen})) AS rho
+      FROM br GROUP BY leaf, bucket
+    ),
+    wregs AS (
+      SELECT ends.wend, lr.bucket, MAX(lr.rho) AS rho
+      FROM ends JOIN lregs lr
+        ON lr.leaf BETWEEN ends.wend - INTERVAL {width - 1} {grain}
+                       AND ends.wend
+      GROUP BY ends.wend, lr.bucket
+    ),
+    agg AS (
+      SELECT wend, SUM(power(2.0, -rho)) AS s, COUNT(*) AS v
+      FROM wregs GROUP BY wend
+    ),
+    est AS (
+      SELECT wend,
+             CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m})
+                        / (s + ({m} - v)) <= CAST({2.5 * m!r} AS DOUBLE)
+                   AND ({m} - v) > 0
+                  THEN CAST({float(m)!r} AS DOUBLE)
+                       * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - v))
+                  ELSE (CAST({alpha!r} AS DOUBLE) * {m} * {m})
+                       / (s + ({m} - v))
+             END AS e, v
+      FROM agg
+    ),
+    lk AS (
+      SELECT DISTINCT date_trunc('{grain}', {ts_col}) AS leaf, {key} AS kk
+      FROM {table} WHERE {key} IS NOT NULL AND {ts_col} IS NOT NULL
+    ),
+    ex AS (
+      SELECT ends.wend, count(DISTINCT lk.kk) AS exact_distinct
+      FROM ends JOIN lk
+        ON lk.leaf BETWEEN ends.wend - INTERVAL {width - 1} {grain}
+                       AND ends.wend
+      GROUP BY ends.wend
+    )
+    SELECT CAST(est.wend AS TIMESTAMP) AS wend, ROUND(est.e, 4) AS estimate,
+           CAST(est.v AS BIGINT) AS nonzero_registers,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM est JOIN ex ON ex.wend = est.wend
+    """
