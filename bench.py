@@ -186,6 +186,7 @@ HEADLINE = [
     "bloom_pruned_anti_join",
     "hll_sliding_distinct_users",
     "pareto_frontier_by_brand",
+    "heavy_hitter_types_sliding",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution. The streaming

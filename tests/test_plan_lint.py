@@ -67,6 +67,10 @@ ARROW_STAGES = {
     "kmv_union_merge",
     "kmv_semijoin_cardinality",
     "kmv_artifact_fold_roundtrip",
+    # round 11: the 30-day calendar reuses the grouped bottom-k kernel
+    "kmv_sliding_distinct_users_30d",
+    # round 11: per-day MG leaf summaries are the grouped MG kernel
+    "heavy_hitter_types_sliding",
 }
 
 #: queries where a BroadcastNestedLoopJoin is the documented, bounded
@@ -177,6 +181,22 @@ BNLJ_OK = {
     # BM25 fold joins 1-row stats / checksum / witness scalars
     "stream_skyline_parts",
     "bm25_index_artifact_fold",
+    # round 11: sliding calendars — |days| dim × broadcast leaf tables
+    # (days×k sketch rows / days×2^p register rows / days×(k-1) MG
+    # summary rows / days×|keys| deduped exact-witness rows) range
+    # joins; all sides dim-bounded, never raw events
+    "kmv_sliding_distinct_users_30d",
+    "hll_sliding_distinct_users",
+    "heavy_hitter_types_sliding",
+    # round 11: the 1-row broadcast Bloom mask crossJoin (the scalar
+    # BNLJ this list exists for) + 1-row pass/total/sym-diff scalars
+    "bloom_pruned_join",
+    "bloom_pruned_anti_join",
+    # round 11: k-row drained reservoir × 1-row sym-diff scalar
+    "stream_weighted_sample",
+    # round 11: same frontier-superset recheck as the global gate,
+    # with the group-equality conjunct in the join condition
+    "pareto_frontier_by_brand",
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

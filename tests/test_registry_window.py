@@ -309,6 +309,7 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "pareto_frontier_by_brand",
         "hll_sliding_distinct_users",
         "bloom_pruned_anti_join",
+        "heavy_hitter_types_sliding",
         # r05 stragglers swapped in
         "csv_export_roundtrip",
         "xml_export_roundtrip",

@@ -100,6 +100,7 @@ EVENT_QUERIES = [
     # now range-joins deduped user-days, never raw events
     "kmv_sliding_distinct_users_30d",
     "hll_sliding_distinct_users",
+    "heavy_hitter_types_sliding",
     # round 11: bloom-pruned joins — the mask stays O(m_bits) while the
     # fact side grows; ratios read as scan+shuffle-of-matches cost
     # (lineitem/orders now replicate with consistent FKs)

@@ -226,3 +226,121 @@ def exact_heavy_hitters(
     src = items.select(col)
     cands = mg_partition_summaries(src, col, k).select(col).distinct()
     return recount_candidates(src, cands, col, k)
+
+
+def mg_leaf_summaries(
+    df: DataFrame, ts_col: str, key: str, k: int, grain: str = "day"
+) -> DataFrame:
+    """(leaf: timestamp, key, cnt): one (k-1)-slot Misra-Gries summary
+    per ``grain`` bucket of ``ts_col`` — the persisted leaf store of a
+    sliding-window heavy-hitter service (the KMV/HLL twins are
+    operators/kmv.py / operators/sketches.py leaf builders). Map-only,
+    O(leaves-in-partition × k) state, O(leaves × k) output rows."""
+    src = df.select(
+        F.date_trunc(grain, F.col(ts_col)).cast("string").alias("__leaf"),
+        F.col(key).cast("string").alias(key),
+    )
+    out = src.mapInPandas(
+        lambda it: _mg_summary_grouped(it, "__leaf", key, k),
+        schema=f"__leaf string, {key} string, cnt long",
+    )
+    return out.select(
+        F.to_timestamp("__leaf").alias("leaf"), key, "cnt"
+    )
+
+
+def mg_sliding_heavy_hitters(
+    df: DataFrame,
+    ts_col: str,
+    key: str,
+    k: int,
+    width: int,
+    grain: str = "day",
+) -> DataFrame:
+    """(wend, key, cnt, n_total): EXACT per-window heavy hitters (count
+    × k > window total) for every sliding window of ``width`` leaves,
+    candidates drawn from the UNION of the window's leaf summaries.
+
+    Superset proof (averaging): if cnt_w(h) > N_w/k with cnt_w = Σ_leaf
+    cnt and N_w = Σ_leaf N, some leaf must satisfy cnt_leaf(h) >
+    N_leaf/k — otherwise summing the per-leaf inequalities bounds
+    cnt_w ≤ N_w/k. Each leaf's MG summary contains every such key, so
+    the union over the window's leaves is a candidate SUPERSET and the
+    recount output is exact. The recount range-joins the per-leaf
+    EXACT count table (≤ |keys|·|leaves| rows, aggregated once — never
+    raw events per window); candidates are ≤ leaves × (k-1) rows."""
+    leaves = mg_leaf_summaries(df, ts_col, key, k, grain)
+    ends = leaves.select(F.col("leaf").alias("wend")).distinct()
+    lo = F.col("wend") - F.expr(f"INTERVAL {width - 1} {grain}")
+    in_window = (F.col("leaf") >= lo) & (F.col("leaf") <= F.col("wend"))
+    cands = (
+        ends.join(F.broadcast(leaves), in_window)
+        .select("wend", key)
+        .distinct()
+    )
+    lk = (
+        df.where(F.col(key).isNotNull())
+        .groupBy(
+            F.date_trunc(grain, F.col(ts_col)).alias("leaf"),
+            F.col(key).cast("string").alias(key),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    window_counts = (
+        ends.join(lk, in_window)
+        .groupBy("wend", key)
+        .agg(F.sum("cnt").alias("cnt"))
+        .join(F.broadcast(cands), ["wend", key], "left_semi")
+    )
+    totals = (
+        ends.join(
+            lk.groupBy("leaf").agg(F.sum("cnt").alias("n")), in_window
+        )
+        .groupBy("wend")
+        .agg(F.sum("n").alias("n_total"))
+    )
+    return (
+        window_counts.join(F.broadcast(totals), "wend")
+        .filter(F.col("cnt") * k > F.col("n_total"))
+        .select(
+            "wend",
+            key,
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("n_total").cast("long").alias("n_total"),
+        )
+    )
+
+
+def mg_sliding_oracle_sql(
+    table: str, ts_col: str, key: str, k: int, width: int, grain: str = "day"
+) -> str:
+    """DuckDB replay: the output is EXACT (candidate superset +
+    recount), so the oracle is the plain per-window GROUP BY + integer
+    threshold — no summary-content replay needed."""
+    return f"""
+    WITH ends AS (
+      SELECT DISTINCT date_trunc('{grain}', {ts_col}) AS wend FROM {table}
+      WHERE {ts_col} IS NOT NULL
+    ),
+    lk AS (
+      SELECT date_trunc('{grain}', {ts_col}) AS leaf,
+             CAST({key} AS VARCHAR) AS kk, COUNT(*) AS cnt
+      FROM {table} WHERE {key} IS NOT NULL AND {ts_col} IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    wc AS (
+      SELECT ends.wend, lk.kk, SUM(lk.cnt) AS cnt
+      FROM ends JOIN lk
+        ON lk.leaf BETWEEN ends.wend - INTERVAL {width - 1} {grain}
+                       AND ends.wend
+      GROUP BY ends.wend, lk.kk
+    ),
+    tot AS (
+      SELECT wend, SUM(cnt) AS n_total FROM wc GROUP BY wend
+    )
+    SELECT CAST(wc.wend AS TIMESTAMP) AS wend, wc.kk AS {key},
+           CAST(wc.cnt AS BIGINT) AS cnt,
+           CAST(tot.n_total AS BIGINT) AS n_total
+    FROM wc JOIN tot ON tot.wend = wc.wend
+    WHERE wc.cnt * {k} > tot.n_total
+    """

@@ -14947,6 +14947,55 @@ def bloom_pruned_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "heavy_hitter_types_sliding",
+    "EXT-heavy-hitters EXT-sketch-merge W2",
+    oracle="""
+    WITH ends AS (
+      SELECT DISTINCT date_trunc('day', ts) AS wend FROM events
+      WHERE ts IS NOT NULL
+    ),
+    lk AS (
+      SELECT date_trunc('day', ts) AS leaf,
+             CAST(event_type AS VARCHAR) AS kk, COUNT(*) AS cnt
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    wc AS (
+      SELECT ends.wend, lk.kk, SUM(lk.cnt) AS cnt
+      FROM ends JOIN lk
+        ON lk.leaf BETWEEN ends.wend - INTERVAL 6 day AND ends.wend
+      GROUP BY ends.wend, lk.kk
+    ),
+    tot AS (SELECT wend, SUM(cnt) AS n_total FROM wc GROUP BY wend)
+    SELECT CAST(wc.wend AS TIMESTAMP) AS wend, wc.kk AS event_type,
+           CAST(wc.cnt AS BIGINT) AS cnt,
+           CAST(tot.n_total AS BIGINT) AS n_total
+    FROM wc JOIN tot ON tot.wend = wc.wend
+    WHERE wc.cnt * 8 > tot.n_total
+    """,
+)
+def heavy_hitter_types_sliding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SLIDING-WINDOW heavy hitters (operators/heavy_hitters.py
+    mg_leaf_summaries / mg_sliding_heavy_hitters) — the Misra-Gries
+    member of the sliding calendar family (KMV counts distinct, HLL
+    counts distinct at higher cardinality, this finds the DOMINANT
+    VALUES): event types holding > 1/8 of each 7-day window's events.
+    Candidates come from the union of the window's per-day (k-1)-slot
+    leaf summaries — a window heavy hitter must be a leaf heavy hitter
+    in ≥1 leaf (averaging pigeonhole, proof in the operator docstring)
+    — and the recount range-joins the per-day exact count table, never
+    raw events, so the output is EXACT and the oracle is the plain
+    per-window GROUP BY + integer threshold."""
+    ensure_utc(spark)
+    from .operators.heavy_hitters import mg_sliding_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return mg_sliding_heavy_hitters(ev, "ts", "event_type", 8, 7, "day")
+
+
+@spec(
     "pareto_frontier_by_brand",
     "EXT-skyline A2",
     oracle=op_skyline.pareto_grouped_oracle_sql(
@@ -15615,6 +15664,17 @@ _swap_specs("jsonl_gzip_roundtrip", "event_value_delta")
 _swap_specs("pareto_frontier_by_brand", "salted_distinct_users")
 _swap_specs("hll_sliding_distinct_users", "salted_supplier_revenue")
 _swap_specs("bloom_pruned_anti_join", "bpe_pair_counts")
+# (d) The sliding-MG debut (len 287, offset 450 % 287 = 163 → window
+# [163:213]): the shift pulls index 163 into the head —
+# top_suppliers_with_ties, fresh r10 green row (verified by
+# names.index() against CORRECTNESS_r10.json) — the debut swaps over
+# it. The shift also pushes index 213 = jsonl_gzip_roundtrip (one of
+# the seven r05 stragglers swap (b) moved IN) past the tail — it swaps
+# back over incremental_dedup_new (r07, index 212); the displaced r07
+# entry lands at 213 = the head of the natural round-12 window
+# [500 % 287 = 213 : 263], refreshed next round.
+_swap_specs("heavy_hitter_types_sliding", "top_suppliers_with_ties")
+_swap_specs("jsonl_gzip_roundtrip", "incremental_dedup_new")
 
 
 def _offset_for_round(last_checked_round: int) -> int:
