@@ -10,29 +10,32 @@ fact⋈dim shape once the video table outgrows a broadcast).
 
 Shape at scale:
 - ``bloom_pos_mask`` folds the dim side's join keys into ONE row holding
-  a ``map<bigint, boolean>`` of the filter's set positions (≤ m_bits
-  entries; ≤ k·|dim keys| before saturation) — a distinct over hash
-  positions, all map-side combinable, O(m_bits) output whatever the
-  data volume.
+  an ``array<bigint>`` of m_bits/64 packed words (the default 2^20 bits
+  = 16384 longs = 128 KB — broadcast-trivial) — a distinct over hash
+  positions + a word-or aggregate, all map-side combinable, O(m_bits)
+  output whatever the data volume. The carrier is an ARRAY, not a map:
+  Spark map lookups are linear scans of UnsafeMapData, and the first
+  cut's 16k-entry map made each probe an O(16k) comparison loop (~50 s
+  at sf0.1); UnsafeArrayData indexes O(1).
 - ``bloom_prune`` broadcast-crossJoins that 1-row mask to the fact side
-  (the plan-lint-allowlisted scalar BNLJ) and evaluates all k position
-  lookups as native Column expressions (``try_element_at`` — no explode,
-  no shuffle, no Python): the fact scan shrinks BEFORE the join's
-  exchange, which is the entire point — the shuffle moves only rows
-  that can possibly match, plus the bounded false-positive leak
+  (the plan-lint-allowlisted scalar BNLJ) and evaluates all k bit tests
+  as native Column expressions (O(1) array index + ``bit_get`` — no
+  explode, no shuffle, no Python): the fact scan shrinks BEFORE the
+  join's exchange, which is the entire point — the shuffle moves only
+  rows that can possibly match, plus the bounded false-positive leak
   ≈ (1-e^{-kn/m})^k of the non-matchers.
 - ``bloom_pruned_join`` then runs the EXACT equi-join on the pruned
   fact: false positives fall out of the join itself, so the result is
   row-identical to the unpruned join — no false negatives exist — which
   is what lets the driver oracle this operator with plain-join SQL.
 
-The default m_bits=2^14 packs into a ~16k-entry broadcast map. Past
-~2^20 positions a single-row map stops being the right carrier — at
-that point use Spark's built-in runtime bloom (BloomFilterAggregate
-packs words engine-side) or partition the mask; this operator's value
-is the EXPLICIT plan + the md5/Kirsch-Mitzenmacher portable family
-(functions/portable_hash.py) that DuckDB replays value-for-value,
-false positives included.
+Size m_bits ~ 10× the dim key count for ≲1% fp (2^20 covers ~10^5
+keys; a saturated mask stays EXACT but prunes nothing). Past ~10^7
+keys a single-row array stops being the right carrier — use Spark's
+built-in runtime bloom (BloomFilterAggregate) or partition the mask;
+this operator's value is the EXPLICIT plan + the
+md5/Kirsch-Mitzenmacher portable family (functions/portable_hash.py)
+that DuckDB replays value-for-value, false positives included.
 """
 
 from __future__ import annotations
@@ -54,36 +57,73 @@ def _positions(key_col: Column, k: int, m_bits: int) -> list[Column]:
 
 
 def bloom_pos_mask(
-    dim: DataFrame, key: str, k: int = 5, m_bits: int = 1 << 14
+    dim: DataFrame, key: str, k: int = 5, m_bits: int = 1 << 20
 ) -> DataFrame:
-    """ONE row ``(mask: map<bigint,boolean>)``: the set positions of the
-    Bloom filter over ``dim.key``. Unset positions are absent entries —
-    probers read absence as 0. Empty dim → empty map (every probe
-    misses, pruning everything: exact, since nothing joins either)."""
+    """ONE row ``(mask: array<bigint>)``: the Bloom filter over
+    ``dim.key`` packed into m_bits/64 little-endian 64-bit words.
+    Probers index the array — O(1) per lookup (UnsafeArrayData is a
+    flat buffer; a MAP carrier here was the round-11 lesson: Spark map
+    lookups are LINEAR scans, and a 16k-entry mask map turned the probe
+    into ~50 s of comparisons at sf0.1). Empty dim → all-zero words
+    (every probe misses, pruning everything: exact, since nothing
+    joins either)."""
+    nwords = m_bits // 64
     pos = (
         dim.where(F.col(key).isNotNull())
         .select(F.explode(F.array(*_positions(F.col(key), k, m_bits))).alias("pos"))
         .distinct()
     )
-    return pos.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("pos"), F.lit(True).alias("v")))
-        ).alias("mask")
+    words = pos.groupBy(
+        F.shiftright(F.col("pos"), 6).cast("int").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        ).alias("word")
     )
+    # densify via an index join + order-pinned collect — NOT a
+    # transform-over-map fold: try_element_at on a Spark map is a
+    # linear scan, and 16384 lookups × a 16k-entry map burned ~18 s on
+    # one task (data-size-INDEPENDENT — it throttled even sf0.01)
+    idx = dim.sparkSession.range(nwords).select(
+        F.col("id").cast("int").alias("w")
+    )
+    dense = idx.join(F.broadcast(words), "w", "left").select(
+        "w", F.coalesce("word", F.lit(0)).cast("long").alias("word")
+    )
+    return dense.agg(
+        F.array_sort(F.collect_list(F.struct("w", "word"))).alias("sw")
+    ).select(F.expr("transform(sw, x -> x.word)").alias("mask"))
+
+
+def _mix_tests(
+    h1: Column, h2: Column, mask: Column, k: int, m_bits: int
+) -> Column:
+    """AND-fold of the k bit tests given PRE-COMPUTED hash halves —
+    pure integer arithmetic + O(1) array indexes + ``bit_get``."""
+    tests = []
+    for i in range(k):
+        p = km_mix(h1, h2, i) % F.lit(m_bits)
+        word = F.coalesce(
+            F.try_element_at(mask, F.shiftright(p, 6).cast("int") + F.lit(1)),
+            F.lit(0).cast("long"),
+        )
+        tests.append(
+            F.bit_get(word, (p % F.lit(64)).cast("int")) == F.lit(1)
+        )
+    return reduce(lambda a, b: a & b, tests)
 
 
 def might_contain(
-    key_col: Column, mask: Column, k: int = 5, m_bits: int = 1 << 14
+    key_col: Column, mask: Column, k: int = 5, m_bits: int = 1 << 20
 ) -> Column:
-    """All-k-positions-set membership test against a position mask —
-    pure Column arithmetic (codegen, no UDF): k md5-mix positions, a
-    map lookup per position, an AND-fold. NULL keys test False (a NULL
-    never equi-joins, so pruning it is exact)."""
-    tests = [
-        F.try_element_at(mask, p).isNotNull()
-        for p in _positions(key_col, k, m_bits)
-    ]
-    return key_col.isNotNull() & reduce(lambda a, b: a & b, tests)
+    """All-k-bits-set membership test against a packed word array —
+    pure Column arithmetic (codegen, no UDF). NULL keys test False (a
+    NULL never equi-joins, so pruning it is exact). NOTE: this inline
+    form re-evaluates the md5 inside each position expression — fine
+    for one-off predicates; the hot path (``bloom_prune``) pre-projects
+    the hash halves once per row instead."""
+    h1, h2 = md5_halves(key_col.cast("string"))
+    return key_col.isNotNull() & _mix_tests(h1, h2, F.col("mask") if isinstance(mask, str) else mask, k, m_bits)
 
 
 def bloom_prune(
@@ -91,16 +131,37 @@ def bloom_prune(
     fact_key: str,
     mask_row: DataFrame,
     k: int = 5,
-    m_bits: int = 1 << 14,
+    m_bits: int = 1 << 20,
 ) -> DataFrame:
     """``fact`` rows whose ``fact_key`` the Bloom mask might contain —
     the pre-shuffle scan reduction. The 1-row mask broadcasts (scalar
-    BNLJ); the membership filter itself is whole-stage codegen, so the
-    join exchange downstream moves only maybe-matching rows."""
+    BNLJ); the md5 halves are PRE-PROJECTED once per row in whole-stage
+    codegen below the join (a BNLJ condition gets no common-subexpression
+    elimination, so inlining the hash would evaluate md5 2k× per row —
+    the second round-11 probe lesson), leaving only integer mixes, O(1)
+    array indexes and bit tests in the condition."""
+    md = F.md5(F.col(fact_key).cast("string").cast("binary"))
+    pre = (
+        fact.where(F.col(fact_key).isNotNull())
+        .withColumn("__bj_md", md)
+        .withColumn(
+            "__bj_h1",
+            F.conv(F.substring("__bj_md", 1, 15), 16, 10).cast("long"),
+        )
+        .withColumn(
+            "__bj_h2",
+            F.conv(F.substring("__bj_md", 17, 15), 16, 10).cast("long"),
+        )
+        .drop("__bj_md")
+    )
     return (
-        fact.crossJoin(F.broadcast(mask_row))
-        .where(might_contain(F.col(fact_key), F.col("mask"), k, m_bits))
-        .drop("mask")
+        pre.crossJoin(F.broadcast(mask_row))
+        .where(
+            _mix_tests(
+                F.col("__bj_h1"), F.col("__bj_h2"), F.col("mask"), k, m_bits
+            )
+        )
+        .drop("mask", "__bj_h1", "__bj_h2")
     )
 
 
@@ -110,7 +171,7 @@ def bloom_pruned_join(
     dim: DataFrame,
     dim_key: str,
     k: int = 5,
-    m_bits: int = 1 << 14,
+    m_bits: int = 1 << 20,
 ) -> DataFrame:
     """Exact inner equi-join with a Bloom-pruned fact side. Result is
     row-identical to ``fact.join(dim, fact_key == dim_key)``: the prune
@@ -128,7 +189,7 @@ def bloom_prune_pass_count_sql(
     dim_key: str,
     dim_where: str,
     k: int = 5,
-    m_bits: int = 1 << 14,
+    m_bits: int = 1 << 20,
 ) -> str:
     """DuckDB replay of the PRUNED fact-row count: a fact row passes iff
     every one of its k positions is in the dim side's distinct position
@@ -176,7 +237,7 @@ def bloom_pruned_anti_join(
     dim: DataFrame,
     dim_key: str,
     k: int = 5,
-    m_bits: int = 1 << 14,
+    m_bits: int = 1 << 20,
 ) -> DataFrame:
     """Exact LEFT ANTI join with Bloom short-circuiting — the diff-sync
     / decontamination shape at 100 TB (reference parity: the scraper's
@@ -197,9 +258,33 @@ def bloom_pruned_anti_join(
     NOT-maybe and lands in the first branch, matching LEFT ANTI
     semantics — NULL never equals any dim key)."""
     mask = bloom_pos_mask(dim, dim_key, k, m_bits)
-    tagged = fact.crossJoin(F.broadcast(mask)).withColumn(
-        "__maybe", might_contain(F.col(fact_key), F.col("mask"), k, m_bits)
-    ).drop("mask")
+    # pre-project the md5 halves once per row (codegen, CSE) — the
+    # bloom_prune lesson: hashing inside the BNLJ-adjacent expression
+    # would re-evaluate md5 2k times per row
+    md = F.md5(F.col(fact_key).cast("string").cast("binary"))
+    pre = (
+        fact.withColumn("__bj_md", md)
+        .withColumn(
+            "__bj_h1",
+            F.conv(F.substring("__bj_md", 1, 15), 16, 10).cast("long"),
+        )
+        .withColumn(
+            "__bj_h2",
+            F.conv(F.substring("__bj_md", 17, 15), 16, 10).cast("long"),
+        )
+        .drop("__bj_md")
+    )
+    tagged = (
+        pre.crossJoin(F.broadcast(mask))
+        .withColumn(
+            "__maybe",
+            F.col(fact_key).isNotNull()
+            & _mix_tests(
+                F.col("__bj_h1"), F.col("__bj_h2"), F.col("mask"), k, m_bits
+            ),
+        )
+        .drop("mask", "__bj_h1", "__bj_h2")
+    )
     definite_new = tagged.where(~F.col("__maybe")).drop("__maybe")
     maybe = tagged.where(F.col("__maybe")).drop("__maybe")
     resolved = maybe.join(

@@ -14913,7 +14913,11 @@ def bloom_pruned_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey"
     )
     mask = op_bloom_join.bloom_pos_mask(dim, "o_orderkey")
-    pruned = op_bloom_join.bloom_prune(li, "l_orderkey", mask)
+    # the pruned frame feeds the pass count AND the join: checkpoint so
+    # the probe (scan + k bit tests per row) runs once, not per consumer
+    pruned = op_bloom_join.bloom_prune(li, "l_orderkey", mask).localCheckpoint(
+        eager=True
+    )
     bloom_pass = pruned.agg(
         F.count(F.lit(1)).cast("long").alias("bloom_pass")
     )
@@ -15108,9 +15112,11 @@ def bloom_pruned_anti_join_gate(
     dim = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey"
     )
+    # the anti result feeds stats + both exceptAll sides: checkpoint so
+    # the probe + anti-join pipeline runs once, not four times
     anti = op_bloom_join.bloom_pruned_anti_join(
         li, "l_orderkey", dim, "o_orderkey"
-    )
+    ).localCheckpoint(eager=True)
     stats = anti.agg(
         F.count(F.lit(1)).cast("long").alias("anti_rows"),
         F.round(
@@ -15126,7 +15132,7 @@ def bloom_pruned_anti_join_gate(
     fact_rows = li.agg(F.count(F.lit(1)).cast("long").alias("fact_rows"))
     plain = li.join(
         dim, li["l_orderkey"] == dim["o_orderkey"], "left_anti"
-    )
+    ).localCheckpoint(eager=True)
     diff = (
         anti.exceptAll(plain)
         .union(plain.exceptAll(anti))
