@@ -138,3 +138,34 @@ def test_anti_join_empty_dim_returns_all(spark):
     fact = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
     dim = spark.createDataFrame([], "k2 long")
     assert bj.bloom_pruned_anti_join(fact, "k", dim, "k2").count() == 2
+
+
+def test_saturated_mask_stays_exact(spark):
+    # m_bits=64 with hundreds of keys saturates every word: the prune
+    # passes everything (no pruning power) but the join result is still
+    # row-identical to the plain join — the "saturated stays EXACT"
+    # contract from the module docstring
+    fact = spark.createDataFrame(
+        [(i % 50, f"r{i}") for i in range(300)], "k long, v string"
+    )
+    dim = spark.createDataFrame([(i,) for i in range(0, 50, 2)], "k2 long")
+    got = bj.bloom_pruned_join(fact, "k", dim, "k2", k=3, m_bits=64)
+    plain = fact.join(dim, fact["k"] == dim["k2"])
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
+    anti = bj.bloom_pruned_anti_join(fact, "k", dim, "k2", k=3, m_bits=64)
+    plain_anti = fact.join(dim, fact["k"] == dim["k2"], "left_anti")
+    assert anti.exceptAll(plain_anti).count() == 0
+    assert plain_anti.exceptAll(anti).count() == 0
+
+
+def test_nondefault_k_and_m_bits_exact(spark):
+    fact = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(500)], "k long, v string"
+    )
+    dim = spark.createDataFrame([(i * 7,) for i in range(30)], "k2 long")
+    for kk, m in ((1, 1 << 10), (7, 1 << 16)):
+        got = bj.bloom_pruned_join(fact, "k", dim, "k2", k=kk, m_bits=m)
+        plain = fact.join(dim, fact["k"] == dim["k2"])
+        assert got.exceptAll(plain).count() == 0
+        assert plain.exceptAll(got).count() == 0
