@@ -187,6 +187,8 @@ HEADLINE = [
     "hll_sliding_distinct_users",
     "pareto_frontier_by_brand",
     "heavy_hitter_types_sliding",
+    "event_value_quantiles_sliding",
+    "bloom_mask_union_merge",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution. The streaming

@@ -197,6 +197,11 @@ BNLJ_OK = {
     # round 11: same frontier-superset recheck as the global gate,
     # with the group-equality conjunct in the join condition
     "pareto_frontier_by_brand",
+    # round 11: sliding quantiles — |days| dim × broadcast days×64 leaf
+    # bins range join + per-q 1-row pick joins; mask merge — 1-row ×
+    # 1-row zip_with crosses + the 1-row mask probe/scalar joins
+    "event_value_quantiles_sliding",
+    "bloom_mask_union_merge",
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

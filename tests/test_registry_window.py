@@ -310,6 +310,8 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "hll_sliding_distinct_users",
         "bloom_pruned_anti_join",
         "heavy_hitter_types_sliding",
+        "event_value_quantiles_sliding",
+        "bloom_mask_union_merge",
         # r05 stragglers swapped in
         "csv_export_roundtrip",
         "xml_export_roundtrip",

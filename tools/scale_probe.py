@@ -101,11 +101,13 @@ EVENT_QUERIES = [
     "kmv_sliding_distinct_users_30d",
     "hll_sliding_distinct_users",
     "heavy_hitter_types_sliding",
+    "event_value_quantiles_sliding",
     # round 11: bloom-pruned joins — the mask stays O(m_bits) while the
     # fact side grows; ratios read as scan+shuffle-of-matches cost
     # (lineitem/orders now replicate with consistent FKs)
     "bloom_pruned_join",
     "bloom_pruned_anti_join",
+    "bloom_mask_union_merge",
     # round 11: grouped skyline — thresholds stay O(brands×64) while
     # rows per brand grow; recheck is frontier-superset-sized
     "pareto_frontier_by_brand",

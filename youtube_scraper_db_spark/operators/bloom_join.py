@@ -291,3 +291,19 @@ def bloom_pruned_anti_join(
         dim, maybe[fact_key] == dim[dim_key], "left_anti"
     )
     return definite_new.unionByName(resolved)
+
+
+def bloom_mask_merge(mask_a: DataFrame, mask_b: DataFrame) -> DataFrame:
+    """Union two packed-word masks: element-wise OR of the word arrays
+    (1-row × 1-row cross, zip_with — pure codegen). Bit-union is
+    associative/commutative, so the merged words are IDENTICAL to the
+    mask built over the combined dim input — the mergeability property
+    that lets per-partition / per-day runtime filters roll up without
+    re-hashing any keys (the ``bloom_mask_union_merge`` gate asserts
+    word-for-word equality, the bloom_merge/bloom_union_merge contract
+    restated for the packed carrier)."""
+    a = mask_a.select(F.col("mask").alias("__ma"))
+    b = mask_b.select(F.col("mask").alias("__mb"))
+    return a.crossJoin(F.broadcast(b)).select(
+        F.zip_with("__ma", "__mb", lambda x, y: x.bitwiseOR(y)).alias("mask")
+    )

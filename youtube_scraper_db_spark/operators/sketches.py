@@ -2145,3 +2145,160 @@ def hll_sliding_oracle_sql(
            CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
     FROM est JOIN ex ON ex.wend = est.wend
     """
+
+
+def histogram_leaf_bins(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    grain: str = "day",
+) -> DataFrame:
+    """(leaf: timestamp, bin, cnt): one ``bins``-cell histogram per
+    ``grain`` bucket of ``ts_col``, binned under FIXED [lo, hi] edges
+    (driver-collected, the streaming-twin configuration — shared edges
+    are what make leaf cells sum-mergeable across any window). O(leaves
+    × bins) rows whatever the event volume."""
+    return (
+        df.where(F.col(col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            F.date_trunc(grain, F.col(ts_col)).alias("leaf"),
+            histogram_bin_expr(
+                F.col(col).cast("double"), F.lit(lo), F.lit(hi), bins
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_sliding_quantiles(
+    leaves: DataFrame,
+    lo: float,
+    hi: float,
+    width: int,
+    bins: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    grain: str = "day",
+) -> DataFrame:
+    """Per-window-end (wend, n_total, {q}_est …) quantile estimates for
+    every sliding window of ``width`` leaves — integer SUM-merge of the
+    leaf histograms (associative, so the merged window cells are
+    IDENTICAL to binning the window's raw events directly; the oracle
+    builds windows the direct way, which makes the driver comparison
+    itself the mergeability proof), then the batch estimator's exact
+    interpolation arithmetic per window: rank r = n·q, covering bin =
+    the first with cum ≥ r, estimate = lo + w·(bin + (r − cum_prev)/cnt),
+    half-up 2dp. All window work is dim-sized (windows × bins rows)."""
+    from pyspark.sql import Window
+
+    ends = leaves.select(F.col("leaf").alias("wend")).distinct()
+    lob = F.col("wend") - F.expr(f"INTERVAL {width - 1} {grain}")
+    merged = (
+        ends.join(
+            F.broadcast(leaves),
+            (F.col("leaf") >= lob) & (F.col("leaf") <= F.col("wend")),
+        )
+        .groupBy("wend", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wspec = Window.partitionBy("wend").orderBy("bin")
+    cum = merged.withColumn("cum", F.sum("cnt").over(wspec))
+    totals = merged.groupBy("wend").agg(F.sum("cnt").alias("n"))
+    cum = cum.join(F.broadcast(totals), "wend")
+    w = (F.lit(hi) - F.lit(lo)) / float(bins)
+
+    def half_up2(c: Column) -> Column:
+        return F.floor(c * 100 + F.lit(0.5)) / 100.0
+
+    out = totals.select(
+        "wend", F.col("n").cast("long").alias("n_total")
+    )
+    for q in qs:
+        tag = str(q).replace("0.", "p")
+        r = F.col("n") * float(q)
+        pick = (
+            cum.where((F.col("cum") >= r) & (F.col("cum") - F.col("cnt") < r))
+            .select(
+                "wend",
+                half_up2(
+                    F.lit(lo)
+                    + w
+                    * (
+                        F.col("bin")
+                        + (r - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                    )
+                ).alias(f"{tag}_est"),
+            )
+        )
+        out = out.join(pick, "wend")
+    return out
+
+
+def histogram_sliding_oracle_sql(
+    table: str,
+    ts_col: str,
+    col: str,
+    width: int,
+    bins: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    grain: str = "day",
+) -> str:
+    """DuckDB replay of the sliding histogram quantiles — windows built
+    the DIRECT way (bin the window's raw rows), same fixed global
+    edges, same interpolation, same half-up rounding; equality with the
+    engine's leaf-sum path is the mergeability proof."""
+    clamp = (
+        f"CASE WHEN hi = lo THEN 0 ELSE LEAST("
+        f"CAST(FLOOR((v - lo) / ((hi - lo) / {float(bins)!r})) AS BIGINT),"
+        f" {bins - 1}) END"
+    )
+    q_cols = []
+    for q in qs:
+        tag = str(q).replace("0.", "p")
+        q_cols.append(
+            f"""
+    {tag} AS (
+      SELECT c.wend,
+             FLOOR((e.lo + ((e.hi - e.lo) / {float(bins)!r})
+                    * (c.bin + (t.n * {q!r} - (c.cum - c.cnt)) / c.cnt))
+                   * 100 + 0.5) / 100.0 AS {tag}_est
+      FROM cum c JOIN tot t ON t.wend = c.wend, edges e
+      WHERE c.cum >= t.n * {q!r} AND c.cum - c.cnt < t.n * {q!r}
+    )"""
+        )
+    sel = ", ".join(
+        f"{str(q).replace('0.', 'p')}_est" for q in qs
+    )
+    joins = " ".join(
+        f"JOIN {str(q).replace('0.', 'p')} ON"
+        f" {str(q).replace('0.', 'p')}.wend = tot.wend"
+        for q in qs
+    )
+    return f"""
+    WITH src AS (
+      SELECT date_trunc('{grain}', {ts_col}) AS leaf,
+             CAST({col} AS DOUBLE) AS v
+      FROM {table} WHERE {col} IS NOT NULL AND {ts_col} IS NOT NULL
+    ),
+    edges AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM src),
+    ends AS (SELECT DISTINCT leaf AS wend FROM src),
+    wb AS (
+      SELECT ends.wend, {clamp} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ends JOIN src
+        ON src.leaf BETWEEN ends.wend - INTERVAL {width - 1} {grain}
+                        AND ends.wend, edges
+      GROUP BY ends.wend, 2
+    ),
+    cum AS (
+      SELECT wend, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY wend ORDER BY bin) AS cum
+      FROM wb
+    ),
+    tot AS (SELECT wend, SUM(cnt) AS n FROM wb GROUP BY wend),
+    {",".join(q_cols)}
+    SELECT CAST(tot.wend AS TIMESTAMP) AS wend,
+           CAST(tot.n AS BIGINT) AS n_total, {sel}
+    FROM tot {joins}
+    """
