@@ -169,3 +169,42 @@ def test_nondefault_k_and_m_bits_exact(spark):
         plain = fact.join(dim, fact["k"] == dim["k2"])
         assert got.exceptAll(plain).count() == 0
         assert plain.exceptAll(got).count() == 0
+
+
+def test_m_bits_must_be_multiple_of_64(spark):
+    # m_bits=100 would let positions >= 64 index past the packed word
+    # array: try_element_at NULL → coalesce 0 → true members test
+    # NEGATIVE. The guard turns that silent contract break into an
+    # immediate ValueError at every entry point.
+    import pytest
+
+    fact = spark.createDataFrame([(1, "a")], "k long, v string")
+    dim = spark.createDataFrame([(1,)], "k2 long")
+    for bad in (100, 0, -64, 63):
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bj.bloom_pos_mask(dim, "k2", m_bits=bad)
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bj.bloom_prune(fact, "k", None, m_bits=bad)
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bj.might_contain(F.col("k"), F.col("mask"), m_bits=bad)
+
+
+def test_might_contain_resolves_string_mask_name(spark):
+    # A string mask argument must resolve THAT column, not a hardcoded
+    # "mask" — probe through a renamed mask column and check members
+    # test positive and a definite non-member's key set stays exact.
+    dim = spark.createDataFrame([(i,) for i in range(20)], "k2 long")
+    mask = bj.bloom_pos_mask(dim, "k2", k=3, m_bits=1 << 12).select(
+        F.col("mask").alias("renamed_words")
+    )
+    fact = spark.createDataFrame(
+        [(i,) for i in range(40)] + [(None,)], "k long"
+    )
+    got = (
+        fact.crossJoin(F.broadcast(mask))
+        .where(bj.might_contain(F.col("k"), "renamed_words", k=3, m_bits=1 << 12))
+        .select("k")
+    )
+    kept = {r.k for r in got.collect()}
+    assert set(range(20)) <= kept  # no false negatives
+    assert None not in kept  # NULL keys test False

@@ -108,7 +108,21 @@ def _hash_to_name(hl: int) -> dict[str, str]:
         names |= set(HEADLINE)
     except Exception:  # noqa: BLE001
         pass
-    return {hashlib.sha1(n.encode()).hexdigest()[:hl]: n for n in names}
+    # Prefix collisions: a future name colliding at a historical hl
+    # prefix must NOT silently overwrite the mapping (it would mislabel
+    # an old artifact's timings) — leave colliding hashes unmapped so
+    # they surface as raw keys instead of a wrong name.
+    inv: dict[str, str] = {}
+    collided: set[str] = set()
+    for n in names:
+        h = hashlib.sha1(n.encode()).hexdigest()[:hl]
+        if h in inv and inv[h] != n:
+            collided.add(h)
+        else:
+            inv[h] = n
+    for h in collided:
+        del inv[h]
+    return inv
 
 
 def _decode_compact(doc: dict) -> tuple[dict, dict] | None:

@@ -5,8 +5,10 @@ KB of hash positions (Spark's own adaptive variant is
 ``spark.sql.optimizer.runtime.bloomFilter.enabled``, exercised in
 tests/test_runtime_filters.py — this module is the EXPLICIT, plannable
 operator with an oracle-replayable hash family; reference parity: the
-scraper's keyed reconciliation joins, ref db.py sync paths, are this
-fact⋈dim shape once the video table outgrows a broadcast).
+scraper's keyed reconciliation joins — ref main_scraper.py:144-179
+(sync_playlist_videos_db) and import_playlists.py:42-49
+(insert-if-absent) — are this fact⋈dim shape once the video table
+outgrows a broadcast).
 
 Shape at scale:
 - ``bloom_pos_mask`` folds the dim side's join keys into ONE row holding
@@ -48,6 +50,19 @@ from pyspark.sql import functions as F
 from ..functions.portable_hash import km_mix, km_mix_sql, md5_halves
 
 
+def _check_m_bits(m_bits: int) -> None:
+    """The packed-word carrier holds exactly m_bits/64 longs; a
+    non-multiple-of-64 m_bits would let positions >= (m_bits//64)*64
+    index past the array, where try_element_at yields NULL → coalesce
+    0 → a true member testing NEGATIVE, silently breaking the
+    no-false-negatives contract every caller relies on. Guard, not a
+    behavior change: all in-repo callers use powers of two."""
+    if m_bits <= 0 or m_bits % 64 != 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64, got {m_bits}"
+        )
+
+
 def _positions(key_col: Column, k: int, m_bits: int) -> list[Column]:
     """The k Bloom positions of one key — md5 halves mixed per seed,
     mod the bit-space (hashes are 60-bit non-negative, so ``%`` is a
@@ -67,6 +82,7 @@ def bloom_pos_mask(
     into ~50 s of comparisons at sf0.1). Empty dim → all-zero words
     (every probe misses, pruning everything: exact, since nothing
     joins either)."""
+    _check_m_bits(m_bits)
     nwords = m_bits // 64
     pos = (
         dim.where(F.col(key).isNotNull())
@@ -114,16 +130,20 @@ def _mix_tests(
 
 
 def might_contain(
-    key_col: Column, mask: Column, k: int = 5, m_bits: int = 1 << 20
+    key_col: Column, mask: Column | str, k: int = 5, m_bits: int = 1 << 20
 ) -> Column:
     """All-k-bits-set membership test against a packed word array —
-    pure Column arithmetic (codegen, no UDF). NULL keys test False (a
-    NULL never equi-joins, so pruning it is exact). NOTE: this inline
-    form re-evaluates the md5 inside each position expression — fine
-    for one-off predicates; the hot path (``bloom_prune``) pre-projects
-    the hash halves once per row instead."""
+    pure Column arithmetic (codegen, no UDF). ``mask`` is the word
+    array as a Column or a column NAME (resolved via ``F.col(mask)``).
+    NULL keys test False (a NULL never equi-joins, so pruning it is
+    exact). NOTE: this inline form re-evaluates the md5 inside each
+    position expression — fine for one-off predicates; the hot path
+    (``bloom_prune``) pre-projects the hash halves once per row
+    instead."""
+    _check_m_bits(m_bits)
     h1, h2 = md5_halves(key_col.cast("string"))
-    return key_col.isNotNull() & _mix_tests(h1, h2, F.col("mask") if isinstance(mask, str) else mask, k, m_bits)
+    mask_col = F.col(mask) if isinstance(mask, str) else mask
+    return key_col.isNotNull() & _mix_tests(h1, h2, mask_col, k, m_bits)
 
 
 def bloom_prune(
@@ -140,6 +160,7 @@ def bloom_prune(
     elimination, so inlining the hash would evaluate md5 2k× per row —
     the second round-11 probe lesson), leaving only integer mixes, O(1)
     array indexes and bit tests in the condition."""
+    _check_m_bits(m_bits)
     md = F.md5(F.col(fact_key).cast("string").cast("binary"))
     pre = (
         fact.where(F.col(fact_key).isNotNull())
@@ -241,7 +262,8 @@ def bloom_pruned_anti_join(
 ) -> DataFrame:
     """Exact LEFT ANTI join with Bloom short-circuiting — the diff-sync
     / decontamination shape at 100 TB (reference parity: the scraper's
-    insert-if-absent and new-only sync paths, ref db.py): rows whose
+    insert-if-absent and new-only sync paths, ref
+    import_playlists.py:42-49 and main_scraper.py:144-179): rows whose
     key FAILS the membership test are DEFINITE non-members (no false
     negatives), so they enter the result with no shuffle at all; only
     the maybe-present minority — true members plus the bounded

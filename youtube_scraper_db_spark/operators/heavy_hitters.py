@@ -319,8 +319,11 @@ def mg_sliding_oracle_sql(
     threshold — no summary-content replay needed."""
     return f"""
     WITH ends AS (
+      -- key-not-null matches the engine: its window ends come from the
+      -- leaf count table (null keys dropped), so a grain bucket whose
+      -- keys are ALL null has no window end on either side
       SELECT DISTINCT date_trunc('{grain}', {ts_col}) AS wend FROM {table}
-      WHERE {ts_col} IS NOT NULL
+      WHERE {ts_col} IS NOT NULL AND {key} IS NOT NULL
     ),
     lk AS (
       SELECT date_trunc('{grain}', {ts_col}) AS leaf,

@@ -509,8 +509,12 @@ def kmv_sliding_oracle_sql(
     (wend, estimate, sketch_size, kth_hash, exact_distinct)."""
     return f"""
     WITH ends AS (
+      -- key-not-null matches the engine side, whose window ends come
+      -- from the LEAF table (kmv_leaf_sketches drops null keys): a
+      -- grain bucket whose keys are ALL null produces no leaf and so
+      -- no window end on either side
       SELECT DISTINCT date_trunc('{grain}', {ts_col}) AS wend FROM {table}
-      WHERE {ts_col} IS NOT NULL
+      WHERE {ts_col} IS NOT NULL AND {key} IS NOT NULL
     ),
     hs AS (
       SELECT DISTINCT date_trunc('{grain}', {ts_col}) AS leaf,

@@ -2091,8 +2091,12 @@ def hll_sliding_oracle_sql(
     )
     return f"""
     WITH ends AS (
+      -- key-not-null matches the engine: its window ends come from the
+      -- LEAF register table (hll_leaf_registers drops null keys), so a
+      -- grain bucket whose keys are ALL null has no leaf and no window
+      -- end on either side
       SELECT DISTINCT date_trunc('{grain}', {ts_col}) AS wend FROM {table}
-      WHERE {ts_col} IS NOT NULL
+      WHERE {ts_col} IS NOT NULL AND {key} IS NOT NULL
     ),
     h AS (
       SELECT date_trunc('{grain}', {ts_col}) AS leaf,

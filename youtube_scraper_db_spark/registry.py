@@ -15172,8 +15172,11 @@ def event_value_quantiles_sliding(
     rows; raw events are touched once, to build the leaves."""
     ensure_utc(spark)
     ev = _t(spark, sf_dir, "events")
+    # ts-not-null matches the oracle's src CTE: a non-null value on a
+    # null-ts row contributes to no leaf bin, so it must not shift the
+    # shared fixed edges either
     st = (
-        ev.where(F.col("value").isNotNull())
+        ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .agg(
             F.min(F.col("value").cast("double")),
             F.max(F.col("value").cast("double")),
