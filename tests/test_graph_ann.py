@@ -1,0 +1,111 @@
+"""Deterministic NSW graph ANN (llm/graph_ann.py): build invariants,
+search determinism/recall, and the streaming IVF ingest fold
+(streaming/ann.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from youtube_scraper_db_spark.io import read_table
+from youtube_scraper_db_spark.llm import graph_ann as ga
+from youtube_scraper_db_spark.llm.similarity import (
+    as_double,
+    cosine_topk,
+    ivf_index,
+    ivf_search_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_q(spark):
+    e = read_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("qv")
+    )
+    return e, q
+
+
+def test_edges_symmetric_no_self_loops(spark):
+    e, _ = _emb_q(spark)
+    edges = ga.nsw_edges(e, m_neighbors=4).localCheckpoint(eager=True)
+    assert edges.where(F.col("src") == F.col("dst")).count() == 0
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    assert edges.exceptAll(rev).count() == 0
+    assert rev.exceptAll(edges).count() == 0
+
+
+def test_edge_degree_bounded(spark):
+    # directed out-degree per family is <= M, so after the 2-family
+    # union + symmetrization a node's degree is <= 4M
+    e, _ = _emb_q(spark)
+    m = 4
+    edges = ga.nsw_edges(e, m_neighbors=m)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    assert deg.agg(F.max("d")).first()[0] <= 4 * m
+
+
+def test_search_deterministic_across_runs(spark):
+    e, q = _emb_q(spark)
+    edges = ga.nsw_edges(e, m_neighbors=12).localCheckpoint(eager=True)
+    a = ga.nsw_search(edges, e, q, beam=32, hops=4).collect()
+    b = ga.nsw_search(edges, e, q, beam=32, hops=4).collect()
+    assert [(r.vec_id, r.cos_sim) for r in a] == [
+        (r.vec_id, r.cos_sim) for r in b
+    ]
+    assert len(a) == 10
+
+
+def test_search_recall_vs_bruteforce(spark):
+    # the gate's contract: >= 8/10 of the exact top-10 (measured 10/10
+    # at all three SFs with M=12/beam=32/hops=4)
+    e, q = _emb_q(spark)
+    edges = ga.nsw_edges(e, m_neighbors=12).localCheckpoint(eager=True)
+    got = {
+        r.vec_id for r in ga.nsw_search(edges, e, q, beam=32, hops=4).collect()
+    }
+    exact = {r.vec_id for r in cosine_topk(e, q, k=10).collect()}
+    assert len(got & exact) >= 8
+
+
+def test_query_vector_found_when_in_corpus(spark):
+    # vec_id=0 is both the query and an entry point: cos 1.0 must rank
+    # first
+    e, q = _emb_q(spark)
+    edges = ga.nsw_edges(e, m_neighbors=12).localCheckpoint(eager=True)
+    top = ga.nsw_search(edges, e, q, beam=32, hops=4).first()
+    assert top.vec_id == 0 and top.cos_sim == 1.0
+
+
+def test_stream_ivf_ingest_equals_batch_build(spark, tmp_path):
+    from youtube_scraper_db_spark.streaming.ann import run_ivf_ingest_stream
+
+    e, q = _emb_q(spark)
+    cdf = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
+    )
+    staged = str(tmp_path / "src")
+    e.select("vec_id", "embedding").repartition(3).write.parquet(staged)
+    updates = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    drained = run_ivf_ingest_stream(
+        updates, cdf, str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    )
+    # the drained store IS the one-shot index, row for row
+    full = ivf_index(e, cdf)
+    key = lambda df: df.select(
+        "vec_id", "cluster", F.round("vn", 9).alias("vn9")
+    )
+    assert key(drained).exceptAll(key(full)).count() == 0
+    assert key(full).exceptAll(key(drained)).count() == 0
+    # and searching it returns the batch search's rows
+    got = ivf_search_index(drained, cdf, q, nprobe=4, k=10).collect()
+    want = ivf_search_index(full, cdf, q, nprobe=4, k=10).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == [
+        (r.vec_id, r.cos_sim) for r in want
+    ]

@@ -202,6 +202,13 @@ BNLJ_OK = {
     # 1-row zip_with crosses + the 1-row mask probe/scalar joins
     "event_value_quantiles_sliding",
     "bloom_mask_union_merge",
+    # round 12: beam-search scoring crossJoins the 1-row broadcast
+    # query vector per hop (the cosine_topk shape); the gate row joins
+    # 1-row recall / edge-count scalars
+    "graph_ann_topk",
+    # round 12: nprobe centroid-distance scalar + 1-row sym-diff scalar
+    # over the drained index search (the ivf_ann_topk shape)
+    "stream_ivf_ingest",
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

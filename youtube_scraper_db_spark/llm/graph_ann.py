@@ -1,0 +1,282 @@
+"""Graph-based approximate nearest neighbor — the beam-search-over-a-
+neighbor-graph family (NSW/HNSW tier: the production default for large
+embedding stores, FAISS-HNSW/ScaNN class) re-expressed as DataFrame
+ops, completing the engine's ANN coverage next to IVF inverted lists,
+PQ codes, LSH buckets and int8 re-rank (llm/similarity.py).
+
+Production HNSW is traversal-order-dependent (insertion order shapes
+the layers), which would make an oracle replay impossible. This module
+gates the DETERMINISTIC variant instead — the sketch-family playbook:
+
+- **Build** (``nsw_edges``): a navigable-small-world-style neighbor
+  graph constructed from LSH-bucketed local kNN, never all-pairs. One
+  8-plane portable (md5-derived) signature splits into TWO 4-bit bucket
+  families; within each family's bucket every vector links to its top-M
+  cosine neighbors (6dp-rounded score, id tie-break → order-free), the
+  two families' directed edges union, and the graph symmetrizes. Two
+  overlapping partitions of the corpus make the graph connected the way
+  HNSW's long links do, while each family's join stays a bucket-local
+  shuffle — at 100 TB this is two bucket-keyed exchanges plus a
+  windowed top-M, the lsh_near_dups cost shape, O(sum of bucket²)
+  bounded by plane count, never O(n²).
+- **Search** (``nsw_search``): fixed entry points (the lowest ids),
+  then ``hops`` rounds of frontier expansion — score the beam's
+  neighbors against the query, keep the top-``beam`` by 6dp-rounded
+  cosine (id tie-break) — and an exact 4dp re-rank of the final beam.
+  Each hop touches O(beam × M) adjacency rows via a broadcast hash
+  join against the edge table; the corpus itself is NEVER scanned at
+  query time — the property that makes graph ANN the serving-tier
+  default.
+
+Everything above is md5 arithmetic + rounded doubles + integer
+tie-breaks, so the ENTIRE pipeline — graph included — replays in
+DuckDB SQL (``nsw_oracle_sql`` unrolls the hops as CTE pairs, the
+_pagerank_sql device), upgrading the gate from a recall boolean to a
+full value-hash check; recall@10 vs brute force rides along as an
+exact-checked column (the incremental_ivf_equiv contract). The
+multiply-referenced CTEs (bk/nrm/edges/sc) are MATERIALIZED — DuckDB
+inlines CTEs by default, and recomputing the edge build once per hop
+turned a 3 s replay into 300 s at sf0.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _dot, as_double, lsh_signature, portable_hyperplanes
+
+#: The shared plane family: 8 portable hyperplanes over 64 dims, split
+#: into two 4-bit bucket families (low/high nibble of the signature).
+N_PLANES = 8
+FAM_BITS = 4
+
+
+def nsw_edges(
+    emb: DataFrame,
+    dim: int = 64,
+    m_neighbors: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src, dst): the symmetrized NSW neighbor graph — per bucket
+    family, each vector's top-``m_neighbors`` cosine neighbors within
+    its bucket (6dp-rounded score, dst-id tie-break), both families
+    unioned, reverse edges added. ≤ 2 × 2 × M rows per vector."""
+    planes = portable_hyperplanes(dim, N_PLANES)
+    sig = lsh_signature(as_double(vec_col), planes, round_dp=6)
+    base = (
+        emb.select(
+            F.col(id_col).alias("nid"),
+            as_double(vec_col).alias("nv"),
+            sig.alias("sig"),
+        )
+        .withColumn("nn", F.sqrt(_dot(F.col("nv"), F.col("nv"))))
+        .withColumn("ba", F.col("sig").bitwiseAND(F.lit((1 << FAM_BITS) - 1)))
+        .withColumn("bb", F.shiftright("sig", FAM_BITS))
+    )
+    fams = []
+    for fam in ("ba", "bb"):
+        a = base.select(
+            F.col("nid").alias("src"),
+            F.col("nv").alias("av"),
+            F.col("nn").alias("an"),
+            F.col(fam).alias("bk"),
+        )
+        b = base.select(
+            F.col("nid").alias("dst"),
+            F.col("nv").alias("bv"),
+            F.col("nn").alias("bn"),
+            F.col(fam).alias("bk"),
+        )
+        scored = (
+            a.join(b, "bk")
+            .where(F.col("src") != F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    _dot(F.col("av"), F.col("bv"))
+                    / (F.col("an") * F.col("bn")),
+                    6,
+                ).alias("s"),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+        fams.append(
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= m_neighbors)
+            .select("src", "dst")
+        )
+    directed = fams[0].unionByName(fams[1]).distinct()
+    return (
+        directed.unionByName(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+
+
+def nsw_search(
+    edges: DataFrame,
+    emb: DataFrame,
+    query_df: DataFrame,
+    n_entries: int = 4,
+    beam: int = 16,
+    hops: int = 3,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic beam search: start from the ``n_entries`` lowest
+    ids, expand ``hops`` times through the edge table keeping the
+    top-``beam`` by 6dp-rounded query cosine (id tie-break), return the
+    final beam's top-``k`` re-ranked at 4dp → (id, cos_sim). Only
+    beam ∪ its neighbors are ever scored — no corpus scan."""
+    corpus = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+    def _score(ids: DataFrame) -> DataFrame:
+        qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        cos = _dot(F.col("v"), F.col("qv")) / (F.col("vn") * qn)
+        return (
+            ids.join(corpus, id_col)
+            .crossJoin(F.broadcast(query_df))
+            .select(
+                F.col(id_col),
+                F.round(cos, 6).alias("s6"),
+                F.round(cos, 4).alias("s4"),
+            )
+        )
+
+    entries = emb.select(id_col).orderBy(F.asc(id_col)).limit(n_entries)
+    beam_df = _score(entries).localCheckpoint(eager=True)
+    for _ in range(hops):
+        nbrs = (
+            beam_df.select(id_col)
+            .join(edges, beam_df[id_col] == edges["src"])
+            .select(F.col("dst").alias(id_col))
+        )
+        cand = beam_df.select(id_col).unionByName(nbrs).distinct()
+        beam_df = (
+            _score(cand)
+            .orderBy(F.desc("s6"), F.asc(id_col))
+            .limit(beam)
+            .localCheckpoint(eager=True)
+        )
+    return (
+        beam_df.orderBy(F.desc("s4"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.col("s4").alias("cos_sim"))
+    )
+
+
+def nsw_oracle_sql(
+    m_neighbors: int = 6,
+    n_entries: int = 4,
+    beam: int = 16,
+    hops: int = 3,
+    k: int = 10,
+    query_id: int = 0,
+) -> str:
+    """DuckDB replay of build + search + the exact-recall rider over the
+    ``embeddings`` view: portable 8-plane signatures → two bucket
+    families → per-family top-M edges → symmetrize → unrolled beam
+    hops → 4dp re-rank, plus recall_hits vs brute-force top-10 and the
+    symmetrized edge count (both exact, hash-checked). Column names
+    match the engine gate: (vec_id, cos_sim, recall_hits, n_edges)."""
+    fam_mask = (1 << FAM_BITS) - 1
+    fam_edges = []
+    for fam_expr in (f"s & {fam_mask}", f"s >> {FAM_BITS}"):
+        fam_edges.append(
+            f"""(
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND(list_dot_product(na.ev, nb.ev)
+                                / (na.n * nb.n), 6) DESC, b.vec_id
+               ) AS rn
+        FROM bk a JOIN bk b
+          ON ({fam_expr.replace('s ', 'a.s ')}) = ({fam_expr.replace('s ', 'b.s ')})
+         AND a.vec_id <> b.vec_id
+        JOIN nrm na ON na.vec_id = a.vec_id
+        JOIN nrm nb ON nb.vec_id = b.vec_id
+      ) WHERE rn <= {m_neighbors}
+    )"""
+        )
+    hop_ctes = []
+    prev = "b0"
+    for i in range(1, hops + 1):
+        hop_ctes.append(
+            f"""c{i} AS (
+      SELECT vec_id FROM {prev}
+      UNION
+      SELECT e.dst AS vec_id FROM {prev} p JOIN edges e ON e.src = p.vec_id
+    ),
+    b{i} AS (
+      SELECT vec_id FROM (
+        SELECT c.vec_id,
+               row_number() OVER (ORDER BY sc.s6 DESC, c.vec_id) AS rn
+        FROM c{i} c JOIN sc ON sc.vec_id = c.vec_id
+      ) WHERE rn <= {beam}
+    )"""
+        )
+        prev = f"b{i}"
+    return f"""
+    WITH pl AS (
+      SELECT p.p AS p, d.d AS d,
+             ('0x' || substr(md5(p.p || ':' || d.d), 1, 15))::BIGINT
+               / 1152921504606846976.0 - 0.5 AS c
+      FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p
+           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    dots AS (
+      SELECT vec_id, pl.p AS p, ROUND(SUM(ev[pl.d + 1] * pl.c), 6) AS dp
+      FROM v, pl GROUP BY vec_id, pl.p
+    ),
+    bk AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS s
+      FROM dots GROUP BY vec_id
+    ),
+    nrm AS MATERIALIZED (
+      SELECT vec_id, ev, sqrt(list_dot_product(ev, ev)) AS n FROM v
+    ),
+    ed AS (
+      SELECT src, dst FROM {fam_edges[0]}
+      UNION
+      SELECT src, dst FROM {fam_edges[1]}
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed
+    ),
+    q AS (SELECT ev AS qv, n AS qn FROM nrm WHERE vec_id = {query_id}),
+    sc AS MATERIALIZED (
+      SELECT nrm.vec_id,
+             ROUND(list_dot_product(nrm.ev, q.qv) / (nrm.n * q.qn), 6) AS s6,
+             ROUND(list_dot_product(nrm.ev, q.qv) / (nrm.n * q.qn), 4) AS s4
+      FROM nrm, q
+    ),
+    b0 AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT {n_entries}),
+    {",".join(hop_ctes)},
+    topk AS (
+      SELECT b.vec_id, sc.s4 AS cos_sim
+      FROM {prev} b JOIN sc ON sc.vec_id = b.vec_id
+      ORDER BY sc.s4 DESC, b.vec_id LIMIT {k}
+    ),
+    exact10 AS (
+      SELECT vec_id FROM sc ORDER BY s4 DESC, vec_id LIMIT 10
+    ),
+    hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS recall_hits
+      FROM topk JOIN exact10 USING (vec_id)
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT t.vec_id, t.cos_sim, h.recall_hits, ne.n_edges
+    FROM topk t, hits h, ne
+    """

@@ -41,6 +41,7 @@ from .llm import sampling as llm_sampling
 from .llm import multimodal as llm_multimodal
 from .llm import rarity as llm_rarity
 from .llm import bigram as llm_bigram
+from .llm import graph_ann as llm_graph_ann
 from .llm import similarity as llm_similarity
 from .llm import wordpiece as llm_wordpiece
 from .llm import text as llm_text
@@ -1847,10 +1848,11 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spec(
-    "ivf_ann_topk",
-    "LLM-sim-ann-ivf",
-    oracle="""
+#: The IVF batch-search replay, shared by the batch gate
+#: (``ivf_ann_topk``) and the streaming-ingest gate
+#: (``stream_ivf_ingest``) — the stream fold is exact, so the drained
+#: index's search replays through the SAME SQL.
+_IVF_ANN_TOPK_ORACLE = """
     WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
                FROM embeddings WHERE vec_id < 16),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1882,7 +1884,13 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM asn a JOIN probe USING (cid) CROSS JOIN q
     ORDER BY cos_sim DESC, a.vec_id
     LIMIT 10
-    """,
+    """
+
+
+@spec(
+    "ivf_ann_topk",
+    "LLM-sim-ann-ivf",
+    oracle=_IVF_ANN_TOPK_ORACLE,
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN top-k: deterministic seed centroids (lowest-id
@@ -15279,6 +15287,117 @@ def bloom_pruned_anti_join_gate(
             "anti_consistent",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — graph ANN (the NSW/HNSW tier) + streaming IVF maintenance
+# ----------------------------------------------------------------------
+
+
+@spec(
+    "graph_ann_topk",
+    "LLM-sim-ann EXT-ann-graph",
+    oracle=llm_graph_ann.nsw_oracle_sql(m_neighbors=12, beam=32, hops=4),
+)
+def graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN (llm/graph_ann.py — the beam-search-over-a-
+    neighbor-graph family, the FAISS-HNSW/ScaNN production tier; r11
+    verdict item 3 completes the ANN coverage next to IVF, PQ, LSH and
+    int8): a deterministic NSW — portable 8-plane signature split into
+    two 4-bit bucket families, per-family within-bucket top-12 cosine
+    edges (6dp-rounded, id tie-break), symmetrized — searched by a
+    4-hop beam-32 walk from the 4 lowest-id entry points, exact 4dp
+    re-rank of the final beam. Production HNSW is insertion-order-
+    dependent; this variant is order-free end to end, so the WHOLE
+    pipeline (graph included) hash-checks against the DuckDB replay —
+    recall@10 vs brute force (10/10 at all three SFs) and the
+    symmetrized edge count ride along as exact-checked columns. At
+    100 TB: build = two bucket-keyed exchanges + a windowed top-M
+    (never all-pairs); search touches O(beam × M × hops) adjacency
+    rows via broadcast joins — no corpus scan at query time."""
+    ensure_utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    # edges feed the search (4 hops) AND the n_edges rider: checkpoint
+    # so the bucketed kNN build runs once
+    edges = llm_graph_ann.nsw_edges(e, m_neighbors=12).localCheckpoint(
+        eager=True
+    )
+    topk = llm_graph_ann.nsw_search(
+        edges, e, q, beam=32, hops=4
+    ).localCheckpoint(eager=True)
+    exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
+    hits = (
+        topk.select("vec_id")
+        .join(exact10, ["vec_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("recall_hits"))
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return topk.crossJoin(hits).crossJoin(ne)
+
+
+@spec(
+    "stream_ivf_ingest",
+    "LLM-sim-ann-ivf EXT-ann-incr EXT-stream-cdc T5",
+    oracle=f"""
+    SELECT o.vec_id, o.cos_sim, TRUE AS stream_consistent
+    FROM ({_IVF_ANN_TOPK_ORACLE}) o
+    """,
+)
+def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF index maintenance (streaming/ann.py — r11 verdict
+    item 4 gives the ANN fold family its streaming twin, like KMV/MG/
+    CC/LSH/skyline/sample before it): embeddings replay as a
+    4-micro-batch file stream; each batch is assigned against FROZEN
+    centroids (one map-only broadcast pass, zero shuffle) and appended
+    to a log-structured inverted-lists store; searching the DRAINED
+    index returns exactly what searching a one-shot batch build
+    returns, for ANY micro-batch layout — per-row argmax against
+    frozen centroids is order-independent, the incremental_ivf_equiv
+    property applied over time. The oracle is the batch IVF search's
+    replay VERBATIM (the ivf_ann_topk SQL); the engine-side sym-diff
+    of stream-built vs batch-built search rides along. At 100 TB this
+    is vector-store ingest: O(batch) work per batch, the historical
+    corpus never re-assigned."""
+    import tempfile
+
+    from .streaming.ann import run_ivf_ingest_stream
+
+    ensure_utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    cdf = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"),
+        llm_similarity.as_double("embedding").alias("cv"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    staged = tempfile.mkdtemp(prefix="sg_ivf_src_")
+    e.select("vec_id", "embedding").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    updates = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    index_root = tempfile.mkdtemp(prefix="sg_ivf_idx_")
+    ckpt = tempfile.mkdtemp(prefix="sg_ivf_ckpt_")
+    drained = run_ivf_ingest_stream(updates, cdf, index_root, ckpt)
+    topk_stream = llm_similarity.ivf_search_index(
+        drained, cdf, q, nprobe=4, k=10
+    ).localCheckpoint(eager=True)
+    topk_batch = llm_similarity.ivf_search_index(
+        llm_similarity.ivf_index(e, cdf), cdf, q, nprobe=4, k=10
+    )
+    diff = (
+        topk_stream.exceptAll(topk_batch)
+        .union(topk_batch.exceptAll(topk_stream))
+        .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
+    )
+    return topk_stream.crossJoin(diff)
 
 
 # ----------------------------------------------------------------------
