@@ -209,6 +209,9 @@ BNLJ_OK = {
     # round 12: nprobe centroid-distance scalar + 1-row sym-diff scalar
     # over the drained index search (the ivf_ann_topk shape)
     "stream_ivf_ingest",
+    # round 12: both families' dim-bounded leaf range joins (the
+    # kmv/hll sliding shapes) + the 1-row ends sym-diff scalar
+    "sliding_spine_consistency",
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

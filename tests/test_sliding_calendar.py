@@ -120,3 +120,52 @@ def test_mg_sliding_exact_vs_brute(spark):
     assert got == sorted(expected)
     # the dominant user must actually be caught somewhere
     assert any(u == "u999" for _, u, _, _ in got)
+
+
+def test_spine_window_ends_and_leaves(spark):
+    from youtube_scraper_db_spark.operators import sliding
+
+    ev = _events(spark)
+    leaves = op_kmv.kmv_leaf_sketches(ev, "ts", "user", 8, "day")
+    ends = sliding.window_ends(leaves)
+    assert ends.count() == 10  # one end per day with a leaf
+    # width-3 windows: day d's window holds leaves of days d-2..d, so
+    # the tagged row count is sum over ends of min(3, d+1)
+    tagged = sliding.window_leaves(
+        leaves.select("leaf").distinct(), 3, "day"
+    )
+    per_end = {
+        r.wend.day: r.n
+        for r in tagged.groupBy("wend")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_end[1] == 1 and per_end[2] == 2
+    assert all(per_end[d] == 3 for d in range(3, 11))
+
+
+def test_spine_null_key_day_produces_no_end(spark):
+    # the ADVICE alignment: a day whose keys are ALL null must produce
+    # no leaf and therefore no window end, on the engine side too
+    from youtube_scraper_db_spark.operators import sliding
+
+    ev = _events(spark).unionByName(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 3, 20), None)], "ts timestamp, user string"
+        )
+    )
+    leaves = op_kmv.kmv_leaf_sketches(ev, "ts", "user", 8, "day")
+    ends = {r.wend.day for r in sliding.window_ends(leaves).collect()}
+    assert 20 not in ends and len(ends) == 10
+
+
+def test_spine_cross_family_same_ends(spark):
+    # the sliding_spine_consistency gate's property in miniature: KMV
+    # and HLL leaves from the same spine expose identical window ends
+    from youtube_scraper_db_spark.operators import sliding
+
+    ev = _events(spark)
+    ke = sliding.window_ends(op_kmv.kmv_leaf_sketches(ev, "ts", "user", 8))
+    he = sliding.window_ends(op_sk.hll_leaf_registers(ev, "ts", "user"))
+    assert ke.exceptAll(he).count() == 0
+    assert he.exceptAll(ke).count() == 0

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import sliding
+
 
 def _mg_summary(items: Iterator[pd.DataFrame], col: str, k: int) -> Iterator[pd.DataFrame]:
     """Fold all Arrow batches of one partition through a (k-1)-slot
@@ -268,13 +270,12 @@ def mg_sliding_heavy_hitters(
     the union over the window's leaves is a candidate SUPERSET and the
     recount output is exact. The recount range-joins the per-leaf
     EXACT count table (≤ |keys|·|leaves| rows, aggregated once — never
-    raw events per window); candidates are ≤ leaves × (k-1) rows."""
+    raw events per window); candidates are ≤ leaves × (k-1) rows. All
+    three range joins share one spine (operators/sliding.py)."""
     leaves = mg_leaf_summaries(df, ts_col, key, k, grain)
-    ends = leaves.select(F.col("leaf").alias("wend")).distinct()
-    lo = F.col("wend") - F.expr(f"INTERVAL {width - 1} {grain}")
-    in_window = (F.col("leaf") >= lo) & (F.col("leaf") <= F.col("wend"))
+    ends = sliding.window_ends(leaves)
     cands = (
-        ends.join(F.broadcast(leaves), in_window)
+        sliding.window_leaves(leaves, width, grain, ends=ends)
         .select("wend", key)
         .distinct()
     )
@@ -287,14 +288,20 @@ def mg_sliding_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     window_counts = (
-        ends.join(lk, in_window)
+        sliding.window_leaves(
+            lk, width, grain, ends=ends, broadcast_leaves=False
+        )
         .groupBy("wend", key)
         .agg(F.sum("cnt").alias("cnt"))
         .join(F.broadcast(cands), ["wend", key], "left_semi")
     )
     totals = (
-        ends.join(
-            lk.groupBy("leaf").agg(F.sum("cnt").alias("n")), in_window
+        sliding.window_leaves(
+            lk.groupBy("leaf").agg(F.sum("cnt").alias("n")),
+            width,
+            grain,
+            ends=ends,
+            broadcast_leaves=False,
         )
         .groupBy("wend")
         .agg(F.sum("n").alias("n_total"))

@@ -52,6 +52,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable_hash import md5_halves
+from . import sliding
 
 #: Hash-space size: hashes are uniform 60-bit integers (md5 half).
 KMV_SPACE = float(1 << 60)
@@ -442,14 +443,10 @@ def kmv_sliding_estimates(
     direct way and the driver hash-compares. Shape: the range join runs
     on the ≤ leaves×k LEAF TABLE (never per-event work), the per-window
     re-cap is a dim-sized window function; generalizes round-10's fixed
-    7-day/daily gate to any (grain, width) calendar."""
-    ends = leaves.select(F.col("leaf").alias("wend")).distinct()
-    lo = F.col("wend") - F.expr(f"INTERVAL {width - 1} {grain}")
+    7-day/daily gate to any (grain, width) calendar. The ends
+    derivation + range join is the shared spine (operators/sliding.py)."""
     dw = (
-        ends.join(
-            F.broadcast(leaves),
-            (F.col("leaf") >= lo) & (F.col("leaf") <= F.col("wend")),
-        )
+        sliding.window_leaves(leaves, width, grain)
         .select("wend", "h")
         .distinct()
     )
@@ -490,12 +487,8 @@ def sliding_exact_distinct(
         )
         .distinct()
     )
-    ends = lk.select(F.col("leaf").alias("wend")).distinct()
-    lo = F.col("wend") - F.expr(f"INTERVAL {width - 1} {grain}")
     return (
-        ends.join(
-            lk, (F.col("leaf") >= lo) & (F.col("leaf") <= F.col("wend"))
-        )
+        sliding.window_leaves(lk, width, grain, broadcast_leaves=False)
         .groupBy("wend")
         .agg(F.countDistinct("__k").cast("long").alias("exact_distinct"))
     )

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.portable_hash import km_mix, km_mix_sql, md5_halves
+from . import sliding
 
 
 def _h1h2(col: Column) -> tuple[Column, Column]:
@@ -2057,14 +2058,10 @@ def hll_sliding_estimates(
     order-free), so each window's merged registers are IDENTICAL to
     the registers built directly from the window's raw events, which
     the oracle proves by building them the direct way. The range join
-    runs on the O(leaves × 2^p) register table, never per-event."""
-    ends = leaves.select(F.col("leaf").alias("wend")).distinct()
-    lo = F.col("wend") - F.expr(f"INTERVAL {width - 1} {grain}")
+    runs on the O(leaves × 2^p) register table, never per-event — the
+    shared spine (operators/sliding.py)."""
     merged = (
-        ends.join(
-            F.broadcast(leaves),
-            (F.col("leaf") >= lo) & (F.col("leaf") <= F.col("wend")),
-        )
+        sliding.window_leaves(leaves, width, grain)
         .groupBy(F.col("wend").alias("g"), F.col("bucket"))
         .agg(F.max("rho").alias("rho"))
     )
@@ -2197,13 +2194,8 @@ def histogram_sliding_quantiles(
     half-up 2dp. All window work is dim-sized (windows × bins rows)."""
     from pyspark.sql import Window
 
-    ends = leaves.select(F.col("leaf").alias("wend")).distinct()
-    lob = F.col("wend") - F.expr(f"INTERVAL {width - 1} {grain}")
     merged = (
-        ends.join(
-            F.broadcast(leaves),
-            (F.col("leaf") >= lob) & (F.col("leaf") <= F.col("wend")),
-        )
+        sliding.window_leaves(leaves, width, grain)
         .groupBy("wend", "bin")
         .agg(F.sum("cnt").alias("cnt"))
     )
