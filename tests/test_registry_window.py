@@ -355,6 +355,61 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "bpe_apply_tokens",
         "bpe_trained_merges",
     },
+    12: {
+        # the three round-12 debuts
+        "graph_ann_topk",
+        "stream_ivf_ingest",
+        "sliding_spine_consistency",
+        # the full 47-query r06-rowed stale cohort (r11 verdict
+        # item 2: clear it in one round)
+        "unigram_trained_vocab",
+        "unigram_apply_tokens",
+        "html_text_extract",
+        "simhash_dups",
+        "customers_without_orders",
+        "lsh_near_dups",
+        "diff_sync_parts",
+        "doc_unigram_quality",
+        "lsh_ann_topk",
+        "customers_with_orders",
+        "minhash_lsh_dups",
+        "line_positions",
+        "next_line_position",
+        "ordered_part_lists",
+        "first_line_per_order",
+        "stale_events",
+        "pricing_summary",
+        "order_lines_detail",
+        "part_customer_attribution",
+        "recent_lines_enriched",
+        "nocase_part_names",
+        "event_type_union",
+        "regex_shape_filter",
+        "order_status_counts",
+        "order_item_counts",
+        "event_prop_stats",
+        "hourly_event_rollup",
+        "sessionized_events",
+        "latest_user_status",
+        "line_durations",
+        "extracted_video_ids",
+        "doc_search_snippets",
+        "sanitized_filenames",
+        "iso_export_dates",
+        "display_price_labels",
+        "embedding_near_dups",
+        "embedding_cosine_topk",
+        "image_resize_stats",
+        "hll_distinct_users",
+        "hll_union_merge",
+        "bloom_customer_filter",
+        "exact_dedup_docs",
+        "ngram_jaccard_pairs",
+        "doc_fingerprints",
+        "doc_token_stats",
+        "doc_lang_id",
+        "has_order_flag",
+    },
 }
 
 
