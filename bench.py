@@ -189,6 +189,14 @@ HEADLINE = [
     "heavy_hitter_types_sliding",
     "event_value_quantiles_sliding",
     "bloom_mask_union_merge",
+    # round 12: deterministic graph ANN (build + beam search + recall
+    # witness), the streaming IVF ingest fold, and the cross-family
+    # sliding-spine witness
+    "graph_ann_topk",
+    "stream_ivf_ingest",
+    "sliding_spine_consistency",
+    "incremental_nsw_equiv",
+    "nsw_index_artifact_roundtrip",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution. The streaming

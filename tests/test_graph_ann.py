@@ -109,3 +109,35 @@ def test_stream_ivf_ingest_equals_batch_build(spark, tmp_path):
     assert [(r.vec_id, r.cos_sim) for r in got] == [
         (r.vec_id, r.cos_sim) for r in want
     ]
+
+
+def test_incremental_fold_equals_rebuild(spark):
+    # bucket-locality: folding a batch recomputes only its (fam, bucket)
+    # cells, and the result equals the full rebuild cell-for-cell
+    e, _ = _emb_q(spark)
+    base = e.filter(F.col("vec_id") % 3 != 2)
+    batch = e.filter(F.col("vec_id") % 3 == 2)
+    d_old = ga.nsw_directed_edges(ga.nsw_bucketed(base), 6)
+    d_inc = ga.nsw_fold_directed(d_old, e, batch, m_neighbors=6)
+    d_full = ga.nsw_directed_edges(ga.nsw_bucketed(e), 6)
+    assert d_inc.exceptAll(d_full).count() == 0
+    assert d_full.exceptAll(d_inc).count() == 0
+
+
+def test_fold_untouched_cells_carry_over_verbatim(spark):
+    # a batch landing in a strict subset of cells must leave every other
+    # cell's edges physically untouched (the O(touched) cost contract)
+    e, _ = _emb_q(spark)
+    base = e.filter(F.col("vec_id") >= 10)
+    batch = e.filter(F.col("vec_id") < 10)
+    d_old = ga.nsw_directed_edges(ga.nsw_bucketed(base), 6).localCheckpoint(
+        eager=True
+    )
+    touched = ga.nsw_touched_cells(batch)
+    n_cells = touched.count()
+    assert 0 < n_cells <= 2 * 10
+    kept_old = d_old.join(touched, ["fam", "bk"], "left_anti")
+    d_inc = ga.nsw_fold_directed(d_old, e, batch, m_neighbors=6)
+    kept_inc = d_inc.join(touched, ["fam", "bk"], "left_anti")
+    assert kept_inc.exceptAll(kept_old).count() == 0
+    assert kept_old.exceptAll(kept_inc).count() == 0

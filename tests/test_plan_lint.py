@@ -212,6 +212,10 @@ BNLJ_OK = {
     # round 12: both families' dim-bounded leaf range joins (the
     # kmv/hll sliding shapes) + the 1-row ends sym-diff scalar
     "sliding_spine_consistency",
+    # round 12: the graph_ann_topk shape plus 1-row equiv / checksum
+    # scalar joins (fold-equivalence and artifact gates)
+    "incremental_nsw_equiv",
+    "nsw_index_artifact_roundtrip",
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

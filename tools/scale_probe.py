@@ -111,7 +111,69 @@ EVENT_QUERIES = [
     # round 11: grouped skyline — thresholds stay O(brands×64) while
     # rows per brand grow; recheck is frontier-superset-sized
     "pareto_frontier_by_brand",
+    # round 12: both sliding families + the ends sym-diff over the same
+    # dim-bounded leaf tables (the kmv/hll sliding cost shapes)
+    "sliding_spine_consistency",
 ]
+#: queries probed over the replicated embeddings table (vec_id offsets
+#: per copy — vector count grows 20×, dim and label space fixed).
+EMB_QUERIES = [
+    # map-only frozen-centroid assignment + nprobe-pruned re-rank; the
+    # streaming twin adds 4 foreachBatch appends (all batch-sized)
+    "ivf_ann_topk",
+    "stream_ivf_ingest",
+    # the gate's graph build pins 8 planes for oracle replay; probing
+    # THAT configuration at x20 volume would measure a deliberately
+    # undersized index (copy-shaped, like cross-copy near-dups), so the
+    # probe runs the operator the way its contract sizes it — planes
+    # grow with log2(corpus), holding per-bucket population (and
+    # cost-per-vector) constant. See _graph_ann_adaptive below.
+    "graph_ann_adaptive_planes",
+    # the fold recomputes only the batch's (family, bucket) cells; the
+    # artifact commit/reload is edge-table-sized (both pin the gate's
+    # 8 planes, so their ratios read as the fixed-plane build cost —
+    # the adaptive probe above is the sized-index number)
+    "incremental_nsw_equiv",
+    "nsw_index_artifact_roundtrip",
+]
+
+
+def _graph_ann_adaptive(spark, sf_dir: str):
+    """nsw_edges + nsw_search with the plane count the operator contract
+    prescribes at the given corpus size: fam_bits = log2(n / 32) → ~32
+    vectors per bucket at ANY volume (HNSW's n·log n build discipline,
+    llm/graph_ann.py nsw_edges docstring)."""
+    import math
+
+    from youtube_scraper_db_spark.llm import graph_ann as ga
+    from youtube_scraper_db_spark.llm.similarity import as_double
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    fam_bits = max(4, math.ceil(math.log2(max(2, n // 32))))
+    edges = ga.nsw_edges(
+        e, m_neighbors=12, n_planes=2 * fam_bits
+    ).localCheckpoint(eager=True)
+    q = e.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("qv")
+    )
+    return ga.nsw_search(edges, e, q, beam=32, hops=4)
+
+
+class _ProbeSpec:
+    """Probe-only callable wrapper with the registry spec's (name, fn)
+    surface — for operator configurations the oracle gates can't pin
+    (e.g. the adaptive plane count)."""
+
+    def __init__(self, name, fn):
+        self.name, self.fn = name, fn
+
+
+EXTRA_SPECS = {
+    "graph_ann_adaptive_planes": _ProbeSpec(
+        "graph_ann_adaptive_planes", _graph_ann_adaptive
+    ),
+}
 DOC_QUERIES = [
     "doc_token_stats",
     "exact_dedup_docs",
@@ -278,6 +340,18 @@ def build_scaled(spark, sf_dir: str, factor: int) -> str:
         os.path.join(out, "part.parquet")
     )
 
+    # round 12: embeddings grow by vec_id offsets (vector count is the
+    # ANN axis; dim and label space stay fixed) — feeds the IVF ingest
+    # and adaptive-plane graph probes
+    emb = read_table(spark, sf_dir, "embeddings")
+    _replicate(
+        emb, factor,
+        {"vec_id": emb.agg(F.max("vec_id")).first()[0] + 1,
+         "embedding": 0, "label": 0},
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
     # dims probed against the scaled facts ride through UNSCALED — the
     # realistic axis is facts growing under a fixed dimension table
     for dim in ("customer",):
@@ -399,7 +473,7 @@ def time_all(sf_dir: str, names: list[str]) -> dict[str, float]:
     session could not reproduce. One session per data size, same query
     order, keeps the two sides comparable."""
     spark = get_spark("scale_probe")
-    specs = {s.name: s for s in REGISTRY}
+    specs = {s.name: s for s in REGISTRY} | EXTRA_SPECS
     out = {}
     # warmup: JIT/codegen/parquet-footer caches
     specs[names[0]].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -472,14 +546,15 @@ def main() -> None:
     scaled_dir = build_scaled(spark, args.sf, args.factor)
     spark.stop()
 
-    names = EVENT_QUERIES + DOC_QUERIES
+    names = EVENT_QUERIES + DOC_QUERIES + EMB_QUERIES
     if args.names:
         unknown = sorted(set(args.names) - set(names))
         if unknown:
             raise SystemExit(
                 f"unknown probe queries {unknown} — add them to "
-                "EVENT_QUERIES or DOC_QUERIES first (a silent skip would "
-                "burn the full scaled-data build and report nothing)"
+                "EVENT_QUERIES, DOC_QUERIES or EMB_QUERIES first (a silent "
+                "skip would burn the full scaled-data build and report "
+                "nothing)"
             )
         names = [n for n in names if n in set(args.names)]
     base = time_all(args.sf, names)

@@ -46,44 +46,66 @@ from pyspark.sql import functions as F
 
 from .similarity import _dot, as_double, lsh_signature, portable_hyperplanes
 
-#: The shared plane family: 8 portable hyperplanes over 64 dims, split
-#: into two 4-bit bucket families (low/high nibble of the signature).
+#: The gate's plane family: 8 portable hyperplanes over 64 dims, split
+#: into two 4-bit bucket families (low/high half of the signature).
 N_PLANES = 8
 FAM_BITS = 4
 
 
-def nsw_edges(
+def nsw_bucketed(
     emb: DataFrame,
     dim: int = 64,
-    m_neighbors: int = 6,
+    n_planes: int = N_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(src, dst): the symmetrized NSW neighbor graph — per bucket
-    family, each vector's top-``m_neighbors`` cosine neighbors within
-    its bucket (6dp-rounded score, dst-id tie-break), both families
-    unioned, reverse edges added. ≤ 2 × 2 × M rows per vector."""
-    planes = portable_hyperplanes(dim, N_PLANES)
+    """(nid, nv, nn, ba, bb): each vector with its norm and its bucket
+    in both families — the signed portable signature split low/high."""
+    fam_bits = n_planes // 2
+    planes = portable_hyperplanes(dim, n_planes)
     sig = lsh_signature(as_double(vec_col), planes, round_dp=6)
-    base = (
+    return (
         emb.select(
             F.col(id_col).alias("nid"),
             as_double(vec_col).alias("nv"),
             sig.alias("sig"),
         )
         .withColumn("nn", F.sqrt(_dot(F.col("nv"), F.col("nv"))))
-        .withColumn("ba", F.col("sig").bitwiseAND(F.lit((1 << FAM_BITS) - 1)))
-        .withColumn("bb", F.shiftright("sig", FAM_BITS))
+        .withColumn("ba", F.col("sig").bitwiseAND(F.lit((1 << fam_bits) - 1)))
+        .withColumn("bb", F.shiftright("sig", fam_bits))
+        .drop("sig")
     )
+
+
+def nsw_directed_edges(
+    bucketed: DataFrame,
+    m_neighbors: int = 6,
+    restrict: DataFrame | None = None,
+) -> DataFrame:
+    """(fam, bk, src, dst): per-family within-bucket top-M directed kNN
+    over a ``nsw_bucketed`` table, bucket tags kept — they are what
+    makes the graph INCREMENTAL (``nsw_fold_directed``): an edge is a
+    pure function of its (fam, bucket) cell's membership, so a new
+    batch invalidates only the cells it lands in. Pass ``restrict``
+    ``(fam, bk)`` to compute only those cells (the fold's recompute
+    path — per-batch cost ∝ touched-cell population, not corpus)."""
     fams = []
     for fam in ("ba", "bb"):
-        a = base.select(
+        side = bucketed
+        if restrict is not None:
+            keys = restrict.where(F.col("fam") == fam).select("bk")
+            side = bucketed.join(
+                F.broadcast(keys),
+                bucketed[fam] == keys["bk"],
+                "left_semi",
+            )
+        a = side.select(
             F.col("nid").alias("src"),
             F.col("nv").alias("av"),
             F.col("nn").alias("an"),
             F.col(fam).alias("bk"),
         )
-        b = base.select(
+        b = side.select(
             F.col("nid").alias("dst"),
             F.col("nv").alias("bv"),
             F.col("nn").alias("bn"),
@@ -93,6 +115,7 @@ def nsw_edges(
             a.join(b, "bk")
             .where(F.col("src") != F.col("dst"))
             .select(
+                "bk",
                 "src",
                 "dst",
                 F.round(
@@ -102,20 +125,93 @@ def nsw_edges(
                 ).alias("s"),
             )
         )
-        w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+        w = Window.partitionBy("bk", "src").orderBy(F.desc("s"), F.asc("dst"))
         fams.append(
             scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= m_neighbors)
-            .select("src", "dst")
+            .select(F.lit(fam).alias("fam"), "bk", "src", "dst")
         )
-    directed = fams[0].unionByName(fams[1]).distinct()
+    return fams[0].unionByName(fams[1])
+
+
+def nsw_symmetrize(directed: DataFrame) -> DataFrame:
+    """(src, dst): drop the bucket tags, dedup across families, add
+    reverse edges — the searchable adjacency table."""
+    d = directed.select("src", "dst").distinct()
+    return d.unionByName(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def nsw_touched_cells(
+    batch: DataFrame,
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(fam, bk): the bucket cells a batch of new vectors lands in —
+    ≤ 2 × |batch| rows, the fold's invalidation set."""
+    bb = nsw_bucketed(batch, dim, n_planes, id_col, vec_col)
     return (
-        directed.unionByName(
-            directed.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+        bb.select(F.lit("ba").alias("fam"), F.col("ba").alias("bk"))
+        .unionByName(
+            bb.select(F.lit("bb").alias("fam"), F.col("bb").alias("bk"))
         )
         .distinct()
+    )
+
+
+def nsw_fold_directed(
+    old_directed: DataFrame,
+    emb_all: DataFrame,
+    batch: DataFrame,
+    dim: int = 64,
+    m_neighbors: int = 6,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold a new vector batch into a directed NSW edge table: keep
+    every cell the batch does not touch, recompute ONLY the touched
+    cells over the union corpus. Exactly equals a full rebuild —
+    within-cell kNN is a pure function of cell membership, and a batch
+    changes membership only where it lands — so daily index growth
+    costs O(touched-cell population), never a corpus rebuild (the
+    incremental_ivf_equiv property, graph-shaped)."""
+    touched = nsw_touched_cells(batch, dim, n_planes, id_col, vec_col)
+    kept = old_directed.join(F.broadcast(touched), ["fam", "bk"], "left_anti")
+    recomputed = nsw_directed_edges(
+        nsw_bucketed(emb_all, dim, n_planes, id_col, vec_col),
+        m_neighbors,
+        restrict=touched,
+    )
+    return kept.unionByName(recomputed)
+
+
+def nsw_edges(
+    emb: DataFrame,
+    dim: int = 64,
+    m_neighbors: int = 6,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src, dst): the symmetrized NSW neighbor graph — per bucket
+    family, each vector's top-``m_neighbors`` cosine neighbors within
+    its bucket (6dp-rounded score, dst-id tie-break), both families
+    unioned, reverse edges added. ≤ 2 × 2 × M rows per vector.
+
+    ``n_planes`` is THE scale knob: each family has 2^(n_planes/2)
+    buckets, so the build's pair cost is Θ(n² / 2^(n_planes/2)) —
+    size it ∝ log₂(corpus) to hold per-bucket populations (and
+    therefore cost-per-vector) constant as the corpus grows, exactly
+    HNSW's n·log n build discipline. The gate pins 8 planes (its
+    oracle replays them literally); the ×20 probe sizes adaptively."""
+    return nsw_symmetrize(
+        nsw_directed_edges(
+            nsw_bucketed(emb, dim, n_planes, id_col, vec_col), m_neighbors
+        )
     )
 
 
@@ -181,6 +277,8 @@ def nsw_oracle_sql(
     hops: int = 3,
     k: int = 10,
     query_id: int = 0,
+    n_planes: int = N_PLANES,
+    checksum_mod: int | None = None,
 ) -> str:
     """DuckDB replay of build + search + the exact-recall rider over the
     ``embeddings`` view: portable 8-plane signatures → two bucket
@@ -188,9 +286,10 @@ def nsw_oracle_sql(
     hops → 4dp re-rank, plus recall_hits vs brute-force top-10 and the
     symmetrized edge count (both exact, hash-checked). Column names
     match the engine gate: (vec_id, cos_sim, recall_hits, n_edges)."""
-    fam_mask = (1 << FAM_BITS) - 1
+    fam_bits = n_planes // 2
+    fam_mask = (1 << fam_bits) - 1
     fam_edges = []
-    for fam_expr in (f"s & {fam_mask}", f"s >> {FAM_BITS}"):
+    for fam_expr in (f"s & {fam_mask}", f"s >> {fam_bits}"):
         fam_edges.append(
             f"""(
       SELECT src, dst FROM (
@@ -231,7 +330,7 @@ def nsw_oracle_sql(
       SELECT p.p AS p, d.d AS d,
              ('0x' || substr(md5(p.p || ':' || d.d), 1, 15))::BIGINT
                / 1152921504606846976.0 - 0.5 AS c
-      FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p
+      FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) p
            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
     ),
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
@@ -276,7 +375,13 @@ def nsw_oracle_sql(
       SELECT CAST(COUNT(*) AS BIGINT) AS recall_hits
       FROM topk JOIN exact10 USING (vec_id)
     ),
-    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
-    SELECT t.vec_id, t.cos_sim, h.recall_hits, ne.n_edges
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges{
+        f''',
+           CAST(SUM((('0x' || substr(md5(CAST(src AS VARCHAR) || ':'
+                || CAST(dst AS VARCHAR)), 1, 15))::BIGINT)
+               % {checksum_mod}) AS BIGINT) AS edge_checksum'''
+        if checksum_mod else ""} FROM edges)
+    SELECT t.vec_id, t.cos_sim, h.recall_hits, ne.n_edges{
+        ", ne.edge_checksum" if checksum_mod else ""}
     FROM topk t, hits h, ne
     """

@@ -15462,6 +15462,148 @@ def sliding_spine_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kest.join(hest, "wend").join(exact, "wend").crossJoin(ends_ok)
 
 
+@spec(
+    "incremental_nsw_equiv",
+    "LLM-sim-ann EXT-ann-graph EXT-ann-incr",
+    oracle=f"""
+    SELECT o.vec_id, o.cos_sim, o.recall_hits, o.n_edges,
+           TRUE AS equiv_consistent
+    FROM ({llm_graph_ann.nsw_oracle_sql(
+        m_neighbors=12, beam=32, hops=4
+    )}) o
+    """,
+)
+def incremental_nsw_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL NSW graph maintenance (llm/graph_ann.py
+    nsw_fold_directed — the incremental_ivf_equiv two-batch device,
+    graph-shaped): the corpus splits into a base (vec_id%5≠4) and a new
+    daily batch (vec_id%5=4); the batch folds into the stored DIRECTED
+    edge table by recomputing ONLY the (family, bucket) cells it lands
+    in over the union corpus — every untouched cell's edges carry over
+    verbatim. Exactness is structural: a within-cell kNN edge is a pure
+    function of its cell's membership, and a batch changes membership
+    only where it lands, so fold(old, batch) equals the full rebuild
+    cell-for-cell (``equiv_consistent`` sym-diffs the tagged directed
+    tables engine-side) and the beam search through the folded graph
+    returns the rebuild's rows — the oracle is the full-rebuild replay
+    VERBATIM. At 100 TB this is daily embedding-store growth:
+    O(touched-cell population) per batch, never a corpus rebuild."""
+    ensure_utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    base = e.filter(F.col("vec_id") % 5 != 4)
+    batch = e.filter(F.col("vec_id") % 5 == 4)
+    d_old = llm_graph_ann.nsw_directed_edges(
+        llm_graph_ann.nsw_bucketed(base), m_neighbors=12
+    )
+    d_inc = llm_graph_ann.nsw_fold_directed(
+        d_old, e, batch, m_neighbors=12
+    ).localCheckpoint(eager=True)
+    d_full = llm_graph_ann.nsw_directed_edges(
+        llm_graph_ann.nsw_bucketed(e), m_neighbors=12
+    ).localCheckpoint(eager=True)
+    equiv = (
+        d_inc.exceptAll(d_full)
+        .union(d_full.exceptAll(d_inc))
+        .agg((F.count(F.lit(1)) == 0).alias("equiv_consistent"))
+    )
+    edges = llm_graph_ann.nsw_symmetrize(d_inc).localCheckpoint(eager=True)
+    topk = llm_graph_ann.nsw_search(
+        edges, e, q, beam=32, hops=4
+    ).localCheckpoint(eager=True)
+    exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
+    hits = (
+        topk.select("vec_id")
+        .join(exact10, ["vec_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("recall_hits"))
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return topk.crossJoin(hits).crossJoin(ne).crossJoin(equiv)
+
+
+@spec(
+    "nsw_index_artifact_roundtrip",
+    "LLM-sim-ann EXT-ann-graph EXT-artifact S14 S16",
+    oracle=f"""
+    SELECT o.vec_id, o.cos_sim, o.recall_hits, o.n_edges,
+           o.edge_checksum, TRUE AS search_consistent
+    FROM ({llm_graph_ann.nsw_oracle_sql(
+        m_neighbors=12, beam=32, hops=4, checksum_mod=1_000_000_007
+    )}) o
+    """,
+)
+def nsw_index_artifact_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NSW-INDEX persistence (the artifact story's ANN-graph member,
+    beside the IVF/PQ/LSH/trigram index artifacts): the graph's entire
+    persistable state is the symmetrized edge table, committed through
+    the archive's versioned crash-safe protocol, reloaded from parquet,
+    and searched — the loaded-graph beam search must return exactly the
+    built-graph rows (``search_consistent`` sym-diff; the emitted rows
+    come from the LOADED path), and the edge checksum hash-checks
+    against the oracle's full build replay (md5 over src:dst canonical
+    strings, the shared artifact-checksum formula). With
+    incremental_nsw_equiv this closes the growth loop: reload last
+    month's graph, fold today's batch cell-locally, search. Ref: parity
+    N/A (§2.12); persistence via archive.py save_table."""
+    import tempfile
+
+    ensure_utc(spark)
+    from .archive import Archive
+    from .functions.portable_hash import md5_halves as _md5h
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    edges = llm_graph_ann.nsw_edges(e, m_neighbors=12)
+    ar = Archive(spark, tempfile.mkdtemp(prefix="sg_nswart_"))
+    ar.save_table("nsw_edges", edges)
+    edges_l = ar.table("nsw_edges").localCheckpoint(eager=True)
+    topk_l = llm_graph_ann.nsw_search(
+        edges_l, e, q, beam=32, hops=4
+    ).localCheckpoint(eager=True)
+    # built-path comparison uses a fresh build, not the loaded table
+    edges_b = llm_graph_ann.nsw_edges(e, m_neighbors=12)
+    topk_direct = llm_graph_ann.nsw_search(edges_b, e, q, beam=32, hops=4)
+    diff = (
+        topk_l.exceptAll(topk_direct)
+        .union(topk_direct.exceptAll(topk_l))
+        .agg((F.count(F.lit(1)) == 0).alias("search_consistent"))
+    )
+    ck, _ = _md5h(
+        F.concat_ws(
+            ":", F.col("src").cast("string"), F.col("dst").cast("string")
+        )
+    )
+    stat = edges_l.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(ck % F.lit(_ART_CHECK_MOD)).cast("long").alias("edge_checksum"),
+    )
+    exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
+    hits = (
+        topk_l.select("vec_id")
+        .join(exact10, ["vec_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("recall_hits"))
+    )
+    return (
+        topk_l.crossJoin(hits)
+        .crossJoin(stat)
+        .crossJoin(diff)
+        .select(
+            "vec_id",
+            "cos_sim",
+            "recall_hits",
+            "n_edges",
+            "edge_checksum",
+            "search_consistent",
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -16056,6 +16198,15 @@ _swap_specs("display_price_labels", "doc_chunks")  # in r06, out r07
 _swap_specs("graph_ann_topk", "incremental_dedup_new")  # debut in, out r07
 _swap_specs("stream_ivf_ingest", "doc_split_assign")  # debut in, out r07
 _swap_specs("sliding_spine_consistency", "doc_stratified_sample")  # debut in, out r07
+# Registry growth bookkeeping: the two late round-12 registrations
+# (incremental_nsw_equiv, nsw_index_artifact_roundtrip — indices
+# 292-293) shift the offset 208 → 206, pulling two r11-rowed swap-phase
+# evictees into the head and dropping the last two stale targets off
+# the tail. Swap the dropped targets back over the gained entries; the
+# two NSW debuts sit at the head of round-13's natural wrap window
+# [550 % 294 = 256 : 294]+[0:12] — first driver contact next round.
+_swap_specs("pricing_summary", "referential_integrity_report")  # in r06, out r11
+_swap_specs("diff_sync_parts", "corpus_facade_annotated")  # in r06, out r11
 
 
 def _offset_for_round(last_checked_round: int) -> int:
