@@ -129,12 +129,15 @@ EMB_QUERIES = [
     # grow with log2(corpus), holding per-bucket population (and
     # cost-per-vector) constant. See _graph_ann_adaptive below.
     "graph_ann_adaptive_planes",
-    # the fold recomputes only the batch's (family, bucket) cells; the
-    # artifact commit/reload is edge-table-sized (both pin the gate's
-    # 8 planes, so their ratios read as the fixed-plane build cost —
-    # the adaptive probe above is the sized-index number)
-    "incremental_nsw_equiv",
-    "nsw_index_artifact_roundtrip",
+    # the incremental fold, also probed at the contract's plane count —
+    # recomputes only the batch's (family, bucket) cells over the union.
+    # The GATES (incremental_nsw_equiv, nsw_index_artifact_roundtrip)
+    # pin 8 planes for oracle replay and are deliberately NOT probed at
+    # ×20: measured once for the record (BENCH_DRIFT round-12), the
+    # 8-plane build at 40k vectors is ~31× — the expected Θ(n²/buckets)
+    # of an index sized for 2k vectors, the same copy-shaped distortion
+    # the disjoint-shingle document replication exists to avoid.
+    "graph_ann_adaptive_fold",
 ]
 
 
@@ -160,6 +163,33 @@ def _graph_ann_adaptive(spark, sf_dir: str):
     return ga.nsw_search(edges, e, q, beam=32, hops=4)
 
 
+def _graph_ann_adaptive_fold(spark, sf_dir: str):
+    """nsw_fold_directed at the contract's plane count: fold the
+    vec_id%5==4 batch into the base graph, search the folded result —
+    per-batch cost ∝ the touched cells' population at ANY volume."""
+    import math
+
+    from youtube_scraper_db_spark.llm import graph_ann as ga
+    from youtube_scraper_db_spark.llm.similarity import as_double
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    n_planes = 2 * max(4, math.ceil(math.log2(max(2, n // 32))))
+    base = e.filter(F.col("vec_id") % 5 != 4)
+    batch = e.filter(F.col("vec_id") % 5 == 4)
+    d_old = ga.nsw_directed_edges(
+        ga.nsw_bucketed(base, n_planes=n_planes), 12
+    ).localCheckpoint(eager=True)
+    d_inc = ga.nsw_fold_directed(
+        d_old, e, batch, m_neighbors=12, n_planes=n_planes
+    )
+    edges = ga.nsw_symmetrize(d_inc).localCheckpoint(eager=True)
+    q = e.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("qv")
+    )
+    return ga.nsw_search(edges, e, q, beam=32, hops=4)
+
+
 class _ProbeSpec:
     """Probe-only callable wrapper with the registry spec's (name, fn)
     surface — for operator configurations the oracle gates can't pin
@@ -172,6 +202,9 @@ class _ProbeSpec:
 EXTRA_SPECS = {
     "graph_ann_adaptive_planes": _ProbeSpec(
         "graph_ann_adaptive_planes", _graph_ann_adaptive
+    ),
+    "graph_ann_adaptive_fold": _ProbeSpec(
+        "graph_ann_adaptive_fold", _graph_ann_adaptive_fold
     ),
 }
 DOC_QUERIES = [
