@@ -15566,9 +15566,18 @@ def nsw_index_artifact_roundtrip(
     topk_l = llm_graph_ann.nsw_search(
         edges_l, e, q, beam=32, hops=4
     ).localCheckpoint(eager=True)
-    # built-path comparison uses a fresh build, not the loaded table
-    edges_b = llm_graph_ann.nsw_edges(e, m_neighbors=12)
-    topk_direct = llm_graph_ann.nsw_search(edges_b, e, q, beam=32, hops=4)
+    # built-path comparison uses a fresh build, not the loaded table.
+    # Checkpoint BOTH the edge table and the search result: nsw_search
+    # materializes its edge input once per hop, and the sym-diff's two
+    # exceptAll sides would each re-run the whole search — un-
+    # checkpointed, this one comparison re-ran the bucketed kNN build
+    # eight times
+    edges_b = llm_graph_ann.nsw_edges(e, m_neighbors=12).localCheckpoint(
+        eager=True
+    )
+    topk_direct = llm_graph_ann.nsw_search(
+        edges_b, e, q, beam=32, hops=4
+    ).localCheckpoint(eager=True)
     diff = (
         topk_l.exceptAll(topk_direct)
         .union(topk_direct.exceptAll(topk_l))
