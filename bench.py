@@ -197,6 +197,7 @@ HEADLINE = [
     "sliding_spine_consistency",
     "incremental_nsw_equiv",
     "nsw_index_artifact_roundtrip",
+    "stream_nsw_ingest",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution. The streaming

@@ -141,3 +141,50 @@ def test_fold_untouched_cells_carry_over_verbatim(spark):
     kept_inc = d_inc.join(touched, ["fam", "bk"], "left_anti")
     assert kept_inc.exceptAll(kept_old).count() == 0
     assert kept_old.exceptAll(kept_inc).count() == 0
+
+
+def test_stream_nsw_ingest_equals_batch_build(spark, tmp_path):
+    from youtube_scraper_db_spark.streaming.ann import run_nsw_ingest_stream
+
+    e, q = _emb_q(spark)
+    staged = str(tmp_path / "src")
+    e.select("vec_id", "embedding").repartition(3).write.parquet(staged)
+    updates = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    drained = run_nsw_ingest_stream(
+        updates, str(tmp_path / "idx"), str(tmp_path / "ckpt"),
+        m_neighbors=6,
+    )
+    batch_built = ga.nsw_directed_edges(ga.nsw_bucketed(e), 6)
+    assert drained.exceptAll(batch_built).count() == 0
+    assert batch_built.exceptAll(drained).count() == 0
+
+
+def test_stream_nsw_ingest_replay_idempotent(spark, tmp_path):
+    # a second drain over the same source + a FRESH checkpoint replays
+    # every batch against the existing store — deterministic rewrites,
+    # identical final state
+    from youtube_scraper_db_spark.streaming.ann import run_nsw_ingest_stream
+
+    e, _ = _emb_q(spark)
+    staged = str(tmp_path / "src")
+    e.select("vec_id", "embedding").repartition(2).write.parquet(staged)
+
+    def drain(ck):
+        updates = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        return run_nsw_ingest_stream(
+            updates, str(tmp_path / "idx"), str(tmp_path / ck),
+            m_neighbors=6,
+        )
+
+    first = drain("ck1").localCheckpoint(eager=True)
+    second = drain("ck2")
+    assert second.exceptAll(first).count() == 0
+    assert first.exceptAll(second).count() == 0

@@ -216,6 +216,9 @@ BNLJ_OK = {
     # scalar joins (fold-equivalence and artifact gates)
     "incremental_nsw_equiv",
     "nsw_index_artifact_roundtrip",
+    # round 12: the same shape over the drained cell store + the 1-row
+    # sym-diff scalar
+    "stream_nsw_ingest",
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

@@ -131,12 +131,14 @@ EMB_QUERIES = [
     "graph_ann_adaptive_planes",
     # the incremental fold, also probed at the contract's plane count —
     # recomputes only the batch's (family, bucket) cells over the union.
-    # The GATES (incremental_nsw_equiv, nsw_index_artifact_roundtrip)
-    # pin 8 planes for oracle replay and are deliberately NOT probed at
-    # ×20: measured once for the record (BENCH_DRIFT round-12), the
-    # 8-plane build at 40k vectors is ~31× — the expected Θ(n²/buckets)
-    # of an index sized for 2k vectors, the same copy-shaped distortion
-    # the disjoint-shingle document replication exists to avoid.
+    # The GATES (incremental_nsw_equiv, nsw_index_artifact_roundtrip,
+    # stream_nsw_ingest) pin 8 planes for oracle replay and are
+    # deliberately NOT probed at ×20: measured once for the record
+    # (BENCH_DRIFT round-12), the 8-plane build at 40k vectors is ~31×
+    # — the expected Θ(n²/buckets) of an index sized for 2k vectors,
+    # the same copy-shaped distortion the disjoint-shingle document
+    # replication exists to avoid. The two adaptive probes here are the
+    # sized-index numbers for the same build and fold code paths.
     "graph_ann_adaptive_fold",
 ]
 

@@ -15613,6 +15613,80 @@ def nsw_index_artifact_roundtrip(
     )
 
 
+@spec(
+    "stream_nsw_ingest",
+    "LLM-sim-ann EXT-ann-graph EXT-ann-stream T5",
+    oracle=f"""
+    SELECT o.vec_id, o.cos_sim, o.recall_hits, o.n_edges,
+           TRUE AS stream_consistent
+    FROM ({llm_graph_ann.nsw_oracle_sql(
+        m_neighbors=12, beam=32, hops=4
+    )}) o
+    """,
+)
+def stream_nsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING NSW graph maintenance (streaming/ann.py
+    run_nsw_ingest_stream — the graph-ANN member of the streaming fold
+    family, completing the matrix: KMV/MG/CC/LSH/skyline/sample/IVF and
+    now the neighbor graph all have twins): embeddings replay as a
+    4-micro-batch file stream into a CELL-KEYED edge store — each batch
+    buckets itself (map-only), appends its bucketed rows to the vector
+    log, and overwrites ONLY the (family, bucket) cell directories it
+    lands in with edges recomputed over those cells' members (the
+    incremental_nsw_equiv fold, applied over time; at scale a dynamic
+    partition overwrite). Because cell edges are a pure function of
+    cell membership, the drained store equals the one-shot batch build
+    edge-for-edge for ANY micro-batch layout — the engine sym-diffs the
+    directed tables AND compares the beam searches; the oracle is the
+    full-build replay VERBATIM. Crash-replay: both writes are
+    deterministic, so a replayed batch rewrites identical rows and a
+    torn cell directory self-heals on the overwrite."""
+    import tempfile
+
+    from .streaming.ann import run_nsw_ingest_stream
+
+    ensure_utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    staged = tempfile.mkdtemp(prefix="sg_nsw_src_")
+    e.select("vec_id", "embedding").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    updates = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    drained = run_nsw_ingest_stream(
+        updates,
+        tempfile.mkdtemp(prefix="sg_nsw_idx_"),
+        tempfile.mkdtemp(prefix="sg_nsw_ckpt_"),
+        m_neighbors=12,
+    ).localCheckpoint(eager=True)
+    batch_built = llm_graph_ann.nsw_directed_edges(
+        llm_graph_ann.nsw_bucketed(e), m_neighbors=12
+    ).localCheckpoint(eager=True)
+    consistent = (
+        drained.exceptAll(batch_built)
+        .union(batch_built.exceptAll(drained))
+        .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
+    )
+    edges = llm_graph_ann.nsw_symmetrize(drained).localCheckpoint(eager=True)
+    topk = llm_graph_ann.nsw_search(
+        edges, e, q, beam=32, hops=4
+    ).localCheckpoint(eager=True)
+    exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
+    hits = (
+        topk.select("vec_id")
+        .join(exact10, ["vec_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("recall_hits"))
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return topk.crossJoin(hits).crossJoin(ne).crossJoin(consistent)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -16216,6 +16290,11 @@ _swap_specs("sliding_spine_consistency", "doc_stratified_sample")  # debut in, o
 # [550 % 294 = 256 : 294]+[0:12] — first driver contact next round.
 _swap_specs("pricing_summary", "referential_integrity_report")  # in r06, out r11
 _swap_specs("diff_sync_parts", "corpus_facade_annotated")  # in r06, out r11
+# …and the streaming-NSW registration (len 295, offset 500 % 295 = 205)
+# shifts once more — one compensating swap; all three late NSW debuts
+# (indices 292-294) sit inside round-13's natural wrap window
+# [550 % 295 = 255 : 295]+[0:10], first driver contact next round.
+_swap_specs("ordered_part_lists", "compacted_docs_roundtrip")  # in r06, out r11
 
 
 def _offset_for_round(last_checked_round: int) -> int:

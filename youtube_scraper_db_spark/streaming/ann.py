@@ -78,3 +78,118 @@ def run_ivf_ingest_stream(
     if not dirs:
         return spark.createDataFrame([], _INDEX_SCHEMA)
     return spark.read.schema(_INDEX_SCHEMA).parquet(*dirs)
+
+
+# ---------------------------------------------------------------------------
+# Streaming NSW graph maintenance — the graph-ANN member of the family
+# ---------------------------------------------------------------------------
+
+_BUCKETED_SCHEMA = (
+    "nid long, nv array<double>, nn double, ba long, bb long"
+)
+_DIRECTED_SCHEMA = "fam string, bk long, src long, dst long"
+
+
+def run_nsw_ingest_stream(
+    emb_updates: DataFrame,
+    index_root: str,
+    checkpoint: str,
+    dim: int = 64,
+    m_neighbors: int = 6,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drain ``emb_updates`` into a CELL-KEYED NSW edge store: the
+    directed edge table is a pure function of each (family, bucket)
+    cell's membership (llm/graph_ann.py), so the store lays out one
+    directory per cell and each micro-batch overwrites ONLY the cells
+    it lands in — the graph twin of the log-structured LSH/IVF ingest,
+    with replacement instead of append. Two state tables:
+
+    - ``vectors/b_{batch_id}``: the batch's bucketed rows, append-only
+      (bucketing is per-row pure — the IVF-store device). This is the
+      membership source of truth the cell recomputes read.
+    - ``edges/{fam}_{bk}``: the cell's current directed edges,
+      overwritten whenever a batch lands in the cell. At 100 TB this is
+      a dynamic partition overwrite on a (fam, bk)-partitioned table;
+      cells are sized by the plane-count knob.
+
+    Replay contract (foreachBatch is at-least-once): both writes are
+    deterministic functions of (prior vectors ∪ batch), so a crash-
+    replayed batch rewrites identical rows — a torn cell directory
+    self-heals on the replay's overwrite. Per-batch cost: bucket the
+    batch (map-only) + recompute ≤ 2·|batch| cells over their member
+    rows — the historical corpus outside the touched cells is never
+    read, matching the batch fold's O(touched) contract
+    (``incremental_nsw_equiv``).
+
+    Returns the drained DIRECTED table read back from the cell store;
+    ``nsw_symmetrize`` makes it searchable."""
+    from pyspark.sql import functions as F
+
+    from ..llm.graph_ann import (
+        N_PLANES,
+        nsw_bucketed,
+        nsw_directed_edges,
+        nsw_touched_cells,
+    )
+
+    spark = emb_updates.sparkSession
+    planes = n_planes if n_planes is not None else N_PLANES
+    vec_dir = os.path.join(index_root, "vectors")
+    edge_dir = os.path.join(index_root, "edges")
+    for d in (vec_dir, edge_dir):
+        os.makedirs(d, exist_ok=True)
+
+    def _vector_dirs(exclude: int | None = None) -> list[str]:
+        return sorted(
+            os.path.join(vec_dir, d)
+            for d in os.listdir(vec_dir)
+            if d.startswith("b_") and (exclude is None or d != f"b_{exclude}")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bucketed_b = nsw_bucketed(
+            batch_df, dim, planes, id_col, vec_col
+        ).localCheckpoint(eager=True)
+        touched = nsw_touched_cells(
+            batch_df, dim, planes, id_col, vec_col
+        ).localCheckpoint(eager=True)
+        prior_dirs = _vector_dirs(exclude=batch_id)
+        members = bucketed_b
+        if prior_dirs:
+            members = spark.read.schema(_BUCKETED_SCHEMA).parquet(
+                *prior_dirs
+            ).unionByName(bucketed_b)
+        recomputed = nsw_directed_edges(
+            members, m_neighbors, restrict=touched
+        ).localCheckpoint(eager=True)
+        # one overwrite per touched cell — deterministic rows, so a
+        # replayed batch rewrites instead of corrupting
+        for row in touched.collect():
+            cell = recomputed.where(
+                (F.col("fam") == row.fam) & (F.col("bk") == row.bk)
+            )
+            cell.write.mode("overwrite").parquet(
+                os.path.join(edge_dir, f"{row.fam}_{row.bk}")
+            )
+        bucketed_b.write.mode("overwrite").parquet(
+            os.path.join(vec_dir, f"b_{batch_id}")
+        )
+
+    q = (
+        emb_updates.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cell_dirs = sorted(
+        os.path.join(edge_dir, d)
+        for d in os.listdir(edge_dir)
+        if "_" in d
+    )
+    if not cell_dirs:
+        return spark.createDataFrame([], _DIRECTED_SCHEMA)
+    return spark.read.schema(_DIRECTED_SCHEMA).parquet(*cell_dirs)
