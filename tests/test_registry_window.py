@@ -410,6 +410,59 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "doc_lang_id",
         "has_order_flag",
     },
+    # Round 13: the three never-driver-checked NSW debuts + the full
+    # 43-query r07-stale cohort (r12 VERDICT task 1) + this round's
+    # debuts. Duplicated here independently of registry._ROUND13_MUST
+    # on purpose — the test pins the composition even if the registry
+    # list is edited.
+    13: {
+        "incremental_nsw_equiv",
+        "nsw_index_artifact_roundtrip",
+        "stream_nsw_ingest",
+        "asof_latest_order",
+        "bloom_union_merge",
+        "bucketed_order_lines",
+        "checkpoint_skip_orders",
+        "cross_linked_parts",
+        "customer_order_counts",
+        "doc_bigram_quality",
+        "doc_chunks",
+        "doc_pii_scrub",
+        "doc_split_assign",
+        "doc_stratified_sample",
+        "doc_token_ids",
+        "event_user_moving_avg",
+        "event_value_delta",
+        "event_value_percentiles",
+        "extracted_page_refs",
+        "field_update_orders",
+        "incremental_dedup_new",
+        "insert_if_absent_orders",
+        "ivf_ann_topk",
+        "keyed_delete_orders",
+        "label_centroids",
+        "merge_upsert_orders",
+        "mock_fetch_enrichment",
+        "multimodal_meta",
+        "near_dup_clusters",
+        "orc_export_roundtrip",
+        "per_customer_stats",
+        "regional_revenue",
+        "schema_evolution_union",
+        "segment_join_render",
+        "seq_packing_gate",
+        "status_priority_rollup",
+        "stream_bloom_customer_filter",
+        "stream_hll_distinct_users",
+        "summary_stats",
+        "timestamped_docs",
+        "top_orders_per_customer",
+        "top_suppliers",
+        "uniq_users_sketch",
+        "valid_available_parts",
+        "wordpiece_apply_tokens",
+        "wordpiece_trained_merges",
+    },
 }
 
 

@@ -16297,6 +16297,164 @@ _swap_specs("diff_sync_parts", "corpus_facade_annotated")  # in r06, out r11
 _swap_specs("ordered_part_lists", "compacted_docs_roundtrip")  # in r06, out r11
 
 
+# --- Round 13 (ORACLE_ROUND=13, offset 550 % len) ---------------------
+# r12 VERDICT census: after round 12 cleared the r06 cohort, the 43
+# r07-rowed queries are the oldest driver witnesses anywhere, and the
+# three late round-12 NSW debuts (incremental_nsw_equiv,
+# nsw_index_artifact_roundtrip, stream_nsw_ingest — registry tail) are
+# the ONLY entries with no driver row ever. The natural round-13 wrap
+# window [550 % 295 = 255 : 295]+[0:10] covers the 3 debuts plus just
+# 3 of the 43 stale rows — 40 need swapping in.
+#
+# Every round through 12 hand-maintained compensating swaps each time a
+# same-round registration grew the registry and slid the offset (see the
+# round-10 (f)-(n) and round-12 tail blocks above — the most error-prone
+# bookkeeping in the file). ``_pin_window`` replaces that: it computes
+# the minimal swap set AT IMPORT TIME from (a) the MUST list and (b) an
+# eviction-priority list ordered freshest-driver-row-first, using the
+# FIXED round-13 offset formula (550 % len) so the result is a pure
+# function of the committed registry content — deterministic across
+# sessions, invariant under this round's registrations, and independent
+# of the ORACLE_ROUND marker value at import.
+def _pin_window(round_no: int, must: list[str], evict: list[str]) -> None:
+    """Swap every MUST entry into round ``round_no``'s driver window.
+
+    MUST names already inside the natural window are left in place;
+    each one outside swaps over the highest-priority eviction candidate
+    still in the window. Raises at import (loud, build-time) if the
+    MUST set overflows the window or the eviction pool runs dry —
+    a silent mis-window is the exact failure mode rounds 1-2 hit.
+    """
+    if len(must) > ORACLE_WINDOW:
+        raise ValueError(f"MUST set overflows the window: {len(must)}")
+    names = [s.name for s in REGISTRY]
+    n = len(names)
+    off = ((round_no - 2) * ORACLE_WINDOW) % n
+    win = {names[(off + i) % n] for i in range(ORACLE_WINDOW)}
+    must_set = set(must)
+    pool = [e for e in evict if e in win and e not in must_set]
+    for m in must:
+        if m in win:
+            continue
+        if not pool:
+            raise ValueError(f"eviction pool exhausted placing {m!r}")
+        e = pool.pop(0)
+        _swap_specs(m, e)
+        win.discard(e)
+        win.add(m)
+
+
+#: Round-13 MUST set: the 3 never-driver-checked NSW debuts, the full
+#: 43-query r07 cohort (verified against the committed CORRECTNESS
+#: files: latest all-green row r07 for every name), and this round's
+#: debuts. 50 exactly — the window IS the stale census plus debuts.
+_ROUND13_MUST = [
+    # never driver-checked (late round-12 registrations)
+    "incremental_nsw_equiv",
+    "nsw_index_artifact_roundtrip",
+    "stream_nsw_ingest",
+    # the 43 r07-stale rows (3 already in the natural window:
+    # doc_split_assign, doc_stratified_sample, incremental_dedup_new)
+    "asof_latest_order",
+    "bloom_union_merge",
+    "bucketed_order_lines",
+    "checkpoint_skip_orders",
+    "cross_linked_parts",
+    "customer_order_counts",
+    "doc_bigram_quality",
+    "doc_chunks",
+    "doc_pii_scrub",
+    "doc_split_assign",
+    "doc_stratified_sample",
+    "doc_token_ids",
+    "event_user_moving_avg",
+    "event_value_delta",
+    "event_value_percentiles",
+    "extracted_page_refs",
+    "field_update_orders",
+    "incremental_dedup_new",
+    "insert_if_absent_orders",
+    "ivf_ann_topk",
+    "keyed_delete_orders",
+    "label_centroids",
+    "merge_upsert_orders",
+    "mock_fetch_enrichment",
+    "multimodal_meta",
+    "near_dup_clusters",
+    "orc_export_roundtrip",
+    "per_customer_stats",
+    "regional_revenue",
+    "schema_evolution_union",
+    "segment_join_render",
+    "seq_packing_gate",
+    "status_priority_rollup",
+    "stream_bloom_customer_filter",
+    "stream_hll_distinct_users",
+    "summary_stats",
+    "timestamped_docs",
+    "top_orders_per_customer",
+    "top_suppliers",
+    "uniq_users_sketch",
+    "valid_available_parts",
+    "wordpiece_apply_tokens",
+    "wordpiece_trained_merges",
+    # round-13 debuts are appended here as they are registered
+]
+
+#: Eviction priority: freshest committed driver row first (6 r11, 9
+#: r10, 29 r09 — the annotation is the row verified before writing).
+#: Displaced entries inherit the stale entries' out-of-window indices
+#: and re-enter via the normal 50-per-round walk.
+_ROUND13_EVICT = [
+    "compacted_docs_roundtrip",  # r11
+    "referential_integrity_report",  # r11
+    "corpus_facade_annotated",  # r11
+    "jsonl_gzip_roundtrip",  # r11
+    "partitioned_orders_prune",  # r11
+    "embedding_knn_join",  # r11
+    "classic_q4_priority_counts",  # r10
+    "classic_q13_custdist",  # r10
+    "classic_q22_idle_balance",  # r10
+    "top_suppliers_with_ties",  # r10
+    "salted_distinct_users",  # r10
+    "salted_supplier_revenue",  # r10
+    "jsonl_export_roundtrip",  # r10
+    "order_value_percentrank",  # r10
+    "bpe_pair_counts",  # r10
+    "stream_outer_correlated_pairs",  # r09
+    "minhash_lsh_recall",  # r09
+    "stream_top_event_types",  # r09
+    "stream_sessionized_users",  # r09
+    "event_status_attribution",  # r09
+    "vocab_coverage_curve",  # r09
+    "doc_unigram_rarity",  # r09
+    "doc_tfidf_terms",  # r09
+    "segment_dedup_docs",  # r09
+    "corpus_curation_report",  # r09
+    "histogram_range_shards",  # r09
+    "pq_ann_recall",  # r09
+    "corpus_vocab_topk",  # r09
+    "training_shard_manifest",  # r09
+    "audio_meta_decode",  # r09
+    "audio_energy_windows",  # r09
+    "substring_dup_flags",  # r09
+    "int8_ann_topk",  # r09
+    "int8_ann_recall",  # r09
+    "doc_repetition_stats",  # r09
+    "image_header_decode",  # r09
+    "gif_frame_samples",  # r09
+    "user_status_history",  # r09
+    "event_value_mad",  # r09
+    "ci_name_search",  # r09
+    "point_lookup_order",  # r09
+    "asof_next_order",  # r09
+    "classic_q5_local_volume",  # r09
+    "classic_q18_large_orders",  # r09
+]
+
+_pin_window(13, _ROUND13_MUST, _ROUND13_EVICT)
+
+
 def _offset_for_round(last_checked_round: int) -> int:
     """Pure rotation arithmetic: r01/r02 both checked REGISTRY[0:50], so
     with r(N) files present the next verify windows batch N — offset
