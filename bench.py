@@ -198,6 +198,12 @@ HEADLINE = [
     "incremental_nsw_equiv",
     "nsw_index_artifact_roundtrip",
     "stream_nsw_ingest",
+    # round 13: ANN store deletions (tombstone logs + cell recompute)
+    # and the fifth sliding family on the shared spine
+    "stream_ivf_delete_equiv",
+    "stream_nsw_delete_equiv",
+    "stream_lsh_delete_equiv",
+    "bloom_sliding_membership",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution. The streaming

@@ -188,3 +188,260 @@ def test_stream_nsw_ingest_replay_idempotent(spark, tmp_path):
     second = drain("ck2")
     assert second.exceptAll(first).count() == 0
     assert first.exceptAll(second).count() == 0
+
+
+def test_cell_edges_equal_directed_edges(spark):
+    # nsw_cell_edges over the exploded cell layout is nsw_directed_edges
+    # re-expressed — the streaming store's recompute path must match the
+    # batch builder row-for-row
+    e, _ = _emb_q(spark)
+    b = ga.nsw_bucketed(e)
+    via_cells = ga.nsw_cell_edges(ga.nsw_cell_rows(b), 6)
+    direct = ga.nsw_directed_edges(b, 6)
+    assert via_cells.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_cells).count() == 0
+
+
+def test_search_hop_fetch_pushes_id_filters(spark, tmp_path):
+    # r12 VERDICT "What's wrong #1": the hop fetch must reach the
+    # parquet scans as pushed id predicates (row-group pruning), not a
+    # broadcast join that streams the corpus/edge table per hop
+    e, q = _emb_q(spark)
+    emb_path = str(tmp_path / "emb")
+    edge_path = str(tmp_path / "edges")
+    e.write.parquet(emb_path)
+    ga.nsw_edges(e, m_neighbors=6).write.parquet(edge_path)
+    emb_pq = spark.read.parquet(emb_path)
+    edges_pq = spark.read.parquet(edge_path)
+
+    corpus = emb_pq.select(
+        F.col("vec_id"), as_double("embedding").alias("v")
+    ).withColumn("vn", F.sqrt(F.aggregate(
+        F.zip_with("v", "v", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )))
+    fetch_plan = ga.nsw_score_ids(
+        corpus, q, "vec_id", [0, 1, 2, 3]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(vec_id, " in fetch_plan, fetch_plan
+
+    probe_plan = ga.nsw_probe_edges(edges_pq, [0, 1, 2, 3])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(src, " in probe_plan, probe_plan
+
+    # and the end-to-end search over the parquet-backed tables still
+    # returns the exact deterministic result
+    got = ga.nsw_search(edges_pq.select("src", "dst"), emb_pq, q,
+                        beam=32, hops=4).first()
+    assert got.vec_id == 0 and got.cos_sim == 1.0
+
+
+def test_stream_nsw_member_read_prunes_cells(spark, tmp_path):
+    # r12 VERDICT "What's wrong #2": the per-batch prior-member read
+    # must touch ONLY the touched-cell partitions of the vector log
+    from youtube_scraper_db_spark.streaming.ann import _read_cell_members
+
+    e, _ = _emb_q(spark)
+    cells = ga.nsw_cell_rows(ga.nsw_bucketed(e))
+    log_dir = str(tmp_path / "vectors" / "b_0")
+    cells.write.partitionBy("fam", "bk").parquet(log_dir)
+    touched = [("ba", 3), ("bb", 7)]
+    got = _read_cell_members(spark, [log_dir], touched)
+    # the touched-cell restriction must reach the scan as
+    # PartitionFilters — directory-level pruning, not a post-scan filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan
+    import re as _re
+
+    for pf in _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan):
+        assert "fam" in pf and "bk" in pf, plan
+    # the pruned read IS the cells' membership, row-for-row
+    want = cells.where(
+        ((F.col("fam") == "ba") & (F.col("bk") == 3))
+        | ((F.col("fam") == "bb") & (F.col("bk") == 7))
+    )
+    cols = ["fam", "bk", "nid", "nn"]
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_nsw_apply_deletes_equals_rebuild(spark):
+    # fold-with-delete == rebuild-without-rows, cell-for-cell
+    e, _ = _emb_q(spark)
+    deleted = e.filter(F.col("vec_id") % 7 == 3)
+    remaining = e.filter(F.col("vec_id") % 7 != 3)
+    d_full = ga.nsw_directed_edges(ga.nsw_bucketed(e), 6)
+    d_del = ga.nsw_apply_deletes(d_full, remaining, deleted, m_neighbors=6)
+    d_want = ga.nsw_directed_edges(ga.nsw_bucketed(remaining), 6)
+    assert d_del.exceptAll(d_want).count() == 0
+    assert d_want.exceptAll(d_del).count() == 0
+
+
+def test_stream_nsw_delete_equals_rebuild(spark, tmp_path):
+    from youtube_scraper_db_spark.streaming.ann import (
+        run_nsw_delete_stream,
+        run_nsw_ingest_stream,
+    )
+
+    e, _ = _emb_q(spark)
+
+    def _stream(df, path, n):
+        df.repartition(n).write.mode("overwrite").parquet(path)
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    idx, ck1, ck2 = (str(tmp_path / d) for d in ("idx", "ck1", "ck2"))
+    run_nsw_ingest_stream(
+        _stream(e.select("vec_id", "embedding"), str(tmp_path / "src"), 2),
+        idx, ck1, m_neighbors=6,
+    )
+    deleted = e.filter(F.col("vec_id") % 7 == 3)
+    remaining = e.filter(F.col("vec_id") % 7 != 3)
+    drained = run_nsw_delete_stream(
+        _stream(deleted.select("vec_id", "embedding"),
+                str(tmp_path / "dsrc"), 2),
+        idx, ck2, m_neighbors=6,
+    )
+    want = ga.nsw_directed_edges(ga.nsw_bucketed(remaining), 6)
+    assert drained.exceptAll(want).count() == 0
+    assert want.exceptAll(drained).count() == 0
+
+
+def test_stream_nsw_delete_purges_emptied_cells(spark, tmp_path):
+    # deleting EVERY member of a cell must remove the cell's edge
+    # partition from the store (r12 ADVICE: the dynamic overwrite alone
+    # cannot express that)
+    import os
+
+    from youtube_scraper_db_spark.streaming.ann import (
+        run_nsw_delete_stream,
+        run_nsw_ingest_stream,
+    )
+
+    e, _ = _emb_q(spark)
+
+    def _stream(df, path, n):
+        df.repartition(n).write.mode("overwrite").parquet(path)
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    idx, ck1, ck2 = (str(tmp_path / d) for d in ("idx", "ck1", "ck2"))
+    run_nsw_ingest_stream(
+        _stream(e.select("vec_id", "embedding"), str(tmp_path / "src"), 2),
+        idx, ck1, m_neighbors=6,
+    )
+    # pick the least-populated ba cell with >= 2 members and delete ALL
+    # of its members
+    b = ga.nsw_bucketed(e)
+    pops = (
+        b.groupBy("ba").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2).orderBy("n", "ba").first()
+    )
+    bk = pops["ba"]
+    victims = b.where(F.col("ba") == bk).select("nid")
+    deleted = e.join(
+        victims, e["vec_id"] == victims["nid"], "left_semi"
+    )
+    cell_dir = os.path.join(idx, "edges", "fam=ba", f"bk={bk}")
+    assert os.path.isdir(cell_dir)
+    drained = run_nsw_delete_stream(
+        _stream(deleted.select("vec_id", "embedding"),
+                str(tmp_path / "dsrc"), 1),
+        idx, ck2, m_neighbors=6,
+    )
+    assert not os.path.isdir(cell_dir)
+    remaining = e.join(victims, e["vec_id"] == victims["nid"], "left_anti")
+    want = ga.nsw_directed_edges(ga.nsw_bucketed(remaining), 6)
+    assert drained.exceptAll(want).count() == 0
+    assert want.exceptAll(drained).count() == 0
+
+
+def test_stream_nsw_delete_replay_idempotent(spark, tmp_path):
+    from youtube_scraper_db_spark.streaming.ann import (
+        run_nsw_delete_stream,
+        run_nsw_ingest_stream,
+    )
+
+    e, _ = _emb_q(spark)
+
+    def _stream(df, path, n):
+        df.repartition(n).write.mode("overwrite").parquet(path)
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    idx = str(tmp_path / "idx")
+    run_nsw_ingest_stream(
+        _stream(e.select("vec_id", "embedding"), str(tmp_path / "src"), 2),
+        idx, str(tmp_path / "ck1"), m_neighbors=6,
+    )
+    deleted = e.filter(F.col("vec_id") % 7 == 3).select(
+        "vec_id", "embedding"
+    )
+    dsrc = str(tmp_path / "dsrc")
+
+    first = run_nsw_delete_stream(
+        _stream(deleted, dsrc, 2), idx, str(tmp_path / "ck2"),
+        m_neighbors=6,
+    ).localCheckpoint(eager=True)
+    # fresh checkpoint => every delete batch replays against the store
+    second = run_nsw_delete_stream(
+        _stream(deleted, dsrc, 2), idx, str(tmp_path / "ck3"),
+        m_neighbors=6,
+    )
+    assert second.exceptAll(first).count() == 0
+    assert first.exceptAll(second).count() == 0
+
+
+def test_stream_ivf_delete_equals_rebuild(spark, tmp_path):
+    from youtube_scraper_db_spark.streaming.ann import (
+        run_ivf_delete_stream,
+        run_ivf_ingest_stream,
+    )
+
+    e, q = _emb_q(spark)
+    cdf = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
+    )
+
+    def _stream(df, path, n, schema):
+        df.repartition(n).write.mode("overwrite").parquet(path)
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    idx = str(tmp_path / "idx")
+    run_ivf_ingest_stream(
+        _stream(e.select("vec_id", "embedding"), str(tmp_path / "src"), 3,
+                "vec_id long, embedding array<float>"),
+        cdf, idx, str(tmp_path / "ck1"),
+    )
+    deleted = e.filter(F.col("vec_id") % 7 == 3)
+    remaining = e.filter(F.col("vec_id") % 7 != 3)
+    drained = run_ivf_delete_stream(
+        _stream(deleted.select("vec_id"), str(tmp_path / "dsrc"), 2,
+                "vec_id long"),
+        idx, str(tmp_path / "ck2"),
+    )
+    want = ivf_index(remaining, cdf)
+    key = lambda df: df.select(
+        "vec_id", "cluster", F.round("vn", 9).alias("vn9")
+    )
+    assert key(drained).exceptAll(key(want)).count() == 0
+    assert key(want).exceptAll(key(drained)).count() == 0
+    # searching the post-delete store == searching the rebuild
+    got = ivf_search_index(drained, cdf, q, nprobe=4, k=10).collect()
+    exp = ivf_search_index(want, cdf, q, nprobe=4, k=10).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == [
+        (r.vec_id, r.cos_sim) for r in exp
+    ]

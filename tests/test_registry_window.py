@@ -462,6 +462,11 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "valid_available_parts",
         "wordpiece_apply_tokens",
         "wordpiece_trained_merges",
+        # round-13 debuts
+        "stream_ivf_delete_equiv",
+        "stream_nsw_delete_equiv",
+        "stream_lsh_delete_equiv",
+        "bloom_sliding_membership",
     },
 }
 

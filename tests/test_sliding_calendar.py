@@ -169,3 +169,82 @@ def test_spine_cross_family_same_ends(spark):
     he = sliding.window_ends(op_sk.hll_leaf_registers(ev, "ts", "user"))
     assert ke.exceptAll(he).count() == 0
     assert he.exceptAll(ke).count() == 0
+
+
+def test_bloom_sliding_window_bits_equal_direct_filter(spark):
+    # bit-union of a window's leaf filters == the filter built directly
+    # over the window's raw rows (set-union associativity)
+    ev = _events(spark)
+    leaves = op_sk.bloom_leaf_bits(ev, "ts", "user", k=5, m_bits=1 << 10)
+    from youtube_scraper_db_spark.operators import sliding as op_sliding
+
+    wbits = (
+        op_sliding.window_leaves(leaves, 3, "day", broadcast_leaves=False)
+        .select("wend", "pos")
+        .distinct()
+    )
+    ends = [r["wend"] for r in op_sliding.window_ends(leaves).collect()]
+    assert len(ends) == 10
+    import datetime as _dt
+
+    for wend in ends[:3]:
+        lo = wend - _dt.timedelta(days=2)
+        win_rows = ev.where(
+            (F.date_trunc("day", "ts") >= F.lit(lo))
+            & (F.date_trunc("day", "ts") <= F.lit(wend))
+        )
+        direct = op_sk.bloom_bits(win_rows, "user", 5, 1 << 10)
+        got = wbits.where(F.col("wend") == F.lit(wend)).select("pos")
+        assert got.exceptAll(direct).count() == 0
+        assert direct.exceptAll(got).count() == 0
+
+
+def test_bloom_sliding_probe_truth_exact(spark):
+    # true_present per window must equal the exact distinct membership
+    # of the probe set in the window's rows; maybe >= true always
+    ev = _events(spark)
+    probes = spark.createDataFrame(
+        [("u0",), ("u5",), ("u20",), ("u999",), ("zzz",)], "k string"
+    )
+    leaves = op_sk.bloom_leaf_bits(ev, "ts", "user", k=5, m_bits=1 << 10)
+    rep = op_sk.bloom_sliding_probe_report(
+        leaves, ev, probes, "ts", "user", "k", 3, "day", 5, 1 << 10
+    ).collect()
+    assert len(rep) == 10
+    import datetime as _dt
+
+    for r in rep:
+        assert r["probed"] == 5
+        assert r["maybe_present"] >= r["true_present"]
+        assert (
+            r["false_positives"]
+            == r["maybe_present"] - r["true_present"]
+        )
+        lo = r["wend"] - _dt.timedelta(days=2)
+        exact = (
+            ev.where(
+                (F.date_trunc("day", "ts") >= F.lit(lo))
+                & (F.date_trunc("day", "ts") <= F.lit(r["wend"]))
+            )
+            .select("user")
+            .distinct()
+            .join(probes, F.col("user") == F.col("k"), "left_semi")
+            .count()
+        )
+        assert r["true_present"] == exact
+
+
+def test_window_leaves_rejects_wend_collision(spark):
+    # r12 ADVICE: a leaf table carrying 'wend' must fail loudly, not
+    # resolve ambiguously
+    from youtube_scraper_db_spark.operators import sliding as op_sliding
+
+    leaves = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 1))],
+        "leaf timestamp, wend timestamp",
+    )
+    try:
+        op_sliding.window_leaves(leaves, 3, "day")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "wend" in str(e)

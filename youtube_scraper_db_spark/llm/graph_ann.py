@@ -23,10 +23,13 @@ gates the DETERMINISTIC variant instead — the sketch-family playbook:
   then ``hops`` rounds of frontier expansion — score the beam's
   neighbors against the query, keep the top-``beam`` by 6dp-rounded
   cosine (id tie-break) — and an exact 4dp re-rank of the final beam.
-  Each hop touches O(beam × M) adjacency rows via a broadcast hash
-  join against the edge table; the corpus itself is NEVER scanned at
-  query time — the property that makes graph ANN the serving-tier
-  default.
+  The per-hop candidate set is BOUNDED (≤ beam × (M+1) ids), so each
+  hop collects it driver-side and pushes it into the edge and corpus
+  scans as ``isin()`` literal predicates — parquet row-group pruning
+  reads only matching files, and neither table is ever streamed in
+  full at query time (r12 VERDICT "What's wrong #1": the first cut
+  fetched candidate vectors via a broadcast join, which broadcast the
+  ids but STREAMED the whole corpus once per hop).
 
 Everything above is md5 arithmetic + rounded doubles + integer
 tie-breaks, so the ENTIRE pipeline — graph included — replays in
@@ -143,6 +146,69 @@ def nsw_symmetrize(directed: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def nsw_cell_rows(bucketed: DataFrame) -> DataFrame:
+    """(fam, bk, nid, nv, nn): a ``nsw_bucketed`` table exploded under
+    BOTH its cells — the CELL-PARTITIONED membership layout the
+    streaming store persists (each vector stored twice, once per
+    family, the classic space-for-pruning trade: a (fam, bk)-partitioned
+    vector log lets a micro-batch read ONLY its touched-cell partitions
+    instead of the whole history)."""
+    cols = ["nid", "nv", "nn"]
+    return bucketed.select(
+        F.lit("ba").alias("fam"), F.col("ba").alias("bk"), *cols
+    ).unionByName(
+        bucketed.select(
+            F.lit("bb").alias("fam"), F.col("bb").alias("bk"), *cols
+        )
+    )
+
+
+def nsw_cell_edges(members: DataFrame, m_neighbors: int = 6) -> DataFrame:
+    """(fam, bk, src, dst): within-cell top-M directed kNN over
+    CELL-KEYED membership rows (``nsw_cell_rows`` layout). Exactly
+    ``nsw_directed_edges`` re-expressed over the exploded layout — one
+    (fam, bk)-keyed self-join + one windowed top-M for BOTH families at
+    once (equivalence pinned by tests/test_graph_ann.py); feeding it
+    only the touched cells' members is the streaming fold's recompute
+    path."""
+    a = members.select(
+        "fam",
+        "bk",
+        F.col("nid").alias("src"),
+        F.col("nv").alias("av"),
+        F.col("nn").alias("an"),
+    )
+    b = members.select(
+        "fam",
+        "bk",
+        F.col("nid").alias("dst"),
+        F.col("nv").alias("bv"),
+        F.col("nn").alias("bn"),
+    )
+    scored = (
+        a.join(b, ["fam", "bk"])
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "fam",
+            "bk",
+            "src",
+            "dst",
+            F.round(
+                _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")),
+                6,
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("fam", "bk", "src").orderBy(
+        F.desc("s"), F.asc("dst")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= m_neighbors)
+        .select("fam", "bk", "src", "dst")
+    )
+
+
 def nsw_touched_cells(
     batch: DataFrame,
     dim: int = 64,
@@ -189,6 +255,41 @@ def nsw_fold_directed(
     return kept.unionByName(recomputed)
 
 
+def nsw_apply_deletes(
+    old_directed: DataFrame,
+    emb_remaining: DataFrame,
+    deleted: DataFrame,
+    dim: int = 64,
+    m_neighbors: int = 6,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Delete a batch of vectors from a directed NSW edge table: a
+    delete is a MEMBERSHIP change, so the fold device applies inverted —
+    the touched cells are the DELETED rows' cells, recomputed over the
+    REMAINING corpus; every untouched cell's edges carry over verbatim.
+    Equals ``nsw_directed_edges`` over the remaining corpus cell-for-
+    cell (``nsw_delete_equiv`` gates it), for the same structural
+    reason the insert fold is exact. ``deleted`` must carry the row
+    image (id + vector) — cells are a function of the vector, and the
+    cell-partitioned stores have no id-keyed lookup by design.
+
+    A cell whose LAST members are deleted recomputes to zero edges;
+    callers that persist cells as partitions must purge those
+    partitions explicitly (``streaming.ann._purge_cells``) — a dynamic
+    partition overwrite alone would leave the stale cell in place (r12
+    ADVICE)."""
+    touched = nsw_touched_cells(deleted, dim, n_planes, id_col, vec_col)
+    kept = old_directed.join(F.broadcast(touched), ["fam", "bk"], "left_anti")
+    recomputed = nsw_directed_edges(
+        nsw_bucketed(emb_remaining, dim, n_planes, id_col, vec_col),
+        m_neighbors,
+        restrict=touched,
+    )
+    return kept.unionByName(recomputed)
+
+
 def nsw_edges(
     emb: DataFrame,
     dim: int = 64,
@@ -215,6 +316,36 @@ def nsw_edges(
     )
 
 
+def nsw_score_ids(
+    corpus: DataFrame,
+    query_df: DataFrame,
+    id_col: str,
+    id_literals: list,
+) -> DataFrame:
+    """Fetch + score a BOUNDED literal id list against the (1-row)
+    query: the hop-fetch building block of ``nsw_search``, module-level
+    so tests can assert its plan pushes ``In(id, …)`` into the corpus
+    scan (parquet row-group pruning — the 100 TB contract)."""
+    qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("vn") * qn)
+    return (
+        corpus.where(F.col(id_col).isin(id_literals))
+        .crossJoin(F.broadcast(query_df))
+        .select(
+            F.col(id_col),
+            F.round(cos, 6).alias("s6"),
+            F.round(cos, 4).alias("s4"),
+        )
+    )
+
+
+def nsw_probe_edges(edges: DataFrame, beam_ids: list) -> DataFrame:
+    """The hop's adjacency probe: neighbors of a BOUNDED literal id
+    list. ``isin`` on ``src`` reaches the edge scan as a pushed filter,
+    so the (M·n)-row edge table is row-group-probed, never streamed."""
+    return edges.where(F.col("src").isin(beam_ids)).select("dst").distinct()
+
+
 def nsw_search(
     edges: DataFrame,
     emb: DataFrame,
@@ -229,36 +360,37 @@ def nsw_search(
     """Deterministic beam search: start from the ``n_entries`` lowest
     ids, expand ``hops`` times through the edge table keeping the
     top-``beam`` by 6dp-rounded query cosine (id tie-break), return the
-    final beam's top-``k`` re-ranked at 4dp → (id, cos_sim). Only
-    beam ∪ its neighbors are ever scored — no corpus scan."""
+    final beam's top-``k`` re-ranked at 4dp → (id, cos_sim).
+
+    Scale shape: every driver-side ``collect`` here is over a list
+    whose size is a FUNCTION OF THE SEARCH PARAMETERS, not the corpus —
+    ``n_entries``, then ``beam`` ids per hop, then ≤ beam × (M+1)
+    candidate ids (tens to hundreds). Those literal id lists are pushed
+    into the scans as ``isin()`` predicates, so at 100 TB a hop reads
+    only the parquet row groups whose id ranges match — the edge table
+    is probed by ``src`` and the corpus by ``id_col``, never streamed
+    in full (the documented allowlist class: bounded driver-side
+    scalars, like the Bloom mask and the ANN recall riders)."""
     corpus = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
     ).withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
-    def _score(ids: DataFrame) -> DataFrame:
-        qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
-        cos = _dot(F.col("v"), F.col("qv")) / (F.col("vn") * qn)
-        return (
-            ids.join(corpus, id_col)
-            .crossJoin(F.broadcast(query_df))
-            .select(
-                F.col(id_col),
-                F.round(cos, 6).alias("s6"),
-                F.round(cos, 4).alias("s4"),
-            )
-        )
+    def _score(id_literals: list) -> DataFrame:
+        return nsw_score_ids(corpus, query_df, id_col, id_literals)
 
-    entries = emb.select(id_col).orderBy(F.asc(id_col)).limit(n_entries)
-    beam_df = _score(entries).localCheckpoint(eager=True)
+    def _ids(df: DataFrame) -> list:
+        return sorted(r[0] for r in df.collect())
+
+    entry_ids = _ids(
+        emb.select(id_col).orderBy(F.asc(id_col)).limit(n_entries)
+    )
+    beam_df = _score(entry_ids).localCheckpoint(eager=True)
     for _ in range(hops):
-        nbrs = (
-            beam_df.select(id_col)
-            .join(edges, beam_df[id_col] == edges["src"])
-            .select(F.col("dst").alias(id_col))
-        )
-        cand = beam_df.select(id_col).unionByName(nbrs).distinct()
+        beam_ids = _ids(beam_df.select(id_col))
+        nbr_ids = _ids(nsw_probe_edges(edges, beam_ids))
+        cand_ids = sorted(set(beam_ids) | set(nbr_ids))
         beam_df = (
-            _score(cand)
+            _score(cand_ids)
             .orderBy(F.desc("s6"), F.asc(id_col))
             .limit(beam)
             .localCheckpoint(eager=True)
@@ -279,17 +411,28 @@ def nsw_oracle_sql(
     query_id: int = 0,
     n_planes: int = N_PLANES,
     checksum_mod: int | None = None,
+    corpus_where: str = "",
 ) -> str:
     """DuckDB replay of build + search + the exact-recall rider over the
     ``embeddings`` view: portable 8-plane signatures → two bucket
     families → per-family top-M edges → symmetrize → unrolled beam
     hops → 4dp re-rank, plus recall_hits vs brute-force top-10 and the
     symmetrized edge count (both exact, hash-checked). Column names
-    match the engine gate: (vec_id, cos_sim, recall_hits, n_edges)."""
+    match the engine gate: (vec_id, cos_sim, recall_hits, n_edges).
+    ``corpus_where`` filters the corpus CTE — the delete gates replay
+    build+search over the REMAINING rows with it."""
     fam_bits = n_planes // 2
     fam_mask = (1 << fam_bits) - 1
+    # per-alias bucket expressions built directly (r12 ADVICE: the first
+    # cut qualified them via textual `.replace('s ', alias + '.s ')`,
+    # which silently breaks on any future family expression containing
+    # another 's '-prefixed token)
+    fam_exprs = (
+        lambda a: f"{a}.s & {fam_mask}",
+        lambda a: f"{a}.s >> {fam_bits}",
+    )
     fam_edges = []
-    for fam_expr in (f"s & {fam_mask}", f"s >> {fam_bits}"):
+    for fam_expr in fam_exprs:
         fam_edges.append(
             f"""(
       SELECT src, dst FROM (
@@ -300,7 +443,7 @@ def nsw_oracle_sql(
                                 / (na.n * nb.n), 6) DESC, b.vec_id
                ) AS rn
         FROM bk a JOIN bk b
-          ON ({fam_expr.replace('s ', 'a.s ')}) = ({fam_expr.replace('s ', 'b.s ')})
+          ON ({fam_expr('a')}) = ({fam_expr('b')})
          AND a.vec_id <> b.vec_id
         JOIN nrm na ON na.vec_id = a.vec_id
         JOIN nrm nb ON nb.vec_id = b.vec_id
@@ -333,7 +476,8 @@ def nsw_oracle_sql(
       FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) p
            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
     ),
-    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings{
+        f" WHERE {corpus_where}" if corpus_where else ""}),
     dots AS (
       SELECT vec_id, pl.p AS p, ROUND(SUM(ev[pl.d + 1] * pl.c), 6) AS dp
       FROM v, pl GROUP BY vec_id, pl.p

@@ -2298,3 +2298,224 @@ def histogram_sliding_oracle_sql(
            CAST(tot.n AS BIGINT) AS n_total, {sel}
     FROM tot {joins}
     """
+
+
+# ---------------------------------------------------------------------------
+# Sliding Bloom membership — the fifth leaf-store family on the shared
+# spine (operators/sliding.py), proving the spine's "a new family is a
+# ~20-line leaf builder" claim (r12 verdict item 5): per-grain Bloom
+# bit leaves; a window's filter is the distinct-union (bit OR) of its
+# leaves' bits — set-union associativity, the same mergeability the
+# bloom_union_merge gate pins — so probing the merged window filter
+# equals probing a filter built directly over the window's raw rows.
+# ---------------------------------------------------------------------------
+
+
+def bloom_leaf_bits(
+    df: DataFrame,
+    ts_col: str,
+    key: str,
+    k: int = 5,
+    m_bits: int = 1 << 14,
+    grain: str = "day",
+) -> DataFrame:
+    """(leaf, pos): one Bloom filter's distinct set-bit positions per
+    ``grain`` bucket — the persisted leaf store. O(leaves × min(m_bits,
+    k·distinct)) rows whatever the event volume."""
+    bucketed = df.where(F.col(ts_col).isNotNull()).withColumn(
+        "__leaf", F.date_trunc(grain, F.col(ts_col))
+    )
+    return bloom_bits_grouped(bucketed, "__leaf", key, k, m_bits).select(
+        F.to_timestamp("g").alias("leaf"), "pos"
+    )
+
+
+def bloom_sliding_probe_report(
+    leaves_bits: DataFrame,
+    events: DataFrame,
+    probe: DataFrame,
+    ts_col: str,
+    key: str,
+    probe_key: str,
+    width: int,
+    grain: str = "day",
+    k: int = 5,
+    m_bits: int = 1 << 14,
+    ends: DataFrame | None = None,
+) -> DataFrame:
+    """(wend, probed, maybe_present, true_present, false_positives):
+    probe every distinct ``probe_key`` against every sliding window's
+    merged Bloom filter. The window filter is the bit-union of the
+    window's leaf filters (``sliding.window_leaves`` over the BIT
+    table — never per-event data); a key is maybe-present iff all k of
+    its positions are set in the window's merged bits; truth comes from
+    the exact (leaf, key)-deduped range join, so each window's false
+    positives — the sketch's entire error — hash-check against the
+    oracle. Shape: the ends × probe grid is the allowlisted dim × dim
+    cross join (bloom_probe_report_grouped's device); everything
+    fact-sized stays keyed."""
+    from . import sliding
+
+    if ends is None:
+        ends = sliding.window_ends(leaves_bits, "leaf")
+    wbits = (
+        sliding.window_leaves(
+            leaves_bits, width, grain, ends=ends, broadcast_leaves=False
+        )
+        .select("wend", "pos")
+        .distinct()
+    )
+    pk = (
+        probe.where(F.col(probe_key).isNotNull())
+        .select(F.col(probe_key).alias("k"))
+        .distinct()
+    )
+    h1, h2 = _h1h2(F.col("k"))
+    ppos = (
+        pk.select("k", h1.alias("__h1"), h2.alias("__h2"))
+        .select(
+            "k",
+            F.explode(
+                F.array(
+                    *[
+                        _mix(F.col("__h1"), F.col("__h2"), i) % F.lit(m_bits)
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    nset = (
+        ppos.join(wbits, "pos")
+        .groupBy("wend", "k")
+        .agg(F.countDistinct("pos").alias("nset"))
+    )
+    npos = ppos.groupBy("k").agg(F.countDistinct("pos").alias("ntotal"))
+    maybe = (
+        F.broadcast(ends.select("wend"))
+        .crossJoin(npos)
+        .join(nset, ["wend", "k"], "left")
+        .select(
+            "wend",
+            "k",
+            (F.coalesce(F.col("nset"), F.lit(0)) == F.col("ntotal")).alias(
+                "maybe"
+            ),
+        )
+    )
+    lk = (
+        events.where(F.col(key).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.date_trunc(grain, F.col(ts_col)).alias("leaf"),
+            F.col(key).alias("k"),
+        )
+        .distinct()
+    )
+    truth = (
+        sliding.window_leaves(
+            lk, width, grain, ends=ends, broadcast_leaves=False
+        )
+        .select("wend", "k")
+        .distinct()
+        .join(pk, "k", "left_semi")
+        .withColumn("present", F.lit(True))
+    )
+    joined = maybe.join(truth, ["wend", "k"], "left").select(
+        "wend", "maybe", F.coalesce("present", F.lit(False)).alias("present")
+    )
+    return joined.groupBy("wend").agg(
+        F.count(F.lit(1)).cast("long").alias("probed"),
+        F.sum(F.col("maybe").cast("long")).cast("long").alias("maybe_present"),
+        F.sum(F.col("present").cast("long")).cast("long").alias("true_present"),
+        F.sum((F.col("maybe") & ~F.col("present")).cast("long"))
+        .cast("long")
+        .alias("false_positives"),
+    )
+
+
+def bloom_sliding_oracle_sql(
+    table: str,
+    ts_col: str,
+    key: str,
+    probe_table: str,
+    probe_key: str,
+    width: int,
+    grain: str = "day",
+    k: int = 5,
+    m_bits: int = 1 << 14,
+) -> str:
+    """DuckDB replay of leaf bits + window bit-union + probe + exact
+    witness for any (grain, width) calendar. Column names match the
+    engine side: (wend, probed, maybe_present, true_present,
+    false_positives)."""
+    mixes = [km_mix_sql(i) for i in range(k)]
+    leaf_pos = " UNION ALL ".join(
+        f"SELECT leaf, ({m}) % {m_bits} AS pos FROM bh" for m in mixes
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT k, ({m}) % {m_bits} AS pos FROM ph" for m in mixes
+    )
+    return f"""
+    WITH ends AS (
+      -- key-not-null matches the engine side, whose window ends come
+      -- from the LEAF table (bloom_leaf_bits drops null keys): a grain
+      -- bucket whose keys are ALL null produces no leaf and so no
+      -- window end on either side
+      SELECT DISTINCT date_trunc('{grain}', {ts_col}) AS wend FROM {table}
+      WHERE {ts_col} IS NOT NULL AND {key} IS NOT NULL
+    ),
+    bh AS (
+      SELECT DISTINCT date_trunc('{grain}', {ts_col}) AS leaf,
+             ('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST({key} AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM {table} WHERE {key} IS NOT NULL AND {ts_col} IS NOT NULL
+    ),
+    lb AS (SELECT DISTINCT leaf, pos FROM ({leaf_pos})),
+    wb AS (
+      SELECT DISTINCT ends.wend, lb.pos
+      FROM ends JOIN lb
+        ON lb.leaf BETWEEN ends.wend - INTERVAL {width - 1} {grain}
+                       AND ends.wend
+    ),
+    ph AS (
+      SELECT DISTINCT {probe_key} AS k,
+             ('0x' || substr(md5(CAST({probe_key} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST({probe_key} AS VARCHAR)), 17, 15))::BIGINT AS h2
+      FROM {probe_table} WHERE {probe_key} IS NOT NULL
+    ),
+    ppos AS (SELECT DISTINCT k, pos FROM ({probe_pos})),
+    np AS (SELECT k, COUNT(*) AS ntotal FROM ppos GROUP BY k),
+    ns AS (
+      SELECT wb.wend, p.k, COUNT(*) AS nset
+      FROM ppos p JOIN wb ON wb.pos = p.pos
+      GROUP BY wb.wend, p.k
+    ),
+    mb AS (
+      SELECT e.wend, np.k,
+             COALESCE(ns.nset, 0) = np.ntotal AS maybe
+      FROM ends e CROSS JOIN np
+      LEFT JOIN ns ON ns.wend = e.wend AND ns.k = np.k
+    ),
+    lk AS (
+      SELECT DISTINCT date_trunc('{grain}', {ts_col}) AS leaf, {key} AS k
+      FROM {table} WHERE {key} IS NOT NULL AND {ts_col} IS NOT NULL
+    ),
+    tr AS (
+      SELECT DISTINCT ends.wend, lk.k
+      FROM ends JOIN lk
+        ON lk.leaf BETWEEN ends.wend - INTERVAL {width - 1} {grain}
+                       AND ends.wend
+      WHERE lk.k IN (SELECT k FROM ppos)
+    )
+    SELECT CAST(mb.wend AS TIMESTAMP) AS wend,
+           CAST(COUNT(*) AS BIGINT) AS probed,
+           CAST(SUM(CASE WHEN mb.maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS maybe_present,
+           CAST(SUM(CASE WHEN tr.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS true_present,
+           CAST(SUM(CASE WHEN mb.maybe AND tr.k IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives
+    FROM mb LEFT JOIN tr ON tr.wend = mb.wend AND tr.k = mb.k
+    GROUP BY mb.wend
+    """

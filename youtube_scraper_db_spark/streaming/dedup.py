@@ -113,11 +113,19 @@ def run_lsh_ingest_stream(
         within = lsh_pairs_from_index(bands_b, sig_b, num_hashes)
         store_band_dirs = _batch_dirs(band_dir, exclude=batch_id)
         if store_band_dirs:
-            store_bands = spark.read.schema(band_schema).parquet(
-                *store_band_dirs
+            # probe the LIVE index: tombstoned docs (run_lsh_delete_stream)
+            # must not pair with new arrivals
+            store_bands = _lsh_live(
+                spark,
+                spark.read.schema(band_schema).parquet(*store_band_dirs),
+                index_root,
             )
-            store_sigs = spark.read.schema(sig_schema).parquet(
-                *_batch_dirs(sig_dir, exclude=batch_id)
+            store_sigs = _lsh_live(
+                spark,
+                spark.read.schema(sig_schema).parquet(
+                    *_batch_dirs(sig_dir, exclude=batch_id)
+                ),
+                index_root,
             )
             a = bands_b.alias("a")
             s = store_bands.alias("s")
@@ -183,14 +191,101 @@ def run_lsh_ingest_stream(
     )
     q.awaitTermination()
 
+    return read_lsh_store(spark, index_root)
+
+
+_LSH_SIG_SCHEMA = "doc long, sig array<bigint>"
+_LSH_BAND_SCHEMA = "doc long, band int, bucket long"
+_LSH_PAIR_SCHEMA = "doc_a long, doc_b long, est_jaccard double"
+_LSH_TOMB_SCHEMA = "doc long"
+
+
+def _lsh_live(spark, rows: DataFrame, index_root: str) -> DataFrame:
+    """Anti-join a doc-keyed store table against the tombstone log (the
+    tombstone side broadcasts — it is the small side by construction)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    tomb_dir = os.path.join(index_root, "tombs")
+    dirs = (
+        sorted(
+            os.path.join(tomb_dir, d)
+            for d in os.listdir(tomb_dir)
+            if d.startswith("d_")
+        )
+        if os.path.isdir(tomb_dir)
+        else []
+    )
+    if not dirs:
+        return rows
+    tombs = spark.read.schema(_LSH_TOMB_SCHEMA).parquet(*dirs)
+    return rows.join(F.broadcast(tombs), "doc", "left_anti")
+
+
+def read_lsh_store(spark, index_root: str):
+    """(pairs, sigs, bands) — the store's current state. Sigs and bands
+    are the LIVE index (insert logs anti-joined against the tombstone
+    log); the pairs table is a DISCOVERY LOG — pair rows involving
+    later-deleted docs remain as history, exactly like a dedup audit
+    trail (re-deriving live pairs is ``lsh_pairs_from_index`` over the
+    live bands)."""
+    import os
+
     def _read(root: str, schema: str) -> DataFrame:
-        dirs = _batch_dirs(root)
+        dirs = sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("b_")
+        ) if os.path.isdir(root) else []
         if not dirs:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*dirs)
 
-    return (
-        _read(pair_dir, pair_schema),
-        _read(sig_dir, sig_schema),
-        _read(band_dir, band_schema),
+    pairs = _read(os.path.join(index_root, "pairs"), _LSH_PAIR_SCHEMA)
+    sigs = _lsh_live(
+        spark, _read(os.path.join(index_root, "sigs"), _LSH_SIG_SCHEMA),
+        index_root,
     )
+    bands = _lsh_live(
+        spark, _read(os.path.join(index_root, "bands"), _LSH_BAND_SCHEMA),
+        index_root,
+    )
+    return pairs, sigs, bands
+
+
+def run_lsh_delete_stream(
+    del_updates: DataFrame,
+    index_root: str,
+    checkpoint: str,
+    doc_col: str = "doc",
+):
+    """Drain a stream of DELETED doc ids into the LSH store's tombstone
+    log (``tombs/d_{batch_id}``, overwrite — the replay-idempotent
+    log-structured device): every subsequent store read and ingest
+    probe anti-joins them out, so a deleted doc stops matching new
+    arrivals immediately. Banding is per-doc pure, so the live index
+    equals the one-shot build over the remaining docs row-for-row
+    (``stream_lsh_delete_equiv`` gates it). Contract: doc ids are not
+    re-ingested after deletion (tombstones suppress the id across all
+    insert logs). Returns (pairs, sigs, bands) read back live."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    tomb_dir = os.path.join(index_root, "tombs")
+    os.makedirs(tomb_dir, exist_ok=True)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(F.col(doc_col).alias("doc")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tomb_dir, f"d_{batch_id}"))
+
+    q = (
+        del_updates.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_lsh_store(del_updates.sparkSession, index_root)
