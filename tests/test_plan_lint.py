@@ -71,6 +71,10 @@ ARROW_STAGES = {
     "kmv_sliding_distinct_users_30d",
     # round 11: per-day MG leaf summaries are the grouped MG kernel
     "heavy_hitter_types_sliding",
+    # round 13: the 3-way ends witness derives KMV ends from the KMV
+    # family's OWN leaf table — the grouped bottom-k kernel again (the
+    # Bloom/HLL leaf builders themselves are pure Column expressions)
+    "bloom_sliding_membership",
 }
 
 #: queries where a BroadcastNestedLoopJoin is the documented, bounded
@@ -219,6 +223,16 @@ BNLJ_OK = {
     # round 12: the same shape over the drained cell store + the 1-row
     # sym-diff scalar
     "stream_nsw_ingest",
+    # round 13: the delete gates inherit their families' shapes — the
+    # post-delete search crossJoins the 1-row query vector / nprobe
+    # scalar, plus the 1-row delete-consistency sym-diff scalar
+    "stream_ivf_delete_equiv",
+    "stream_nsw_delete_equiv",
+    "stream_lsh_delete_equiv",
+    # round 13: the sliding-Bloom probe grid is the broadcast dim × dim
+    # cross join (the bloom_filter_by_type shape) + the 1-row 3-way
+    # ends sym-diff scalar
+    "bloom_sliding_membership",
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

@@ -114,6 +114,10 @@ EVENT_QUERIES = [
     # round 12: both sliding families + the ends sym-diff over the same
     # dim-bounded leaf tables (the kmv/hll sliding cost shapes)
     "sliding_spine_consistency",
+    # round 13: the fifth spine family — window bit-union touches
+    # O(days × m_bits) leaf rows; the probe grid is dim × dim; only the
+    # exact witness range-joins deduped user-days
+    "bloom_sliding_membership",
 ]
 #: queries probed over the replicated embeddings table (vec_id offsets
 #: per copy — vector count grows 20×, dim and label space fixed).
@@ -132,14 +136,21 @@ EMB_QUERIES = [
     # the incremental fold, also probed at the contract's plane count —
     # recomputes only the batch's (family, bucket) cells over the union.
     # The GATES (incremental_nsw_equiv, nsw_index_artifact_roundtrip,
-    # stream_nsw_ingest) pin 8 planes for oracle replay and are
-    # deliberately NOT probed at ×20: measured once for the record
-    # (BENCH_DRIFT round-12), the 8-plane build at 40k vectors is ~31×
-    # — the expected Θ(n²/buckets) of an index sized for 2k vectors,
-    # the same copy-shaped distortion the disjoint-shingle document
-    # replication exists to avoid. The two adaptive probes here are the
-    # sized-index numbers for the same build and fold code paths.
+    # stream_nsw_ingest, stream_nsw_delete_equiv) pin 8 planes for
+    # oracle replay and are deliberately NOT probed at ×20: measured
+    # once for the record (BENCH_DRIFT round-12), the 8-plane build at
+    # 40k vectors is ~31× — the expected Θ(n²/buckets) of an index
+    # sized for 2k vectors, the same copy-shaped distortion the
+    # disjoint-shingle document replication exists to avoid. The
+    # adaptive probes here are the sized-index numbers for the same
+    # build / fold / delete code paths.
     "graph_ann_adaptive_fold",
+    # round 13: IVF tombstone delete — per-batch tombstone append +
+    # broadcast anti-join at read; the witness rebuilds on remaining
+    "stream_ivf_delete_equiv",
+    # round 13: the NSW delete fold at the contract's plane count —
+    # recompute only the deleted rows' cells over the remaining corpus
+    "graph_ann_adaptive_delete",
 ]
 
 
@@ -192,6 +203,34 @@ def _graph_ann_adaptive_fold(spark, sf_dir: str):
     return ga.nsw_search(edges, e, q, beam=32, hops=4)
 
 
+def _graph_ann_adaptive_delete(spark, sf_dir: str):
+    """nsw_apply_deletes at the contract's plane count: delete the
+    vec_id%7==3 rows from the full graph, search the folded result —
+    per-delete-batch cost ∝ the deleted rows' cells' population at ANY
+    volume (the fold probe's mirror image)."""
+    import math
+
+    from youtube_scraper_db_spark.llm import graph_ann as ga
+    from youtube_scraper_db_spark.llm.similarity import as_double
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    n_planes = 2 * max(4, math.ceil(math.log2(max(2, n // 32))))
+    deleted = e.filter(F.col("vec_id") % 7 == 3)
+    remaining = e.filter(F.col("vec_id") % 7 != 3)
+    d_full = ga.nsw_directed_edges(
+        ga.nsw_bucketed(e, n_planes=n_planes), 12
+    ).localCheckpoint(eager=True)
+    d_del = ga.nsw_apply_deletes(
+        d_full, remaining, deleted, m_neighbors=12, n_planes=n_planes
+    )
+    edges = ga.nsw_symmetrize(d_del).localCheckpoint(eager=True)
+    q = e.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("qv")
+    )
+    return ga.nsw_search(edges, remaining, q, beam=32, hops=4)
+
+
 class _ProbeSpec:
     """Probe-only callable wrapper with the registry spec's (name, fn)
     surface — for operator configurations the oracle gates can't pin
@@ -207,6 +246,9 @@ EXTRA_SPECS = {
     ),
     "graph_ann_adaptive_fold": _ProbeSpec(
         "graph_ann_adaptive_fold", _graph_ann_adaptive_fold
+    ),
+    "graph_ann_adaptive_delete": _ProbeSpec(
+        "graph_ann_adaptive_delete", _graph_ann_adaptive_delete
     ),
 }
 DOC_QUERIES = [
@@ -286,6 +328,10 @@ DOC_QUERIES = [
     # round 11: streaming A-Res reservoir — per-batch rank + ≤2k-row
     # re-rank; state O(k) while the corpus grows
     "stream_weighted_sample",
+    # round 13: LSH tombstone delete — a tombstone append + broadcast
+    # anti-joins at read; the equivalence witness rebuilds sigs/bands
+    # on the remaining docs (scan-shaped)
+    "stream_lsh_delete_equiv",
 ]
 #: queries probed under a skewed key distribution (--skew): each groups
 #: or joins on the key a hot entity owns ~20% of.
