@@ -445,3 +445,104 @@ def test_stream_ivf_delete_equals_rebuild(spark, tmp_path):
     assert [(r.vec_id, r.cos_sim) for r in got] == [
         (r.vec_id, r.cos_sim) for r in exp
     ]
+
+
+def test_compact_ivf_store_preserves_live_view(spark, tmp_path):
+    import os
+
+    from youtube_scraper_db_spark.streaming.ann import (
+        compact_ivf_store,
+        read_ivf_store,
+        run_ivf_delete_stream,
+        run_ivf_ingest_stream,
+    )
+
+    e, q = _emb_q(spark)
+    cdf = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
+    )
+
+    def _stream(df, path, n, schema):
+        df.repartition(n).write.mode("overwrite").parquet(path)
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    idx = str(tmp_path / "idx")
+    run_ivf_ingest_stream(
+        _stream(e.select("vec_id", "embedding"), str(tmp_path / "src"), 3,
+                "vec_id long, embedding array<float>"),
+        cdf, idx, str(tmp_path / "ck1"),
+    )
+    run_ivf_delete_stream(
+        _stream(e.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+                str(tmp_path / "dsrc"), 2, "vec_id long"),
+        idx, str(tmp_path / "ck2"),
+    )
+    before = read_ivf_store(spark, idx).localCheckpoint(eager=True)
+    compact_ivf_store(spark, idx)
+    # logs consumed and GC'd; exactly one active baseline remains
+    entries = sorted(os.listdir(idx))
+    assert not any(d.startswith(("b_", "d_")) for d in entries), entries
+    assert [d for d in entries if d.startswith("base_v")] == ["base_v1"]
+    after = read_ivf_store(spark, idx)
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+    # an uncommitted (manifest-less) baseline is ignored by readers
+    os.makedirs(os.path.join(idx, "base_v9"))
+    still = read_ivf_store(spark, idx)
+    assert still.exceptAll(before).count() == 0
+    assert before.exceptAll(still).count() == 0
+
+
+def test_compact_nsw_store_then_ingest_folds_on_baseline(spark, tmp_path):
+    import os
+
+    from youtube_scraper_db_spark.streaming.ann import (
+        compact_nsw_store,
+        run_nsw_delete_stream,
+        run_nsw_ingest_stream,
+    )
+
+    e, _ = _emb_q(spark)
+    first = e.filter(F.col("vec_id") % 4 != 1)
+    later = e.filter(F.col("vec_id") % 4 == 1)
+    deleted = first.filter(F.col("vec_id") % 7 == 3)
+
+    def _stream(df, path, n):
+        df.repartition(n).write.mode("overwrite").parquet(path)
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    idx = str(tmp_path / "idx")
+    run_nsw_ingest_stream(
+        _stream(first.select("vec_id", "embedding"),
+                str(tmp_path / "s1"), 2),
+        idx, str(tmp_path / "ck1"), m_neighbors=6,
+    )
+    run_nsw_delete_stream(
+        _stream(deleted.select("vec_id", "embedding"),
+                str(tmp_path / "s2"), 1),
+        idx, str(tmp_path / "ck2"), m_neighbors=6,
+    )
+    compact_nsw_store(spark, idx)
+    vec_dir = os.path.join(idx, "vectors")
+    entries = sorted(os.listdir(vec_dir))
+    assert not any(d.startswith(("b_", "d_")) for d in entries), entries
+    # ingest AFTER compaction folds on top of the baseline
+    drained = run_nsw_ingest_stream(
+        _stream(later.select("vec_id", "embedding"),
+                str(tmp_path / "s3"), 2),
+        idx, str(tmp_path / "ck3"), m_neighbors=6,
+    )
+    remaining = e.join(
+        deleted.select("vec_id"), "vec_id", "left_anti"
+    )
+    want = ga.nsw_directed_edges(ga.nsw_bucketed(remaining), 6)
+    assert drained.exceptAll(want).count() == 0
+    assert want.exceptAll(drained).count() == 0

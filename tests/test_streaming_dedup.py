@@ -175,3 +175,52 @@ def test_stream_lsh_ingest_after_delete_skips_tombstoned(spark, tmp_path):
     }
     # doc 100 pairs with the LIVE docs 2 and 3 only — never 0/1
     assert partners == {2, 3}
+
+
+def test_compact_lsh_store_preserves_live_views(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from youtube_scraper_db_spark.streaming.dedup import (
+        compact_lsh_store,
+        read_lsh_store,
+        run_lsh_delete_stream,
+        run_lsh_ingest_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog number {i % 4}")
+         for i in range(24)],
+        "doc long, text string",
+    )
+
+    def _stream(df, path, n, schema):
+        df.repartition(n).write.mode("overwrite").parquet(path)
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    idx = str(tmp_path / "idx")
+    run_lsh_ingest_stream(
+        _stream(docs, str(tmp_path / "src"), 3, "doc long, text string"),
+        idx, str(tmp_path / "ck1"), 16, 8, 3, portable=True,
+    )
+    run_lsh_delete_stream(
+        _stream(docs.where(F.col("doc") % 3 == 0).select("doc"),
+                str(tmp_path / "dsrc"), 2, "doc long"),
+        idx, str(tmp_path / "ck2"),
+    )
+    p0, s0, b0 = read_lsh_store(spark, idx)
+    p0, s0, b0 = (x.localCheckpoint(eager=True) for x in (p0, s0, b0))
+    compact_lsh_store(spark, idx)
+    for sub in ("sigs", "bands", "pairs"):
+        entries = sorted(os.listdir(os.path.join(idx, sub)))
+        assert not any(d.startswith("b_") for d in entries), (sub, entries)
+    assert not os.listdir(os.path.join(idx, "tombs"))
+    p1, s1, b1 = read_lsh_store(spark, idx)
+    for before, after in ((p0, p1), (s0, s1), (b0, b1)):
+        assert after.exceptAll(before).count() == 0
+        assert before.exceptAll(after).count() == 0

@@ -37,34 +37,40 @@ _INDEX_SCHEMA = "vec_id long, v array<double>, vn double, cluster long"
 _TOMB_SCHEMA = "vec_id long"
 
 
-def _subdirs(root: str, prefix: str, exclude: int | None = None) -> list[str]:
-    if not os.path.isdir(root):
-        return []
-    skip = None if exclude is None else f"{prefix}{exclude}"
-    return sorted(
-        os.path.join(root, d)
-        for d in os.listdir(root)
-        if d.startswith(prefix) and d != skip
-    )
-
-
 def read_ivf_store(spark, index_root: str) -> DataFrame:
-    """Current IVF index state: the union of the ``b_*`` insert logs
-    anti-joined against the ``d_*`` tombstone logs — the log-structured
-    delete (``run_ivf_delete_stream``). The anti-join is id-keyed and
-    the tombstone side is the small one (broadcast), so reading the
-    store stays a scan + broadcast filter at any corpus size."""
+    """Current IVF index state: the newest compacted baseline (if any)
+    plus the ``b_*`` insert logs it has not consumed, anti-joined
+    against the live ``d_*`` tombstone logs — the log-structured delete
+    (``run_ivf_delete_stream``) with the compaction protocol's consumed
+    set applied (streaming/store.py). The anti-join is id-keyed and the
+    tombstone side is the small one (broadcast), so reading the store
+    stays a scan + broadcast filter at any corpus size."""
     from pyspark.sql import functions as F
 
-    ins = _subdirs(index_root, "b_")
+    from .store import active_baseline, live_log_dirs
+
+    base, _ = active_baseline(index_root)
+    ins = ([base] if base else []) + live_log_dirs(index_root, "b_")
     if not ins:
         return spark.createDataFrame([], _INDEX_SCHEMA)
     rows = spark.read.schema(_INDEX_SCHEMA).parquet(*ins)
-    dels = _subdirs(index_root, "d_")
+    dels = live_log_dirs(index_root, "d_")
     if dels:
         tombs = spark.read.schema(_TOMB_SCHEMA).parquet(*dels)
         rows = rows.join(F.broadcast(tombs), "vec_id", "left_anti")
     return rows
+
+
+def compact_ivf_store(spark, index_root: str) -> str:
+    """Rewrite the IVF store's LIVE view (inserts minus tombstones) as
+    one committed baseline and GC the consumed logs — the maintenance
+    step that keeps read-side anti-join count and file listings bounded
+    as the ingest/delete streams run on (streaming/store.py protocol;
+    ``test_graph_ann`` pins live-view equality across it). Quiesced by
+    contract, like any LSM compaction."""
+    from .store import commit_baseline
+
+    return commit_baseline(index_root, read_ivf_store(spark, index_root))
 
 
 def run_ivf_delete_stream(
@@ -86,12 +92,18 @@ def run_ivf_delete_stream(
     index read back from the store."""
     from pyspark.sql import functions as F
 
+    from .store import log_dir_name
+
     os.makedirs(index_root, exist_ok=True)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.select(F.col(id_col).alias("vec_id")).write.mode(
             "overwrite"
-        ).parquet(os.path.join(index_root, f"d_{batch_id}"))
+        ).parquet(
+            os.path.join(
+                index_root, log_dir_name(index_root, "d_", batch_id)
+            )
+        )
 
     q = (
         del_updates.writeStream.foreachBatch(apply_batch)
@@ -117,6 +129,8 @@ def run_ivf_ingest_stream(
     Returns the drained index read back from the store —
     ``(vec_id, v, vn, cluster)``, directly searchable by
     ``llm.similarity.ivf_search_index``."""
+    from .store import log_dir_name
+
     spark = emb_updates.sparkSession
     os.makedirs(index_root, exist_ok=True)
     # freeze the centroid rows driver-side once: foreachBatch re-executes
@@ -127,7 +141,9 @@ def run_ivf_ingest_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         assigned = ivf_index(batch_df, cdf, id_col=id_col, vec_col=vec_col)
         assigned.write.mode("overwrite").parquet(
-            os.path.join(index_root, f"b_{batch_id}")
+            os.path.join(
+                index_root, log_dir_name(index_root, "b_", batch_id)
+            )
         )
 
     q = (
@@ -191,8 +207,8 @@ def _live_members(
     touched_pairs: list[tuple[str, int]],
     extra: DataFrame | None = None,
     extra_tombs: DataFrame | None = None,
-    exclude_ins: int | None = None,
-    exclude_del: int | None = None,
+    exclude_ins: str | None = None,
+    exclude_del: str | None = None,
 ) -> DataFrame:
     """Touched cells' LIVE membership: pruned insert-log read (plus the
     in-flight batch's rows) anti-joined against the pruned tombstone
@@ -200,7 +216,12 @@ def _live_members(
     touched-cell partitions."""
     from pyspark.sql import functions as F
 
-    ins_dirs = _subdirs(vec_dir, "b_", exclude=exclude_ins)
+    from .store import active_baseline, live_log_dirs
+
+    base, _ = active_baseline(vec_dir)
+    ins_dirs = ([base] if base else []) + live_log_dirs(
+        vec_dir, "b_", exclude=exclude_ins
+    )
     members = None
     if ins_dirs:
         members = _read_cell_members(spark, ins_dirs, touched_pairs)
@@ -211,7 +232,7 @@ def _live_members(
     if members is None:
         return spark.createDataFrame([], _CELL_SCHEMA)
     tombs = None
-    del_dirs = _subdirs(vec_dir, "d_", exclude=exclude_del)
+    del_dirs = live_log_dirs(vec_dir, "d_", exclude=exclude_del)
     if del_dirs:
         tombs = _read_cell_members(spark, del_dirs, touched_pairs)
     if extra_tombs is not None:
@@ -225,6 +246,57 @@ def _live_members(
             "left_anti",
         )
     return members
+
+
+def _all_live_members(spark, vec_dir: str) -> DataFrame:
+    """The vector log's FULL live membership (no cell restriction) —
+    compaction's input: baseline + live insert logs, anti-joined
+    against the live tombstone logs on (fam, bk, nid)."""
+    from pyspark.sql import functions as F
+
+    from .store import active_baseline, live_log_dirs
+
+    base, _ = active_baseline(vec_dir)
+    ins_dirs = ([base] if base else []) + live_log_dirs(vec_dir, "b_")
+    if not ins_dirs:
+        return spark.createDataFrame([], _CELL_SCHEMA)
+    members = spark.read.schema(_CELL_SCHEMA).parquet(ins_dirs[0])
+    for d in ins_dirs[1:]:
+        members = members.unionByName(
+            spark.read.schema(_CELL_SCHEMA).parquet(d)
+        )
+    del_dirs = live_log_dirs(vec_dir, "d_")
+    if del_dirs:
+        tombs = spark.read.schema(_CELL_SCHEMA).parquet(del_dirs[0])
+        for d in del_dirs[1:]:
+            tombs = tombs.unionByName(
+                spark.read.schema(_CELL_SCHEMA).parquet(d)
+            )
+        members = members.join(
+            F.broadcast(tombs.select("fam", "bk", "nid").distinct()),
+            ["fam", "bk", "nid"],
+            "left_anti",
+        )
+    return members
+
+
+def compact_nsw_store(spark, index_root: str) -> str:
+    """Compact the NSW cell store's VECTOR LOG: rewrite the live
+    membership as one (fam, bk)-partitioned baseline and GC the
+    consumed insert/tombstone logs. The edge store needs no compaction
+    (it is already ONE dynamically-overwritten partitioned table);
+    subsequent ingest/delete batches fold on top of the baseline via
+    the same pruned touched-cell reads."""
+    from .store import commit_baseline
+
+    vec_dir = os.path.join(index_root, "vectors")
+    return commit_baseline(
+        vec_dir,
+        _all_live_members(spark, vec_dir).select(
+            "nid", "nv", "nn", "fam", "bk"
+        ),
+        partition_by=["fam", "bk"],
+    )
 
 
 def _purge_cells(edge_dir: str, cells: list[tuple[str, int]]) -> None:
@@ -294,6 +366,7 @@ def run_nsw_ingest_stream(
         nsw_cell_edges,
         nsw_cell_rows,
     )
+    from .store import log_dir_name
 
     spark = emb_updates.sparkSession
     planes = n_planes if n_planes is not None else N_PLANES
@@ -313,9 +386,10 @@ def run_nsw_ingest_stream(
             (r["fam"], r["bk"])
             for r in cells_b.select("fam", "bk").distinct().collect()
         )
+        own = log_dir_name(vec_dir, "b_", batch_id)
         members = _live_members(
             spark, vec_dir, touched_pairs, extra=cells_b,
-            exclude_ins=batch_id,
+            exclude_ins=own,
         )
         recomputed = nsw_cell_edges(members, m_neighbors)
         # ONE dynamic-partition overwrite replaces exactly the touched
@@ -328,7 +402,7 @@ def run_nsw_ingest_stream(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("fam", "bk").parquet(edge_dir)
         cells_b.write.mode("overwrite").partitionBy("fam", "bk").parquet(
-            os.path.join(vec_dir, f"b_{batch_id}")
+            os.path.join(vec_dir, own)
         )
 
     q = (
@@ -403,6 +477,7 @@ def run_nsw_delete_stream(
         nsw_cell_edges,
         nsw_cell_rows,
     )
+    from .store import log_dir_name
 
     spark = del_updates.sparkSession
     planes = n_planes if n_planes is not None else N_PLANES
@@ -421,9 +496,10 @@ def run_nsw_delete_stream(
         )
         if not touched_pairs:
             return
+        own = log_dir_name(vec_dir, "d_", batch_id)
         members = _live_members(
             spark, vec_dir, touched_pairs, extra_tombs=cells_d,
-            exclude_del=batch_id,
+            exclude_del=own,
         )
         recomputed = nsw_cell_edges(members, m_neighbors).localCheckpoint(
             eager=True
@@ -439,7 +515,7 @@ def run_nsw_delete_stream(
             edge_dir, [c for c in touched_pairs if c not in live_pairs]
         )
         cells_d.write.mode("overwrite").partitionBy("fam", "bk").parquet(
-            os.path.join(vec_dir, f"d_{batch_id}")
+            os.path.join(vec_dir, own)
         )
 
     q = (

@@ -96,11 +96,13 @@ def run_lsh_ingest_stream(
     pair_schema = "doc_a long, doc_b long, est_jaccard double"
 
     def _batch_dirs(root: str, exclude: int | None = None) -> list[str]:
-        return sorted(
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("b_")
-            and (exclude is None or d != f"b_{exclude}")
+        # baseline-aware (streaming/store.py): the probe reads the
+        # newest compacted baseline plus the logs it has not consumed
+        from .store import active_baseline, live_log_dirs
+
+        base, _ = active_baseline(root)
+        return ([base] if base else []) + live_log_dirs(
+            root, "b_", exclude=exclude
         )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -201,22 +203,20 @@ _LSH_TOMB_SCHEMA = "doc long"
 
 
 def _lsh_live(spark, rows: DataFrame, index_root: str) -> DataFrame:
-    """Anti-join a doc-keyed store table against the tombstone log (the
-    tombstone side broadcasts — it is the small side by construction)."""
+    """Anti-join a doc-keyed store table against the live tombstone
+    logs (the tombstone side broadcasts — it is the small side by
+    construction). Tombstones consumed by a compaction baseline are
+    already physically applied and skipped here; a stale tombstone
+    surviving a crash-interrupted compaction is harmless under the
+    no-id-reuse contract (it suppresses ids the baseline no longer
+    carries)."""
     import os
 
     from pyspark.sql import functions as F
 
-    tomb_dir = os.path.join(index_root, "tombs")
-    dirs = (
-        sorted(
-            os.path.join(tomb_dir, d)
-            for d in os.listdir(tomb_dir)
-            if d.startswith("d_")
-        )
-        if os.path.isdir(tomb_dir)
-        else []
-    )
+    from .store import live_log_dirs
+
+    dirs = live_log_dirs(os.path.join(index_root, "tombs"), "d_")
     if not dirs:
         return rows
     tombs = spark.read.schema(_LSH_TOMB_SCHEMA).parquet(*dirs)
@@ -225,19 +225,18 @@ def _lsh_live(spark, rows: DataFrame, index_root: str) -> DataFrame:
 
 def read_lsh_store(spark, index_root: str):
     """(pairs, sigs, bands) — the store's current state. Sigs and bands
-    are the LIVE index (insert logs anti-joined against the tombstone
-    log); the pairs table is a DISCOVERY LOG — pair rows involving
-    later-deleted docs remain as history, exactly like a dedup audit
-    trail (re-deriving live pairs is ``lsh_pairs_from_index`` over the
-    live bands)."""
+    are the LIVE index (baseline + unconsumed insert logs, anti-joined
+    against the live tombstone logs); the pairs table is a DISCOVERY
+    LOG — pair rows involving later-deleted docs remain as history,
+    exactly like a dedup audit trail (re-deriving live pairs is
+    ``lsh_pairs_from_index`` over the live bands)."""
     import os
 
+    from .store import active_baseline, live_log_dirs
+
     def _read(root: str, schema: str) -> DataFrame:
-        dirs = sorted(
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("b_")
-        ) if os.path.isdir(root) else []
+        base, _ = active_baseline(root)
+        dirs = ([base] if base else []) + live_log_dirs(root, "b_")
         if not dirs:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*dirs)
@@ -252,6 +251,27 @@ def read_lsh_store(spark, index_root: str):
         index_root,
     )
     return pairs, sigs, bands
+
+
+def compact_lsh_store(spark, index_root: str) -> None:
+    """Compact all four LSH store tables: the live sigs and bands
+    (tombstones physically applied) and the pairs discovery log each
+    become one committed baseline; the tombstone logs are cleared LAST
+    — only after both doc-keyed tables have baselined with the
+    tombstones applied, so a crash at any point leaves every reader
+    correct (stale tombstones are harmless no-ops under no-id-reuse;
+    see streaming/store.py for the commit protocol)."""
+    import os
+    import shutil
+
+    from .store import commit_baseline, live_log_dirs
+
+    _pairs, sigs, bands = read_lsh_store(spark, index_root)
+    commit_baseline(os.path.join(index_root, "sigs"), sigs)
+    commit_baseline(os.path.join(index_root, "bands"), bands)
+    commit_baseline(os.path.join(index_root, "pairs"), _pairs)
+    for d in live_log_dirs(os.path.join(index_root, "tombs"), "d_"):
+        shutil.rmtree(d)
 
 
 def run_lsh_delete_stream(
