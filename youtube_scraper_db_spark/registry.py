@@ -15813,7 +15813,10 @@ def stream_nsw_delete_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         llm_similarity.as_double("embedding").alias("qv")
     )
     staged = tempfile.mkdtemp(prefix="sg_nswdel_src_")
-    e.select("vec_id", "embedding").repartition(4).write.mode(
+    # 2-batch ingest SETUP (multi-batch ingest itself is
+    # stream_nsw_ingest's 4-batch gate — this gate pays for the DELETE
+    # path: two tombstone batches + the rebuild witness)
+    e.select("vec_id", "embedding").repartition(2).write.mode(
         "overwrite"
     ).parquet(staged)
     updates = (
@@ -15962,7 +15965,7 @@ def stream_lsh_delete_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     "bloom_sliding_membership",
-    "EXT-sketch-bloom EXT-sketch-merge W2 J10",
+    "EXT-sliding-bloom EXT-sketch-bloom EXT-sketch-merge W2 J10",
     oracle=f"""
     SELECT o.wend, o.probed, o.maybe_present, o.true_present,
            o.false_positives, TRUE AS ends_consistent_3way
