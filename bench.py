@@ -204,6 +204,7 @@ HEADLINE = [
     "stream_nsw_delete_equiv",
     "stream_lsh_delete_equiv",
     "bloom_sliding_membership",
+    "store_compaction_equiv",
     # stream_sessionized_users stays OUT: like the file-source
     # round-trips, most of its wall time is bounded scaffolding (staging
     # writes + sentinel construction), not plan execution. The streaming

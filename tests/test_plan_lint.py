@@ -233,6 +233,9 @@ BNLJ_OK = {
     # cross join (the bloom_filter_by_type shape) + the 1-row 3-way
     # ends sym-diff scalar
     "bloom_sliding_membership",
+    # round 13: the stream_ivf_delete_equiv shape over the compacted
+    # store (nprobe scalar + 1-row consistency scalar)
+    "store_compaction_equiv",
 }
 
 #: queries where an `Exchange SinglePartition` carrying rows is the

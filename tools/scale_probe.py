@@ -148,6 +148,9 @@ EMB_QUERIES = [
     # round 13: IVF tombstone delete — per-batch tombstone append +
     # broadcast anti-join at read; the witness rebuilds on remaining
     "stream_ivf_delete_equiv",
+    # round 13: compaction — one live-view rewrite (scan-shaped) +
+    # manifest/GC driver-side bookkeeping
+    "store_compaction_equiv",
     # round 13: the NSW delete fold at the contract's plane count —
     # recompute only the deleted rows' cells over the remaining corpus
     "graph_ann_adaptive_delete",

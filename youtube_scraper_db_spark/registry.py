@@ -15964,6 +15964,101 @@ def stream_lsh_delete_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "store_compaction_equiv",
+    "EXT-store-compaction EXT-ann-delete EXT-ann-stream S10 S12 T5",
+    oracle=f"""
+    SELECT o.vec_id, o.cos_sim, TRUE AS compaction_consistent
+    FROM ({_ivf_topk_oracle("vec_id % 7 <> 3")}) o
+    """,
+)
+def store_compaction_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-structured store COMPACTION, end-to-end (streaming/store.py
+    — the LSM lifecycle step that keeps the ANN stores bounded as
+    ingest/delete run on): embeddings stream-ingest into the IVF lists,
+    a tombstone drain deletes every vec_id%7==3 id, then
+    ``compact_ivf_store`` rewrites the live view as ONE committed
+    baseline (parquet _SUCCESS + the atomically-published consumed-log
+    manifest) and GCs the insert/tombstone logs. The compacted store
+    must read back EXACTLY as the pre-compaction live view — which is
+    the rebuild WITHOUT the deleted rows — and searching it returns the
+    same rows, hash-checked against the oracle's replay over the
+    remaining corpus (shared verbatim with ``stream_ivf_delete_equiv``:
+    compaction must be INVISIBLE to every reader). The engine-side
+    witness also asserts the logs are physically gone — the part the
+    equality alone can't see. NSW and LSH share the protocol
+    (tests/test_graph_ann.py, tests/test_streaming_dedup.py). Ref:
+    parity N/A (§2.12); the store lifecycle completes the reference's
+    keyed-delete loop (main_scraper.py:164-167) at store scale."""
+    import os as _os
+    import tempfile
+
+    from .streaming.ann import (
+        compact_ivf_store,
+        read_ivf_store,
+        run_ivf_delete_stream,
+        run_ivf_ingest_stream,
+    )
+
+    ensure_utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    cdf = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"),
+        llm_similarity.as_double("embedding").alias("cv"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        llm_similarity.as_double("embedding").alias("qv")
+    )
+    staged = tempfile.mkdtemp(prefix="sg_cmp_src_")
+    e.select("vec_id", "embedding").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    index_root = tempfile.mkdtemp(prefix="sg_cmp_idx_")
+    run_ivf_ingest_stream(
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged),
+        cdf,
+        index_root,
+        tempfile.mkdtemp(prefix="sg_cmp_ck1_"),
+    )
+    dstaged = tempfile.mkdtemp(prefix="sg_cmp_dsrc_")
+    e.filter(F.col("vec_id") % 7 == 3).select("vec_id").repartition(
+        2
+    ).write.mode("overwrite").parquet(dstaged)
+    run_ivf_delete_stream(
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dstaged),
+        index_root,
+        tempfile.mkdtemp(prefix="sg_cmp_ck2_"),
+    )
+    compact_ivf_store(spark, index_root)
+    logs_gone = not any(
+        d.startswith(("b_", "d_")) for d in _os.listdir(index_root)
+    )
+    compacted = read_ivf_store(spark, index_root).localCheckpoint(
+        eager=True
+    )
+    rebuilt = llm_similarity.ivf_index(
+        e.filter(F.col("vec_id") % 7 != 3), cdf
+    )
+    key = lambda df: df.select(  # noqa: E731 — local comparator
+        "vec_id", "cluster", F.round("vn", 9).alias("vn9")
+    )
+    diff = (
+        key(compacted).exceptAll(key(rebuilt))
+        .union(key(rebuilt).exceptAll(key(compacted)))
+        .agg(
+            ((F.count(F.lit(1)) == 0) & F.lit(logs_gone)).alias(
+                "compaction_consistent"
+            )
+        )
+    )
+    topk = llm_similarity.ivf_search_index(compacted, cdf, q, nprobe=4, k=10)
+    return topk.crossJoin(diff)
+
+
+@spec(
     "bloom_sliding_membership",
     "EXT-sliding-bloom EXT-sketch-bloom EXT-sketch-merge W2 J10",
     oracle=f"""
