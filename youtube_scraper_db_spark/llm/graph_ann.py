@@ -342,8 +342,11 @@ def nsw_score_ids(
 def nsw_probe_edges(edges: DataFrame, beam_ids: list) -> DataFrame:
     """The hop's adjacency probe: neighbors of a BOUNDED literal id
     list. ``isin`` on ``src`` reaches the edge scan as a pushed filter,
-    so the (M·n)-row edge table is row-group-probed, never streamed."""
-    return edges.where(F.col("src").isin(beam_ids)).select("dst").distinct()
+    so the (M·n)-row edge table is row-group-probed, never streamed.
+    The output is ≤ beam × M rows with duplicates; the caller dedups
+    driver-side (a ``distinct`` here cost a whole exchange per hop for
+    a bounded list — r13 optimization round)."""
+    return edges.where(F.col("src").isin(beam_ids)).select("dst")
 
 
 def nsw_search(
@@ -378,25 +381,39 @@ def nsw_search(
     def _score(id_literals: list) -> DataFrame:
         return nsw_score_ids(corpus, query_df, id_col, id_literals)
 
-    def _ids(df: DataFrame) -> list:
-        return sorted(r[0] for r in df.collect())
-
-    entry_ids = _ids(
-        emb.select(id_col).orderBy(F.asc(id_col)).limit(n_entries)
+    # Each driver round-trip below collects a bounded, parameter-sized
+    # list (never corpus-sized). r13 optimization round: the hop loop
+    # went from 3 Spark jobs per hop (beam-id collect, probe collect,
+    # scored-beam localCheckpoint) to 2 (probe collect; score + top-beam
+    # selection fused into ONE collect) — the checkpointed intermediate
+    # only existed to feed the next collect, so the fused job computes
+    # the same plan (score → sort by (s6 desc, id) → limit beam) with
+    # one action and no lineage buildup. The returned DataFrame re-
+    # scores the final beam ids through the SAME pruned-scan plan shape
+    # (deterministic scores, identical rows).
+    entry_ids = sorted(
+        r[0]
+        for r in emb.select(id_col).orderBy(F.asc(id_col)).limit(
+            n_entries
+        ).collect()
     )
-    beam_df = _score(entry_ids).localCheckpoint(eager=True)
+    beam_ids = entry_ids
     for _ in range(hops):
-        beam_ids = _ids(beam_df.select(id_col))
-        nbr_ids = _ids(nsw_probe_edges(edges, beam_ids))
-        cand_ids = sorted(set(beam_ids) | set(nbr_ids))
-        beam_df = (
-            _score(cand_ids)
+        nbr_ids = {
+            r[0] for r in nsw_probe_edges(edges, beam_ids).collect()
+        }
+        cand_ids = sorted(set(beam_ids) | nbr_ids)
+        beam_ids = sorted(
+            r[0]
+            for r in _score(cand_ids)
             .orderBy(F.desc("s6"), F.asc(id_col))
             .limit(beam)
-            .localCheckpoint(eager=True)
+            .select(id_col)
+            .collect()
         )
     return (
-        beam_df.orderBy(F.desc("s4"), F.asc(id_col))
+        _score(beam_ids)
+        .orderBy(F.desc("s4"), F.asc(id_col))
         .limit(k)
         .select(id_col, F.col("s4").alias("cos_sim"))
     )

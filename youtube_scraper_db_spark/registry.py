@@ -15332,13 +15332,13 @@ def graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         llm_similarity.as_double("embedding").alias("qv")
     )
     # edges feed the search (4 hops) AND the n_edges rider: checkpoint
-    # so the bucketed kNN build runs once
+    # so the bucketed kNN build runs once. topk is NOT checkpointed:
+    # nsw_search is eager (r13 optimization round) and returns a cheap
+    # bounded pruned-scan plan.
     edges = llm_graph_ann.nsw_edges(e, m_neighbors=12).localCheckpoint(
         eager=True
     )
-    topk = llm_graph_ann.nsw_search(
-        edges, e, q, beam=32, hops=4
-    ).localCheckpoint(eager=True)
+    topk = llm_graph_ann.nsw_search(edges, e, q, beam=32, hops=4)
     exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
     hits = (
         topk.select("vec_id")
@@ -15520,9 +15520,7 @@ def incremental_nsw_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count(F.lit(1)) == 0).alias("equiv_consistent"))
     )
     edges = llm_graph_ann.nsw_symmetrize(d_inc).localCheckpoint(eager=True)
-    topk = llm_graph_ann.nsw_search(
-        edges, e, q, beam=32, hops=4
-    ).localCheckpoint(eager=True)
+    topk = llm_graph_ann.nsw_search(edges, e, q, beam=32, hops=4)
     exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
     hits = (
         topk.select("vec_id")
@@ -15569,25 +15567,20 @@ def nsw_index_artifact_roundtrip(
     q = e.filter(F.col("vec_id") == 0).select(
         llm_similarity.as_double("embedding").alias("qv")
     )
-    edges = llm_graph_ann.nsw_edges(e, m_neighbors=12)
+    # ONE bucketed kNN build serves both paths (r13 optimization round:
+    # the first cut built the graph twice — once to save, once as the
+    # "built path" witness — but the build is deterministic and the
+    # sym-diff's job is loaded-vs-built SEARCH equality, so the saved
+    # table and the built-path search share the same checkpointed build;
+    # the loaded path still comes from the parquet roundtrip).
+    edges = llm_graph_ann.nsw_edges(e, m_neighbors=12).localCheckpoint(
+        eager=True
+    )
     ar = Archive(spark, tempfile.mkdtemp(prefix="sg_nswart_"))
     ar.save_table("nsw_edges", edges)
     edges_l = ar.table("nsw_edges").localCheckpoint(eager=True)
-    topk_l = llm_graph_ann.nsw_search(
-        edges_l, e, q, beam=32, hops=4
-    ).localCheckpoint(eager=True)
-    # built-path comparison uses a fresh build, not the loaded table.
-    # Checkpoint BOTH the edge table and the search result: nsw_search
-    # materializes its edge input once per hop, and the sym-diff's two
-    # exceptAll sides would each re-run the whole search — un-
-    # checkpointed, this one comparison re-ran the bucketed kNN build
-    # eight times
-    edges_b = llm_graph_ann.nsw_edges(e, m_neighbors=12).localCheckpoint(
-        eager=True
-    )
-    topk_direct = llm_graph_ann.nsw_search(
-        edges_b, e, q, beam=32, hops=4
-    ).localCheckpoint(eager=True)
+    topk_l = llm_graph_ann.nsw_search(edges_l, e, q, beam=32, hops=4)
+    topk_direct = llm_graph_ann.nsw_search(edges, e, q, beam=32, hops=4)
     diff = (
         topk_l.exceptAll(topk_direct)
         .union(topk_direct.exceptAll(topk_l))
@@ -15684,9 +15677,7 @@ def stream_nsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
     )
     edges = llm_graph_ann.nsw_symmetrize(drained).localCheckpoint(eager=True)
-    topk = llm_graph_ann.nsw_search(
-        edges, e, q, beam=32, hops=4
-    ).localCheckpoint(eager=True)
+    topk = llm_graph_ann.nsw_search(edges, e, q, beam=32, hops=4)
     exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
     hits = (
         topk.select("vec_id")
@@ -15855,9 +15846,7 @@ def stream_nsw_delete_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count(F.lit(1)) == 0).alias("delete_consistent"))
     )
     edges = llm_graph_ann.nsw_symmetrize(drained).localCheckpoint(eager=True)
-    topk = llm_graph_ann.nsw_search(
-        edges, remaining, q, beam=32, hops=4
-    ).localCheckpoint(eager=True)
+    topk = llm_graph_ann.nsw_search(edges, remaining, q, beam=32, hops=4)
     exact10 = llm_similarity.cosine_topk(remaining, q, k=10).select("vec_id")
     hits = (
         topk.select("vec_id")

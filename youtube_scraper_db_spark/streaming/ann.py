@@ -376,6 +376,11 @@ def run_nsw_ingest_stream(
         os.makedirs(d, exist_ok=True)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # checkpointed: cells_b feeds three consumers (touched-pair
+        # collect, the recompute join's BOTH sides, the vector-log
+        # write) — an A/B in the r13 optimization round measured the
+        # un-checkpointed recompute ~10% SLOWER per gate, so the
+        # materialization job stays
         cells_b = nsw_cell_rows(
             nsw_bucketed(batch_df, dim, planes, id_col, vec_col)
         ).localCheckpoint(eager=True)
@@ -487,6 +492,7 @@ def run_nsw_delete_stream(
         os.makedirs(d, exist_ok=True)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # checkpointed — same three-consumer trade as the ingest path
         cells_d = nsw_cell_rows(
             nsw_bucketed(batch_df, dim, planes, id_col, vec_col)
         ).localCheckpoint(eager=True)
