@@ -84,10 +84,14 @@ def bloom_pos_mask(
     joins either)."""
     _check_m_bits(m_bits)
     nwords = m_bits // 64
+    # no distinct before the word aggregate: bit_or is idempotent, so
+    # duplicate positions fold away in the map-side partial aggregation
+    # (Catalyst's RemoveRedundantAggregates was already eliminating the
+    # explicit distinct here — verified plan-identical — so this just
+    # says in code what the optimizer was doing)
     pos = (
         dim.where(F.col(key).isNotNull())
         .select(F.explode(F.array(*_positions(F.col(key), k, m_bits))).alias("pos"))
-        .distinct()
     )
     words = pos.groupBy(
         F.shiftright(F.col("pos"), 6).cast("int").alias("w")
@@ -252,6 +256,62 @@ def bloom_prune_pass_count_sql(
     """
 
 
+def bloom_tag(
+    fact: DataFrame,
+    fact_key: str,
+    mask_row: DataFrame,
+    k: int = 5,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """``fact`` plus a ``__maybe`` boolean: the membership test against
+    a prebuilt 1-row packed mask, md5 halves pre-projected once per row
+    (the ``bloom_prune`` codegen discipline). One probe pass can then
+    serve several consumers — the anti-join split AND the shuffled-row
+    count — instead of re-hashing the fact table per consumer (r13
+    optimization round). ``__maybe`` is False for NULL keys (a NULL
+    never equi-joins)."""
+    _check_m_bits(m_bits)
+    md = F.md5(F.col(fact_key).cast("string").cast("binary"))
+    pre = (
+        fact.withColumn("__bj_md", md)
+        .withColumn(
+            "__bj_h1",
+            F.conv(F.substring("__bj_md", 1, 15), 16, 10).cast("long"),
+        )
+        .withColumn(
+            "__bj_h2",
+            F.conv(F.substring("__bj_md", 17, 15), 16, 10).cast("long"),
+        )
+        .drop("__bj_md")
+    )
+    return (
+        pre.crossJoin(F.broadcast(mask_row))
+        .withColumn(
+            "__maybe",
+            F.col(fact_key).isNotNull()
+            & _mix_tests(
+                F.col("__bj_h1"), F.col("__bj_h2"), F.col("mask"), k, m_bits
+            ),
+        )
+        .drop("mask", "__bj_h1", "__bj_h2")
+    )
+
+
+def bloom_anti_from_tagged(
+    tagged: DataFrame, fact_key: str, dim: DataFrame, dim_key: str
+) -> DataFrame:
+    """Exact LEFT ANTI join over a ``bloom_tag`` result: definite
+    non-members (``NOT __maybe``) bypass the join; only the maybe
+    minority pays the exact anti-join exchange. See
+    ``bloom_pruned_anti_join`` for the exactness argument."""
+    definite_new = tagged.where(~F.col("__maybe")).drop("__maybe")
+    maybe = tagged.where(F.col("__maybe")).drop("__maybe")
+    resolved = maybe.join(
+        dim, maybe[fact_key] == dim[dim_key], "left_anti"
+    )
+    return definite_new.unionByName(resolved)
+
+
 def bloom_pruned_anti_join(
     fact: DataFrame,
     fact_key: str,
@@ -280,39 +340,8 @@ def bloom_pruned_anti_join(
     NOT-maybe and lands in the first branch, matching LEFT ANTI
     semantics — NULL never equals any dim key)."""
     mask = bloom_pos_mask(dim, dim_key, k, m_bits)
-    # pre-project the md5 halves once per row (codegen, CSE) — the
-    # bloom_prune lesson: hashing inside the BNLJ-adjacent expression
-    # would re-evaluate md5 2k times per row
-    md = F.md5(F.col(fact_key).cast("string").cast("binary"))
-    pre = (
-        fact.withColumn("__bj_md", md)
-        .withColumn(
-            "__bj_h1",
-            F.conv(F.substring("__bj_md", 1, 15), 16, 10).cast("long"),
-        )
-        .withColumn(
-            "__bj_h2",
-            F.conv(F.substring("__bj_md", 17, 15), 16, 10).cast("long"),
-        )
-        .drop("__bj_md")
-    )
-    tagged = (
-        pre.crossJoin(F.broadcast(mask))
-        .withColumn(
-            "__maybe",
-            F.col(fact_key).isNotNull()
-            & _mix_tests(
-                F.col("__bj_h1"), F.col("__bj_h2"), F.col("mask"), k, m_bits
-            ),
-        )
-        .drop("mask", "__bj_h1", "__bj_h2")
-    )
-    definite_new = tagged.where(~F.col("__maybe")).drop("__maybe")
-    maybe = tagged.where(F.col("__maybe")).drop("__maybe")
-    resolved = maybe.join(
-        dim, maybe[fact_key] == dim[dim_key], "left_anti"
-    )
-    return definite_new.unionByName(resolved)
+    tagged = bloom_tag(fact, fact_key, mask, k, m_bits)
+    return bloom_anti_from_tagged(tagged, fact_key, dim, dim_key)
 
 
 def bloom_mask_merge(mask_a: DataFrame, mask_b: DataFrame) -> DataFrame:

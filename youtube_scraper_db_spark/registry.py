@@ -15258,10 +15258,20 @@ def bloom_pruned_anti_join_gate(
     dim = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey"
     )
+    # r13 optimization round: the first cut built the Bloom mask TWICE
+    # (inside bloom_pruned_anti_join and again for the shuffled-rows
+    # stat) and md5-probed the 600k-row fact table twice. One
+    # checkpointed mask + ONE cached probe pass (bloom_tag) now serve
+    # both consumers; `shuffled_rows` = the tagged maybe-count, which
+    # is exactly bloom_prune's row set (not-null ∧ all-k-bits).
+    mask = op_bloom_join.bloom_pos_mask(dim, "o_orderkey").localCheckpoint(
+        eager=True
+    )
+    tagged = op_bloom_join.bloom_tag(li, "l_orderkey", mask).persist()
     # the anti result feeds stats + both exceptAll sides: checkpoint so
     # the probe + anti-join pipeline runs once, not four times
-    anti = op_bloom_join.bloom_pruned_anti_join(
-        li, "l_orderkey", dim, "o_orderkey"
+    anti = op_bloom_join.bloom_anti_from_tagged(
+        tagged, "l_orderkey", dim, "o_orderkey"
     ).localCheckpoint(eager=True)
     stats = anti.agg(
         F.count(F.lit(1)).cast("long").alias("anti_rows"),
@@ -15270,10 +15280,8 @@ def bloom_pruned_anti_join_gate(
             2,
         ).alias("revenue"),
     )
-    mask = op_bloom_join.bloom_pos_mask(dim, "o_orderkey")
-    shuffled = (
-        op_bloom_join.bloom_prune(li, "l_orderkey", mask)
-        .agg(F.count(F.lit(1)).cast("long").alias("shuffled_rows"))
+    shuffled = tagged.where(F.col("__maybe")).agg(
+        F.count(F.lit(1)).cast("long").alias("shuffled_rows")
     )
     fact_rows = li.agg(F.count(F.lit(1)).cast("long").alias("fact_rows"))
     plain = li.join(
