@@ -75,6 +75,11 @@ ARROW_STAGES = {
     # family's OWN leaf table — the grouped bottom-k kernel again (the
     # Bloom/HLL leaf builders themselves are pure Column expressions)
     "bloom_sliding_membership",
+    # round 13 (opt): the direct-KMV witness's bottom-k kernel is now
+    # VISIBLE in the final plan — the single-use localCheckpoint that
+    # used to hide it behind an ExistingRDD was removed as a measured
+    # perf win; the kernel itself is the kmv_distinct_users shape
+    "stream_kmv_distinct_users",
 }
 
 #: queries where a BroadcastNestedLoopJoin is the documented, bounded
@@ -251,6 +256,11 @@ SINGLE_PARTITION_OK = {
     "histogram_range_shards",  # 64-bin cumsum + lag over <=8 shard rows
     # round 10: running max over the 64-bucket skyline threshold table
     "pareto_frontier_parts",
+    # round 13 (opt): the direct pareto_frontier witness's 64-bucket
+    # threshold window is now VISIBLE in the final plan (its single-use
+    # localCheckpoint was removed as a measured perf win) — the same
+    # bounded shape already allowlisted for pareto_frontier_parts
+    "stream_skyline_parts",
 }
 
 

@@ -2040,8 +2040,7 @@ def incremental_ivf_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx_full, cdf, q, nprobe=4, k=10
     )
     diff = (
-        topk_inc.exceptAll(topk_full)
-        .union(topk_full.exceptAll(topk_inc))
+        _msdiff_rows(topk_inc, topk_full)
         .agg((F.count(F.lit(1)) == 0).alias("equiv_consistent"))
     )
     exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
@@ -2097,9 +2096,7 @@ def incremental_pq_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes_full = llm_similarity.pq_encode(e, books).localCheckpoint()
     code_diff = (
-        _codes_str(codes_inc)
-        .exceptAll(_codes_str(codes_full))
-        .union(_codes_str(codes_full).exceptAll(_codes_str(codes_inc)))
+        _msdiff_rows(_codes_str(codes_inc), _codes_str(codes_full))
         .agg((F.count(F.lit(1)) == 0).alias("code_consistent"))
     )
     topk_inc = llm_similarity.pq_topk_from_codes(
@@ -2109,8 +2106,7 @@ def incremental_pq_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes_full, e, q, books, k=10, pool=400
     )
     topk_diff = (
-        topk_inc.exceptAll(topk_full)
-        .union(topk_full.exceptAll(topk_inc))
+        _msdiff_rows(topk_inc, topk_full)
         .agg((F.count(F.lit(1)) == 0).alias("topk_consistent"))
     )
     exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
@@ -10285,6 +10281,37 @@ def _score_mismatch(
     )
 
 
+def _msdiff_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Multiset-difference witness: one ``one``-column row per distinct
+    row-value whose multiplicity differs between two same-schema frames.
+
+    Every sym-diff gate in this registry consumes only EMPTINESS of
+    ``a.exceptAll(b).union(b.exceptAll(a))``, and an empty sym-diff is
+    exactly "equal per-row-value counts" — but the exceptAll shape
+    executes BOTH input plans twice inside the final job (the left/right
+    roles differ, so ReuseExchange never fires; confirmed in the r13
+    before-plans), while this shape aggregates each side once and joins
+    the counts. groupBy and the null-safe count compare share Spark's
+    NULL==NULL / NaN==NaN / -0.0==0.0 grouping semantics with exceptAll
+    (all three are hash-aggregate keyings), so the emptiness answer is
+    identical. The right side's key columns are renamed before the join
+    so common-lineage inputs cannot trip self-join ambiguity."""
+    cols = list(a.columns)
+    ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("__ca"))
+    cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("__cb")).select(
+        *[F.col(c).alias(f"__b_{c}") for c in cols], "__cb"
+    )
+    cond = None
+    for c in cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return (
+        ca.join(cb, cond, "full_outer")
+        .where(~F.col("__ca").eqNullSafe(F.col("__cb")))
+        .select(F.lit(1).alias("one"))
+    )
+
+
 def _bigram_model_artifact_sql() -> str:
     """Oracle for the bigram-LM persistence gate: replay the two model
     aggregates (the LM's entire persistable state) over the even-doc_id
@@ -10442,12 +10469,10 @@ def incremental_bigram_model_equiv(
     uf, bf = llm_bigram.merge_model_tables(ub, bb, un, bn)
     ud, bd = llm_bigram.bigram_model_tables(d, "doc_id", "text")
     diff = (
-        uf.exceptAll(ud)
-        .union(ud.exceptAll(uf))
+        _msdiff_rows(uf, ud)
         .select(F.lit(1).alias("one"))
         .unionByName(
-            bf.exceptAll(bd)
-            .union(bd.exceptAll(bf))
+            _msdiff_rows(bf, bd)
             .select(F.lit(1).alias("one"))
         )
         .agg((F.count(F.lit(1)) == 0).alias("merge_consistent"))
@@ -10993,8 +11018,7 @@ def bloom_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbm = merged.agg(F.count(F.lit(1)).cast("long").alias("nbits_merged"))
     nbd = direct.agg(F.count(F.lit(1)).cast("long").alias("nbits_direct"))
     sym_diff = (
-        merged.exceptAll(direct)
-        .union(direct.exceptAll(merged))
+        _msdiff_rows(merged, direct)
         .agg(F.count(F.lit(1)).alias("n_diff"))
         .select((F.col("n_diff") == 0).alias("merge_consistent"))
     )
@@ -11384,8 +11408,7 @@ def ivf_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     topk_b = llm_similarity.ivf_search_index(idx, cdf, q, nprobe=4, k=10)
     diff = (
-        topk_l.exceptAll(topk_b)
-        .union(topk_b.exceptAll(topk_l))
+        _msdiff_rows(topk_l, topk_b)
         .agg((F.count(F.lit(1)) == 0).alias("search_consistent"))
     )
     ch_c, _ = md5_halves(F.col("cid").cast("string"))
@@ -11483,9 +11506,7 @@ def pq_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reenc = llm_similarity.pq_encode(e, books_l)
     code_diff = (
-        _codes_str(codes_l)
-        .exceptAll(_codes_str(reenc))
-        .union(_codes_str(reenc).exceptAll(_codes_str(codes_l)))
+        _msdiff_rows(_codes_str(codes_l), _codes_str(reenc))
         .agg((F.count(F.lit(1)) == 0).alias("code_consistent"))
     )
     topk_l = llm_similarity.pq_topk_from_codes(
@@ -11495,8 +11516,7 @@ def pq_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, e, q, books, k=10, pool=400
     )
     topk_diff = (
-        topk_l.exceptAll(topk_b)
-        .union(topk_b.exceptAll(topk_l))
+        _msdiff_rows(topk_l, topk_b)
         .agg((F.count(F.lit(1)) == 0).alias("topk_consistent"))
     )
     exact10 = llm_similarity.cosine_topk(e, q, k=10).select("vec_id")
@@ -11600,8 +11620,7 @@ def incremental_cc_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     full = llm_cluster.connected_components(pairs, "doc_a", "doc_b")
     diff = (
-        folded.exceptAll(full)
-        .union(full.exceptAll(folded))
+        _msdiff_rows(folded, full)
         .agg((F.count(F.lit(1)) == 0).alias("fold_consistent"))
     )
     return folded.select(
@@ -11813,17 +11832,14 @@ def incremental_trigram_model_equiv(
     uf, bf, tf = llm_bigram.merge_trigram_model_tables(mb, mn)
     ud, bd, td = llm_bigram.trigram_model_tables(d, "doc_id", "text")
     diff = (
-        uf.exceptAll(ud)
-        .union(ud.exceptAll(uf))
+        _msdiff_rows(uf, ud)
         .select(F.lit(1).alias("one"))
         .unionByName(
-            bf.exceptAll(bd)
-            .union(bd.exceptAll(bf))
+            _msdiff_rows(bf, bd)
             .select(F.lit(1).alias("one"))
         )
         .unionByName(
-            tf.exceptAll(td)
-            .union(td.exceptAll(tf))
+            _msdiff_rows(tf, td)
             .select(F.lit(1).alias("one"))
         )
         .agg((F.count(F.lit(1)) == 0).alias("merge_consistent"))
@@ -12530,14 +12546,11 @@ def minhash_index_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         )
 
     sig_diff = (
-        _sig_str(sig_l)
-        .exceptAll(_sig_str(sig))
-        .union(_sig_str(sig).exceptAll(_sig_str(sig_l)))
+        _msdiff_rows(_sig_str(sig_l), _sig_str(sig))
         .agg((F.count(F.lit(1)) == 0).alias("sig_consistent"))
     )
     band_diff = (
-        bands_l.exceptAll(bands)
-        .union(bands.exceptAll(bands_l))
+        _msdiff_rows(bands_l, bands)
         .agg((F.count(F.lit(1)) == 0).alias("band_consistent"))
     )
     pairs = llm_dedup.lsh_pairs_from_index(bands_l, sig_l, 32).filter(
@@ -12635,8 +12648,7 @@ def incremental_minhash_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         32,
     )
     diff = (
-        pairs_f.exceptAll(pairs_r)
-        .union(pairs_r.exceptAll(pairs_f))
+        _msdiff_rows(pairs_f, pairs_r)
         .agg((F.count(F.lit(1)) == 0).alias("fold_consistent"))
     )
     return pairs_f.filter(F.col("est_jaccard") >= 0.25).crossJoin(diff)
@@ -12693,8 +12705,7 @@ def stream_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     full = llm_cluster.connected_components(pairs, "doc_a", "doc_b")
     diff = (
-        drained.exceptAll(full)
-        .union(full.exceptAll(drained))
+        _msdiff_rows(drained, full)
         .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
     )
     return drained.select(
@@ -12749,8 +12760,7 @@ def weighted_sample_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     direct = llm_sampling.weighted_sample(d, "doc_id", "n_chars", 64)
     diff = (
-        merged.exceptAll(direct)
-        .union(direct.exceptAll(merged))
+        _msdiff_rows(merged, direct)
         .agg((F.count(F.lit(1)) == 0).alias("merge_consistent"))
     )
     return merged.select("doc_id", "n_chars", "priority").crossJoin(diff)
@@ -12811,8 +12821,7 @@ def stream_lsh_ingest_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc", "text", num_hashes=32, bands=16, portable=True
     )
     diff = (
-        pairs.exceptAll(batch_pairs)
-        .union(batch_pairs.exceptAll(pairs))
+        _msdiff_rows(pairs, batch_pairs)
         .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
     )
     return pairs.filter(F.col("est_jaccard") >= 0.5).crossJoin(diff)
@@ -13596,10 +13605,9 @@ def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = run_kmv_stream(
         updates, "user_id", k, table_root, ckpt
     ).localCheckpoint(eager=True)
-    direct = op_kmv.kmv_sketch(ev, "user_id", k).localCheckpoint(eager=True)
+    direct = op_kmv.kmv_sketch(ev, "user_id", k)
     diff = (
-        drained.exceptAll(direct)
-        .union(direct.exceptAll(drained))
+        _msdiff_rows(drained, direct)
         .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
     )
     exact = ev.where(F.col("user_id").isNotNull()).agg(
@@ -13651,8 +13659,7 @@ def kmv_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type").isNotNull()), "user_id", k
     ).localCheckpoint(eager=True)
     diff = (
-        rollup.exceptAll(direct)
-        .union(direct.exceptAll(rollup))
+        _msdiff_rows(rollup, direct)
         .agg((F.count(F.lit(1)) == 0).alias("rollup_consistent"))
     )
     est_r = op_kmv.kmv_estimate(rollup, k).select(
@@ -14031,12 +14038,9 @@ def trigram_index_artifact_roundtrip(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # checkpointed: the sym-diff's two exceptAll passes would otherwise
-    # rebuild the full posting explode twice
-    direct = trigram_postings(d, "doc_id", "text").localCheckpoint(eager=True)
+    direct = trigram_postings(d, "doc_id", "text")
     diff = (
-        folded.exceptAll(direct)
-        .union(direct.exceptAll(folded))
+        _msdiff_rows(folded, direct)
         .agg((F.count(F.lit(1)) == 0).alias("fold_consistent"))
     )
     literal = "slow vector"
@@ -14579,12 +14583,9 @@ def stream_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = run_skyline_stream(
         updates, "p_retailprice", "p_size", table_root, ckpt
     ).localCheckpoint(eager=True)
-    direct = op_skyline.pareto_frontier(
-        part, "p_retailprice", "p_size"
-    ).localCheckpoint(eager=True)
+    direct = op_skyline.pareto_frontier(part, "p_retailprice", "p_size")
     diff = (
-        drained.exceptAll(direct)
-        .union(direct.exceptAll(drained))
+        _msdiff_rows(drained, direct)
         .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
     )
     return drained.crossJoin(diff)
@@ -14670,8 +14671,8 @@ def bm25_index_artifact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ar.save_table("bm25_df", df_of(tf_base))
     ar.save_table("bm25_stats", stats_of(dl_base))
     tf_b, dl_b = tf_dl(d.filter(batch_pred))
-    tf_f = ar.table("bm25_tf").unionByName(tf_b).localCheckpoint(eager=True)
-    dl_f = ar.table("bm25_dl").unionByName(dl_b).localCheckpoint(eager=True)
+    tf_f = ar.table("bm25_tf").unionByName(tf_b)
+    dl_f = ar.table("bm25_dl").unionByName(dl_b)
     df_l = ar.table("bm25_df")
     df_f = (
         df_l.withColumnRenamed("df", "df_a")
@@ -14704,8 +14705,7 @@ def bm25_index_artifact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_dir = df_of(tf_dir).localCheckpoint(eager=True)
     st_dir = stats_of(dl_dir)
     df_diff = (
-        df_f.exceptAll(df_dir)
-        .union(df_dir.exceptAll(df_f))
+        _msdiff_rows(df_f, df_dir)
         .agg((F.count(F.lit(1)) == 0).alias("df_same"))
     )
     st_diff = st_f.crossJoin(
@@ -14872,12 +14872,9 @@ def stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = run_weighted_sample_stream(
         updates, "doc_id", "n_chars", 64, table_root, ckpt
     ).localCheckpoint(eager=True)
-    direct = llm_sampling.weighted_sample(
-        d, "doc_id", "n_chars", 64
-    ).localCheckpoint(eager=True)
+    direct = llm_sampling.weighted_sample(d, "doc_id", "n_chars", 64)
     diff = (
-        drained.exceptAll(direct)
-        .union(direct.exceptAll(drained))
+        _msdiff_rows(drained, direct)
         .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
     )
     return drained.select("doc_id", "n_chars", "priority").crossJoin(diff)
@@ -15268,8 +15265,8 @@ def bloom_pruned_anti_join_gate(
         eager=True
     )
     tagged = op_bloom_join.bloom_tag(li, "l_orderkey", mask).persist()
-    # the anti result feeds stats + both exceptAll sides: checkpoint so
-    # the probe + anti-join pipeline runs once, not four times
+    # the anti result feeds the stats agg AND the _msdiff_rows witness:
+    # checkpoint so the probe + anti-join pipeline runs once, not twice
     anti = op_bloom_join.bloom_anti_from_tagged(
         tagged, "l_orderkey", dim, "o_orderkey"
     ).localCheckpoint(eager=True)
@@ -15286,10 +15283,9 @@ def bloom_pruned_anti_join_gate(
     fact_rows = li.agg(F.count(F.lit(1)).cast("long").alias("fact_rows"))
     plain = li.join(
         dim, li["l_orderkey"] == dim["o_orderkey"], "left_anti"
-    ).localCheckpoint(eager=True)
+    )
     diff = (
-        anti.exceptAll(plain)
-        .union(plain.exceptAll(anti))
+        _msdiff_rows(anti, plain)
         .agg((F.count(F.lit(1)) == 0).alias("anti_consistent"))
     )
     return (
@@ -15412,8 +15408,7 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         llm_similarity.ivf_index(e, cdf), cdf, q, nprobe=4, k=10
     )
     diff = (
-        topk_stream.exceptAll(topk_batch)
-        .union(topk_batch.exceptAll(topk_stream))
+        _msdiff_rows(topk_stream, topk_batch)
         .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
     )
     return topk_stream.crossJoin(diff)
@@ -15473,8 +15468,7 @@ def sliding_spine_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ke = op_sliding.window_ends(kleaves)
     he = op_sliding.window_ends(hleaves)
     ends_ok = (
-        ke.exceptAll(he)
-        .union(he.exceptAll(ke))
+        _msdiff_rows(ke, he)
         .agg((F.count(F.lit(1)) == 0).alias("ends_consistent"))
     )
     return kest.join(hest, "wend").join(exact, "wend").crossJoin(ends_ok)
@@ -15521,10 +15515,9 @@ def incremental_nsw_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     d_full = llm_graph_ann.nsw_directed_edges(
         llm_graph_ann.nsw_bucketed(e), m_neighbors=12
-    ).localCheckpoint(eager=True)
+    )
     equiv = (
-        d_inc.exceptAll(d_full)
-        .union(d_full.exceptAll(d_inc))
+        _msdiff_rows(d_inc, d_full)
         .agg((F.count(F.lit(1)) == 0).alias("equiv_consistent"))
     )
     edges = llm_graph_ann.nsw_symmetrize(d_inc).localCheckpoint(eager=True)
@@ -15590,8 +15583,7 @@ def nsw_index_artifact_roundtrip(
     topk_l = llm_graph_ann.nsw_search(edges_l, e, q, beam=32, hops=4)
     topk_direct = llm_graph_ann.nsw_search(edges, e, q, beam=32, hops=4)
     diff = (
-        topk_l.exceptAll(topk_direct)
-        .union(topk_direct.exceptAll(topk_l))
+        _msdiff_rows(topk_l, topk_direct)
         .agg((F.count(F.lit(1)) == 0).alias("search_consistent"))
     )
     ck, _ = _md5h(
@@ -15678,10 +15670,9 @@ def stream_nsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     batch_built = llm_graph_ann.nsw_directed_edges(
         llm_graph_ann.nsw_bucketed(e), m_neighbors=12
-    ).localCheckpoint(eager=True)
+    )
     consistent = (
-        drained.exceptAll(batch_built)
-        .union(batch_built.exceptAll(drained))
+        _msdiff_rows(drained, batch_built)
         .agg((F.count(F.lit(1)) == 0).alias("stream_consistent"))
     )
     edges = llm_graph_ann.nsw_symmetrize(drained).localCheckpoint(eager=True)
@@ -15765,8 +15756,7 @@ def stream_ivf_delete_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cluster", F.round("vn", 9).alias("vn9")
     )
     diff = (
-        key(drained).exceptAll(key(rebuilt))
-        .union(key(rebuilt).exceptAll(key(drained)))
+        _msdiff_rows(key(drained), key(rebuilt))
         .agg((F.count(F.lit(1)) == 0).alias("delete_consistent"))
     )
     topk = llm_similarity.ivf_search_index(drained, cdf, q, nprobe=4, k=10)
@@ -15849,8 +15839,7 @@ def stream_nsw_delete_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         llm_graph_ann.nsw_bucketed(remaining), m_neighbors=12
     )
     consistent = (
-        drained.exceptAll(rebuilt)
-        .union(rebuilt.exceptAll(drained))
+        _msdiff_rows(drained, rebuilt)
         .agg((F.count(F.lit(1)) == 0).alias("delete_consistent"))
     )
     edges = llm_graph_ann.nsw_symmetrize(drained).localCheckpoint(eager=True)
@@ -15942,13 +15931,11 @@ def stream_lsh_delete_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         want_sigs, 32, 16, portable=True
     )
     sig_diff = (
-        sigs.exceptAll(want_sigs)
-        .union(want_sigs.exceptAll(sigs))
+        _msdiff_rows(sigs, want_sigs)
         .select(F.lit(1).alias("one"))
     )
     band_diff = (
-        bands.exceptAll(want_bands)
-        .union(want_bands.exceptAll(bands))
+        _msdiff_rows(bands, want_bands)
         .select(F.lit(1).alias("one"))
     )
     consistent = sig_diff.unionByName(band_diff).agg(
@@ -16043,8 +16030,7 @@ def store_compaction_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cluster", F.round("vn", 9).alias("vn9")
     )
     diff = (
-        key(compacted).exceptAll(key(rebuilt))
-        .union(key(rebuilt).exceptAll(key(compacted)))
+        _msdiff_rows(key(compacted), key(rebuilt))
         .agg(
             ((F.count(F.lit(1)) == 0) & F.lit(logs_gone)).alias(
                 "compaction_consistent"
@@ -16100,10 +16086,8 @@ def bloom_sliding_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         op_sketches.hll_leaf_registers(ev, "ts", "user_id", "day")
     )
     ends_ok = (
-        be.exceptAll(ke)
-        .union(ke.exceptAll(be))
-        .union(be.exceptAll(he))
-        .union(he.exceptAll(be))
+        _msdiff_rows(be, ke)
+        .union(_msdiff_rows(be, he))
         .agg((F.count(F.lit(1)) == 0).alias("ends_consistent_3way"))
     )
     return report.crossJoin(ends_ok)
