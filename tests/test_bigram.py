@@ -271,3 +271,35 @@ def test_trigram_fold_and_artifact_roundtrip(spark, tmp_path):
             ROWS, {i for i, _ in ROWS}
         ).items()
     }
+
+
+def test_shared_tok_frame_paths_match_default(spark):
+    """The tok= short-circuit (one tokenize pass shared across train +
+    score consumers — the r13 optimization) is plan plumbing only:
+    model tables and scores are identical with and without it."""
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    tok = BG.tok_frame(df, "doc_id", "text").localCheckpoint(eager=True)
+    pred = F.col("id") % 2 == 0
+
+    u0, b0 = BG.bigram_model_tables(df, "doc_id", "text", pred)
+    u1, b1 = BG.bigram_model_tables(df, "doc_id", "text", pred, tok=tok)
+    assert sorted(map(tuple, u0.collect())) == sorted(map(tuple, u1.collect()))
+    assert sorted(map(tuple, b0.collect())) == sorted(map(tuple, b1.collect()))
+
+    s0 = {tuple(r) for r in BG.bigram_doc_scores_from_model(
+        df, "doc_id", "text", u0, b0).collect()}
+    s1 = {tuple(r) for r in BG.bigram_doc_scores_from_model(
+        df, "doc_id", "text", u1, b1, tok=tok).collect()}
+    assert s0 == s1
+
+    m0 = BG.trigram_model_tables(df, "doc_id", "text", pred)
+    m1 = BG.trigram_model_tables(df, "doc_id", "text", pred, tok=tok)
+    for t0, t1 in zip(m0, m1):
+        assert sorted(map(tuple, t0.collect())) == sorted(
+            map(tuple, t1.collect())
+        )
+    t0 = {tuple(r) for r in BG.trigram_doc_scores_from_model(
+        df, "doc_id", "text", *m0).collect()}
+    t1 = {tuple(r) for r in BG.trigram_doc_scores_from_model(
+        df, "doc_id", "text", *m1, tok=tok).collect()}
+    assert t0 == t1

@@ -72,11 +72,32 @@ def _pairs(t: Column) -> Column:
     )
 
 
+def tok_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The ``(id, t)`` tokenized-corpus frame every trainer/scorer in
+    this module derives from. Exposed so a caller that both trains and
+    scores (or scores under two models) can tokenize ONCE, cache the
+    result (``persist``), and pass it via the ``tok=``
+    parameter — without it, each train aggregate and each scoring
+    branch is an independent consumer of this lazy projection and
+    re-runs the full text scan + regex split (7-10 corpus passes in the
+    artifact gates; at 100 TB each pass is a full corpus read)."""
+    return docs.select(
+        F.col(id_col).alias("id"), llm_text.tokens(text_col).alias("t")
+    )
+
+
+def _tok(
+    docs: DataFrame, id_col: str, text_col: str, tok: DataFrame | None
+) -> DataFrame:
+    return tok if tok is not None else tok_frame(docs, id_col, text_col)
+
+
 def bigram_model_tables(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     train_pred: Column | None = None,
+    tok: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The bigram LM's ENTIRE persistable state: the unigram count
     table ``(w, c)`` and the bigram count table ``(a, b, c2)`` over the
@@ -85,10 +106,9 @@ def bigram_model_tables(
     is a pure derivation of these two tables, which is what makes
     count-persistence sufficient (``bigram_model_artifact_roundtrip``
     saves exactly these through the archive's versioned commit and
-    re-derives the rest on load)."""
-    tok = docs.select(
-        F.col(id_col).alias("id"), llm_text.tokens(text_col).alias("t")
-    )
+    re-derives the rest on load). ``tok`` short-circuits tokenization
+    with a shared pre-tokenized ``(id, t)`` frame (see ``tok_frame``)."""
+    tok = _tok(docs, id_col, text_col, tok)
     train = tok.filter(train_pred) if train_pred is not None else tok
     uni = (
         train.select(F.explode("t").alias("w"))
@@ -186,9 +206,22 @@ def bigram_doc_scores(
     (default: everything) and scores EVERY row; a document's total is
     U(w₁) + Σᵢ S(wᵢ | wᵢ₋₁) in micro-log units, ``n_backoff`` counts
     backed-off transitions (the observable that the context model is
-    actually being exercised)."""
-    uni, big = bigram_model_tables(docs, id_col, text_col, train_pred)
-    return bigram_doc_scores_from_model(docs, id_col, text_col, uni, big)
+    actually being exercised).
+
+    Tokenizes ONCE and materializes (``localCheckpoint``): the train
+    aggregates and the three scoring branches are otherwise independent
+    consumers that each re-run the text scan + regex split — at 100 TB,
+    ~7 full corpus passes for one scoring call. The vocab-sized model
+    tables stay lazy over the materialized token frame (their remaining
+    recomputes overlap inside the one final job; A/B-measured, eagerly
+    checkpointing them serialized more than it saved, and a lazy
+    ``persist`` was slower still — the InMemoryRelation blocks the
+    final job's planning wins)."""
+    tok = tok_frame(docs, id_col, text_col).localCheckpoint(eager=True)
+    uni, big = bigram_model_tables(docs, id_col, text_col, train_pred, tok=tok)
+    return bigram_doc_scores_from_model(
+        docs, id_col, text_col, uni, big, tok=tok
+    )
 
 
 def bigram_doc_scores_from_model(
@@ -197,15 +230,15 @@ def bigram_doc_scores_from_model(
     text_col: str,
     uni: DataFrame,
     big: DataFrame,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document under an EXPLICIT bigram model — the entry
     point for models reloaded from a versioned artifact table. ``uni``
     is ``(w, c)``, ``big`` is ``(a, b, c2)``; T, the micro-log unigram
     scores and the context totals derive here, so persisted counts are
-    the whole model."""
-    tok = docs.select(
-        F.col(id_col).alias("id"), llm_text.tokens(text_col).alias("t")
-    )
+    the whole model. ``tok`` shares a pre-tokenized ``(id, t)`` frame
+    across the scoring branches (see ``tok_frame``)."""
+    tok = _tok(docs, id_col, text_col, tok)
     tot = uni.agg(
         (F.sum("c") + F.count(F.lit(1))).cast("double").alias("T")
     )
@@ -295,6 +328,7 @@ def trigram_model_tables(
     id_col: str,
     text_col: str,
     train_pred: Column | None = None,
+    tok: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The trigram LM's ENTIRE persistable state: the unigram ``(w,
     c)``, bigram ``(a, b, c2)`` and trigram ``(a, b, c, c3)`` count
@@ -303,10 +337,9 @@ def trigram_model_tables(
     context totals (c(a ·) and c(a b ·)) are pure derivations of these
     counts, so count-persistence is sufficient at order 3 exactly as at
     order 2 (``trigram_model_artifact_roundtrip`` saves these through
-    the archive's versioned commit and re-derives the rest on load)."""
-    tok = docs.select(
-        F.col(id_col).alias("id"), llm_text.tokens(text_col).alias("t")
-    )
+    the archive's versioned commit and re-derives the rest on load).
+    ``tok`` shares a pre-tokenized ``(id, t)`` frame (``tok_frame``)."""
+    tok = _tok(docs, id_col, text_col, tok)
     train = tok.filter(train_pred) if train_pred is not None else tok
     uni = (
         train.select(F.explode("t").alias("w"))
@@ -355,10 +388,15 @@ def trigram_doc_scores(
 
     Same scale shape as ``bigram_doc_scores`` with one more
     training-slice aggregate (trigram types) and one more type-counted
-    join; strategies left to AQE for the same reason."""
-    uni, big, tri = trigram_model_tables(docs, id_col, text_col, train_pred)
+    join; strategies left to AQE for the same reason. Tokenizes ONCE
+    and materializes the token frame; the model tables stay lazy over
+    it (same measured trade as ``bigram_doc_scores``)."""
+    tok = tok_frame(docs, id_col, text_col).localCheckpoint(eager=True)
+    uni, big, tri = trigram_model_tables(
+        docs, id_col, text_col, train_pred, tok=tok
+    )
     return trigram_doc_scores_from_model(
-        docs, id_col, text_col, uni, big, tri
+        docs, id_col, text_col, uni, big, tri, tok=tok
     )
 
 
@@ -369,15 +407,15 @@ def trigram_doc_scores_from_model(
     uni: DataFrame,
     big: DataFrame,
     tri: DataFrame,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document under an EXPLICIT trigram model — the entry
     point for models reloaded from a versioned artifact table. ``uni``
     is ``(w, c)``, ``big`` is ``(a, b, c2)``, ``tri`` is ``(a, b, c,
     c3)``; T, the micro-log unigram scores and both context totals
-    derive here, so the persisted counts are the whole model."""
-    tok = docs.select(
-        F.col(id_col).alias("id"), llm_text.tokens(text_col).alias("t")
-    )
+    derive here, so the persisted counts are the whole model. ``tok``
+    shares a pre-tokenized ``(id, t)`` frame (see ``tok_frame``)."""
+    tok = _tok(docs, id_col, text_col, tok)
     tot = uni.agg(
         (F.sum("c") + F.count(F.lit(1))).cast("double").alias("T")
     )

@@ -283,11 +283,19 @@ def pagerank_integer(
 
     Scale shape: ``edges`` is the (already subquadratic) near-dup pair
     list expanded to both directions; each iteration is one keyed join
-    + one keyed sum — the Pregel superstep as two exchanges — with the
-    rank frame ``localCheckpoint``-ed per round (the iterative-lineage
-    trap, same as the CC loop above). ``iters`` is fixed and small:
-    dedup graphs have tiny diameter, and the gate checks values, not
-    convergence."""
+    + one keyed sum — the Pregel superstep as two exchanges. The edge
+    list is materialized ONCE up front (it is usually the lazy tail of
+    a whole candidate-generation pipeline, and both the degree
+    aggregate and the per-degree join consume it — without the cut that
+    pipeline runs twice), and the degree-annotated ``ed`` frame is
+    materialized because every superstep re-joins it. The per-round
+    rank frames are NOT checkpointed: each is consumed exactly once (by
+    the next round), ``iters`` is fixed and small (dedup graphs have
+    tiny diameter; the gate checks values, not convergence), so the
+    bounded 3-round chain runs as ONE fused job instead of iters+1
+    serialized materialization jobs — measured faster at bench scale
+    and strictly fewer passes at 100 TB."""
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = edges.join(deg, "src").localCheckpoint(eager=True)
     ids = nodes.select(F.col(node_col).alias("id"))
@@ -312,7 +320,6 @@ def pagerank_integer(
                 .cast("long")
                 .alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
     return r
 
@@ -339,8 +346,13 @@ def label_propagation(
     fixed-iteration-exactness trade as ``pagerank_integer``.
 
     Scale shape: one keyed join + one (dst, label) count + one argmax
-    aggregate per round — Pregel supersteps as exchanges, label frame
-    localCheckpoint-ed per round against the iterative-lineage trap."""
+    aggregate per round — Pregel supersteps as exchanges. The label
+    frames are NOT checkpointed per round: each is consumed exactly
+    once (by the next round's vote join) and ``iters`` is fixed and
+    small, so the bounded chain runs as ONE fused job instead of iters
+    serialized materialization jobs (the same argument as
+    ``pagerank_integer``; the iterative-lineage trap only bites when
+    iteration count is unbounded or a frame fans out)."""
     ids = nodes.select(F.col(node_col).alias("id"))
     # materialize the edge list ONCE: it is usually the lazy tail of a
     # whole candidate-generation pipeline (LSH banding + cosine verify),
@@ -365,7 +377,6 @@ def label_propagation(
                 "id",
                 F.coalesce("new_label", F.col("id")).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
     return lab
 

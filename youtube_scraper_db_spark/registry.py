@@ -10373,19 +10373,31 @@ def bigram_model_artifact_roundtrip(
     from .archive import Archive
 
     d = _t(spark, sf_dir, "documents")
-    uni, big = llm_bigram.bigram_model_tables(
-        d, "doc_id", "text", train_pred=F.col("id") % 2 == 0
+    # tokenize the corpus ONCE for training + both scoring passes, and
+    # materialize the two model tables once for save + in-session
+    # scoring — without this the gate runs ~7 independent text-scan/
+    # train-aggregate subtrees (llm/bigram.py tok_frame). A/B-measured:
+    # eager localCheckpoints win here (3.73 → 3.15 s) because the
+    # tables are consumed by the archive write AND several scorer
+    # subtrees; a lazy persist was slower than either form
+    tok = llm_bigram.tok_frame(d, "doc_id", "text").localCheckpoint(
+        eager=True
     )
+    uni, big = llm_bigram.bigram_model_tables(
+        d, "doc_id", "text", train_pred=F.col("id") % 2 == 0, tok=tok
+    )
+    uni = uni.localCheckpoint(eager=True)
+    big = big.localCheckpoint(eager=True)
     ar = Archive(spark, tempfile.mkdtemp(prefix="sg_lmart_bigram_"))
     v_uni = ar.save_table("bigram_uni", uni)
     v_big = ar.save_table("bigram_big", big)
     uni_l, big_l = ar.table("bigram_uni"), ar.table("bigram_big")
     mism = _score_mismatch(
         llm_bigram.bigram_doc_scores_from_model(
-            d, "doc_id", "text", uni, big
+            d, "doc_id", "text", uni, big, tok=tok
         ),
         llm_bigram.bigram_doc_scores_from_model(
-            d, "doc_id", "text", uni_l, big_l
+            d, "doc_id", "text", uni_l, big_l, tok=tok
         ),
     )
     nsc = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs_scored"))
@@ -10462,12 +10474,24 @@ def incremental_bigram_model_equiv(
     (bigram_doc_scores_from_model, null-safe full-outer compare)."""
     ensure_utc(spark)
     d = _t(spark, sf_dir, "documents")
-    base = d.filter(F.col("doc_id") % 5 != 4)
-    batch = d.filter(F.col("doc_id") % 5 == 4)
-    ub, bb = llm_bigram.bigram_model_tables(base, "doc_id", "text")
-    un, bn = llm_bigram.bigram_model_tables(batch, "doc_id", "text")
+    # one tokenize pass serves the base/batch/full trainings and both
+    # scoring passes (at 100 TB the old shape was ~17 independent
+    # text-scan subtrees). Only the token frame is materialized: the
+    # model-table recomputes left in the plan all read the checkpointed
+    # tokens and overlap inside the one final job — A/B showed eagerly
+    # checkpointing all six tables serializes more than it saves, and
+    # a lazy persist was slower than either form
+    tok = llm_bigram.tok_frame(d, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    ub, bb = llm_bigram.bigram_model_tables(
+        d, "doc_id", "text", train_pred=F.col("id") % 5 != 4, tok=tok
+    )
+    un, bn = llm_bigram.bigram_model_tables(
+        d, "doc_id", "text", train_pred=F.col("id") % 5 == 4, tok=tok
+    )
     uf, bf = llm_bigram.merge_model_tables(ub, bb, un, bn)
-    ud, bd = llm_bigram.bigram_model_tables(d, "doc_id", "text")
+    ud, bd = llm_bigram.bigram_model_tables(d, "doc_id", "text", tok=tok)
     diff = (
         _msdiff_rows(uf, ud)
         .select(F.lit(1).alias("one"))
@@ -10479,10 +10503,10 @@ def incremental_bigram_model_equiv(
     )
     mism = _score_mismatch(
         llm_bigram.bigram_doc_scores_from_model(
-            d, "doc_id", "text", uf, bf
+            d, "doc_id", "text", uf, bf, tok=tok
         ),
         llm_bigram.bigram_doc_scores_from_model(
-            d, "doc_id", "text", ud, bd
+            d, "doc_id", "text", ud, bd, tok=tok
         ),
     )
     nsc = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs_scored"))
@@ -11703,9 +11727,18 @@ def trigram_model_artifact_roundtrip(
     from .functions.portable_hash import md5_halves
 
     d = _t(spark, sf_dir, "documents")
-    uni, big, tri = llm_bigram.trigram_model_tables(
-        d, "doc_id", "text", train_pred=F.col("id") % 2 == 0
+    # tokenize ONCE for training + both scoring passes; materialize
+    # the three model tables once for save + in-session scoring (the
+    # bigram_model_artifact_roundtrip trade, measured the same way)
+    tok = llm_bigram.tok_frame(d, "doc_id", "text").localCheckpoint(
+        eager=True
     )
+    uni, big, tri = llm_bigram.trigram_model_tables(
+        d, "doc_id", "text", train_pred=F.col("id") % 2 == 0, tok=tok
+    )
+    uni = uni.localCheckpoint(eager=True)
+    big = big.localCheckpoint(eager=True)
+    tri = tri.localCheckpoint(eager=True)
     ar = Archive(spark, tempfile.mkdtemp(prefix="sg_lmart_trigram_"))
     v1 = ar.save_table("trigram_uni", uni)
     v2 = ar.save_table("trigram_big", big)
@@ -11715,10 +11748,10 @@ def trigram_model_artifact_roundtrip(
     tri_l = ar.table("trigram_tri")
     mism = _score_mismatch(
         llm_bigram.trigram_doc_scores_from_model(
-            d, "doc_id", "text", uni, big, tri
+            d, "doc_id", "text", uni, big, tri, tok=tok
         ),
         llm_bigram.trigram_doc_scores_from_model(
-            d, "doc_id", "text", uni_l, big_l, tri_l
+            d, "doc_id", "text", uni_l, big_l, tri_l, tok=tok
         ),
         cols=("total_micrologp", "n_tokens", "n_backoff2", "n_backoff1"),
     )
@@ -11825,12 +11858,22 @@ def incremental_trigram_model_equiv(
     from .functions.portable_hash import md5_halves
 
     d = _t(spark, sf_dir, "documents")
-    base = d.filter(F.col("doc_id") % 5 != 4)
-    batch = d.filter(F.col("doc_id") % 5 == 4)
-    mb = llm_bigram.trigram_model_tables(base, "doc_id", "text")
-    mn = llm_bigram.trigram_model_tables(batch, "doc_id", "text")
+    # one tokenize pass for base/batch/full trainings + both scoring
+    # passes; only the token frame is materialized (the
+    # incremental_bigram_model_equiv trade, measured the same way)
+    tok = llm_bigram.tok_frame(d, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    mb = llm_bigram.trigram_model_tables(
+        d, "doc_id", "text", train_pred=F.col("id") % 5 != 4, tok=tok
+    )
+    mn = llm_bigram.trigram_model_tables(
+        d, "doc_id", "text", train_pred=F.col("id") % 5 == 4, tok=tok
+    )
     uf, bf, tf = llm_bigram.merge_trigram_model_tables(mb, mn)
-    ud, bd, td = llm_bigram.trigram_model_tables(d, "doc_id", "text")
+    ud, bd, td = llm_bigram.trigram_model_tables(
+        d, "doc_id", "text", tok=tok
+    )
     diff = (
         _msdiff_rows(uf, ud)
         .select(F.lit(1).alias("one"))
@@ -11846,10 +11889,10 @@ def incremental_trigram_model_equiv(
     )
     mism = _score_mismatch(
         llm_bigram.trigram_doc_scores_from_model(
-            d, "doc_id", "text", uf, bf, tf
+            d, "doc_id", "text", uf, bf, tf, tok=tok
         ),
         llm_bigram.trigram_doc_scores_from_model(
-            d, "doc_id", "text", ud, bd, td
+            d, "doc_id", "text", ud, bd, td, tok=tok
         ),
         cols=("total_micrologp", "n_tokens", "n_backoff2", "n_backoff1"),
     )
