@@ -272,7 +272,14 @@ def mg_sliding_heavy_hitters(
     EXACT count table (≤ |keys|·|leaves| rows, aggregated once — never
     raw events per window); candidates are ≤ leaves × (k-1) rows. All
     three range joins share one spine (operators/sliding.py)."""
-    leaves = mg_leaf_summaries(df, ts_col, key, k, grain)
+    # both dim-bounded frames are materialized: ``leaves`` (the MG
+    # kernel over raw events) feeds the ends AND the candidate join —
+    # lazy, the kernel pass runs twice; ``lk`` (the per-leaf exact
+    # count, the other raw-event aggregate) feeds the recount AND the
+    # totals — lazy, the event scan runs twice
+    leaves = mg_leaf_summaries(df, ts_col, key, k, grain).localCheckpoint(
+        eager=True
+    )
     ends = sliding.window_ends(leaves)
     cands = (
         sliding.window_leaves(leaves, width, grain, ends=ends)
@@ -286,6 +293,7 @@ def mg_sliding_heavy_hitters(
             F.col(key).cast("string").alias(key),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     window_counts = (
         sliding.window_leaves(

@@ -2194,10 +2194,15 @@ def histogram_sliding_quantiles(
     half-up 2dp. All window work is dim-sized (windows × bins rows)."""
     from pyspark.sql import Window
 
+    # materialized: the windows × bins merged table feeds the cumsum,
+    # the totals, AND one pick subtree per quantile — lazy, each of
+    # those re-runs the range join and the leaf build underneath it
+    # (the r13 scan sweep measured this gate at 14 raw-event scans)
     merged = (
         sliding.window_leaves(leaves, width, grain)
         .groupBy("wend", "bin")
         .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     wspec = Window.partitionBy("wend").orderBy("bin")
     cum = merged.withColumn("cum", F.sum("cnt").over(wspec))
@@ -2357,6 +2362,12 @@ def bloom_sliding_probe_report(
     from . import sliding
 
     if ends is None:
+        # ends + the window bit-union both consume the leaf bit table;
+        # materialize so the leaf build (the raw-event aggregate) runs
+        # once (the window_leaves ends=None device, done here because
+        # ends must also feed the probe grid below)
+        if not sliding._is_materialized(leaves_bits):
+            leaves_bits = leaves_bits.localCheckpoint(eager=True)
         ends = sliding.window_ends(leaves_bits, "leaf")
     wbits = (
         sliding.window_leaves(

@@ -26,6 +26,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _is_materialized(df: DataFrame) -> bool:
+    """True when the frame's analyzed plan is already a materialized
+    scan (a ``localCheckpoint`` product) — re-checkpointing one only
+    copies partitions."""
+    name = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+    return name == "LogicalRDD"
+
+
 def window_ends(leaves: DataFrame, leaf_col: str = "leaf") -> DataFrame:
     """(wend): one window end per distinct leaf — every window the
     leaf store can answer ends at a leaf that exists."""
@@ -48,6 +56,16 @@ def window_leaves(
     join is the right plan. Pass a precomputed ``ends`` to share one
     spine across several leaf tables (the consistency gate's device)."""
     if ends is None:
+        # ends AND the join side both consume ``leaves`` — without the
+        # cut the whole leaf build (a raw-event aggregate: the only
+        # event-sized work in the family) runs twice per call, which is
+        # exactly what the module docstring's "raw events are touched
+        # ONCE" promises away. The leaf table is dim-bounded by
+        # contract, so the materialization is cheap at every scale.
+        # Callers that already materialized (the consistency gates) are
+        # detected by the LogicalRDD root and not re-copied.
+        if not _is_materialized(leaves):
+            leaves = leaves.localCheckpoint(eager=True)
         ends = window_ends(leaves, leaf_col)
     # guard the join's column contract (r12 ADVICE): a leaf table
     # carrying 'wend', or an ends frame carrying extra columns shared
