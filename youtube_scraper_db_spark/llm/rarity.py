@@ -249,9 +249,14 @@ def tfidf_cosine_pairs(
     term space — norms included — and the oracle replays both cuts.
     Pair partials then combine map-side into one keyed integer sum."""
     occ = word_occurrences(docs, id_col, text_col)
+    # materialized: tf feeds the document-frequency aggregate AND the
+    # kept-term weight join — lazy, the tokenize+explode+count pipeline
+    # (the only corpus-sized work here) runs once per consumer; the r13
+    # scan sweep measured this query at 12 corpus scans before the two
+    # cuts below (tf, then the pruned wt for norms + both join sides)
     tf = occ.groupBy(F.col(id_col).alias("d"), "w").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    ).localCheckpoint(eager=True)
     n_docs = docs.select(
         F.countDistinct(id_col).cast("double").alias("n")
     )
@@ -274,7 +279,7 @@ def tfidf_cosine_pairs(
     )
     wt = tf.join(kept, "w").select(
         "d", "w", (F.col("tf") * F.col("qidf")).alias("wq")
-    )
+    ).localCheckpoint(eager=True)
     norms = wt.groupBy("d").agg(
         F.sqrt(F.sum(F.col("wq") * F.col("wq"))).alias("nrm")
     )

@@ -124,8 +124,10 @@ def exact_heavy_hitters_grouped(
     dimension) — candidate generation stays map-only with O(groups × k)
     state per task, and the recount shuffle carries only candidate
     (group, value) pairs plus a groups-sized total table, never the
-    full per-group vocabulary."""
-    src = items.select(gcol, col)
+    full per-group vocabulary. ``src`` is materialized: it feeds the
+    kernel, the recount and the totals (three upstream runs when
+    lazy)."""
+    src = items.select(gcol, col).localCheckpoint(eager=True)
     cands = (
         src.mapInPandas(
             lambda it: _mg_summary_grouped(it, gcol, col, k),
@@ -200,7 +202,14 @@ def mg_combine_summaries(summaries: DataFrame, col: str, k: int) -> DataFrame:
     corpus (``heavy_hitter_merge`` gates it). The trim fires only when
     more than k-1 counters survive the sum (same condition as the
     per-partition rule)."""
-    added = summaries.groupBy(col).agg(F.sum("cnt").alias("cnt"))
+    # materialized: the summed support feeds the k-th-counter probe AND
+    # the trim — lazy, the entire upstream summary pipeline (an MG
+    # kernel pass over the source, or a previous combine) runs twice
+    # per consumer, and nested combines compound that doubling. The
+    # table is ≤ (k-1) × summaries rows, so the cut is ~free.
+    added = summaries.groupBy(col).agg(F.sum("cnt").alias("cnt")).localCheckpoint(
+        eager=True
+    )
     kth = (
         added.orderBy(F.desc("cnt"), F.asc(col))
         .limit(k)
@@ -225,7 +234,10 @@ def exact_heavy_hitters(
 
     The threshold compare is integer (cnt * k > n_total) — no division,
     no float, engine-exact."""
-    src = items.select(col)
+    # materialized: src feeds the MG kernel, the candidate recount AND
+    # the total — lazy, the upstream (often a corpus tokenize+explode)
+    # runs three times
+    src = items.select(col).localCheckpoint(eager=True)
     cands = mg_partition_summaries(src, col, k).select(col).distinct()
     return recount_candidates(src, cands, col, k)
 

@@ -5954,8 +5954,11 @@ def stream_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=_stream_parallelism(spark),
         output_mode="update",
     ).distinct()
-    occ = llm_rarity.word_occurrences(_t(spark, sf_dir, "documents")).select(
-        "w"
+    # tokenize once: recount consumes occ twice (count + total)
+    occ = (
+        llm_rarity.word_occurrences(_t(spark, sf_dir, "documents"))
+        .select("w")
+        .localCheckpoint(eager=True)
     )
     return recount_candidates(occ, drained, "w", 32)
 
@@ -11594,7 +11597,11 @@ def heavy_hitter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_utc(spark)
-    occ = llm_rarity.word_occurrences(_t(spark, sf_dir, "documents"))
+    # tokenize+explode once: occ feeds both halves' kernels and the
+    # final recount (3 corpus passes when lazy)
+    occ = llm_rarity.word_occurrences(
+        _t(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
     half_a = occ.filter(F.col("doc_id") % 2 == 0).select("w")
     half_b = occ.filter(F.col("doc_id") % 2 == 1).select("w")
     s_a = mg_combine_summaries(
@@ -12344,7 +12351,10 @@ def heavy_hitter_artifact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         recount_candidates,
     )
 
-    occ = llm_rarity.word_occurrences(_t(spark, sf_dir, "documents"))
+    # tokenize+explode once (the heavy_hitter_merge device)
+    occ = llm_rarity.word_occurrences(
+        _t(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
     base = occ.filter(F.col("doc_id") % 2 == 0).select("w")
     batch = occ.filter(F.col("doc_id") % 2 == 1).select("w")
     s_base = mg_combine_summaries(
