@@ -12041,19 +12041,24 @@ def cms_artifact_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ar = Archive(spark, tempfile.mkdtemp(prefix="sg_skart_cms_"))
     v = ar.save_table("cms_user_counters", base_cnt)
     cnt_l = ar.table("cms_user_counters")
+    # both counter tables are 16k cells and feed two consumers each
+    # (estimates + the cell-wise compare): checkpoint so the batch and
+    # direct counter builds — each a full event scan — run once
     folded = op_sketches.cms_merge(
         cnt_l,
         op_sketches.cms_counters(
             ev.filter(F.col("event_id") % 2 != 0), "user_id"
         ),
-    )
+    ).localCheckpoint(eager=True)
     est_m = op_sketches.cms_point_estimates_from_counters(
         ev, "user_id", folded
     ).select(F.col("k"), F.col("est").alias("est_m"), "exact")
     # build the direct counter table ONCE — it feeds both the estimate
     # twin and the cell-wise compare (review catch: the previous
     # cms_point_estimates call rebuilt the identical table internally)
-    direct = op_sketches.cms_counters(ev, "user_id")
+    direct = op_sketches.cms_counters(ev, "user_id").localCheckpoint(
+        eager=True
+    )
     est_d = op_sketches.cms_point_estimates_from_counters(
         ev, "user_id", direct
     ).select(F.col("k"), F.col("est").alias("est_d"))
