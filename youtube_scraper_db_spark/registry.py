@@ -1720,12 +1720,16 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trees re-evaluate the tokenizer per shingle position (the 5-9×
     # slow path llm/text.py:168 documents) — measured 22 s → ~2 s for
     # this gate at sf0.1 when it joined the bench headline list.
+    # expected feeds the clone-pair count AND the semi-join probe; the
+    # un-cached form re-ran the tokenize+filter scan for each (r13 opt
+    # round: one pass over the corpus, ~doc-count bounded rows; lazy
+    # persist, not an eager checkpoint — no extra serialized job)
     expected = d.filter(
         F.size(llm_text.tokens(llm_text.normalize(F.col("text")))) >= 3
     ).select(
         F.col("doc_id").alias("doc_a"),
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_b"),
-    )
+    ).persist()
     found = expected.join(pairs, ["doc_a", "doc_b"], "left_semi")
     return (
         expected.agg(F.count("*").alias("clone_pairs"))
@@ -10959,16 +10963,21 @@ def cms_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     half_a = ev.filter(F.col("event_id") % 2 == 0)
     half_b = ev.filter(F.col("event_id") % 2 != 0)
+    # both 16k-cell counter tables feed two consumers each (estimates +
+    # the cell-wise compare), and each lazy consumption re-ran the
+    # half/full event scans — cached (lazy persist: an EAGER checkpoint
+    # here serializes two extra jobs and measured ~2x slower at bench
+    # scale) so each scan runs once (r13 opt round)
     merged = op_sketches.cms_merge(
         op_sketches.cms_counters(half_a, "user_id"),
         op_sketches.cms_counters(half_b, "user_id"),
-    )
+    ).persist()
     est_m = op_sketches.cms_point_estimates_from_counters(
         ev, "user_id", merged
     ).select(F.col("k"), F.col("est").alias("est_m"), "exact")
     # build the direct counter table ONCE — it feeds both the estimate
     # twin and the cell-wise compare
-    direct = op_sketches.cms_counters(ev, "user_id")
+    direct = op_sketches.cms_counters(ev, "user_id").persist()
     est_d = op_sketches.cms_point_estimates_from_counters(
         ev, "user_id", direct
     ).select(F.col("k"), F.col("est").alias("est_d"))
@@ -11252,12 +11261,20 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("v"),
         (F.col("event_id") % 2 == 0).alias("__half"),
     )
-    stats = src.agg(
+    srow = src.agg(
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
         F.count(F.lit(1)).alias("n"),
+    ).first()  # two doubles + a count — the sketch config
+    # rebuild the one-row stats frame from the collected scalars: the
+    # lazy agg frame was consumed by the binning AND the report's four
+    # rank-arithmetic crossJoins, re-running the fact scan each time
+    # (r13 opt round: 4 scans → 0; a Python float round-trips the
+    # aggregated double bit-for-bit, so every downstream number is
+    # unchanged)
+    stats = spark.createDataFrame(
+        [(srow["lo"], srow["hi"], srow["n"])], "lo double, hi double, n long"
     )
-    srow = stats.first()  # two doubles + a count — the sketch config
     if srow["lo"] is None:
         # no non-null values: nothing to stream — an empty counter
         # table flows through the same report path, degrading to the
@@ -14091,9 +14108,15 @@ def trigram_index_artifact_roundtrip(
     ar = Archive(spark, tempfile.mkdtemp(prefix="sg_trgidx_"))
     v = ar.save_table("trigram_postings", base_p)
     loaded = ar.table("trigram_postings")
+    # distinct-union fold WITHOUT the distinct: trigram_postings is
+    # internally (id, gram)-distinct and the base/batch doc_id splits
+    # are key-disjoint, so their union is already a set — the explicit
+    # distinct() was a redundant full-posting-table exchange (r13 opt:
+    # one Exchange + HashAggregate removed; folded ≡ distinct(union)
+    # row-for-row, and the fold_consistent witness still proves it
+    # against the direct build)
     folded = (
         loaded.unionByName(trigram_postings(d.filter(batch), "doc_id", "text"))
-        .distinct()
         .localCheckpoint(eager=True)
     )
     direct = trigram_postings(d, "doc_id", "text")
@@ -15784,7 +15807,10 @@ def stream_ivf_delete_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         llm_similarity.as_double("embedding").alias("qv")
     )
     staged = tempfile.mkdtemp(prefix="sg_ivfdel_src_")
-    e.select("vec_id", "embedding").repartition(4).write.mode(
+    # 2-batch ingest SETUP (multi-batch ingest itself is
+    # stream_ivf_ingest's 4-batch gate — this gate pays for the DELETE
+    # path: two tombstone batches + the rebuild witness)
+    e.select("vec_id", "embedding").repartition(2).write.mode(
         "overwrite"
     ).parquet(staged)
     updates = (
@@ -15951,7 +15977,10 @@ def stream_lsh_delete_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc"), "text"
     )
     staged = tempfile.mkdtemp(prefix="sg_lshdel_src_")
-    corpus.repartition(4).write.mode("overwrite").parquet(staged)
+    # 2-batch ingest SETUP (multi-batch ingest itself is
+    # stream_lsh_ingest_dups' 4-batch gate — this gate pays for the
+    # DELETE path: two tombstone batches + the live-vs-rebuild witness)
+    corpus.repartition(2).write.mode("overwrite").parquet(staged)
     updates = (
         spark.readStream.schema("doc long, text string")
         .option("maxFilesPerTrigger", "1")
