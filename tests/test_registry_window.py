@@ -468,6 +468,63 @@ MUST_BE_WINDOWED_BY_ROUND = {
         "stream_lsh_delete_equiv",
         "bloom_sliding_membership",
     },
+    # Round 14 (r13 VERDICT item 7): store_compaction_equiv (the one
+    # never-driver-checked entry — registered outside the r13 window by
+    # design) + the full 49-query r08-stale cohort, the oldest driver
+    # rows anywhere (tools/window_census.py --round 14). Duplicated
+    # independently of registry._ROUND14_MUST on purpose.
+    14: {
+        "store_compaction_equiv",
+        "bigram_model_artifact_roundtrip",
+        "bpe_artifact_roundtrip",
+        "cms_union_merge",
+        "cms_user_counts",
+        "daily_event_counts_dense",
+        "decontamination_flags",
+        "doc_trigram_quality",
+        "event_daily_rollup",
+        "event_funnel",
+        "event_neighbor_counts",
+        "histogram_quantile_sketch",
+        "inbox_stream_drain",
+        "incremental_bigram_model_equiv",
+        "incremental_ivf_equiv",
+        "incremental_pq_equiv",
+        "incremental_rollup_equiv",
+        "ivf_kmeans_recall",
+        "label_prop_communities",
+        "line_stats_by_flag",
+        "lsh_ann_recall",
+        "lsh_near_dup_recall",
+        "multimodal_frame_samples",
+        "nation_share_of_region",
+        "near_dedup_keep",
+        "order_price_histogram",
+        "orders_quality_report",
+        "pagerank_near_dups",
+        "playlists_json_source_roundtrip",
+        "returned_item_customers",
+        "shipments_in_transit_daily",
+        "shipping_priority",
+        "simhash_recall",
+        "similar_part_names",
+        "status_priority_sets",
+        "stream_bpe_apply_tokens",
+        "stream_cms_user_counts",
+        "stream_correlated_pairs",
+        "stream_dedup_user_types",
+        "stream_enriched_events",
+        "stream_heavy_hitter_words",
+        "stream_histogram_quantiles",
+        "tfidf_cosine_pairs",
+        "token_runs_udtf",
+        "transcript_files_roundtrip",
+        "unigram_artifact_roundtrip",
+        "user_event_type_pivot",
+        "user_retention_cohorts",
+        "weighted_doc_sample",
+        "wordpiece_artifact_roundtrip",
+    },
 }
 
 

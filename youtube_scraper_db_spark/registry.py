@@ -16963,6 +16963,114 @@ _ROUND13_EVICT = [
 _pin_window(13, _ROUND13_MUST, _ROUND13_EVICT)
 
 
+# --- Round 14 (ORACLE_ROUND=14, offset (14-2)*50 % 300 = 0 → window
+# [0:50]) --------------------------------------------------------------
+# r13 VERDICT item 7 + tools/window_census.py --round 14: after round 13
+# cleared the r07 cohort, the 49 r08-rowed queries are the oldest driver
+# witnesses anywhere, and store_compaction_equiv (registered outside the
+# r13 window on purpose — first driver row this round) is the only entry
+# with no driver row ever. 1 + 49 = 50 exactly — the window IS the stale
+# census plus the debut. The natural [0:50] window covers 15; 35 pin in.
+_ROUND14_MUST = [
+    # never driver-checked (round-13 debut, deliberately held out)
+    "store_compaction_equiv",
+    # the 49 r08-stale rows (15 already in the natural window)
+    "bigram_model_artifact_roundtrip",
+    "bpe_artifact_roundtrip",
+    "cms_union_merge",
+    "cms_user_counts",
+    "daily_event_counts_dense",
+    "decontamination_flags",
+    "doc_trigram_quality",
+    "event_daily_rollup",
+    "event_funnel",
+    "event_neighbor_counts",
+    "histogram_quantile_sketch",
+    "inbox_stream_drain",
+    "incremental_bigram_model_equiv",
+    "incremental_ivf_equiv",
+    "incremental_pq_equiv",
+    "incremental_rollup_equiv",
+    "ivf_kmeans_recall",
+    "label_prop_communities",
+    "line_stats_by_flag",
+    "lsh_ann_recall",
+    "lsh_near_dup_recall",
+    "multimodal_frame_samples",
+    "nation_share_of_region",
+    "near_dedup_keep",
+    "order_price_histogram",
+    "orders_quality_report",
+    "pagerank_near_dups",
+    "playlists_json_source_roundtrip",
+    "returned_item_customers",
+    "shipments_in_transit_daily",
+    "shipping_priority",
+    "simhash_recall",
+    "similar_part_names",
+    "status_priority_sets",
+    "stream_bpe_apply_tokens",
+    "stream_cms_user_counts",
+    "stream_correlated_pairs",
+    "stream_dedup_user_types",
+    "stream_enriched_events",
+    "stream_heavy_hitter_words",
+    "stream_histogram_quantiles",
+    "tfidf_cosine_pairs",
+    "token_runs_udtf",
+    "transcript_files_roundtrip",
+    "unigram_artifact_roundtrip",
+    "user_event_type_pivot",
+    "user_retention_cohorts",
+    "weighted_doc_sample",
+    "wordpiece_artifact_roundtrip",
+]
+
+#: Eviction priority: freshest committed driver row first (3 r12, 5 r11,
+#: 5 r10, 22 r09 — tools/window_census.py --round 14 emitted this list
+#: from the committed CORRECTNESS files; the annotation is the verified
+#: row). Displaced entries re-enter via the normal 50-per-round walk.
+_ROUND14_EVICT = [
+    "simhash_dups",  # r12
+    "doc_unigram_quality",  # r12
+    "stale_events",  # r12
+    "jsonl_gzip_roundtrip",  # r11
+    "partitioned_orders_prune",  # r11
+    "embedding_knn_join",  # r11
+    "corpus_facade_annotated",  # r11
+    "referential_integrity_report",  # r11
+    "bpe_pair_counts",  # r10
+    "salted_distinct_users",  # r10
+    "salted_supplier_revenue",  # r10
+    "top_suppliers_with_ties",  # r10
+    "classic_q13_custdist",  # r10
+    "user_status_history",  # r09
+    "event_value_mad",  # r09
+    "ci_name_search",  # r09
+    "point_lookup_order",  # r09
+    "asof_next_order",  # r09
+    "classic_q5_local_volume",  # r09
+    "classic_q18_large_orders",  # r09
+    "stream_allowlisted_events",  # r09
+    "custom_source_roundtrip",  # r09
+    "event_props_variant",  # r09
+    "stream_cdc_upsert_orders",  # r09
+    "stream_window_late_drop",  # r09
+    "corpus_mix_epochs",  # r09
+    "heavy_hitter_words",  # r09
+    "training_shard_manifest",  # r09
+    "int8_ann_topk",  # r09
+    "int8_ann_recall",  # r09
+    "doc_repetition_stats",  # r09
+    "corpus_curation_report",  # r09
+    "corpus_vocab_topk",  # r09
+    "stream_outer_correlated_pairs",  # r09
+    "minhash_lsh_recall",  # r09
+]
+
+_pin_window(14, _ROUND14_MUST, _ROUND14_EVICT)
+
+
 def _offset_for_round(last_checked_round: int) -> int:
     """Pure rotation arithmetic: r01/r02 both checked REGISTRY[0:50], so
     with r(N) files present the next verify windows batch N — offset
